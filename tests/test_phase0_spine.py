@@ -1,0 +1,76 @@
+"""Phase-0 spine: scan → clean → split → embed → top-k retrieval.
+
+Exercises projection, filter, explode, join, window top-k, limit — the
+backbone every other operator reuses (SURVEY.md §7 Phase 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.chunking import split_passages
+from knowledge_model_spark.functions.text_cleaning import clean_text
+from knowledge_model_spark.operators.retrieval import (
+    build_passage_index,
+    pack_context,
+    recall_at_k,
+    retrieve,
+)
+
+
+def test_clean_text_battery(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "Results [1,2] show (Smith et al., 2020) that <b>X</b> "
+                "works!! (fig 3)  References\n[3] ignored stuff",
+            )
+        ],
+        ["text"],
+    )
+    out = df.select(clean_text(F.col("text")).alias("c")).first()["c"]
+    assert "[1,2]" not in out
+    assert "Smith" not in out
+    assert "<b>" not in out
+    assert "ignored stuff" not in out
+    assert "!!" not in out
+    assert "Results" in out and "works!" in out
+
+
+def test_split_passages_geometry(spark):
+    text = "a" * 700
+    df = spark.createDataFrame([(text,)], ["text"])
+    arr = df.select(split_passages(F.col("text"), 300, 50).alias("p")).first()["p"]
+    # starts at 0, 250, 500 → lengths 300, 300, 200
+    assert [len(p) for p in arr] == [300, 300, 200]
+    empty = df.select(split_passages(F.lit(""), 300, 50).alias("p")).first()["p"]
+    assert empty == []
+
+
+def test_retrieval_end_to_end(spark, tables):
+    docs = tables["documents"].limit(50)
+    index = build_passage_index(docs)
+    assert {"doc_id", "chunk_index", "chunk_text", "char_start", "char_end", "vector"} <= set(
+        index.columns
+    )
+    # Query with the exact text of a known passage → that doc must rank #1.
+    probe = index.filter(F.col("chunk_index") == 0).limit(3).collect()
+    queries = spark.createDataFrame(
+        [(str(r["doc_id"]), r["chunk_text"]) for r in probe],
+        ["query_id", "query_text"],
+    )
+    hits = retrieve(index, queries, k=5)
+    top1 = hits.filter(F.col("rank") == 1).select("query_id", "__pid").collect()
+    for r in top1:
+        assert r["__pid"].split("#")[0] == r["query_id"]
+
+    packed = pack_context(hits.join(index.select(F.concat_ws("#", "doc_id", "chunk_index").alias("__pid"), "chunk_text"), "__pid"))
+    assert packed.count() >= 1
+
+    golden = spark.createDataFrame(
+        [(str(r["doc_id"]), str(r["doc_id"])) for r in probe],
+        ["query_id", "expected_doc_id"],
+    )
+    hits_doc = hits.withColumn("doc_id", F.split(F.col("__pid"), "#").getItem(0))
+    m = recall_at_k(hits_doc, golden, hit_doc="doc_id").first()
+    assert m["recall"] == 1.0
