@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()``/``oracle_sql()`` are generated from the engine's query
+registry (knowledge_model_spark/plans): every oracle-checkable operator
+declares a DuckDB-equivalent SQL string; xxhash64-based operators
+(MinHash/SimHash/LSH-ANN) are declared without oracles and verified
+against exact ground truth in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from knowledge_model_spark.plans import load_registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's RAG
+    retrieval dataflow (clean → chunk → embed → top-k per query), per
+    SURVEY.md §3.1."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.retrieval import build_passage_index, retrieve
+    from knowledge_model_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    index = build_passage_index(docs)
+    queries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.substring("text", 1, 120).alias("query_text"),
+    )
+    hits = retrieve(index, queries, k=5)
+    return hits.select("query_id", "__pid", "score", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in load_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in load_registry().items()
+        if spec.oracle is not None
+    }

@@ -26,10 +26,11 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """Approximate BPE token count: words + punctuation runs counted
-    separately (a regex stand-in for a real tokenizer)."""
-    pieces = F.split(col, r"\s+|(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\s])|(?<=[^a-zA-Z0-9\s])(?=[a-zA-Z0-9])")
-    return F.size(F.filter(pieces, lambda w: F.length(w) > 0))
+    """Approximate BPE token count: alnum runs + individual punctuation
+    marks (a regex stand-in for a real tokenizer).  RE2-compatible (no
+    lookarounds) so the DuckDB oracle can replicate it."""
+    pieces = F.regexp_extract_all(col, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return F.size(pieces)
 
 
 def _marker_hits(col: Column, markers: list[str]) -> Column:

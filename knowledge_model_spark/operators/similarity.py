@@ -69,16 +69,13 @@ def _hyperplane_sign_bucket(vec, n_planes: int, dim: int):
     Plane p, coordinate i weight = ±1 from xxhash64(p, i) parity — a
     Rademacher projection, deterministic across runs with no RNG state.
     """
+    def signed_term(p: int):
+        return lambda x, i: F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, x).otherwise(-x)
+
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i, _p=p: F.when(
-                    F.pmod(F.xxhash64(i, F.lit(_p)), 2) == 0, x
-                ).otherwise(-x),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed_term(p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -113,20 +110,18 @@ def lsh_bucket_top_k(
     c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv"))
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
 
+    def table_flip(t: int):
+        return lambda x, i: F.when(
+            F.pmod(F.xxhash64(i, F.lit(1000 + t)), 2) == 0, x
+        ).otherwise(-x)
+
     def with_buckets(df: DataFrame, vec_col: str) -> DataFrame:
         tables = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
                     _hyperplane_sign_bucket(
-                        F.transform(
-                            F.col(vec_col),
-                            lambda x, i, _t=t: F.when(
-                                F.pmod(F.xxhash64(i, F.lit(1000 + _t)), 2) == 0, x
-                            ).otherwise(-x),
-                        ),
-                        n_planes,
-                        dim,
+                        F.transform(F.col(vec_col), table_flip(t)), n_planes, dim
                     ).alias("bkt"),
                 )
                 for t in range(n_tables)

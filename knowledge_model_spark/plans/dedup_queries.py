@@ -1,0 +1,138 @@
+"""Deduplication queries over the documents table.
+
+Exact and n-gram-Jaccard dedup are oracle-checked (both expressible in
+DuckDB SQL with identical md5/shingle semantics).  MinHash-LSH and
+SimHash use Spark's xxhash64 — no DuckDB equivalent exists, so they are
+declared without oracles (driver records rows-only checks); their
+correctness is instead tested against the exact-Jaccard ground truth in
+``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH keyed AS (SELECT doc_id AS id, md5({_NORM}) AS fp FROM documents),
+    grouped AS (
+      SELECT fp, min(id) AS keep_id, list_sort(list(id)) AS all_ids, count(*) AS n_dups
+      FROM keyed GROUP BY fp
+    )
+    SELECT fp AS fingerprint, keep_id,
+           list_filter(all_ids, x -> x != keep_id) AS dup_ids, n_dups
+    FROM grouped WHERE n_dups > 1
+    """,
+    doc="exact dedup groups by md5 fingerprint: hash-groupBy, one shuffle",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return exact_duplicates(t["documents"], "doc_id", "text")
+
+
+@register(
+    "dedup_exact_survivors",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="exact dedup survivors (first-seen-wins by doc_id)",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.dedup import dedup_exact
+
+    t = load_tables(spark, sf_dir)
+    return dedup_exact(t["documents"], "doc_id", "text").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM}, ' '), w -> len(w) > 0) AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(words) - 4),
+                                                    i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+             END AS sh
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS common
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(common / (n_a + n_b - common), 6) AS jaccard
+    FROM pairs WHERE common / (n_a + n_b - common) >= 0.8
+    """,
+    doc="exact 5-shingle Jaccard ≥ 0.8 near-dup pairs via inverted-index join "
+    "(cost ∝ shingle document frequency, not n²)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", k=5, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures have no DuckDB equivalent
+    doc="MinHash(128)+LSH(32 bands) near-dup candidates, est. Jaccard ≥ 0.8; "
+    "verified against exact Jaccard in tests/test_dedup.py",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"], "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based signature
+    doc="SimHash(63-bit) near-dup pairs at Hamming distance ≤ 3 with 16-bit "
+    "block banding for candidate generation",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return simhash_pairs(t["documents"], "doc_id", "text", max_distance=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    doc="embedding-cosine near-dup pairs (≥0.95); brute-force baseline, "
+    "LSH-bucketed variant in operators/similarity.py for the 100 TB path",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.95
+    ).select("id_a", "id_b")

@@ -1,0 +1,176 @@
+"""Event-stream analytics over the events table (batch semantics).
+
+Windowed aggregations (tumbling/sliding), sessionization by inactivity
+gap, and JSON prop extraction — the batch twins of the Structured
+Streaming operators in ``knowledge_model_spark/streaming`` (same logical
+semantics; streaming adds watermarks/state).  Window starts are emitted
+as epoch seconds (BIGINT) so the value-hash is engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+
+@register(
+    "events_tumbling_1h",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling 1h window agg (streaming twin: window(ts,'1 hour') + watermark)",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    """
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+             value
+      FROM events
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM expanded GROUP BY 1
+    """,
+    doc="sliding window 1h/30m: each event lands in 2 overlapping windows",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "avg_value"
+        )
+    )
+
+
+@register(
+    "events_sessionize_30m",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="sessionization by 30-min inactivity gap: lag → new-session flag → "
+    "running-sum session ids (streaming twin: session_window / applyInPandasWithState)",
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = t["events"].withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1800 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="schema-on-read JSON prop extraction (reference's orjson JSONL pattern, "
+    "ingestion/__init__.py:14-20) via from_json/get_json_object",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.pmod(F.get_json_object("props", "$.k").cast("long"), F.lit(10)).alias(
+                "k_bucket"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+    FROM events GROUP BY user_id
+    """,
+    doc="conditional-count pivot (reference's section counters, fetch_pubmed.py:422-426)",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def cnt(et: str):
+        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"n_{et}")
+
+    return t["events"].groupBy("user_id").agg(
+        cnt("click"), cnt("view"), cnt("signup"), cnt("error"), cnt("purchase")
+    )

@@ -1,0 +1,725 @@
+"""Relational operator battery — oracle-checked on the TPC-H-ish testdata.
+
+Each query exercises one operator family from SURVEY.md §2 (joins §2.3,
+aggregations §2.4, windows §2.5, sort/limit/top-k §2.6, set ops §2.7) and
+carries a DuckDB-equivalent oracle.  Column names are aliased identically
+on both sides; money aggregates round to 2 decimals, ratios to 6, so the
+driver's value-hash is FP-stable across engines.
+
+Scale notes (local[32] correctness, 100 TB design):
+- nation/region/supplier/part are dimensions → Catalyst broadcasts them
+  (autoBroadcastJoinThreshold); fact-fact joins (orders⋈lineitem) hash-
+  partition on the key and AQE handles skew.
+- every aggregation here is partial-agg friendly (sum/count/avg/min/max),
+  so map-side combine cuts the shuffle to |groups| per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from knowledge_model_spark.operators.relational import asof_join, dedup_first_seen
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+
+# ------------------------------------------------------------ aggregation
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: multi-agg groupBy with pushed-down date filter",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, revenue, orderdate, o_orderpriority FROM (
+      SELECT o.o_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
+             o.o_orderpriority
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    )
+    """,
+    doc="TPC-H Q3: 3-way join, agg, global top-10 (TakeOrderedAndProject)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="snowflake join through two dimension hops, broadcast all dims",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)       AS n_customers,
+           count(*)                        AS n_orders,
+           round(sum(o_totalprice), 2)     AS total,
+           round(min(o_totalprice), 2)     AS min_price,
+           round(max(o_totalprice), 2)     AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="distinct aggregation (expand + two-phase agg)",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS via SQL",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+@register(
+    "join_semi_orders_with_big_items",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def join_semi_orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = t["lineitem"].filter(F.col("l_quantity") >= 45)
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left-anti join (NOT EXISTS) — the reference's dup-suppression pattern (pipeline.py:78-81)",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer_order_counts",
+    """
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="left outer join + agg with null-preserving count",
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    """
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey) AS n_cust,
+           count(DISTINCT s.s_suppkey) AS n_supp
+    FROM nation n
+      FULL JOIN customer c ON c.c_nationkey = n.n_nationkey
+      FULL JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="full outer joins with distinct counts",
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"), "full")
+        .join(t["supplier"], F.col("s_nationkey") == F.col("n_nationkey"), "full")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_theta_price_above_retail",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+           round(l.l_extendedprice, 2) AS l_extendedprice,
+           round(p.p_retailprice, 2)   AS p_retailprice
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey AND l.l_extendedprice > 50 * p.p_retailprice
+    """,
+    doc="theta join: equi key + non-equi residual predicate",
+)
+def join_theta_price_above_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            broadcast(t["part"]),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_extendedprice") > 50 * F.col("p_retailprice")),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_partkey",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+@register(
+    "join_range_acctbal_band",
+    """
+    SELECT b.band_id, count(*) AS n_suppliers, round(sum(s.s_acctbal), 2) AS total_bal
+    FROM (SELECT CAST(0 AS BIGINT) AS band_id, -1000.0 AS lo, 1000.0 AS hi UNION ALL
+          SELECT 1, 1000.0, 3000.0 UNION ALL
+          SELECT 2, 3000.0, 6000.0 UNION ALL
+          SELECT 3, 6000.0, 100000.0) b
+    JOIN supplier s ON s.s_acctbal >= b.lo AND s.s_acctbal < b.hi
+    GROUP BY b.band_id
+    """,
+    doc="pure range (interval) join against a small band table — broadcast-NL",
+)
+def join_range_acctbal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(0, -1000.0, 1000.0), (1, 1000.0, 3000.0), (2, 3000.0, 6000.0), (3, 6000.0, 100000.0)],
+        ["band_id", "lo", "hi"],
+    )
+    return (
+        t["supplier"]
+        .join(
+            broadcast(bands),
+            (F.col("s_acctbal") >= F.col("lo")) & (F.col("s_acctbal") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_asof_last_event_before_order",
+    """
+    SELECT o.o_orderkey, o.o_custkey, e.event_type AS last_event_type
+    FROM (SELECT o_orderkey, o_custkey, o_custkey % 20 AS uid,
+                 TIMESTAMP '2024-01-01' + to_minutes(o_orderkey % 40000) AS ots
+          FROM orders) o
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_type
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) e
+      ON o.uid = e.user_id AND o.ots >= e.ts
+    """,
+    doc="as-of join (backward): latest event per key at-or-before a synthetic order time; "
+    "union+window formulation scales linearly vs per-row range probes",
+)
+def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.pmod(F.col("o_orderkey"), F.lit(40000)).cast("int"))
+        ).alias("ots"),
+        F.pmod(F.col("o_custkey"), F.lit(20)).alias("uid"),
+    )
+    # Dedup ties (same user_id+ts) to make the as-of value deterministic.
+    events = (
+        t["events"]
+        .select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    joined = asof_join(
+        orders,
+        events.withColumnRenamed("user_id", "uid"),
+        on="uid",
+        left_time="ots",
+        right_time="ts",
+        direction="backward",
+        right_cols=["event_type"],
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", F.col("event_type").alias("last_event_type")
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@register(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+    WHERE rank <= 3
+    """,
+    doc="top-k per group via row_number window (partial TakeOrdered per partition)",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "window_lead_lag_order_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           datediff('day', lag(o_orderdate) OVER w, o_orderdate)  AS days_since_prev,
+           datediff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_until_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lead/lag analytic windows",
+)
+def window_lead_lag_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_until_next"),
+    )
+
+
+@register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg3
+    FROM orders
+    """,
+    doc="cumulative + sliding ROWS frames (the reference's budget-packing primitive, main.py:355-363)",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+    )
+
+
+@register(
+    "window_ntile_percent_rank",
+    """
+    SELECT c_custkey,
+           ntile(4)        OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume
+    FROM customer
+    """,
+    doc="ntile / percent_rank / cume_dist ranking windows",
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_dense_rank_parts",
+    """
+    SELECT p_brand, p_partkey, p_size,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS rnk,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)            AS drnk
+    FROM part
+    """,
+    doc="rank vs dense_rank",
+)
+def window_dense_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank()
+        .over(Window.partitionBy("p_brand").orderBy(F.col("p_size").desc(), "p_partkey"))
+        .cast("long")
+        .alias("rnk"),
+        F.dense_rank()
+        .over(Window.partitionBy("p_brand").orderBy(F.col("p_size").desc()))
+        .cast("long")
+        .alias("drnk"),
+    )
+
+
+# -------------------------------------------------------- set ops / dedup
+
+@register(
+    "setop_nations_with_both",
+    """
+    SELECT n_nationkey FROM
+      (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+       INTERSECT
+       SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    doc="INTERSECT set operation",
+)
+def setop_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    return c.intersect(s)
+
+
+@register(
+    "setop_customer_only_nations",
+    """
+    SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT set operation",
+)
+def setop_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    return c.exceptAll(s).distinct()
+
+
+@register(
+    "setop_union_all_keys",
+    """
+    SELECT n_nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY n_nationkey
+    """,
+    doc="UNION ALL + agg",
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("n_nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.unionByName(s).groupBy("n_nationkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "dedup_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders) WHERE rn = 1
+    """,
+    doc="first-seen-wins dedup (reference: main.py:283-291 normalized-key dedup)",
+)
+def dedup_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = dedup_first_seen(t["orders"], ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return out.select(
+        "o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+    )
+
+
+# ------------------------------------------------------------- date/scalar
+
+@register(
+    "date_functions_orders",
+    """
+    SELECT year(o_orderdate)  AS yr,
+           month(o_orderdate) AS mo,
+           strftime(last_day(min(o_orderdate)), '%Y-%m-%d') AS first_month_end,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    doc="date part extraction + last_day (reference's month bounds, pipeline.py:57-63)",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.date_format(F.last_day(F.min("o_orderdate")), "yyyy-MM-dd").alias(
+                "first_month_end"
+            ),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "month_sequence_gap_scan",
+    """
+    WITH months AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01', INTERVAL 1 MONTH))::DATE AS m
+    )
+    SELECT strftime(m, '%Y-%m-%d') AS month_start,
+           coalesce(n_orders, 0) AS n_orders
+    FROM months LEFT JOIN (
+      SELECT date_trunc('month', o_orderdate)::DATE AS m, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) o USING (m)
+    """,
+    doc="calendar sequence anti/left join — the reference's first-missing-month scan "
+    "(fetch_clean.py:35-53) as sequence() + left join",
+)
+def month_sequence_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m")
+    )
+    per_month = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        months.join(per_month, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month_start"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "case_when_price_tiers",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           o_orderstatus,
+           count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="CASE WHEN routing (the reference's intent short-circuit pattern, main.py:16-31)",
+)
+def case_when_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        t["orders"]
+        .groupBy(tier.alias("tier"), F.col("o_orderstatus"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+    )

@@ -1,0 +1,131 @@
+"""Similarity-search queries over the embeddings table.
+
+Brute-force exact cosine top-k is oracle-checked against DuckDB's
+list_cosine_similarity.  The ANN variants (LSH-bucketed, IVF) use
+xxhash64-derived projections with no DuckDB equivalent — declared
+rows-only; their recall vs the exact baseline is asserted in
+tests/test_similarity.py (mirroring the reference's eval gate,
+pipelines/flows/continuous.py:34-36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.operators.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_bucket_top_k,
+)
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+K = 10
+N_QUERIES = 5  # first 5 vectors double as the query batch
+
+
+def _queries(t):
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding) AS s
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {K}
+    """,
+    doc="exact cosine top-10 per query: broadcast query batch × corpus scan, "
+    "JVM-side dot product, per-query window top-k (reference: "
+    "vector_store.py:129-162 IndexFlatIP.search)",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hits = brute_force_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    )
+    return hits.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # xxhash64 hyperplane projections — recall tested vs exact baseline
+    doc="LSH-bucketed approximate top-10 (4 tables × 8 hyperplanes); the "
+    "100 TB path — candidates ∝ bucket occupancy, not corpus size",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return lsh_bucket_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # deterministic hash-sampled centroids, no SQL equivalent
+    doc="IVF-style approximate top-10: 16 hash-sampled centroids, probe 4",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return ivf_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "embeddings_label_centroids",
+    """
+    WITH dims AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS centroid_v
+    FROM dims GROUP BY label, dim
+    """,
+    doc="per-label centroid via posexplode + groupBy (vector agg without UDAF)",
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )

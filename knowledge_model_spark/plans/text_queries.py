@@ -1,0 +1,263 @@
+"""Text pipeline queries over the documents table — oracle-checked.
+
+Covers the reference's cleaning/chunking battery (SURVEY.md §2.8) and the
+north-star text-analysis operators (token counting, language ID, quality
+scoring, fingerprinting).  Every regex here is RE2-compatible so the
+DuckDB oracle can replicate it exactly (no backrefs/lookarounds in
+oracle-checked paths); the one backref cleaner (duplicate-punctuation
+collapse) is expanded per-character in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.chunking import explode_passages
+from knowledge_model_spark.functions.text_analysis import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    normalize_for_dedup,
+    quality_score,
+    token_count,
+)
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+# DuckDB replication of normalize_for_dedup (lower → strip non-alnum → trim).
+_NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "text_split_passages",
+    f"""
+    WITH cleaned AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t), 1), 250)) AS char_start
+      FROM cleaned
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start) - 1 AS BIGINT)
+             AS chunk_index,
+           substr(t, char_start + 1, 300) AS chunk_text,
+           char_start,
+           char_start + len(substr(t, char_start + 1, 300)) AS char_end
+    FROM starts
+    WHERE len(substr(t, char_start + 1, 300)) > 0
+    """,
+    doc="char-window passage split 300/50 (reference: passage_splitter.py:16-28) — "
+    "pure SQL sequence+transform+posexplode",
+)
+def text_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cleaned = t["documents"].select(
+        "doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("t")
+    )
+    out = explode_passages(cleaned, "t", ["doc_id"], size=300, overlap=50)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "chunk_text",
+        F.col("char_start").cast("long").alias("char_start"),
+        F.col("char_end").cast("long").alias("char_end"),
+    )
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0))
+             AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+             AS n_bpe_ish,
+           len(text) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex tokenizer (north-star text op)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿäöüß]+'),
+                         w -> len(w) > 0) AS ws
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, w -> list_contains(['der','die','und','nicht','ist'], w))) AS de,
+        len(list_filter(ws, w -> list_contains(['the','and','of','to','in'], w)))      AS en,
+        len(list_filter(ws, w -> list_contains(['el','la','que','de','los'], w)))      AS es,
+        len(list_filter(ws, w -> list_contains(['le','la','les','des','est'], w)))     AS fr
+      FROM words
+    ),
+    unp AS (
+      SELECT doc_id, lang, pred, h
+      FROM hits UNPIVOT (h FOR pred IN (de, en, es, fr))
+    ),
+    best AS (
+      SELECT doc_id, lang, pred, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, pred DESC) AS r
+      FROM unp
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h > 0 THEN pred ELSE 'und' END AS pred_lang
+    FROM best WHERE r = 1
+    """,
+    doc="language ID by marker-word argmax (ties → lexicographically last lang)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           round((least(len(text) / 500.0, 1.0)
+                  + CASE WHEN len(text) > 0
+                         THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)
+                         ELSE 0.0 END
+                  + CASE WHEN len(text) > 0
+                         THEN 1.0 - least(len(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 10.0 / len(text), 1.0)
+                         ELSE 0.0 END) / 3.0, 6) AS quality
+    FROM documents
+    """,
+    doc="surface-statistics quality score (length/alpha/punctuation ratios)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp
+    FROM documents
+    """,
+    doc="md5 content fingerprint of normalized text (rolling-hash analog; "
+    "md5 identical across Spark and DuckDB)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _build_clean_battery_oracle() -> str:
+    """Generate the DuckDB twin of the cleaning chain programmatically so
+    both sides stay in lockstep (same order, same RE2-safe patterns)."""
+
+    def rr(inner: str, pat: str, rep: str) -> str:
+        return f"regexp_replace({inner}, '{pat}', '{rep}', 'g')"
+
+    def split1(inner: str, pat: str) -> str:
+        return f"regexp_split_to_array({inner}, '{pat}')[1]"
+
+    quotes_from = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+    quotes_to = "''''" + '""' + "-- "  # two escaped quotes, two dquotes, dashes, space
+    e = f"translate(text, '{quotes_from}', '{quotes_to}')"
+    e = rr(e, "<[^>]+>", " ")
+    e = rr(e, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    e = rr(e, r"(\w)-\s*\n\s*(\w)", r"\1\2")
+    e = rr(e, "\\[\\s*\\d+(\\s*[,–-]\\s*\\d+)*\\s*\\]", "")
+    e = rr(e, r"(?i)\(\s*(fig(ure)?|table)\.?\s*[\w.\-]*\s*\)", "")
+    e = split1(e, r"(?i)\b(references|bibliography|literature\s+cited)\b")
+    e = split1(
+        e,
+        r"(?i)\b(acknowledg(e)?ments?|funding|conflicts?\s+of\s+interest|competing\s+interests)\b",
+    )
+    for ch in "!?.,;:":
+        e = rr(e, "[\\" + ch + "]{2,}", ch)
+    e = rr(e, r"\(\s*[A-Z][A-Za-z\-]+(\s+et\s+al\.?)?,?\s+(19|20)\d{2}[a-z]?\s*\)", "")
+    e = rr(e, r"\s+", " ")
+    return f"SELECT doc_id, trim({e}) AS cleaned FROM documents"
+
+
+@register(
+    "text_clean_battery",
+    _build_clean_battery_oracle(),
+    doc="full reference cleaning battery (text_cleaner.py:105-133) as nested "
+    "regexp_replace chain; backref-free so the oracle matches exactly",
+)
+def text_clean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions import text_cleaning as tc
+
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    c = tc.normalize_quotes(c)
+    c = tc.strip_html_tags(c)
+    c = tc.strip_control_chars(c)
+    c = tc.rejoin_hyphen_linebreaks(c)
+    c = tc.strip_citation_tags(c)
+    c = tc.strip_figure_refs(c)
+    c = tc.truncate_at_references(c)
+    c = tc.truncate_at_backmatter(c)
+    # duplicate-punctuation collapse, expanded per char to stay RE2-safe
+    for ch in "!?.,;:":
+        esc = "\\" + ch if ch in ".?" else ch
+        c = F.regexp_replace(c, f"[{esc}]{{2,}}", ch)
+    c = tc.strip_author_year_citations(c)
+    c = tc.collapse_whitespace(c)
+    return t["documents"].select("doc_id", c.alias("cleaned"))
+
+
+@register(
+    "text_length_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="corpus length histogram (corpus-stats north-star op)",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_source_lang_matrix",
+    """
+    SELECT source, lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source, lang
+    """,
+    doc="two-dim corpus composition stats",
+)
+def text_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
+    )
