@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set = one representative per operator family, weighted toward
+the shuffles that dominate at scale (agg, join, window, dedup, ANN).
+Small results are fully collect()ed (materializes every value); large
+outputs use count() so the timing measures the engine, not py4j row
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from knowledge_model_spark.plans import load_registry
+from knowledge_model_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name → force_collect (True for small results: materialize every value;
+# False → count() for large outputs where row transfer would measure
+# py4j serialization, not the engine)
+HEADLINE: dict[str, bool] = {
+    "q1_pricing_summary": True,
+    "q3_shipping_priority": True,
+    "q5_region_revenue": True,
+    "agg_cube": True,
+    "join_semi_orders_with_big_items": False,
+    "join_anti_customers_without_orders": False,
+    "join_asof_last_event_before_order": False,
+    "window_top3_orders_per_customer": False,
+    "window_running_revenue": False,
+    "events_sessionize_30m": False,
+    "text_split_passages": False,
+    "text_clean_battery": False,
+    "text_token_stats": False,
+    "dedup_exact_survivors": False,
+    "dedup_minhash_lsh": False,
+    "ann_bruteforce_topk": True,
+    "ann_lsh_topk": True,
+}
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("kms-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_registry()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, force_collect in HEADLINE.items():
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        if force_collect:
+            df.collect()
+        else:
+            df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Corpus file sources/sinks: JSONL with dead-lettering, partitioned
+Parquet, training-record normalization.
+
+Replaces the reference's hand-rolled I/O:
+- constant-memory JSONL iterator with malformed-line skip
+  (reference: ingestion/build_faiss.py:40-66) → schema'd PERMISSIVE read
+  with a ``_corrupt_record`` dead-letter split
+- dual JSONL append + DB upsert + S3 upload triple-write
+  (reference: ingestion/pipeline.py:66-93,181-207; upload_s3.py) →
+  one partitioned Parquet write
+- dual-variant training records (reference: training/train_lora.py:87-92)
+  → normalized projection with coalesce
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from knowledge_model_spark.schemas import CORPUS_CHUNK_SCHEMA, TRAINING_RECORD_SCHEMA
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CORPUS_CHUNK_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL with explicit schema; returns (good, dead_letter).
+
+    PERMISSIVE mode lands malformed lines in ``_corrupt_record`` instead
+    of failing the scan — the Spark-native form of the reference's
+    warn-and-continue (build_faiss.py:44-48) and quarantine TSV
+    (fetch_pubmed.py:83-90).  The explicit schema keeps the reader
+    single-pass (no inference scan) — mandatory at 100 TB.
+    """
+    full_schema = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    df = df.cache()  # required: corrupt-record column demands a stable scan
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, dead
+
+
+def write_partitioned(
+    df: DataFrame, path: str, year_col: str = "year", month_col: str = "month"
+) -> None:
+    """Hive-partitioned Parquet sink — the engine's canonical layout.
+
+    ``partitionBy(year, month)`` replaces the reference's hand-built
+    ``data/clean/YYYY/MM/`` tree (pipeline.py:75-76) and S3 key layout
+    (upload_s3.py:125-131); Catalyst prunes partitions on read for free.
+    Dynamic overwrite keeps month reruns idempotent (the reference's
+    skip-if-exists, pipeline.py:78-81).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(year_col, month_col)
+        .parquet(path)
+    )
+
+
+def normalize_training_records(df: DataFrame) -> DataFrame:
+    """Normalize dual-variant training records to one text column.
+
+    {"text": ...} rows pass through; {"instruction","output"} rows become
+    an instruction-formatted string; rows that are neither are dropped
+    (reference: train_lora.py:87-111).
+    """
+    rendered = F.when(
+        F.col("text").isNotNull() & (F.length("text") > 0), F.col("text")
+    ).when(
+        F.col("instruction").isNotNull() & F.col("output").isNotNull(),
+        F.concat(
+            F.lit("### Instruction:\n"),
+            F.col("instruction"),
+            F.lit("\n### Response:\n"),
+            F.col("output"),
+        ),
+    )
+    return (
+        df.withColumn("train_text", rendered)
+        .filter(F.col("train_text").isNotNull())
+        .select("train_text")
+    )
+
+
+def weighted_corpus_merge(
+    raw: DataFrame, instruct: DataFrame, raw_weight: float = 0.8, seed: int = 42
+) -> DataFrame:
+    """≈80/20 weighted merge of raw corpus + instruction pairs
+    (reference: pipeline_runner.py:49-57 — the merge script it invokes is
+    absent from the snapshot; semantics reconstructed as weighted union).
+
+    Downsamples the over-represented side so the output ratio approaches
+    raw_weight : (1 - raw_weight) without ever collecting to the driver.
+    """
+    n_raw, n_ins = raw.count(), instruct.count()
+    if n_raw == 0 or n_ins == 0:
+        return raw.unionByName(instruct, allowMissingColumns=True)
+    target_ins = n_raw * (1 - raw_weight) / raw_weight
+    if n_ins > target_ins:
+        instruct = instruct.sample(fraction=min(1.0, target_ins / n_ins), seed=seed)
+    else:
+        raw = raw.sample(
+            fraction=min(1.0, n_ins * raw_weight / (1 - raw_weight) / n_raw), seed=seed
+        )
+    return raw.unionByName(instruct, allowMissingColumns=True)

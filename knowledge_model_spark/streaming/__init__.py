@@ -1,0 +1,22 @@
+"""Structured Streaming operators (engine extension; SURVEY.md §2.9).
+
+The reference has no streaming runtime — incrementality is cron +
+filesystem state (reference: deployments/nas_daily.py:19-32,
+pipelines/tasks/fetch_clean.py:35-53).  This package supplies the real
+thing: file-source incremental ingest with Trigger.AvailableNow,
+watermarked windowed aggregations, stateful dedup, and session windows.
+"""
+
+from knowledge_model_spark.streaming.windows import (
+    sessionized_stream,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionized_stream",
+    "streaming_dedup",
+]
