@@ -17,6 +17,10 @@ deterministic so results are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,39 +118,70 @@ N_HASHES = 128
 _P31 = (1 << 31) - 1
 
 
+@lru_cache(maxsize=8)
+def _minhash_udf(n_hashes: int, bands: int):
+    """Arrow-batched minhash: (shingle-hash array) → struct(sig, bkt).
+
+    The 128-way (a·x + b) mod p min-reduction is a single numpy
+    broadcasted matmul-shaped op per row — ~10 µs/row vs ~13 ms/row for
+    the equivalent nested higher-order-function expression (interpreted,
+    re-inlined per band by CollapseProject).  The UDF is also a
+    projection barrier, so the signature is computed exactly once per
+    pipeline branch.  a_i, b_i come from a fixed-seed PRNG: stable
+    across runs, partitionings, and cluster sizes.
+    """
+    rng = np.random.default_rng(20260813)
+    a = rng.integers(1, _P31, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _P31, size=n_hashes, dtype=np.int64)
+    rows_per_band = n_hashes // bands
+    band_mix = rng.integers(1, _P31, size=rows_per_band, dtype=np.int64)
+
+    @F.pandas_udf("struct<sig: array<long>, bkt: array<long>>")
+    def udf(hx: pd.Series) -> pd.DataFrame:
+        sigs, bkts = [], []
+        for arr in hx:
+            x = np.asarray(arr, dtype=np.int64)
+            # a,b,x < 2^31 → a*x + b < 2^62: no int64 overflow.
+            sig = ((a[:, None] * x[None, :] + b[:, None]) % _P31).min(axis=1)
+            # Band bucket = dot of the band's rows with fixed odd mixers,
+            # wrapped mod p — deterministic, no string building.
+            bands_view = sig.reshape(bands, rows_per_band)
+            bkt = (bands_view * band_mix[None, :]).sum(axis=1) % _P31
+            sigs.append(sig)
+            bkts.append(bkt)
+        return pd.DataFrame({"sig": sigs, "bkt": bkts})
+
+    return udf
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = N_HASHES
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures over word k-shingles.
 
-    Universal hashing: h_i(x) = (a_i * x + b_i) mod p over the xxhash64 of
-    each shingle; a_i, b_i derived deterministically from i (no RNG, so
-    signatures are stable across runs/partitionings and cluster sizes).
-    Vectorized as a higher-order-function reduction — per row
-    O(|shingles| * n_hashes) JVM-side, no shuffle until the banding join.
+    Shingle hashing stays JVM-side (single-level ``transform`` +
+    ``xxhash64``, codegen-friendly); the n_hashes-way min-reduction runs
+    in a vectorized Arrow-batched pandas UDF (see :func:`_minhash_udf`).
     """
+    return _minhash_banded(df, id_col, text_col, k, n_hashes, bands=n_hashes // 4).select(
+        "id", "sig"
+    )
+
+
+def _minhash_banded(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int, bands: int
+) -> DataFrame:
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             shingles(F.col(text_col), k),
             lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)),
         ).alias("hx"),
+    ).filter(F.size("hx") > 0)
+    mh = _minhash_udf(n_hashes, bands)
+    return base.select("id", mh(F.col("hx")).alias("mh")).select(
+        "id", F.col("mh.sig").alias("sig"), F.col("mh.bkt").alias("bkt")
     )
-    # h_i(x) = pmod(a_i*x + b_i, p); a_i,b_i from xxhash64 of the index.
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("hx"),
-                lambda x: F.pmod(
-                    (F.pmod(F.xxhash64(i, F.lit("a")), F.lit(_P31 - 1)) + 1) * x
-                    + F.pmod(F.xxhash64(i, F.lit("b")), F.lit(_P31)),
-                    F.lit(_P31),
-                ),
-            )
-        ),
-    )
-    return base.filter(F.size("hx") > 0).select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -166,34 +201,21 @@ def minhash_lsh_pairs(
     join groups by (band_id, band_hash): only same-bucket docs meet, so
     candidate generation is linear-ish in corpus size — the 100 TB path.
     """
-    rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    sigs = _minhash_banded(df, id_col, text_col, k, n_hashes, bands)
+    # Slim band join: only (id, band, bucket) shuffles — signatures are
+    # NOT carried through the candidate join / distinct (at 100 TB the
+    # band shuffle is 3 longs/row/band instead of a 128-long array).
+    banded = sigs.select("id", F.posexplode("bkt").alias("band", "bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    # Verify survivors only: join signatures back for the estimate.
+    sig_tbl = sigs.select("id", "sig")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -201,7 +223,9 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(n_hashes))
     return (
-        cands.withColumn("est_jaccard", F.round(est, 6))
+        cands.join(sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

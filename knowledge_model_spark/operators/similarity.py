@@ -18,6 +18,10 @@ knowledge_model/embeddings/vector_store.py:129-162) as DataFrame plans:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -63,27 +67,32 @@ def brute_force_top_k(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane_sign_bucket(vec, n_planes: int, dim: int):
-    """Deterministic random-hyperplane LSH bucket id for a vector column.
+@lru_cache(maxsize=8)
+def _hyperplane_buckets_udf(n_tables: int, n_planes: int, dim: int):
+    """Arrow-batched hyperplane LSH: vector → array of n_tables bucket ids.
 
-    Plane p, coordinate i weight = ±1 from xxhash64(p, i) parity — a
-    Rademacher projection, deterministic across runs with no RNG state.
+    All n_tables × n_planes Gaussian projections happen as ONE numpy
+    matmul per Arrow batch — vs thousands of interpreted HOF ops per row
+    for the expression formulation (which CollapseProject additionally
+    re-inlines per table).  Bucket signs are invariant to positive
+    scaling, so the input need not be normalized.  Fixed-seed planes:
+    deterministic across runs, partitionings, cluster sizes.
     """
-    def signed_term(p: int):
-        return lambda x, i: F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, x).otherwise(-x)
+    rng = np.random.default_rng(424242)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed_term(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket
+    @F.pandas_udf("array<long>")
+    def udf(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ planes.T) > 0  # (rows, n_tables*n_planes)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        buckets = (bits * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return udf
 
 
 def lsh_bucket_top_k(
@@ -94,45 +103,49 @@ def lsh_bucket_top_k(
     query_id: str,
     query_vec: str,
     k: int = 12,
-    n_planes: int = 8,
+    n_planes: int = 6,
     dim: int = 64,
-    n_tables: int = 4,
+    n_tables: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: score only same-LSH-bucket pairs.
 
     ``n_tables`` independent hash tables (plane sets offset by table id)
-    are unioned for recall; candidates dedup before scoring.  Equi-join on
-    (table, bucket) → shuffle-partitioned by bucket: linear in candidate
-    count, the 100 TB path (reference fidelity contract: recall measured
-    against brute_force_top_k by the eval harness, mirroring
-    eval_snapshot.py:74-108).
+    are unioned for recall; multiprobe (``probe_hamming=1``) additionally
+    probes every query bucket with one sign bit flipped — the cheap recall
+    lever that avoids adding tables.  Equi-join on (table, bucket) →
+    shuffle-partitioned by bucket: candidate count ∝ bucket occupancy,
+    not corpus size — the 100 TB path.  Tune ``n_planes`` ≈
+    log2(corpus/desired_bucket_size).  Recall is gated against
+    brute_force_top_k by the eval harness (mirroring the reference's
+    eval_snapshot.py:74-108, gate continuous.py:34-36).
     """
     c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv"))
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
+    bk = _hyperplane_buckets_udf(n_tables, n_planes, dim)
 
-    def table_flip(t: int):
-        return lambda x, i: F.when(
-            F.pmod(F.xxhash64(i, F.lit(1000 + t)), 2) == 0, x
-        ).otherwise(-x)
-
-    def with_buckets(df: DataFrame, vec_col: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _hyperplane_sign_bucket(
-                        F.transform(F.col(vec_col), table_flip(t)), n_planes, dim
-                    ).alias("bkt"),
-                )
-                for t in range(n_tables)
-            ]
+    def with_buckets(df: DataFrame, vec_col: str, multiprobe: bool) -> DataFrame:
+        # bk() output index = table id.  Queries additionally probe each
+        # bucket with single sign bits flipped (Hamming-1 multiprobe).
+        masks = [0] + (
+            [1 << j for j in range(n_planes)] if multiprobe and probe_hamming >= 1 else []
         )
-        return df.select("*", F.explode(tables).alias("tb")).select(
+        mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+        tb = F.flatten(
+            F.transform(
+                bk(F.col(vec_col)),
+                lambda b, t: F.transform(
+                    mask_arr,
+                    lambda m: F.struct(t.alias("tbl"), b.bitwiseXOR(m).alias("bkt")),
+                ),
+            )
+        )
+        return df.select("*", F.explode(tb).alias("tb")).select(
             "*", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
         ).drop("tb")
 
-    cb = with_buckets(c, "__cv")
-    qb = with_buckets(q, "__qv")
+    cb = with_buckets(c, "__cv", multiprobe=False)
+    qb = with_buckets(q, "__qv", multiprobe=True)
     cands = (
         cb.join(broadcast(qb), ["tbl", "bkt"])
         .select(query_id, corpus_id, "__cv", "__qv")
@@ -157,11 +170,14 @@ def ivf_top_k(
     k: int = 12,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_assign: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: deterministic hash-sampled centroids; corpus rows
-    assigned to nearest centroid once; queries probe ``n_probe`` nearest
-    lists.  Centroid table is tiny → broadcast everywhere; corpus shuffle
-    is one repartition by centroid — amortizable across query batches.
+    multi-assigned to their ``n_assign`` nearest centroids (recall lever —
+    neighbors near list boundaries stay reachable at 2× index size);
+    queries probe ``n_probe`` nearest lists.  Centroid table is tiny →
+    broadcast everywhere; corpus shuffle is one repartition by centroid —
+    amortizable across query batches.
     """
     c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv"))
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
@@ -186,7 +202,7 @@ def ivf_top_k(
             .drop("cent_vec", "__cs", "__cr")
         )
 
-    c_assigned = nearest(c, "__cv", corpus_id, 1)
+    c_assigned = nearest(c, "__cv", corpus_id, n_assign)
     q_assigned = nearest(q, "__qv", query_id, n_probe)
     scored = c_assigned.join(broadcast(q_assigned), "cent_id").select(
         F.col(query_id),

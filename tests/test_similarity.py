@@ -1,0 +1,87 @@
+"""Similarity search: exact baseline sanity + ANN recall gates.
+
+Mirrors the reference's eval contract (recall@10 ≥ 0.80 hard gate,
+pipelines/flows/continuous.py:34-36) for the approximate paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.operators.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_bucket_top_k,
+)
+
+K = 10
+N_Q = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def queries(tables):
+    return (
+        tables["embeddings"]
+        .filter(F.col("vec_id") < N_Q)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_hits(corpus, queries):
+    return brute_force_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K
+    ).collect()
+
+
+def test_exact_self_is_rank1(exact_hits):
+    for r in exact_hits:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]  # self-similarity = 1.0
+            assert r["score"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_exact_scores_monotone(exact_hits):
+    by_q: dict = {}
+    for r in exact_hits:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for q, hits in by_q.items():
+        hits.sort()
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert len(hits) == K
+
+
+def _recall(approx_rows, exact_rows) -> float:
+    exact_sets: dict = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = tot = 0
+    approx_sets: dict = {}
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, es in exact_sets.items():
+        tot += len(es)
+        hit += len(es & approx_sets.get(q, set()))
+    return hit / tot
+
+
+def test_lsh_recall_gate(corpus, queries, exact_hits):
+    approx = lsh_bucket_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K
+    ).collect()
+    assert _recall(approx, exact_hits) >= 0.8  # reference gate (continuous.py:34-36)
+
+
+def test_ivf_recall_gate(corpus, queries, exact_hits):
+    approx = ivf_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K,
+        n_centroids=16, n_probe=8,
+    ).collect()
+    assert _recall(approx, exact_hits) >= 0.8
