@@ -86,18 +86,30 @@ def fingerprint(col: Column) -> Column:
 
 
 def shingles(col: Column, k: int = 5) -> Column:
-    """``array<string>`` of distinct word k-shingles of normalized text."""
+    """``array<string>`` of distinct word k-shingles of normalized text.
+
+    Built from ``arrays_zip`` of k shifted slices so the (regex-heavy)
+    word-split subtree is evaluated O(k) times per row, never inside a
+    lambda body — referencing it from a ``transform`` lambda would
+    re-evaluate it once per *element* (~10× slower at k=5).
+    """
     words = F.filter(F.split(normalize_for_dedup(col), " "), lambda w: F.length(w) > 0)
     n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    m = F.greatest(n - (k - 1), F.lit(0))  # number of k-grams
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(k)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
     return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(F.array_distinct(grams))
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
-    """``array<string>`` of distinct character n-grams of normalized text."""
-    s = normalize_for_dedup(col)
-    ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(s, i, n))
+    """``array<string>`` of distinct character n-grams of normalized text.
+
+    Same shifted-slice construction as :func:`shingles` — the normalize
+    subtree must not be referenced from inside a lambda body.
+    """
+    chars = F.split(normalize_for_dedup(col), "")
+    ln = F.size(chars)
+    m = F.greatest(ln - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(chars, j + 1, m) for j in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws("", *[s[str(j)] for j in range(n)]))
     return F.when(ln == 0, F.array().cast("array<string>")).otherwise(F.array_distinct(grams))
