@@ -37,7 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
         F.substring("text", 1, 120).alias("query_text"),
     )
     hits = retrieve(index, queries, k=5)
-    return hits.select("query_id", "__pid", "score", "rank")
+    return hits.select(
+        "query_id", F.col("__pid").alias("passage_id"), "score", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

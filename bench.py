@@ -46,7 +46,24 @@ HEADLINE: dict[str, bool] = {
     "dedup_minhash_lsh": False,
     "ann_bruteforce_topk": True,
     "ann_lsh_topk": True,
+    "retrieval_threshold_cascade": True,
+    "eval_recall_label_at_10": True,
 }
+
+
+def _warmup(spark) -> None:
+    """Prime the JVM (codegen, shuffle machinery), the Python UDF workers,
+    and the filesystem cache so timings measure the engine, not cold
+    start.  Standard benchmarking practice — not query work."""
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().count()
+    _noop = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_noop("id")).count()
+    from knowledge_model_spark.session import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.limit(1).count()
 
 
 def main() -> None:
@@ -54,6 +71,7 @@ def main() -> None:
     spark = get_spark("kms-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_registry()
+    _warmup(spark)
 
     timings: dict[str, float] = {}
     total = 0.0

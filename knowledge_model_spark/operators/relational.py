@@ -123,17 +123,20 @@ def greedy_budget_pack(
     cost_col: str,
     budget: int,
     ascending: bool = False,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Greedy budget packing: walk rows per group in rank order and keep
     those whose running cost stays within budget.
 
     Reproduces the reference's 800-token context packing
     (reference: main.py:355-363) as a cumulative-sum window.
+    ``tiebreak`` columns (ascending) make the walk order — and therefore
+    the kept set — deterministic when ``order_col`` has ties.
     """
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(order)
+        .orderBy(order, *[F.col(c).asc() for c in tiebreak])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

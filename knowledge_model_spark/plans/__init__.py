@@ -41,6 +41,7 @@ def load_registry() -> dict[str, QuerySpec]:
         dedup_queries,
         events_queries,
         similarity_queries,
+        retrieval_queries,
     )
 
     return REGISTRY

@@ -1,0 +1,223 @@
+"""Retrieval-pipeline queries: the reference's /ask dataflow, oracle-checked.
+
+Reproduces the reference's retrieval semantics over the driver's
+embeddings/documents tables (where DuckDB's list_cosine_similarity gives
+an exact oracle), instead of over hash-embedded text (xxhash64 — not
+SQL-expressible):
+
+- threshold cascade (reference: knowledge_model/main.py:374-381 — keep
+  score >= T1 hits; a query with no phase-1 hit falls back to T2)
+- greedy context packing (main.py:355-363 — running token budget)
+- recall@10 eval (pipelines/tasks/eval_snapshot.py:91-100, gate
+  flows/continuous.py:34-36) with same-label membership as the golden
+  relation.
+
+Thresholds are data-appropriate for the synthetic embeddings (centroid
+cosine max ≈ 0.47): T1=0.30 / T2=0.15 — same two-phase semantics as the
+reference's 0.75/0.55 (those remain the defaults in operators.retrieval).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from knowledge_model_spark.functions.vectors import dot, l2_normalize
+from knowledge_model_spark.operators.relational import greedy_budget_pack
+from knowledge_model_spark.operators.similarity import brute_force_top_k
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+K = 10
+T1, T2 = 0.30, 0.15
+N_EVAL_QUERIES = 50
+PACK_BUDGET = 200  # tokens; small enough that packing actually cuts
+
+# Query batch = per-label centroids (not corpus members, so no self-hit
+# short-circuits the cascade).  Shared CTE for the oracles:
+_CENTROID_CTE = """
+    dims AS (SELECT label, generate_subscripts(embedding, 1) AS d,
+                    unnest(embedding) AS v
+             FROM embeddings),
+    cents AS (SELECT label AS query_id, list(m ORDER BY d) AS qv
+              FROM (SELECT label, d, avg(v) AS m FROM dims GROUP BY label, d)
+              GROUP BY label),
+    scored AS (SELECT c.query_id, e.vec_id,
+                      round(list_cosine_similarity(c.qv, e.embedding), 6) AS score
+               FROM embeddings e CROSS JOIN cents c),
+    ranked AS (SELECT query_id, vec_id, score,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+               FROM scored
+               WHERE score >= {t2}),
+    topk AS (SELECT * FROM ranked WHERE rank <= {k}),
+    cascade AS (SELECT query_id, vec_id, score, rank,
+                       max(score) OVER (PARTITION BY query_id) AS best
+                FROM topk)
+"""
+
+
+def _centroid_queries(t) -> DataFrame:
+    """Per-label mean vector: posexplode → groupBy → re-assemble ordered."""
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(F.col("label").alias("query_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select("query_id", F.transform("dm", lambda s: s["m"]).alias("qv"))
+    )
+
+
+def _cascade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hits = brute_force_top_k(
+        t["embeddings"],
+        _centroid_queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+        min_score=T2,
+    )
+    wq = Window.partitionBy("query_id")
+    return (
+        hits.withColumn("__best", F.max("score").over(wq))
+        .filter((F.col("score") >= T1) | (F.col("__best") < T1))
+        .drop("__best")
+    )
+
+
+@register(
+    "retrieval_threshold_cascade",
+    f"""
+    WITH {_CENTROID_CTE.format(t2=T2, k=K)}
+    SELECT query_id, vec_id, score, rank
+    FROM cascade WHERE score >= {T1} OR best < {T1}
+    """,
+    doc="two-phase threshold cascade over exact top-k (reference: "
+    "main.py:374-381, vector_store.py:129-162): phase-1 keeps "
+    f"score>={T1}; queries whose best hit is below fall back to >={T2}",
+)
+def retrieval_threshold_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cascade_hits(spark, sf_dir).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "vec_id",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "retrieval_pack_context",
+    f"""
+    WITH {_CENTROID_CTE.format(t2=T2, k=K)},
+    hits AS (SELECT query_id, vec_id, score, rank FROM cascade
+             WHERE score >= {T1} OR best < {T1}),
+    costed AS (
+      SELECT h.query_id, h.vec_id, h.score,
+             len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+                             w -> len(w) > 0)) AS n_tok
+      FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    ),
+    packed AS (
+      SELECT query_id, vec_id, score, n_tok,
+             sum(n_tok) OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM costed
+    )
+    SELECT query_id, vec_id, score, CAST(n_tok AS BIGINT) AS n_tok
+    FROM packed WHERE cum <= {PACK_BUDGET}
+    """,
+    doc="greedy context packing (reference: main.py:355-363): walk hits in "
+    f"score order, keep while running token total <= {PACK_BUDGET}",
+)
+def retrieval_pack_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hits = _cascade_hits(spark, sf_dir).join(
+        broadcast(t["documents"].select(F.col("doc_id").alias("vec_id"), "text")),
+        "vec_id",
+    )
+    costed = hits.withColumn(
+        "n_tok",
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0)),
+    )
+    packed = greedy_budget_pack(
+        costed,
+        ["query_id"],
+        order_col="score",
+        cost_col="n_tok",
+        budget=PACK_BUDGET,
+        tiebreak=["vec_id"],
+    )
+    return packed.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "vec_id",
+        "score",
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+@register(
+    "eval_recall_label_at_10",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_EVAL_QUERIES}),
+    scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                      round(list_cosine_similarity(q.qv, e.embedding), 6) AS s
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.qid),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY s DESC, vec_id) AS r
+               FROM scored),
+    hits AS (SELECT DISTINCT qid FROM ranked WHERE r <= 10 AND label = qlabel)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(h.qid) AS BIGINT) AS n_hit,
+           round(count(h.qid) / count(*)::double, 6) AS recall
+    FROM q LEFT JOIN hits h USING (qid)
+    """,
+    doc="recall@10 with same-label membership as the golden relation "
+    "(reference: eval_snapshot.py:91-100; the 0.80 gate is "
+    "continuous.py:34-36) — self excluded from the neighbor set",
+)
+def eval_recall_label_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        l2_normalize(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
+        .crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("cv"), F.col("qv")), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    hits = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") <= 10) & (F.col("label") == F.col("qlabel")))
+        .select("qid")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(F.avg(F.coalesce("hit", F.lit(0))), 6).alias("recall"),
+        )
+    )
