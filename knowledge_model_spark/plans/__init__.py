@@ -42,6 +42,7 @@ def load_registry() -> dict[str, QuerySpec]:
         events_queries,
         similarity_queries,
         retrieval_queries,
+        pipeline_queries,
     )
 
     return REGISTRY

@@ -1,0 +1,330 @@
+"""Ingest/training-pipeline queries: corpus normalization, weighted merge,
+word-budget chunk grouping, percentile stats, unpivot, scalar subqueries,
+map functions, and the multimodal mapInPandas plumbing.
+
+These cover the reference's data-preparation surface:
+- dual-variant training records (reference: training/train_lora.py:87-92 —
+  {"text"} OR {"instruction","output"} in one JSONL)
+- ~80/20 weighted corpus merge (pipeline_runner.py:49-57; the merge
+  script itself is absent from the snapshot)
+- word-budget chunk grouping (processing/text_cleaner.py:147-160 —
+  running word count → chunk key)
+plus operator categories the reference lacks (SURVEY §2: percentile
+aggregates, unpivot, scalar subqueries, map functions) and the
+multimodal north-star columns (binary payload → mapInPandas features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+CHUNK_WORDS = 12  # word budget per chunk (reference uses 1000; docs here are ~50 words)
+MERGE_INSTR_HEX = "34"  # md5-prefix sampling: 0x34/0x100 ≈ 20% instruction share
+
+
+@register(
+    "corpus_dual_variant",
+    """
+    WITH variants AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  WHEN doc_id % 2 = 0 THEN text END AS text,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  WHEN doc_id % 2 = 1 THEN 'summarize: ' || substr(text, 1, 40) END AS instruction,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  WHEN doc_id % 2 = 1 THEN substr(text, 41, 80) END AS output
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NOT NULL THEN 'raw' ELSE 'instruction' END AS variant,
+           coalesce(text, instruction || ' ' || output) AS train_text
+    FROM variants
+    WHERE coalesce(text, instruction || ' ' || output) IS NOT NULL
+    """,
+    doc="dual-variant training-record normalization (reference: "
+    "train_lora.py:87-92): coalesce {text} / {instruction,output} record "
+    "shapes into one train_text column, dropping records that are neither",
+)
+def corpus_dual_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    variants = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("summarize: "), F.substring("text", 1, 40)),
+        )
+        .alias("instruction"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .when(F.col("doc_id") % 2 == 1, F.substring("text", 41, 80))
+        .alias("output"),
+    )
+    # concat_ws never yields NULL — mirror SQL `instruction || ' ' || output`
+    # null-propagation with an explicit both-present guard.
+    train = F.coalesce(
+        F.col("text"),
+        F.when(
+            F.col("instruction").isNotNull() & F.col("output").isNotNull(),
+            F.concat(F.col("instruction"), F.lit(" "), F.col("output")),
+        ),
+    )
+    return (
+        variants.withColumn("train_text", train)
+        .filter(F.col("train_text").isNotNull())
+        .select(
+            "doc_id",
+            F.when(F.col("text").isNotNull(), F.lit("raw"))
+            .otherwise(F.lit("instruction"))
+            .alias("variant"),
+            "train_text",
+        )
+    )
+
+
+@register(
+    "corpus_weighted_merge",
+    f"""
+    SELECT doc_id, corpus, md5(text) AS text_md5 FROM (
+      SELECT doc_id, 'raw' AS corpus, text FROM documents
+      UNION ALL
+      SELECT doc_id, 'instruction' AS corpus, 'summarize: ' || text AS text
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{MERGE_INSTR_HEX}'
+    )
+    """,
+    doc="~80/20 weighted corpus merge (reference: pipeline_runner.py:49-57): "
+    "unionByName of the raw corpus with a deterministic md5-prefix sample "
+    "of instruction records — sampling is content-addressed, so it is "
+    "stable across runs and cluster sizes",
+)
+def corpus_weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    raw = t["documents"].select("doc_id", F.lit("raw").alias("corpus"), "text")
+    instr = (
+        t["documents"]
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < MERGE_INSTR_HEX
+        )
+        .select(
+            "doc_id",
+            F.lit("instruction").alias("corpus"),
+            F.concat(F.lit("summarize: "), F.col("text")).alias("text"),
+        )
+    )
+    return raw.unionByName(instr).select(
+        "doc_id", "corpus", F.md5("text").alias("text_md5")
+    )
+
+
+@register(
+    "chunk_word_budget",
+    f"""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(w, 1) - 1 AS idx, unnest(w) AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> len(x) > 0) AS w
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(idx // {CHUNK_WORDS} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           md5(string_agg(word, ' ' ORDER BY idx)) AS chunk_md5
+    FROM words GROUP BY doc_id, idx // {CHUNK_WORDS}
+    """,
+    doc="word-budget chunk grouping (reference: text_cleaner.py:147-160): "
+    "running word count → floor(cum/budget) chunk key → reassemble; "
+    "posexplode keeps order without a per-document sort at scale",
+)
+def chunk_word_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    words = t["documents"].select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0)
+        ).alias("idx", "word"),
+    )
+    return (
+        words.groupBy(
+            "doc_id", (F.col("idx") / CHUNK_WORDS).cast("long").alias("chunk_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                        lambda s: s["word"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact percentile/median aggregation (linear interpolation — "
+    "Spark `percentile` ≡ DuckDB quantile_cont); a category the "
+    "reference lacks entirely (SURVEY §2.4)",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@register(
+    "unpivot_flag_metrics",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM agg
+    """,
+    doc="wide→long unpivot via stack() (melt); no reference analog "
+    "(SURVEY §2.7 set-op/reshape gap)",
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, "
+            "'avg_disc', avg_disc) AS (metric, value)"
+        ),
+    )
+
+
+@register(
+    "subquery_scalar_above_avg",
+    """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part)
+    """,
+    doc="uncorrelated scalar subquery in a predicate — Catalyst plans the "
+    "inner agg as a one-row broadcast (SURVEY §4: subquery handling is "
+    "free in Spark, absent in the reference)",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(
+        "SELECT p_partkey, p_retailprice FROM part "
+        "WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part)"
+    )
+
+
+@register(
+    "map_event_type_shares",
+    """
+    SELECT user_id,
+           CAST(coalesce(n_click, 0) AS BIGINT) AS n_click,
+           CAST(coalesce(n_purchase, 0) AS BIGINT) AS n_purchase,
+           CAST(total AS BIGINT) AS total
+    FROM (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             count(*) AS total
+      FROM events GROUP BY user_id
+    )
+    """,
+    doc="map construction + lookup (map_from_entries / element_at — the "
+    "reference's idtype→value dict pivot, fetch_pubmed.py:368-377): "
+    "per-user event-type map, probed for specific keys",
+)
+def map_event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_type = t["events"].groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("long")
+        .alias("total"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    None,  # sha256-derived stub features — no SQL equivalent; rows-only
+    doc="multimodal plumbing: binary payload column → Arrow-batched "
+    "mapInPandas feature extraction (decode stubbed deterministically; "
+    "schema/batching/partitioning are the real 100 TB shape)",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.sources.multimodal import (
+        image_features,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, n=256, kind="image")
+    feats = image_features(media, decode="DETERMINISTIC")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # payload-slicing stub — rows-only
+    doc="multimodal 1-to-N frame sampling via mapInPandas (ffmpeg seam "
+    "stubbed; row explosion + batch shapes are real)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.sources.multimodal import (
+        make_synthetic_media,
+        sample_frames,
+    )
+
+    media = make_synthetic_media(spark, n=128, kind="video")
+    frames = sample_frames(media, every_ms=1000, decode="DETERMINISTIC")
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.length("frame_payload")).cast("long").alias("total_bytes"),
+    )
