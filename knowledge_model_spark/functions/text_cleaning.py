@@ -136,3 +136,45 @@ def normalize_pmcid(col: Column) -> Column:
     return F.when(c == "", F.lit(None)).otherwise(
         F.concat(F.lit("PMC"), F.regexp_replace(c, r"(?i)^PMC", ""))
     )
+
+
+# ---------------------------------------------------------- unicode folding
+# The reference folds unicode with unidecode, falling back to NFKD-strip
+# (reference: text_cleaner.py:25-36).  No Spark builtin exists, so these
+# are Arrow-batched pandas UDFs (the one cleaning step that can't be a
+# column expression).
+
+
+def _fold_series(s, form: str, ascii_only: bool):
+    import unicodedata
+
+    import pandas as pd
+
+    def fold(t):
+        if t is None:
+            return None
+        d = unicodedata.normalize(form, t)
+        out = "".join(ch for ch in d if not unicodedata.combining(ch))
+        out = unicodedata.normalize("NFC", out)
+        if ascii_only:
+            out = out.encode("ascii", "ignore").decode("ascii")
+        return out
+
+    return pd.Series([fold(t) for t in s])
+
+
+def accent_fold(col: Column) -> Column:
+    """Canonical accent strip: NFD → drop combining marks → NFC.
+
+    Matches DuckDB's ``strip_accents`` (the oracle), so it is
+    hash-checkable; compatibility characters (ligatures, superscripts)
+    are preserved.
+    """
+    return F.pandas_udf(lambda s: _fold_series(s, "NFD", False), "string")(col)
+
+
+def nfkc_ascii_fold(col: Column) -> Column:
+    """Aggressive fold: NFKD (compatibility) decomposition → drop
+    combining marks → ASCII-encode-ignore.  The unidecode-fallback
+    analog (reference: text_cleaner.py:25-36); lossy by design."""
+    return F.pandas_udf(lambda s: _fold_series(s, "NFKD", True), "string")(col)

@@ -261,3 +261,63 @@ def text_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
     )
+
+
+@register(
+    "text_accent_fold",
+    """
+    SELECT doc_id,
+           strip_accents('Prüfung Çafé naïve ' || substr(text, 1, 40)) AS folded
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="unicode accent folding (NFD → strip combining → NFC; the "
+    "reference's unidecode/NFKD fallback, text_cleaner.py:25-36) — "
+    "pandas UDF, semantics matched to DuckDB strip_accents",
+)
+def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.text_cleaning import accent_fold
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            accent_fold(
+                F.concat(F.lit("Prüfung Çafé naïve "), F.substring("text", 1, 40))
+            ).alias("folded"),
+        )
+    )
+
+
+@register(
+    "text_xml_extract",
+    """
+    SELECT doc_id,
+           trim(substr(text, 1, 60)) || chr(10) || chr(10)
+             || trim(substr(text, 61, 60)) AS paragraphs
+    FROM documents WHERE doc_id < 100 AND len(text) > 120
+    """,
+    doc="XML node extraction (reference: fetch_pubmed.py:222-272 — "
+    "`.//body//p` texts joined by blank lines) via xml.etree pandas UDF; "
+    "oracle reconstructs the expected join from the same source columns",
+)
+def text_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.xml_extract import xml_text_join
+
+    t = load_tables(spark, sf_dir)
+    xml = F.concat(
+        F.lit("<article><body><sec><p>"),
+        F.substring("text", 1, 60),
+        F.lit("</p></sec><sec><p>"),
+        F.substring("text", 61, 60),
+        F.lit("</p></sec></body></article>"),
+    )
+    return (
+        t["documents"]
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 120))
+        .select(
+            "doc_id",
+            xml_text_join(xml, ".//body//p").alias("paragraphs"),
+        )
+    )
