@@ -10,6 +10,7 @@ watermarked windowed aggregations, stateful dedup, and session windows.
 from knowledge_model_spark.streaming.windows import (
     sessionized_stream,
     sliding_counts,
+    stateful_capped_sessions,
     streaming_dedup,
     tumbling_counts,
 )
@@ -18,5 +19,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "sessionized_stream",
+    "stateful_capped_sessions",
     "streaming_dedup",
 ]

@@ -94,3 +94,117 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stateful_capped_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    gap_s: int = 1800,
+    max_events: int = 50,
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Sessions close on inactivity gap (like ``session_window``) OR when
+    they reach ``max_events`` — a compound close condition the built-in
+    operator cannot express; the reference's nearest analog is the
+    token-budget cut in context packing (reference: main.py:355-363).
+
+    State per key is four scalars (start, last, n, total) — bounded and
+    tiny, so a 100 TB stream shards it across executors by key with no
+    growth risk; the event-time timeout emits sessions left open when
+    the watermark passes their horizon.  Emitted rows carry
+    ``closed_reason`` ∈ {gap, cap, timeout}.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, session_start_us long, session_end_us long, "
+        "n_events long, total_value double, closed_reason string"
+    )
+    state_schema = "start long, last long, n long, total double"
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        rows = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            rows.append((uid, start, last, n, total, "timeout"))
+            state.remove()
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col,
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                    "total_value",
+                    "closed_reason",
+                ],
+            )
+            return
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        # The iterator yields the group's rows as multiple Arrow chunks in
+        # ARBITRARY order — sessionization needs one global time sort over
+        # the whole group (per-chunk sorting silently produces inverted
+        # sessions).  Group state is per-key and batches are bounded, so
+        # the concat is small.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values(ts_col)
+            for ts, value in zip(allpdf[ts_col], allpdf["value"]):
+                ts_us = int(ts.value // 1000)  # pandas Timestamp ns → µs
+                if last is not None and ts_us - last > gap_us:
+                    rows.append((uid, start, last, n, total, "gap"))
+                    start = last = None
+                    n, total = 0, 0.0
+                if start is None:
+                    start = last = ts_us
+                else:
+                    # Late-but-within-watermark rows from a PREVIOUS batch
+                    # can precede the restored session bounds — absorb them
+                    # without regressing the interval (end<start otherwise).
+                    start = min(start, ts_us)
+                    last = max(last, ts_us)
+                n += 1
+                total += float(value)
+                if n >= max_events:
+                    rows.append((uid, start, last, n, total, "cap"))
+                    start = last = None
+                    n, total = 0, 0.0
+        if start is not None:
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp(last // 1000 + gap_s * 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                key_col,
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "total_value",
+                "closed_reason",
+            ],
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -93,3 +93,34 @@ def test_streaming_dedup(spark, event_stream_dir, tmp_path):
     n = spark.sql("SELECT count(*) AS n FROM deduped").first()["n"]
     n_src = spark.read.parquet(event_stream_dir).count()
     assert n == n_src
+
+
+def test_stateful_capped_sessions(spark, event_stream_dir, tmp_path):
+    from knowledge_model_spark.streaming import stateful_capped_sessions
+
+    batch, stream = _read_stream(spark, event_stream_dir)
+    sess = stateful_capped_sessions(stream, gap_s=1800, max_events=2)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("capped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM capped").collect()
+    assert len(rows) > 0
+    n_total = batch.count()
+    emitted = sum(r["n_events"] for r in rows)
+    # Closed sessions never exceed the cap, never invert time, and the
+    # emitted events are a subset of the stream (open sessions may stay
+    # in state when the watermark hasn't passed them).
+    for r in rows:
+        assert 1 <= r["n_events"] <= 2
+        assert r["session_end_us"] >= r["session_start_us"]
+        assert r["closed_reason"] in ("gap", "cap", "timeout")
+    assert 0 < emitted <= n_total
+    # With a 2-event cap most sessions close by cap — the custom
+    # condition session_window cannot express.
+    assert any(r["closed_reason"] == "cap" for r in rows)
