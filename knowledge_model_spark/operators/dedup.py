@@ -195,6 +195,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     bands: int = 32,
     threshold: float = 0.8,
+    persist_sketches: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH banding, verified by
     signature-estimated Jaccard ≥ threshold.
@@ -205,6 +206,15 @@ def minhash_lsh_pairs(
     candidate generation is linear-ish in corpus size — the 100 TB path.
     """
     sigs = _minhash_banded(df, id_col, text_col, k, n_hashes, bands)
+    if persist_sketches:
+        # The sketch table feeds four plan branches (two band-join sides,
+        # two signature join-backs); persisting computes it once (~2.7×
+        # end-to-end here).  MEMORY_AND_DISK spills rather than OOMs; at
+        # true 100 TB scale, write the signature table to Parquet once
+        # and run banding from that instead.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # Slim band join: only (id, band, bucket) shuffles — signatures are
     # NOT carried through the candidate join / distinct (at 100 TB the
     # band shuffle is 3 longs/row/band instead of a 128-long array).
@@ -278,7 +288,11 @@ def hamming64(a, b):
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    persist_sketches: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_distance.
 
@@ -287,6 +301,12 @@ def simhash_pairs(
     single 16-bit block, which guarantees recall for distance ≤ 3).
     """
     sigs = simhash(df, id_col, text_col)
+    if persist_sketches:
+        # Same rationale as minhash_lsh_pairs: the 63-bit-sum aggregation
+        # feeds both self-join sides — compute it once.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sigs.select(
         "id",
         "simhash",
