@@ -1,0 +1,63 @@
+"""Bucketed co-located join: correctness + the no-shuffle plan guarantee."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from knowledge_model_spark.sources.bucketing import bucketed_join, write_bucketed
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, str(base / "orders_b"))
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        8,
+        str(base / "lineitem_b"),
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    # At test scale Catalyst prefers broadcast (also shuffle-free but not
+    # the property under test); force SMJ to expose the bucketing path a
+    # 100 TB fact-fact join would take.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Co-located: both sides report HashPartitioning(o_orderkey, 8),
+        # so the sort-merge join needs no shuffle at all.
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+    n_bucketed = joined.count()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_plain = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    assert n_bucketed == n_plain > 0
+
+
+def test_bucket_pruning_point_lookup(spark, bucketed_tables):
+    # A point predicate on the bucket key scans a subset of buckets.
+    some_key = spark.table("orders_b").select(F.min("o_orderkey")).first()[0]
+    got = spark.table("orders_b").filter(F.col("o_orderkey") == some_key).count()
+    assert got >= 1
