@@ -144,3 +144,31 @@ def greedy_budget_pack(
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side,
+    replicate the right side ``n_salt`` ways.
+
+    For a hot key holding x% of left rows, the shuffle partition that
+    would receive all of them instead receives x/n_salt — the classic
+    mitigation when AQE's runtime skew splitting isn't available
+    (streaming joins, state-store joins) or when skew is known up front.
+    The salt is derived from xxhash64 of the whole left row (via
+    monotonically stable column hash), so results are deterministic.
+
+    Cost model: right side is replicated n_salt× through the shuffle —
+    use only when right ≪ left (else broadcast or AQE are better).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")

@@ -174,3 +174,77 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["events"].groupBy("user_id").agg(
         cnt("click"), cnt("view"), cnt("signup"), cnt("error"), cnt("purchase")
     )
+
+
+@register(
+    "events_time_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE),
+                     CAST(extract(hour FROM ts) AS BIGINT))
+    """,
+    doc="hypertable-style multi-granularity time rollup: one pass "
+    "produces hour, day, and grand-total aggregates via ROLLUP(day, hour) "
+    "— the continuous-aggregate pattern for time-series tables",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .rollup(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH sessions AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day, a.user_id AS user_a, b.user_id AS user_b
+    FROM sessions a JOIN sessions b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="interval-overlap join: per-(user,day) activity intervals, pairs "
+    "whose spans intersect.  The day column doubles as the coarse "
+    "equi-bucket, so the non-equi overlap predicate only runs within "
+    "buckets — the formulation that avoids a cross join at 100 TB",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sessions = (
+        t["events"]
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a = sessions.select(
+        F.col("day"), F.col("user_id").alias("user_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = sessions.select(
+        F.col("day"), F.col("user_id").alias("user_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.day == b.day)
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a")),
+        )
+        .select(a.day, "user_a", "user_b")
+    )

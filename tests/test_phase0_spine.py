@@ -74,3 +74,19 @@ def test_retrieval_end_to_end(spark, tables):
     hits_doc = hits.withColumn("doc_id", F.split(F.col("__pid"), "#").getItem(0))
     m = recall_at_k(hits_doc, golden, hit_doc="doc_id").first()
     assert m["recall"] == 1.0
+
+
+def test_salted_join_matches_plain(spark):
+    from knowledge_model_spark.operators.relational import salted_join
+    import pyspark.sql.functions as F
+
+    # skewed left: 90% of rows share key 0
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    got = salted_join(left, right, "k", n_salt=8)
+    exp = left.join(right, "k")
+    assert got.count() == exp.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
