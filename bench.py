@@ -7,8 +7,8 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Headline set = one representative per operator family, weighted toward
 the shuffles that dominate at scale (agg, join, window, dedup, ANN).
 Small results are fully collect()ed (materializes every value); large
-outputs use count() so the timing measures the engine, not py4j row
-transfer.
+outputs are reduced to a single xxhash64 aggregate so every output value
+is computed but only 8 bytes cross py4j.
 """
 
 from __future__ import annotations
@@ -20,13 +20,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from knowledge_model_spark.plans import load_registry
 from knowledge_model_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # name → force_collect (True for small results: materialize every value;
-# False → count() for large outputs where row transfer would measure
+# False → hash-reduce for large outputs where row transfer would measure
 # py4j serialization, not the engine)
 HEADLINE: dict[str, bool] = {
     "q1_pricing_summary": True,
@@ -84,7 +86,13 @@ def main() -> None:
         if force_collect:
             df.collect()
         else:
-            df.count()
+            # A bare count() would let Catalyst prune the very work being
+            # measured (projection-only queries like text_clean_battery
+            # need no columns to count rows).  Hashing every output column
+            # into one aggregate forces full evaluation while still moving
+            # only 8 bytes to the driver.  bit_xor (not sum): ANSI-safe —
+            # no int64 overflow — and order-independent.
+            df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt

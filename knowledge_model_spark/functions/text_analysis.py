@@ -42,8 +42,10 @@ def _marker_hits(col: Column, markers: list[str]) -> Column:
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of marker-word hits, 'und' if none.
 
-    Deterministic tie-break by language code order (en < de < es < fr is
-    resolved alphabetically: de, en, es, fr).
+    Ties resolve to the lexicographically GREATEST language code:
+    ``array_max`` over (hits, lang) structs compares lang as the second
+    sort key, so on equal hits 'fr' beats 'de'.  The registered oracle
+    (ORDER BY h DESC, pred DESC) mirrors exactly this behavior.
     """
     entries = [
         F.struct(_marker_hits(col, m).alias("hits"), F.lit(lang).alias("lang"))

@@ -156,7 +156,14 @@ def _minhash_udf(n_hashes: int, bands: int, k: int):
             ).astype(np.int64)
             # a,b,hx < 2^31 → a*hx + b < 2^62: no int64 overflow.
             sig = ((a[:, None] * hx[None, :] + b[:, None]) % _P31).min(axis=1)
-            bkt = (sig.reshape(bands, rows_per_band) * band_mix[None, :]).sum(axis=1) % _P31
+            # Band mix reduces mod-p after EACH term: a single product is
+            # < 2^62 but summing rows_per_band of them could pass 2^63,
+            # so accumulate (acc + sig*mix) % p stepwise — acc stays
+            # < 2^31 and every intermediate < 2^62 + 2^31.
+            band_sig = sig.reshape(bands, rows_per_band)
+            bkt = np.zeros(bands, dtype=np.int64)
+            for r in range(rows_per_band):
+                bkt = (bkt + band_sig[:, r] * band_mix[r]) % _P31
             sigs.append(sig)
             bkts.append(bkt)
         return pd.DataFrame({"sig": sigs, "bkt": bkts})
@@ -334,6 +341,70 @@ def simhash_pairs(
 # ------------------------------------------------- embedding near-dup
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_tables: int = 12,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold — LSH-bucketed, the 100 TB path.
+
+    Candidate generation: each vector maps to ``n_tables`` hyperplane-sign
+    buckets (one vectorized matmul per Arrow batch, see
+    similarity._hyperplane_buckets_udf); one join side additionally probes
+    every bucket with single sign bits flipped (Hamming-1 multiprobe).
+    Pairs meet only inside a (table, bucket) cell, so candidate count is
+    ∝ bucket occupancy, not n² — unlike the brute-force baseline
+    (:func:`embedding_near_dup_pairs`, kept as the test-only oracle).
+    Cosine ≥ 0.95 ⇒ angle ≤ 18°: the chance a random plane splits the
+    pair is ≤ 0.1, and 12 tables × Hamming-1 probing drive miss
+    probability low; recall is gated against the exact baseline in
+    tests/test_dedup.py.  Output ⊆ exact output by construction (every
+    candidate is re-verified with the true cosine).
+    """
+    from knowledge_model_spark.operators.similarity import _hyperplane_buckets_udf
+
+    base = df.select(F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v"))
+    bk = _hyperplane_buckets_udf(n_tables, n_planes, dim)
+    sk = base.withColumn("bks", bk(F.col("v")))
+    from pyspark import StorageLevel
+
+    # The sketch feeds both self-join sides — compute the UDF once.
+    sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
+
+    plain = sk.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.posexplode("bks").alias("tbl", "bkt"),
+    )
+    masks = [0] + ([1 << j for j in range(n_planes)] if probe_hamming >= 1 else [])
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    probes = F.flatten(
+        F.transform(
+            F.col("bks"),
+            lambda b, t: F.transform(
+                mask_arr, lambda m: F.struct(t.alias("tbl"), b.bitwiseXOR(m).alias("bkt"))
+            ),
+        )
+    )
+    probed = (
+        sk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.explode(probes).alias("tb"))
+        .select("id_b", "vb", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    )
+    return (
+        plain.join(probed, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -342,8 +413,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold on an embedding column.
 
-    Brute-force all-pairs via self-join — correct baseline; the scale path
-    buckets by a coarse LSH key first (see similarity.lsh_bucket_ann).
+    Brute-force all-pairs via self-join — O(n²) TEST-ONLY exact baseline
+    for gating :func:`embedding_near_dup_pairs_lsh`; never register this
+    as a production query (10⁹ docs → 10¹⁸ pairs).
     """
     base = df.select(
         F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")

@@ -76,6 +76,14 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
     lcols = left.columns
+    clash = sorted(set(lcols) & set(right_cols))
+    if clash:
+        # unionByName would merge same-named columns and the window fill
+        # would then read the LEFT rows' own values — silent corruption.
+        raise ValueError(
+            f"asof_join: left already has column(s) {clash}; alias the "
+            "right value columns (right_cols) to non-colliding names"
+        )
 
     l_tag = left.withColumn("__src", F.lit(1)).withColumn("__t", F.col(left_time))
     r_tag = right.select(

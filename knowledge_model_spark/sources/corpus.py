@@ -33,19 +33,33 @@ def read_jsonl(
     warn-and-continue (build_faiss.py:44-48) and quarantine TSV
     (fetch_pubmed.py:83-90).  The explicit schema keeps the reader
     single-pass (no inference scan) — mandatory at 100 TB.
+
+    No ``.cache()``: caching the full corpus to satisfy Spark's
+    corrupt-record-only-projection rule (which fires even on
+    ``good.count()``, where pruning leaves only the corrupt-column
+    filter) would spill the entire 100 TB input to executor storage.
+    Both outputs instead derive from one ``text`` scan + ``from_json``
+    plan — the rule only applies to raw-file scans, and for
+    line-delimited JSON the text scan reads exactly the same bytes as
+    the native reader, streaming, nothing materialized.
     """
     full_schema = T.StructType(
         schema.fields + [T.StructField("_corrupt_record", T.StringType())]
     )
-    df = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("__r"),
     )
-    df = df.cache()  # required: corrupt-record column demands a stable scan
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    dead = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    good = parsed.filter(F.col("__r._corrupt_record").isNull()).select(
+        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    dead = parsed.filter(F.col("__r._corrupt_record").isNotNull()).select(
+        F.col("value").alias("_corrupt_record")
+    )
     return good, dead
 
 
@@ -102,8 +116,20 @@ def weighted_corpus_merge(
 
     Downsamples the over-represented side so the output ratio approaches
     raw_weight : (1 - raw_weight) without ever collecting to the driver.
+
+    Sizing uses ONE zero-column counting job over both corpora (tagged
+    union → groupBy(side).count()) instead of two eager ``count()``
+    scans; only two (side, n) rows reach the driver.
     """
-    n_raw, n_ins = raw.count(), instruct.count()
+    counts = {
+        r["side"]: r["n"]
+        for r in raw.select(F.lit("raw").alias("side"))
+        .unionByName(instruct.select(F.lit("ins").alias("side")))
+        .groupBy("side")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_raw, n_ins = counts.get("raw", 0), counts.get("ins", 0)
     if n_raw == 0 or n_ins == 0:
         return raw.unionByName(instruct, allowMissingColumns=True)
     target_ins = n_raw * (1 - raw_weight) / raw_weight

@@ -8,6 +8,7 @@ value-hash check, but with a readable diff on failure.
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
@@ -45,10 +46,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
+    # Spark None vs pandas NaT/NaN for null temporals
+    a_null = a is None or a is pd.NaT
+    b_null = b is None or b is pd.NaT
+    if a_null or b_null:
+        return a_null and b_null
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # Spark DATE comes back as datetime.date while DuckDB's
+    # CAST(date_trunc(...) AS DATE) round-trips through pandas as a
+    # midnight Timestamp; the driver's canonicalization equates them,
+    # so the local mirror must too.
+    if isinstance(a, (datetime.date, datetime.datetime, pd.Timestamp)) and isinstance(
+        b, (datetime.date, datetime.datetime, pd.Timestamp)
+    ):
+        return pd.Timestamp(a) == pd.Timestamp(b)
     return a == b or str(a) == str(b)
 
 

@@ -28,7 +28,7 @@ def _read_stream(spark, path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_df = spark.read.parquet(path)
     stream = spark.readStream.schema(batch_df.schema).parquet(path)
-    to_ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    to_ts = F.timestamp_micros(F.expr("ts div 1000"))  # exact int64 division
     return batch_df.withColumn("ts", to_ts), stream.withColumn("ts", to_ts)
 
 
