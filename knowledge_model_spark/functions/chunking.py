@@ -13,6 +13,7 @@ explode is embarrassingly parallel and shuffles nothing.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +66,70 @@ def chunk_by_words(col: Column, chunk_size: int = WORD_CHUNK_SIZE) -> Column:
         idx, lambda i: F.array_join(F.slice(words, i * chunk_size + 1, chunk_size), " ")
     )
     return F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(chunks)
+
+
+SENTENCE_RE = r"[^.!?]+[.!?]*"  # runs of text ending at sentence terminators
+
+
+def sentence_chunks_udf(chunk_size: int = WORD_CHUNK_SIZE):
+    """Arrow-batched pandas UDF: text → ``array<string>`` sentence-aware
+    word-budget chunks.
+
+    Mirrors chunk_text (reference: text_cleaner.py:136-160): walk
+    sentences in order; when adding the next sentence would exceed
+    ``chunk_size`` words and the current chunk is non-empty, flush and
+    start a new chunk (greedy reset — NOT a running-sum bucket, which
+    would split mid-greedy-boundary).  Chunks are single-space re-joins
+    of their words, exactly like the reference's " ".join.
+
+    Sentence boundaries come from a regex (terminator-run split) — the
+    punkt-tokenizer seam: swap ``_sentences`` for nltk.sent_tokenize when
+    the library is available; the fallback fixed-window path is the
+    SQL-native :func:`chunk_by_words`.  This is the one chunker that
+    genuinely needs Python (sequential greedy state), hence a pandas UDF
+    rather than a column expression; the greedy walk is O(words) per doc
+    and embarrassingly parallel across docs.
+    """
+    import re as _re
+
+    pat = _re.compile(SENTENCE_RE)
+
+    @F.pandas_udf("array<string>")
+    def udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            chunks: list[str] = []
+            cur: list[str] = []
+            cnt = 0
+            for sent in pat.findall(t or ""):
+                ws = sent.split()
+                if not ws:
+                    continue
+                if cnt + len(ws) > chunk_size and cur:
+                    chunks.append(" ".join(cur))
+                    cur, cnt = [], 0
+                cur.extend(ws)
+                cnt += len(ws)
+            if cur:
+                chunks.append(" ".join(cur))
+            out.append(chunks)
+        return pd.Series(out)
+
+    return udf
+
+
+def explode_sentence_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    chunk_size: int = WORD_CHUNK_SIZE,
+) -> DataFrame:
+    """One row per sentence-aware chunk with its ordinal and word count."""
+    udf = sentence_chunks_udf(chunk_size)
+    return df.select(
+        *id_cols,
+        F.posexplode(udf(F.col(text_col))).alias("chunk_index", "chunk_text"),
+    ).withColumn("n_words", F.size(F.split(F.col("chunk_text"), " ")))
 
 
 def explode_passages(

@@ -54,13 +54,13 @@ def truncate_at_references(col: Column) -> Column:
 
 
 def truncate_at_backmatter(col: Column) -> Column:
-    """Truncate at Acknowledg(e)ments / Funding / Conflict-of-interest.
-
-    (reference: text_cleaner.py:53-56,84-95,129)
+    """Truncate at Methods / Acknowledg(e)ments / Funding /
+    Conflict-of-interest — the reference's UNWANTED_SECTIONS_RE includes
+    ``methods?`` (reference: text_cleaner.py:53-56,84-95,129).
     """
     return F.split(
         col,
-        r"(?i)\b(?:acknowledg(?:e)?ments?|funding|conflicts?\s+of\s+interest|competing\s+interests)\b",
+        r"(?i)\b(?:methods?|acknowledg(?:e)?ments?|funding|conflicts?\s+of\s+interest|competing\s+interests)\b",
     ).getItem(0)
 
 

@@ -10,6 +10,7 @@ flows/continuous.py:34-36) as batch DataFrame jobs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +104,67 @@ def pack_context(
     )
     return greedy_budget_pack(
         with_cost, [query_id], order_col="score", cost_col="n_tok", budget=budget
+    )
+
+
+def lexical_overlap_scorer():
+    """Deterministic stub cross-encoder: word-set Jaccard between query
+    and passage text, as an Arrow-batched pandas UDF.
+
+    Stands in for the reference's CrossEncoder.predict
+    (reference: embeddings/re_rank.py:44-47) so the rerank seam is
+    testable (and DuckDB-expressible) without model downloads; a real
+    model plugs in as any ``(query_text, doc_text) -> double`` pandas UDF
+    with per-executor lazy model init (the reference's @lru_cache analog,
+    re_rank.py:20-24).
+    """
+    import re as _re
+
+    @F.pandas_udf("double")
+    def scorer(q: pd.Series, d: pd.Series) -> pd.Series:
+        def toks(t):
+            return {w for w in _re.split(r"[^a-z0-9]+", (t or "").lower()) if w}
+
+        out = []
+        for a, b in zip(q, d):
+            ta, tb = toks(a), toks(b)
+            u = ta | tb
+            out.append(len(ta & tb) / len(u) if u else 0.0)
+        return pd.Series(out, dtype=float)
+
+    return scorer
+
+
+def rerank_top_k(
+    hits: DataFrame,
+    scorer,
+    k: int,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    doc_text: str = "chunk_text",
+    tiebreak: str | None = None,
+    score_name: str = "re_score",
+    rank_name: str = "re_rank",
+) -> DataFrame:
+    """Cross-encoder rerank hook: score each (query, passage) pair with a
+    pluggable pandas-UDF ``scorer``, keep the top-k per query by the new
+    score (reference: embeddings/re_rank.py:28-51 — CE.predict +
+    argsort[:top_k]).
+
+    The batch analog scores every candidate (the reference's
+    skip-when-len<=k short-circuit is a serving-latency optimization;
+    queries with ≤ k candidates keep all rows here too, just re-ordered
+    by the new score).  Scoring is one Arrow-batched UDF pass; the top-k
+    is a per-query window — no collect, no per-row Python.
+    """
+    order = [F.col(score_name).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        hits.withColumn(score_name, scorer(F.col(query_text), F.col(doc_text)))
+        .withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
     )
 
 

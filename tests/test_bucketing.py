@@ -61,3 +61,26 @@ def test_bucket_pruning_point_lookup(spark, bucketed_tables):
     some_key = spark.table("orders_b").select(F.min("o_orderkey")).first()[0]
     got = spark.table("orders_b").filter(F.col("o_orderkey") == some_key).count()
     assert got >= 1
+
+
+def test_salted_join_parity_on_skewed_keys(spark):
+    """salted_join must return exactly what a plain equi-join returns on a
+    hot-key-dominated input, while spreading the hot key across salt
+    partitions (the skew mitigation it exists for)."""
+    from knowledge_model_spark.operators.relational import salted_join
+
+    # 90% of left rows share key=1 — the classic skew shape.
+    left = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (5, "a"), (15, "b"), (25, "c")], ["k", "v"]
+    )
+    got = sorted(map(tuple, salted_join(left, right, "k", n_salt=8).collect()))
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want and len(got) > 4000
+
+    # determinism: salt comes from a hash of the left row, not randomness
+    again = sorted(map(tuple, salted_join(left, right, "k", n_salt=8).collect()))
+    assert again == got

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from knowledge_model_spark.operators.dedup import (
     dedup_exact,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -114,3 +115,39 @@ def test_embedding_near_dup(spark, tables):
     rows = pairs.collect()
     for r in rows:
         assert r["cosine"] >= 0.99
+
+
+def test_embedding_lsh_matches_exact_on_planted_dups(spark, tables):
+    """LSH-bucketed near-dup must find every planted ≥0.95 pair that the
+    exact brute-force baseline finds (full recall at this threshold), and
+    report identical cosines (precision is structural: every candidate is
+    re-verified)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_rows = tables["embeddings"].limit(100).collect()
+    planted = []
+    next_id = 100000
+    for r in base_rows[:20]:  # plant a tiny-perturbation near-dup per vector
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        noise = rng.standard_normal(v.shape) * 0.02
+        planted.append((next_id, (v + noise).tolist()))
+        next_id += 1
+    all_rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in base_rows]
+    df = spark.createDataFrame(all_rows + planted, ["vec_id", "embedding"])
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs_lsh(
+            df, "vec_id", "embedding", 0.95, dim=64
+        ).collect()
+    }
+    assert len(exact) >= 20  # the planted pairs are really there
+    assert set(lsh) == set(exact)  # full recall AND structural precision
+    for p, c in lsh.items():
+        assert c == exact[p]

@@ -37,6 +37,18 @@ def test_clean_text_battery(spark):
     assert "Results" in out and "works!" in out
 
 
+def test_clean_text_cuts_methods_section(spark):
+    # The reference's UNWANTED_SECTIONS_RE includes `methods?`
+    # (text_cleaner.py:52-55) — the battery must cut there too.
+    df = spark.createDataFrame(
+        [("Intro findings here. Methods\nWe centrifuged things. More words.",)],
+        ["text"],
+    )
+    out = df.select(clean_text(F.col("text")).alias("c")).first()["c"]
+    assert "findings" in out
+    assert "centrifuged" not in out
+
+
 def test_split_passages_geometry(spark):
     text = "a" * 700
     df = spark.createDataFrame([(text,)], ["text"])
@@ -45,6 +57,30 @@ def test_split_passages_geometry(spark):
     assert [len(p) for p in arr] == [300, 300, 200]
     empty = df.select(split_passages(F.lit(""), 300, 50).alias("p")).first()["p"]
     assert empty == []
+
+
+def test_sentence_chunks_greedy_reset(spark):
+    """Greedy reset (reference text_cleaner.py:147-160), NOT running-sum
+    bucketing: with budget 5 and sentence word counts [3, 3, 4], the
+    second sentence flushes chunk 1 (3+3>5) and the third flushes chunk 2
+    (3+4>5) — a running-sum floor(cum/5) would glue sentences 2+3."""
+    from knowledge_model_spark.functions.chunking import explode_sentence_chunks
+
+    df = spark.createDataFrame(
+        [(1, "one two three. four five six. seven eight nine ten.")], ["doc_id", "text"]
+    )
+    rows = explode_sentence_chunks(df, "text", ["doc_id"], chunk_size=5).collect()
+    chunks = [r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_index"])]
+    assert chunks == [
+        "one two three.",
+        "four five six.",
+        "seven eight nine ten.",
+    ]
+    # an over-budget single sentence still becomes one chunk (flush needs
+    # a non-empty current chunk)
+    big = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    out = explode_sentence_chunks(big, "text", ["doc_id"], chunk_size=3).collect()
+    assert len(out) == 1 and out[0]["n_words"] == 8
 
 
 def test_retrieval_end_to_end(spark, tables):
