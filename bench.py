@@ -61,7 +61,11 @@ def _warmup(spark) -> None:
 
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().count()
     _noop = F.pandas_udf(lambda s: s, "long")
-    spark.range(1000).select(_noop("id")).count()
+    # repartition so EVERY core's Python worker starts and imports
+    # pandas/numpy now — otherwise the first pandas-UDF query is billed
+    # ~10 s of one-time worker spin-up
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(100_000).repartition(cpus).select(_noop("id")).count()
     from knowledge_model_spark.session import load_tables
 
     for df in load_tables(spark, SF_DIR).values():

@@ -181,15 +181,31 @@ def minhash_signatures(
 
 
 def _minhash_banded(
-    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int, bands: int
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int, bands: int,
+    persist: bool = False,
 ) -> DataFrame:
+    from knowledge_model_spark.session import ensure_min_partitions
+
     mh = _minhash_udf(n_hashes, bands, k)
+    # The sketch kernel is the pipeline's Python-bound stage — spread it
+    # across all cores even when the source is a single local split.
+    raw = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        mh(normalize_for_dedup(F.col(text_col))).alias("mh"),
+    )
+    if persist:
+        # Persist the RAW udf output and materialize it eagerly: the
+        # null-filter gets predicate-pushed below the projection and the
+        # two struct-field reads re-inline the call, so without a hard
+        # barrier the sketch UDF evaluates up to 4x (measured ~4x the
+        # sketch cost at sf0.1); downstream branches then read the cache.
+        # At true 100 TB scale, write this table to Parquet once instead.
+        from pyspark import StorageLevel
+
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        raw.count()
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            mh(normalize_for_dedup(F.col(text_col))).alias("mh"),
-        )
-        .filter(F.col("mh.sig").isNotNull())
+        raw.filter(F.col("mh.sig").isNotNull())
         .select("id", F.col("mh.sig").alias("sig"), F.col("mh.bkt").alias("bkt"))
     )
 
@@ -212,16 +228,12 @@ def minhash_lsh_pairs(
     join groups by (band_id, band_hash): only same-bucket docs meet, so
     candidate generation is linear-ish in corpus size — the 100 TB path.
     """
-    sigs = _minhash_banded(df, id_col, text_col, k, n_hashes, bands)
-    if persist_sketches:
-        # The sketch table feeds four plan branches (two band-join sides,
-        # two signature join-backs); persisting computes it once (~2.7×
-        # end-to-end here).  MEMORY_AND_DISK spills rather than OOMs; at
-        # true 100 TB scale, write the signature table to Parquet once
-        # and run banding from that instead.
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # The sketch table feeds four plan branches (two band-join sides, two
+    # signature join-backs); persisting the raw UDF output inside
+    # _minhash_banded computes it exactly once.
+    sigs = _minhash_banded(
+        df, id_col, text_col, k, n_hashes, bands, persist=persist_sketches
+    )
     # Slim band join: only (id, band, bucket) shuffles — signatures are
     # NOT carried through the candidate join / distinct (at 100 TB the
     # band shuffle is 3 longs/row/band instead of a 128-long array).
@@ -266,11 +278,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the scalable shape for 100 TB.  63 bits (not 64) keeps the signature
     a positive signed long under ANSI arithmetic.
     """
+    from knowledge_model_spark.session import ensure_min_partitions
+
     words = F.filter(
         F.split(normalize_for_dedup(F.col(text_col)), " "), lambda w: F.length(w) > 0
     )
     exploded = (
-        df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+        ensure_min_partitions(df).select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
     bit_sums = [
@@ -314,6 +328,7 @@ def simhash_pairs(
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs.count()  # eager: both self-join sides read the cache, not the agg
     blocks = sigs.select(
         "id",
         "simhash",
@@ -367,14 +382,19 @@ def embedding_near_dup_pairs_lsh(
     candidate is re-verified with the true cosine).
     """
     from knowledge_model_spark.operators.similarity import _hyperplane_buckets_udf
+    from knowledge_model_spark.session import ensure_min_partitions
 
-    base = df.select(F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v"))
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
+    )
     bk = _hyperplane_buckets_udf(n_tables, n_planes, dim)
     sk = base.withColumn("bks", bk(F.col("v")))
     from pyspark import StorageLevel
 
-    # The sketch feeds both self-join sides — compute the UDF once.
+    # The sketch feeds both self-join sides — compute the UDF once;
+    # eager count so concurrent stages can't race the cache population.
     sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
+    sk.count()
 
     plain = sk.select(
         F.col("id").alias("id_a"),

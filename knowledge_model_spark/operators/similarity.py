@@ -49,9 +49,12 @@ def brute_force_top_k(
     (reference: vector_store.py:129-162; k default 12 per
     vector_store.py:19, min_score 0.75 per :134).
     """
+    from knowledge_model_spark.session import ensure_min_partitions
+
     cv = F.col("__cv") if not normalized else F.col(corpus_vec)
     qv = F.col("__qv") if not normalized else F.col(query_vec)
-    c = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    # single-split local scans would score the whole corpus on one core
+    c = ensure_min_partitions(corpus).select(F.col(corpus_id), F.col(corpus_vec))
     q = queries.select(F.col(query_id), F.col(query_vec))
     if not normalized:
         c = c.withColumn("__cv", l2_normalize(F.col(corpus_vec)))
@@ -120,7 +123,11 @@ def lsh_bucket_top_k(
     brute_force_top_k by the eval harness (mirroring the reference's
     eval_snapshot.py:74-108, gate continuous.py:34-36).
     """
-    c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv"))
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
+    )
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
     bk = _hyperplane_buckets_udf(n_tables, n_planes, dim)
 
@@ -179,7 +186,11 @@ def ivf_top_k(
     broadcast everywhere; corpus shuffle is one repartition by centroid —
     amortizable across query batches.
     """
-    c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv"))
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
+    )
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
 
     # Deterministic "centroids": the n corpus vectors with smallest

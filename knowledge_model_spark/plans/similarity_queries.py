@@ -129,3 +129,42 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
         .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
     )
+
+
+@register(
+    "udaf_label_centroid",
+    """
+    WITH dims AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS centroid_v
+    FROM dims GROUP BY label, dim
+    """,
+    doc="per-label centroid via a GROUPED_AGG pandas UDAF (SURVEY §2.10 — "
+    "the custom-aggregate surface the reference lacks): one Arrow batch "
+    "per group reduces to a single vector, then posexplode for the oracle "
+    "shape; same oracle as the relational formulation, proving parity "
+    "between the UDAF and posexplode/avg paths",
+)
+def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    # float64 accumulation so the mean matches DuckDB's double avg after
+    # round(6) regardless of summation order.  Explicit GROUPED_AGG eval
+    # type: the hint-based inference can't express an array-typed scalar
+    # return.
+    @F.pandas_udf("array<double>", F.PandasUDFType.GROUPED_AGG)
+    def centroid_agg(v):
+        return np.stack(v.to_numpy()).astype(np.float64).mean(axis=0).tolist()
+
+    t = load_tables(spark, sf_dir)
+    cents = t["embeddings"].groupBy("label").agg(centroid_agg("embedding").alias("c"))
+    return cents.select(
+        "label", F.posexplode("c").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round("v", 6).alias("centroid_v"),
+    )

@@ -55,6 +55,23 @@ def get_spark(app_name: str = "knowledge_model_spark", cpus: int | None = None) 
     return builder.getOrCreate()
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition UP to the session's parallelism when the input arrives
+    in fewer partitions.
+
+    A small local parquet table is one split, which would serialize every
+    downstream Arrow/pandas kernel onto a single core; at cluster scale a
+    100 TB scan already has thousands of splits, so this is a no-op there
+    (never repartitions DOWN — no shuffle added on the scale path).
+    """
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # (session id, sf_dir) → loaded tables.  Every registered query calls
 # load_tables; memoizing skips the repeated parquet-footer reads when a
 # harness runs the whole registry against one session.  DataFrames are

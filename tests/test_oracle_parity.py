@@ -36,10 +36,12 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    import numpy as np
+
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
             )
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
