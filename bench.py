@@ -46,10 +46,14 @@ HEADLINE: dict[str, bool] = {
     "text_token_stats": False,
     "dedup_exact_survivors": False,
     "dedup_minhash_lsh": False,
+    "dedup_embedding_cosine": False,
     "ann_bruteforce_topk": True,
     "ann_lsh_topk": True,
     "retrieval_threshold_cascade": True,
+    "retrieval_rerank_topk": True,
     "eval_recall_label_at_10": True,
+    "postprocess_battery": False,
+    "chunk_sentence_budget": False,
 }
 
 

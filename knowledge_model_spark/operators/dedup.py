@@ -362,8 +362,8 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str,
     threshold: float = 0.95,
     dim: int = 64,
-    n_tables: int = 12,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 10,
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold — LSH-bucketed, the 100 TB path.
@@ -376,10 +376,14 @@ def embedding_near_dup_pairs_lsh(
     ∝ bucket occupancy, not n² — unlike the brute-force baseline
     (:func:`embedding_near_dup_pairs`, kept as the test-only oracle).
     Cosine ≥ 0.95 ⇒ angle ≤ 18°: the chance a random plane splits the
-    pair is ≤ 0.1, and 12 tables × Hamming-1 probing drive miss
-    probability low; recall is gated against the exact baseline in
-    tests/test_dedup.py.  Output ⊆ exact output by construction (every
-    candidate is re-verified with the true cosine).
+    pair is ≤ 0.1; with 10 planes a table catches the pair (≤1 differing
+    bit, Hamming-1 probed) w.p. ≈ 0.73, so 8 tables miss w.p. ≈ 3e-5;
+    recall is gated against the exact baseline in tests/test_dedup.py.
+    Output ⊆ exact output by construction (every candidate is re-verified
+    with the true cosine).  The cosine filter runs BEFORE the pair
+    dropDuplicates: verifying a duplicate candidate is a map-side 64-mult
+    dot, while deduplicating first would shuffle every candidate pair —
+    survivors (actual near-dups) are the only rows worth a shuffle.
     """
     from knowledge_model_spark.operators.similarity import _hyperplane_buckets_udf
     from knowledge_model_spark.session import ensure_min_partitions
@@ -418,9 +422,9 @@ def embedding_near_dup_pairs_lsh(
     return (
         plain.join(probed, ["tbl", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
 

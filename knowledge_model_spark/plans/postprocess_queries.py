@@ -123,9 +123,14 @@ _ORACLE = f"""
     "inline citation extraction — all UDF-free column expressions",
 )
 def postprocess_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.session import ensure_min_partitions
+
     t = load_tables(spark, sf_dir)
-    # one stage per projection — see module docstring for why
-    df = t["documents"].select("doc_id", _raw_col().alias("t"))
+    # one stage per projection — see module docstring for why; the battery
+    # is heavy per-row (regex chains + array lambdas), so spread a
+    # single-split local scan across cores (no-op at cluster scale)
+    docs = ensure_min_partitions(t["documents"])
+    df = docs.select("doc_id", _raw_col().alias("t"))
     df = df.select("doc_id", pp.strip_prompt_header(pp.strip_special_tokens(F.col("t"))).alias("t"))
     df = df.select("doc_id", pp.trim_to_last_period(F.col("t")).alias("t"))
     df = df.select("doc_id", pp.dedup_sentences(F.col("t")).alias("t"))
