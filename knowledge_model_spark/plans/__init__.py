@@ -52,6 +52,9 @@ _GATE_PRIORITY = [
     "chunk_sentence_budget",
     "udaf_label_centroid",
     "postprocess_battery",
+    "sample_train_split",
+    "pack_training_sequences",
+    "text_top_terms",
 ]
 
 
@@ -74,6 +77,7 @@ def load_registry() -> dict[str, QuerySpec]:
         retrieval_queries,
         pipeline_queries,
         postprocess_queries,
+        training_queries,
     )
 
     ordered: dict[str, QuerySpec] = {}

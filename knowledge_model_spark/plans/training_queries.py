@@ -1,0 +1,156 @@
+"""Training-data pipeline queries (north-star extensions, oracle-checked).
+
+Operators a 100 TB LLM-training corpus pipeline needs beyond the
+reference's surface: deterministic content-addressed train/val/test
+splitting, training-sequence packing, and document key-term scoring.
+All are pure relational compositions with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+SEQ_LEN = 256  # tokens per packed training sequence
+PACK_GROUPS = 32  # packing parallelism (see pack_training_sequences doc)
+
+
+@register(
+    "sample_train_split",
+    """
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM tagged GROUP BY split, lang
+    """,
+    doc="deterministic ~80/10/10 train/val/test split by md5(doc_id) prefix "
+    "— content-addressed, so membership is stable across runs, cluster "
+    "sizes, and incremental corpus additions (no global shuffle, no RNG "
+    "state; the property random_split lacks at scale)",
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {PACK_GROUPS} AS grp,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> len(w) > 0)) AS n_tok
+      FROM documents
+    ),
+    walked AS (
+      SELECT grp, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS before
+      FROM toks
+    )
+    SELECT grp, CAST(before // {SEQ_LEN} AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM walked GROUP BY grp, before // {SEQ_LEN}
+    """,
+    doc=f"training-sequence packing: documents fill {SEQ_LEN}-token sequences "
+    f"by running-sum offset, independently within {PACK_GROUPS} deterministic "
+    "groups (doc_id mod N) — per-group windows keep the sort local, so no "
+    "global-order window (the single-partition scale-killer) exists in the "
+    "plan; the group count is the packing parallelism knob at 100 TB",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        (F.col("doc_id") % PACK_GROUPS).alias("grp"),
+        F.size(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0)
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = toks.withColumn("before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        walked.groupBy("grp", (F.col("before") / SEQ_LEN).cast("long").alias("seq_id"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+
+
+@register(
+    "text_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 6) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rnk FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="top-3 distinguishing terms per document by rarity-normalized "
+    "frequency tf/df — the exact-rational cousin of TF-IDF (log-IDF "
+    "variant lives in pytest: ln() may differ in the last ulp across "
+    "engines, which would make an oracle rank-unstable); df side is a "
+    "broadcastable aggregate, tf is one shuffle on (doc, term)",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    terms = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: F.length(w) > 1
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

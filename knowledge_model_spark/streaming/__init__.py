@@ -11,6 +11,7 @@ from knowledge_model_spark.streaming.windows import (
     sessionized_stream,
     sliding_counts,
     stateful_capped_sessions,
+    stream_stream_interval_join,
     streaming_dedup,
     tumbling_counts,
 )
@@ -20,5 +21,6 @@ __all__ = [
     "sliding_counts",
     "sessionized_stream",
     "stateful_capped_sessions",
+    "stream_stream_interval_join",
     "streaming_dedup",
 ]

@@ -96,6 +96,38 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "2 hours",
+    interval: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events within
+    ``interval`` AFTER the matching left event, per key.
+
+    The §2.9 category the batch twins can't show: both sides buffer
+    state; the watermarks + the two-sided time-range condition bound how
+    long each side's rows are retained (without the range condition the
+    join state grows without limit on a 100 TB stream).  State is
+    partitioned by the join key across executors.
+
+    ``right`` must already expose its event time as ``right_ts`` (alias
+    before calling — both inputs may derive from the same source, and
+    self-joins need distinct column names).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key_col] == rw[f"r_{key_col}"])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def stateful_capped_sessions(
     events: DataFrame,
     key_col: str = "user_id",

@@ -124,3 +124,41 @@ def test_stateful_capped_sessions(spark, event_stream_dir, tmp_path):
     # With a 2-event cap most sessions close by cap — the custom
     # condition session_window cannot express.
     assert any(r["closed_reason"] == "cap" for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir, tmp_path):
+    """Watermarked stream-stream interval join (clicks ⋈ purchases within
+    30 min per user) produces exactly the batch join's rows."""
+    from knowledge_model_spark.streaming import stream_stream_interval_join
+
+    batch, stream = _read_stream(spark, event_stream_dir)
+
+    def split(df):
+        l = df.filter(F.col("event_type") == "click").select("user_id", "ts")
+        r = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts"))
+        )
+        return l, r
+
+    ls, rs = split(stream)
+    joined = stream_stream_interval_join(ls, rs, interval="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj").count()
+
+    lb, rb = split(batch)
+    want = lb.join(
+        rb,
+        (lb["user_id"] == rb["r_user_id"])
+        & (rb["r_ts"] >= lb["ts"])
+        & (rb["r_ts"] <= lb["ts"] + F.expr("INTERVAL 30 minutes")),
+    ).count()
+    assert got == want and want > 0
