@@ -1,0 +1,67 @@
+"""Physical-plan shape guards for the headline queries.
+
+Correct results with a wrong plan shape become a scale incident at
+1000 executors, so the plan IS part of the contract: filters must reach
+the parquet scan, dimension joins must broadcast, and no registered
+query may contain an all-pairs join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from knowledge_model_spark.plans import load_registry
+
+from tests.conftest import SF_DIR
+
+REGISTRY = load_registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_pushes_filter_and_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan and "c_mktsegment" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scans_prune_columns(spark):
+    # a 2-column projection must not read the whole table
+    plan = _plan(spark, "text_token_stats")
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_lsh_topk",
+    ],
+)
+def test_no_all_pairs_joins_in_bucketed_operators(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_ann_broadcasts_queries_not_corpus(spark):
+    # the intentional nested-loop is broadcast(query-batch) x corpus scan;
+    # the corpus side must NOT be exchanged before scoring
+    plan = _plan(spark, "ann_bruteforce_topk")
+    scoring = plan.split("BroadcastNestedLoopJoin")[-1]
+    head = scoring.split("Window")[0] if "Window" in scoring else scoring
+    assert "Exchange hashpartitioning" not in head
+
+
+def test_interval_overlap_joins_on_day_bucket(spark):
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan

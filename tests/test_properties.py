@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+SURVEY §5 calls for property testing alongside the oracle gate: these
+pin semantics the fixed fixtures can't sweep — arbitrary geometries for
+the chunker, arbitrary time series for the as-of join (checked against
+pandas.merge_asof as an independent reference), packing invariants, and
+partitioning-invariance of the deterministic sketches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.chunking import split_passages
+from knowledge_model_spark.operators.relational import asof_join, greedy_budget_pack
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=900),
+    size=st.integers(min_value=2, max_value=400),
+    overlap=st.integers(min_value=0, max_value=100),
+)
+@settings(**_SETTINGS)
+def test_split_passages_geometry_properties(spark, n, size, overlap):
+    if overlap >= size:
+        return  # contract: overlap < size (raise tested elsewhere)
+    text = "".join(chr(97 + (i % 26)) for i in range(n))
+    arr = (
+        spark.range(1)
+        .select(split_passages(F.lit(text), size, overlap).alias("p"))
+        .first()["p"]
+    )
+    step = size - overlap
+    if n == 0:
+        assert arr == []
+        return
+    # full coverage: concatenating each window's fresh suffix rebuilds the text
+    rebuilt = arr[0] + "".join(p[overlap:] for p in arr[1:])
+    assert rebuilt == text
+    # every window obeys the geometry
+    for i, p in enumerate(arr):
+        assert p == text[i * step : i * step + size]
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15),
+    rights=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """Backward as-of join ≡ pandas.merge_asof on a single key."""
+    rights = sorted(set(rights))
+    ldf = spark.createDataFrame([(1, t, i) for i, t in enumerate(lefts)], ["k", "lt", "lid"])
+    rdf = spark.createDataFrame([(1, t, t * 10) for t in rights], ["k", "rt", "rv"])
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt").collect()
+    }
+    lpd = pd.DataFrame({"k": 1, "lt": lefts, "lid": range(len(lefts))}).sort_values("lt")
+    rpd = pd.DataFrame({"k": 1, "rt": rights, "rv": [t * 10 for t in rights]})
+    want_df = pd.merge_asof(lpd, rpd, left_on="lt", right_on="rt", by="k")
+    want = {
+        int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    costs=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=120),
+)
+@settings(**_SETTINGS)
+def test_greedy_budget_pack_is_maximal_prefix(spark, costs, budget):
+    """Kept rows = the longest rank-order prefix whose cost sum fits the
+    budget (the reference's pack_context contract, main.py:355-363)."""
+    rows = [(1, -i, c) for i, c in enumerate(costs)]  # score desc == input order
+    df = spark.createDataFrame(rows, ["g", "score", "cost"])
+    kept = greedy_budget_pack(df, ["g"], order_col="score", cost_col="cost", budget=budget)
+    got = sorted(-r["score"] for r in kept.collect())
+    run, want = 0, []
+    for i, c in enumerate(costs):
+        run += c
+        if run > budget:
+            break
+        want.append(i)
+    assert got == want
+
+
+@given(parts=st.sampled_from([1, 3, 8, 17]))
+@settings(**_SETTINGS)
+def test_minhash_sketch_invariant_to_partitioning(spark, tables, parts):
+    """Sketches must not depend on physical partitioning — the property
+    that makes results reproducible across cluster sizes."""
+    from knowledge_model_spark.operators.dedup import minhash_signatures
+
+    docs = tables["documents"].limit(40).repartition(parts)
+    sigs = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    base = getattr(test_minhash_sketch_invariant_to_partitioning, "_base", None)
+    if base is None:
+        test_minhash_sketch_invariant_to_partitioning._base = sigs
+    else:
+        assert sigs == base
