@@ -116,6 +116,21 @@ def extract_citations(col: Column) -> Column:
     return _dedup_keep_first(F.regexp_extract_all(col, F.lit(CITATION_RE), 0))
 
 
+UNHELPFUL_PHRASES = ["i’m not sure", "i am not sure", "insufficient evidence"]
+
+
+def looks_unhelpful(col: Column) -> Column:
+    """Boolean: empty/evasive answer — under 3 words or a hedging phrase
+    (reference: main.py:242-250).  The caller routes these to the
+    parameter-only fallback path instead of returning them."""
+    words = F.filter(F.split(col, r"\s+"), lambda w: F.length(w) > 0)
+    cond = F.size(words) < 3
+    lo = F.lower(col)
+    for p in UNHELPFUL_PHRASES:
+        cond = cond | lo.contains(p)
+    return cond
+
+
 def postprocess_answer(col: Column, max_words: int = 200, max_bullets: int = 10) -> Column:
     """Full battery in reference order (postprocess.py:197-205): tokens →
     header → trim-to-period → sentence dedup → bullet dedup/cap →

@@ -125,6 +125,25 @@ def clean_text(col: Column) -> Column:
     return c
 
 
+PAGE_FURNITURE_RE = (
+    r"(?i)^(?:Page \d+(?: of \d+)?|©.*|Copyright.*|All rights reserved\.?)$"
+)
+DIGIT_LINE_RE = r"^\s*\d+\s*$"
+
+
+def strip_page_furniture(col: Column) -> Column:
+    """Drop page-number / header / footer / copyright lines from PDF text
+    (reference: ingestion/parse_pdfs.py:23-24,44-54): split on newlines,
+    filter furniture lines, rejoin — an array filter, not a multiline
+    regex, so each line predicate stays simple and RE2-safe."""
+    lines = F.split(col, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (~l.rlike(PAGE_FURNITURE_RE)) & (~l.rlike(DIGIT_LINE_RE)),
+    )
+    return F.array_join(kept, "\n")
+
+
 def normalize_pmcid(col: Column) -> Column:
     """Normalize a PMCID: strip ``pmc-id:`` prefix and ``;`` suffix, ensure
     ``PMC`` prefix.  (reference: fetch_pubmed.py:229-237,370-377,

@@ -55,6 +55,8 @@ _GATE_PRIORITY = [
     "sample_train_split",
     "pack_training_sequences",
     "text_top_terms",
+    "text_page_furniture",
+    "postprocess_unhelpful_flag",
 ]
 
 

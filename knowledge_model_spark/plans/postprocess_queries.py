@@ -115,6 +115,88 @@ _ORACLE = f"""
 
 
 @register(
+    "text_page_furniture",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'Page 1 of 12' || chr(10) || substring(text, 1, 120) || chr(10)
+             || ' ' || CAST(doc_id AS VARCHAR) || ' ' || chr(10)
+             || 'Copyright 2024 Elsevier Inc.' || chr(10)
+             || substring(text, 121, 120) || chr(10)
+             || 'All rights reserved.' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(t, chr(10)), l ->
+               NOT regexp_matches(l,
+                 '(?i)^(?:Page \\d+(?: of \\d+)?|©.*|Copyright.*|All rights reserved\\.?)$')
+               AND NOT regexp_matches(l, '^\\s*\\d+\\s*$')),
+             chr(10)) AS cleaned
+    FROM raw
+    """,
+    doc="page-number/header/footer/copyright line drop from PDF text "
+    "(reference: ingestion/parse_pdfs.py:23-24,44-54) — per-line array "
+    "filter over planted furniture lines",
+)
+def text_page_furniture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.text_cleaning import strip_page_furniture
+
+    t = load_tables(spark, sf_dir)
+    raw = F.concat(
+        F.lit("Page 1 of 12\n"),
+        F.substring("text", 1, 120),
+        F.lit("\n "),
+        F.col("doc_id").cast("string"),
+        F.lit(" \nCopyright 2024 Elsevier Inc.\n"),
+        F.substring("text", 121, 120),
+        F.lit("\nAll rights reserved."),
+    )
+    return t["documents"].select(
+        "doc_id", strip_page_furniture(raw).alias("cleaned")
+    )
+
+
+@register(
+    "postprocess_unhelpful_flag",
+    """
+    WITH answers AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'ok.'
+                  WHEN doc_id % 5 = 1
+                    THEN 'Honestly, I am not sure this is answerable.'
+                  WHEN doc_id % 5 = 2
+                    THEN 'There is insufficient evidence to say more.'
+                  ELSE substring(text, 1, 100) END AS answer
+      FROM documents
+    )
+    SELECT doc_id, answer,
+           (len(list_filter(regexp_split_to_array(answer, '\\s+'),
+                            w -> len(w) > 0)) < 3
+            OR contains(lower(answer), 'i am not sure')
+            OR contains(lower(answer), 'i’m not sure')
+            OR contains(lower(answer), 'insufficient evidence')) AS unhelpful
+    FROM answers
+    """,
+    doc="unhelpful-answer predicate (reference: main.py:242-250): under 3 "
+    "words or a hedging phrase — routes to the parameter-only fallback",
+)
+def postprocess_unhelpful_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    answer = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ok."))
+        .when(F.col("doc_id") % 5 == 1, F.lit("Honestly, I am not sure this is answerable."))
+        .when(F.col("doc_id") % 5 == 2, F.lit("There is insufficient evidence to say more."))
+        .otherwise(F.substring("text", 1, 100))
+    )
+    return (
+        t["documents"]
+        .select("doc_id", answer.alias("answer"))
+        .select("doc_id", "answer", pp.looks_unhelpful(F.col("answer")).alias("unhelpful"))
+    )
+
+
+@register(
     "postprocess_battery",
     _ORACLE,
     doc="answer postprocess battery (reference: inference/postprocess.py:57-171, "

@@ -68,6 +68,26 @@ def test_extract_citations_unique_ordered(spark):
     assert out == ["PMID: 123", "DOI:10.1/x", "PMCID: PMC9"]
 
 
+def test_looks_unhelpful(spark):
+    cases = {
+        "ok.": True,  # under 3 words
+        "I’m not sure about that": True,
+        "honestly I AM NOT SURE at all": True,
+        "there is insufficient evidence here": True,
+        "a perfectly reasonable answer": False,
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, pp.looks_unhelpful) is want, raw
+
+
+def test_strip_page_furniture(spark):
+    from knowledge_model_spark.functions.text_cleaning import strip_page_furniture
+
+    raw = "Page 3 of 12\nreal content line\n 42 \nCopyright 2024 X\nmore text\nAll rights reserved."
+    out = _one(spark, raw, strip_page_furniture)
+    assert out == "real content line\nmore text"
+
+
 def test_full_battery(spark):
     raw = (
         "### Response: The drug works. The drug works. It lowers risk. "
