@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "text_top_terms",
     "text_page_furniture",
     "postprocess_unhelpful_flag",
+    "multimodal_audio_features",
 ]
 
 

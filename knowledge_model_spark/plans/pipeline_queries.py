@@ -379,6 +379,28 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    None,  # int8-waveform stub over payload bytes — rows-only
+    doc="multimodal audio: 1-to-N windowed waveform features (RMS, "
+    "zero-crossings) via mapInPandas; librosa/ffmpeg decode seam stubbed, "
+    "window explosion + numeric kernels real",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.sources.multimodal import (
+        audio_features,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, n=128, kind="audio")
+    wins = audio_features(media, window_ms=500, decode="DETERMINISTIC")
+    return wins.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.sum("zero_crossings").cast("long").alias("total_zc"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     None,  # payload-slicing stub — rows-only
     doc="multimodal 1-to-N frame sampling via mapInPandas (ffmpeg seam "

@@ -131,6 +131,65 @@ def sample_frames(
     return media.select(*cols).mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_index", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, window_ms: int = 500, decode: str = "DETERMINISTIC"
+) -> DataFrame:
+    """audio rows → one row per analysis window with waveform statistics
+    (RMS energy, zero-crossing count) — the 1-to-N windowed shape every
+    audio featurizer (VAD, language-ID, loudness normalization) uses.
+
+    DETERMINISTIC mode treats the payload bytes as an int8 waveform
+    sliced into ``window_ms`` windows scaled by ``duration_ms``, so batch
+    shapes, explosion factors, and numeric kernels are real; REAL mode is
+    the librosa/ffmpeg seam (not in this container).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "window_index": [],
+                "start_ms": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for _, row in pdf.iterrows():
+                if decode == "REAL":
+                    raise NotImplementedError(
+                        "real audio decode requires librosa/ffmpeg (not in container)"
+                    )
+                duration = int(row["duration_ms"] or 0)
+                wave = np.frombuffer(row["payload"] or b"", dtype=np.int8).astype(
+                    np.float32
+                )
+                n_win = max(1, duration // window_ms)
+                step = max(1, len(wave) // n_win) if len(wave) else 1
+                for i in range(n_win):
+                    w = wave[i * step : (i + 1) * step]
+                    rms = float(np.sqrt(np.mean(w**2))) if len(w) else 0.0
+                    zc = int(((w[:-1] * w[1:]) < 0).sum()) if len(w) > 1 else 0
+                    out["media_id"].append(row["media_id"])
+                    out["window_index"].append(i)
+                    out["start_ms"].append(i * window_ms)
+                    out["rms"].append(rms)
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    cols = ["media_id", "payload", "duration_ms"]
+    return media.select(*cols).mapInPandas(kernel, AUDIO_WINDOWS_SCHEMA)
+
+
 def make_synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic synthetic media table for tests (payload bytes derive
     from media_id)."""

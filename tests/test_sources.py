@@ -161,3 +161,27 @@ def test_sample_frames_explosion(spark):
     durations = {r["media_id"]: r["duration_ms"] for r in media.collect()}
     for r in per:
         assert r["count"] == max(1, durations[r["media_id"]] // 1000)
+
+
+def test_audio_features_windows(spark):
+    from knowledge_model_spark.sources.multimodal import audio_features
+
+    media = make_synthetic_media(spark, n=16, kind="audio")
+    wins = audio_features(media, window_ms=500)
+    per = {r["media_id"]: r["n"] for r in wins.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
+    durations = {r["media_id"]: r["duration_ms"] for r in media.collect()}
+    for mid, n in per.items():
+        assert n == max(1, durations[mid] // 500)
+    rows = wins.collect()
+    assert all(r["rms"] >= 0 for r in rows)
+    # determinism
+    again = sorted(map(tuple, audio_features(media, window_ms=500).collect()))
+    assert again == sorted(map(tuple, rows))
+
+
+def test_audio_features_real_mode_stubbed(spark):
+    from knowledge_model_spark.sources.multimodal import audio_features
+
+    media = make_synthetic_media(spark, n=2, kind="audio")
+    with pytest.raises(Exception):
+        audio_features(media, decode="REAL").collect()
