@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "text_page_furniture",
     "postprocess_unhelpful_flag",
     "multimodal_audio_features",
+    "retrieval_build_prompt",
 ]
 
 

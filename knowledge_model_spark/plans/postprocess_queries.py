@@ -196,6 +196,71 @@ def postprocess_unhelpful_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# no apostrophes: the string is embedded in a single-quoted SQL literal
+PROMPT_SYS = 'Answer only from the provided context; reply "insufficient evidence" when the context lacks the facts.'
+PROMPT_CAP = 120  # words — small enough that real documents trigger truncation
+
+
+@register(
+    "retrieval_build_prompt",
+    f"""
+    WITH built AS (
+      SELECT doc_id,
+             '### System:' || chr(10) || '{PROMPT_SYS}' || chr(10) || chr(10)
+             || '<context>' || chr(10) || trim(substring(text, 101, 400))
+             || chr(10) || '</context>' || chr(10) || chr(10)
+             || '### User:' || chr(10) || trim(substring(text, 1, 100))
+             || chr(10) || chr(10) || '### Assistant:' || chr(10) || '• '
+               AS prompt
+      FROM documents
+    ),
+    capped AS (
+      SELECT doc_id, prompt,
+             list_filter(regexp_split_to_array(prompt, '\\s+'),
+                         w -> len(w) > 0) AS words
+      FROM built
+    )
+    SELECT doc_id,
+           CASE WHEN len(words) <= {PROMPT_CAP} THEN prompt
+                ELSE array_to_string(
+                       list_slice(words, len(words) - {PROMPT_CAP} + 1, len(words)),
+                       ' ') END AS prompt,
+           CAST(least(len(words), {PROMPT_CAP}) AS BIGINT) AS n_words
+    FROM capped
+    """,
+    doc="prompt assembly (reference: prompt_utils.py:79-111, truncation "
+    ":70-72 and main.py:404): system + <context> + user + pre-seeded "
+    "assistant bullet, front-truncated to the LAST N words so the user "
+    "question always survives",
+)
+def retrieval_build_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.prompting import (
+        build_prompt,
+        truncate_keep_last,
+    )
+
+    t = load_tables(spark, sf_dir)
+    built = t["documents"].select(
+        "doc_id",
+        build_prompt(
+            user_msg=F.substring("text", 1, 100),
+            context=F.substring("text", 101, 400),
+            system_msg=PROMPT_SYS,
+        ).alias("p0"),
+    )
+    capped = built.select(
+        "doc_id", truncate_keep_last(F.col("p0"), PROMPT_CAP).alias("prompt")
+    )
+    return capped.select(
+        "doc_id",
+        "prompt",
+        F.least(
+            F.size(F.filter(F.split("prompt", r"\s+"), lambda w: F.length(w) > 0)),
+            F.lit(PROMPT_CAP),
+        ).cast("long").alias("n_words"),
+    )
+
+
 @register(
     "postprocess_battery",
     _ORACLE,

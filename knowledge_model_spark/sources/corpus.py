@@ -14,6 +14,8 @@ Replaces the reference's hand-rolled I/O:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -76,6 +78,49 @@ def write_partitioned(
     """
     (
         df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(year_col, month_col)
+        .parquet(path)
+    )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+    year_col: str = "year",
+    month_col: str = "month",
+) -> None:
+    """Latest-wins upsert into a partitioned Parquet sink — the engine's
+    MERGE: the reference's per-row lookup-then-insert
+    (reference: ingestion/pipeline.py:135,181-207) becomes one set
+    operation touching ONLY the partitions present in ``updates``.
+
+    Existing rows of the affected partitions are unioned with the
+    updates; ``row_number`` over (key, order_col DESC) keeps the newest
+    version of each key; dynamic overwrite rewrites just those
+    partitions.  Partitions without updates are never read or written —
+    the property that makes this O(changed data), not O(table), at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    target = updates
+    if os.path.exists(path):
+        parts = updates.select(year_col, month_col).distinct()
+        existing = spark.read.parquet(path).join(
+            F.broadcast(parts), [year_col, month_col], "left_semi"
+        )
+        target = existing.unionByName(updates)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    merged = (
+        target.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    (
+        merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(year_col, month_col)
         .parquet(path)

@@ -185,3 +185,40 @@ def test_audio_features_real_mode_stubbed(spark):
     media = make_synthetic_media(spark, n=2, kind="audio")
     with pytest.raises(Exception):
         audio_features(media, decode="REAL").collect()
+
+
+def test_upsert_partitioned_latest_wins(spark, tmp_path):
+    from knowledge_model_spark.sources.corpus import upsert_partitioned
+
+    sink = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [(1, "v1", 10, 2024, 1), (2, "v1", 10, 2024, 1), (3, "v1", 10, 2024, 2)],
+        ["id", "val", "ver", "year", "month"],
+    )
+    upsert_partitioned(spark, base, sink, ["id"], "ver")
+    # update id=1, insert id=4 — only partition 2024/1 is touched
+    upd = spark.createDataFrame(
+        [(1, "v2", 20, 2024, 1), (4, "new", 20, 2024, 1)],
+        ["id", "val", "ver", "year", "month"],
+    )
+    upsert_partitioned(spark, upd, sink, ["id"], "ver")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(sink).collect()}
+    assert got == {1: "v2", 2: "v1", 3: "v1", 4: "new"}
+    # stale update (older ver) must NOT win
+    stale = spark.createDataFrame(
+        [(1, "v0", 5, 2024, 1)], ["id", "val", "ver", "year", "month"]
+    )
+    upsert_partitioned(spark, stale, sink, ["id"], "ver")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(sink).collect()}
+    assert got[1] == "v2"
+
+
+def test_truncate_keep_last(spark):
+    from pyspark.sql import functions as F
+    from knowledge_model_spark.functions.prompting import truncate_keep_last
+
+    df = spark.createDataFrame([("a b c d e f",)], ["t"])
+    out = df.select(truncate_keep_last(F.col("t"), 3).alias("o")).first()["o"]
+    assert out == "d e f"  # the TAIL survives (user question side)
+    keep = df.select(truncate_keep_last(F.col("t"), 10).alias("o")).first()["o"]
+    assert keep == "a b c d e f"
