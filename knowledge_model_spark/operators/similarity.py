@@ -176,8 +176,8 @@ def ivf_top_k(
     query_vec: str,
     k: int = 12,
     n_centroids: int = 16,
-    n_probe: int = 4,
-    n_assign: int = 2,
+    n_probe: int = 6,
+    n_assign: int = 3,
 ) -> DataFrame:
     """IVF-style ANN: deterministic hash-sampled centroids; corpus rows
     multi-assigned to their ``n_assign`` nearest centroids (recall lever —

@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "postprocess_unhelpful_flag",
     "multimodal_audio_features",
     "retrieval_build_prompt",
+    "eval_ann_recall_vs_exact",
 ]
 
 

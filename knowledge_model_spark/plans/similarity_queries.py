@@ -109,6 +109,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_ann_recall_vs_exact",
+    None,  # LSH side is xxhash64-derived — rows-only (the gate VALUE is the artifact)
+    doc="the ANN quality gate as a first-class query (reference: "
+    "eval_snapshot.py:74-108 + the 0.80 flow gate continuous.py:34-36): "
+    "recall of LSH-bucketed top-10 against the exact brute-force top-10 "
+    "over the same query batch — one row per method with recall and a "
+    "pass flag; promotes the tests-only recall harness to a monitorable "
+    "pipeline output",
+)
+def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q = _queries(t)
+    kw = dict(
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    )
+    exact = brute_force_top_k(t["embeddings"], q, **kw).select("query_id", "vec_id")
+    out = []
+    for method, fn in (("lsh", lsh_bucket_top_k), ("ivf", ivf_top_k)):
+        approx = fn(t["embeddings"], q, **kw).select("query_id", "vec_id")
+        hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        out.append(
+            hit.agg(
+                F.lit(method).alias("method"),
+                F.round(F.count("*") / F.lit(float(N_QUERIES * K)), 6).alias("recall"),
+                (F.count("*") / F.lit(float(N_QUERIES * K)) >= 0.80).alias("passes_gate"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+@register(
     "embeddings_label_centroids",
     """
     WITH dims AS (
