@@ -129,6 +129,41 @@ def fetch_partitioned(
     return fetched, quarantine
 
 
+def paged_scan(
+    spark,
+    page_fetcher: Callable[[int], list[str]],
+    page_size: int = 500,
+    start_offset: int = 0,
+    rate: float = 10.0,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Driver-side paged id scan with offset resume → key DataFrame.
+
+    The ESearch retstart loop (reference: fetch_pubmed.py:108-146 page
+    size :68, loop :323-342): ``page_fetcher(offset)`` returns one page
+    of ids; the loop advances ``offset += page_size`` until a short or
+    empty page, rate-limited by a token bucket.  ``start_offset`` is the
+    resume token — persist ``offset + len(ids)`` externally (e.g. the
+    sink's partition metadata) to continue an interrupted scan.
+
+    Deliberately driver-sequential: the listing API itself is a serial
+    cursor (the reference's too); only the per-id BODY fetches fan out —
+    feed the returned keys to :func:`fetch_partitioned`.  A ``max_pages``
+    guard bounds a runaway cursor.
+    """
+    bucket = TokenBucket(rate)
+    ids: list[str] = []
+    offset = start_offset
+    for _ in range(max_pages):
+        bucket.acquire()
+        page = page_fetcher(offset)
+        ids.extend(page)
+        offset += page_size
+        if len(page) < page_size:
+            break
+    return spark.createDataFrame([(i,) for i in ids], ["key"])
+
+
 def body_cascade(
     fulltext: str | None, pdf_text: str | None, abstract: str | None
 ) -> tuple[str | None, str]:

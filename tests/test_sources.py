@@ -222,3 +222,22 @@ def test_truncate_keep_last(spark):
     assert out == "d e f"  # the TAIL survives (user question side)
     keep = df.select(truncate_keep_last(F.col("t"), 10).alias("o")).first()["o"]
     assert keep == "a b c d e f"
+
+
+def test_paged_scan_resume_and_fanout(spark):
+    from knowledge_model_spark.sources.fetch_connector import paged_scan
+
+    universe = [f"PMID{i}" for i in range(1234)]
+    calls = []
+
+    def pages(offset):
+        calls.append(offset)
+        return universe[offset : offset + 500]
+
+    keys = paged_scan(spark, pages, page_size=500, rate=1e6)
+    assert keys.count() == 1234
+    assert calls == [0, 500, 1000]  # stops on the short page
+    # resume from a persisted offset re-fetches only the tail
+    calls.clear()
+    tail = paged_scan(spark, pages, page_size=500, start_offset=1000, rate=1e6)
+    assert tail.count() == 234 and calls == [1000]
