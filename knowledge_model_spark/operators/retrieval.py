@@ -95,15 +95,17 @@ def pack_context(
     query_id: str = "query_id",
     text_col: str = "chunk_text",
     budget: int = CONTEXT_TOKEN_BUDGET,
+    order_col: str = "score",
 ) -> DataFrame:
     """Greedy token-budget packing of ranked hits (reference:
     main.py:355-363): keep hits while the running whitespace-token total
-    stays within budget."""
+    stays within budget.  ``order_col`` is the walk order — pass the
+    rerank score when packing reranked hits."""
     with_cost = hits.withColumn(
         "n_tok", F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0))
     )
     return greedy_budget_pack(
-        with_cost, [query_id], order_col="score", cost_col="n_tok", budget=budget
+        with_cost, [query_id], order_col=order_col, cost_col="n_tok", budget=budget
     )
 
 
