@@ -146,7 +146,7 @@ def corpus_weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_word_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    words = t["documents"].select(
+    words = t["documents_spread"].select(
         "doc_id",
         F.posexplode(
             F.filter(F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0)
@@ -232,7 +232,7 @@ def chunk_sentence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.chunking import explode_sentence_chunks
 
     t = load_tables(spark, sf_dir)
-    punct = t["documents"].select(
+    punct = t["documents_spread"].select(
         "doc_id",
         F.regexp_replace("text", " (table|row|value|key) ", " $1. ").alias("text"),
     )

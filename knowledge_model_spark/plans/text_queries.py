@@ -54,7 +54,7 @@ _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 )
 def text_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    cleaned = t["documents"].select(
+    cleaned = t["documents_spread"].select(
         "doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("t")
     )
     out = explode_passages(cleaned, "t", ["doc_id"], size=300, overlap=50)
@@ -83,7 +83,7 @@ def text_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    return t["documents_spread"].select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
@@ -126,7 +126,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+    return t["documents_spread"].select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
 
 
 @register(
@@ -146,7 +146,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return t["documents_spread"].select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
 @register(
@@ -160,7 +160,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return t["documents_spread"].select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 def _build_clean_battery_oracle() -> str:
@@ -218,7 +218,7 @@ def text_clean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.regexp_replace(c, f"[{esc}]{{2,}}", ch)
     c = tc.strip_author_year_citations(c)
     c = tc.collapse_whitespace(c)
-    return t["documents"].select("doc_id", c.alias("cleaned"))
+    return t["documents_spread"].select("doc_id", c.alias("cleaned"))
 
 
 @register(
@@ -235,7 +235,7 @@ def text_clean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        t["documents_spread"]
         .groupBy(F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"))
         .agg(
             F.count("*").alias("n_docs"),
@@ -257,7 +257,7 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        t["documents_spread"]
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
     )
@@ -279,7 +279,7 @@ def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        t["documents_spread"]
         .filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
@@ -314,7 +314,7 @@ def text_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p></sec></body></article>"),
     )
     return (
-        t["documents"]
+        t["documents_spread"]
         .filter((F.col("doc_id") < 100) & (F.length("text") > 120))
         .select(
             "doc_id",

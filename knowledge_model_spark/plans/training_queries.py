@@ -79,7 +79,7 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(
+    toks = t["documents_spread"].select(
         "doc_id",
         (F.col("doc_id") % PACK_GROUPS).alias("grp"),
         F.size(
@@ -128,7 +128,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    terms = t["documents"].select(
+    terms = t["documents_spread"].select(
         "doc_id",
         F.explode(
             F.filter(

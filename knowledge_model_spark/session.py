@@ -107,5 +107,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             tables[name] = df
+    if "documents" in tables:
+        # pre-spread variant for per-row-heavy plans (regex batteries,
+        # sketch UDFs): a single local parquet split would otherwise run
+        # them on one core.  Computed once per (session, sf_dir).
+        tables["documents_spread"] = ensure_min_partitions(tables["documents"])
     _TABLE_CACHE[key] = tables
     return tables
