@@ -70,6 +70,13 @@ def _warmup(spark) -> None:
     # ~10 s of one-time worker spin-up
     cpus = spark.sparkContext.defaultParallelism
     spark.range(100_000).repartition(cpus).select(_noop("id")).count()
+    # the Arrow string-serialization path initializes separately from the
+    # primitive path; exercise it too so the first string-kernel query
+    # isn't billed the engine's one-time cost
+    _snoop = F.pandas_udf(lambda s: s.str.len(), "long")
+    spark.range(100_000).repartition(cpus).select(
+        _snoop(F.format_string("warm-%d", "id")).alias("n")
+    ).agg(F.sum("n")).collect()
     from knowledge_model_spark.session import load_tables
 
     for df in load_tables(spark, SF_DIR).values():

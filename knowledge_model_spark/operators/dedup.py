@@ -219,31 +219,50 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     persist_sketches: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH banding, verified by
     signature-estimated Jaccard ≥ threshold.
 
     bands=32 × rows=4 over 128 hashes → s-curve threshold ≈ (1/32)^(1/4)
-    ≈ 0.42, catching 0.8-similar pairs with high probability.  The band
-    join groups by (band_id, band_hash): only same-bucket docs meet, so
-    candidate generation is linear-ish in corpus size — the 100 TB path.
+    ≈ 0.42, catching 0.8-similar pairs with high probability.  Candidate
+    generation groups the slim (id, band, bucket) rows by (band, bucket)
+    and explodes in-bucket pairs: ONE shuffle of 3 longs/row/band, no
+    self-join, and only same-bucket docs ever pair — linear-ish in corpus
+    size, the 100 TB path.  ``max_bucket_size`` (off by default) skips
+    degenerate hot buckets (boilerplate-heavy corpora) the way web-scale
+    dedup pipelines drop stop-buckets; recall vs exact Jaccard is gated
+    in tests/test_dedup.py.
     """
-    # The sketch table feeds four plan branches (two band-join sides, two
+    # The sketch table feeds three plan branches (bucket groupBy, two
     # signature join-backs); persisting the raw UDF output inside
     # _minhash_banded computes it exactly once.
     sigs = _minhash_banded(
         df, id_col, text_col, k, n_hashes, bands, persist=persist_sketches
     )
-    # Slim band join: only (id, band, bucket) shuffles — signatures are
-    # NOT carried through the candidate join / distinct (at 100 TB the
-    # band shuffle is 3 longs/row/band instead of a 128-long array).
     banded = sigs.select("id", F.posexplode("bkt").alias("band", "bucket"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # In-bucket pair expansion: ids are sorted, so emitting (ids[i], ids[j>i])
+    # yields each pair in canonical order; the same pair surfacing from
+    # several bands is collapsed by the distinct below.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # Verify survivors only: join signatures back for the estimate.
@@ -321,14 +340,13 @@ def simhash_pairs(
     match for distance ≤ 3 by pigeonhole over 4 blocks → we band on each
     single 16-bit block, which guarantees recall for distance ≤ 3).
     """
+    # The signature is ONE long, so (unlike minhash's 128-long array) it
+    # rides through the block groupBy at negligible shuffle cost: a single
+    # aggregation replaces the former self-join + two-sided sketch scan,
+    # and no persist/eager-count job is needed — the 63-bit-sum agg runs
+    # exactly once.  ``persist_sketches`` is kept for API compatibility.
+    del persist_sketches
     sigs = simhash(df, id_col, text_col)
-    if persist_sketches:
-        # Same rationale as minhash_lsh_pairs: the 63-bit-sum aggregation
-        # feeds both self-join sides — compute it once.
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        sigs.count()  # eager: both self-join sides read the cache, not the agg
     blocks = sigs.select(
         "id",
         "simhash",
@@ -341,15 +359,33 @@ def simhash_pairs(
             )
         ).alias("blk", "blkval"),
     )
-    a = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blkval")
-    b = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blkval")
+    buckets = (
+        blocks.groupBy("blk", "blkval")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # In-bucket pair expansion with the Hamming filter applied map-side:
+    # only actual near-dups (distance ≤ max) reach the distinct shuffle.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        hamming64(x["simhash"], y["simhash"]).alias("distance"),
+                    ),
+                ),
+                lambda p: p["distance"] <= F.lit(max_distance),
+            ),
+        )
+    )
     return (
-        a.join(b, ["blk", "blkval"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.distance")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("distance", hamming64(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("distance") <= max_distance)
-        .select("id_a", "id_b", "distance")
     )
 
 
