@@ -75,20 +75,41 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by exact word-k-shingle Jaccard ≥ threshold.
 
     Inverted-index formulation: explode shingles → self-join on shingle →
     count common shingles per pair → Jaccard = common / (|A|+|B|-common).
     Only pairs sharing ≥1 shingle are ever materialized, so cost is driven
-    by shingle document frequency, not n².  At 100 TB, additionally drop
-    ultra-frequent shingles (stop-shingles) before the join; controlled
-    here by ``max_df`` pruning in :func:`_shingle_index`.
+    by shingle document frequency, not n².
+
+    ``max_df`` is the 100 TB stop-shingle lever: a shingle appearing in
+    more than ``max_df`` documents (boilerplate like "the patient was
+    treated with") makes the inverted-index self-join quadratic in its
+    document frequency, so such shingles are dropped from the shingle
+    SETS before the join (one extra groupBy(s).count() pass) and Jaccard
+    is computed over the pruned universe — both |A∩B| and |A|,|B| exclude
+    stop-shingles, keeping it a true set similarity.  Default None keeps
+    exact semantics (and oracle parity for the registered query).
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("s")
+        )
+        # recompute per-doc set sizes over the retained shingles so the
+        # denominator matches the pruned universe
+        exploded = (
+            exploded.join(keep, "s")
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+        )
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
     )
@@ -219,7 +240,8 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     persist_sketches: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
+    sketch_path: str | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH banding, verified by
     signature-estimated Jaccard ≥ threshold.
@@ -229,28 +251,46 @@ def minhash_lsh_pairs(
     generation groups the slim (id, band, bucket) rows by (band, bucket)
     and explodes in-bucket pairs: ONE shuffle of 3 longs/row/band, no
     self-join, and only same-bucket docs ever pair — linear-ish in corpus
-    size, the 100 TB path.  ``max_bucket_size`` (off by default) skips
-    degenerate hot buckets (boilerplate-heavy corpora) the way web-scale
-    dedup pipelines drop stop-buckets; recall vs exact Jaccard is gated
-    in tests/test_dedup.py.
+    size, the 100 TB path.
+
+    ``max_bucket_size`` (default 1000) skips degenerate hot buckets the
+    way web-scale dedup pipelines drop stop-buckets: the in-bucket
+    expansion materializes all B(B-1)/2 pair structs of a bucket in one
+    row, so an uncapped boilerplate bucket of 100k ids would build a
+    ~5e9-element array in a single task (OOM / 2^31 array limit).  At the
+    cap the largest per-row array is ~500k structs (~a few MB).  A capped
+    bucket only loses pairs that every OTHER band also skips; recall vs
+    exact Jaccard with the cap on is gated in tests/test_dedup.py.
+
+    ``sketch_path``: when set, the signature table is written to Parquet
+    once and read back instead of persist()+count() — the durable variant
+    for true 100 TB runs where an in-memory/disk cache of the sketch
+    table won't fit or must survive executor loss.
     """
     # The sketch table feeds three plan branches (bucket groupBy, two
-    # signature join-backs); persisting the raw UDF output inside
-    # _minhash_banded computes it exactly once.
-    sigs = _minhash_banded(
-        df, id_col, text_col, k, n_hashes, bands, persist=persist_sketches
-    )
+    # signature join-backs); persisting (or writing) the raw UDF output
+    # computes it exactly once.
+    if sketch_path is not None:
+        _minhash_banded(
+            df, id_col, text_col, k, n_hashes, bands, persist=False
+        ).write.mode("overwrite").parquet(sketch_path)
+        sigs = df.sparkSession.read.parquet(sketch_path)
+    else:
+        sigs = _minhash_banded(
+            df, id_col, text_col, k, n_hashes, bands, persist=persist_sketches
+        )
     banded = sigs.select("id", F.posexplode("bkt").alias("band", "bucket"))
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # In-bucket pair expansion: ids are sorted, so emitting (ids[i], ids[j>i])
-    # yields each pair in canonical order; the same pair surfacing from
-    # several bands is collapsed by the distinct below.
+    # In-bucket pair expansion: ids are distinct (collect_set — duplicate
+    # input ids can't emit (x,x) self-pairs) and sorted, so emitting
+    # (ids[i], ids[j>i]) yields each pair in canonical order; the same
+    # pair surfacing from several bands is collapsed by the distinct.
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -263,6 +303,7 @@ def minhash_lsh_pairs(
     cands = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     # Verify survivors only: join signatures back for the estimate.
@@ -333,12 +374,21 @@ def simhash_pairs(
     text_col: str,
     max_distance: int = 3,
     persist_sketches: bool = True,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_distance.
 
     Candidate generation by 4-way block banding (two 16-bit blocks must
     match for distance ≤ 3 by pigeonhole over 4 blocks → we band on each
     single 16-bit block, which guarantees recall for distance ≤ 3).
+
+    ``max_bucket_size`` (default 1000): the block-bucket key space is only
+    4 × 2^16, so average occupancy grows linearly with corpus size and a
+    shared boilerplate block makes one bucket huge; the in-bucket pair
+    expansion is O(B²) Hamming comparisons in a single task, so oversized
+    buckets are skipped (stop-bucket semantics, same recall trade as
+    minhash_lsh_pairs — a pair in a skipped bucket is only lost if all
+    three other blocks also miss, i.e. the docs differ in every block).
     """
     # The signature is ONE long, so (unlike minhash's 128-long array) it
     # rides through the block groupBy at negligible shuffle cost: a single
@@ -361,11 +411,16 @@ def simhash_pairs(
     )
     buckets = (
         blocks.groupBy("blk", "blkval")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .agg(F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
     # In-bucket pair expansion with the Hamming filter applied map-side:
     # only actual near-dups (distance ≤ max) reach the distinct shuffle.
+    # The id_a != id_b guard preserves the strict-pair invariant when the
+    # input carries duplicate ids (which would otherwise self-pair at
+    # distance 0).
     pair_structs = F.flatten(
         F.transform(
             F.col("ms"),
@@ -378,7 +433,8 @@ def simhash_pairs(
                         hamming64(x["simhash"], y["simhash"]).alias("distance"),
                     ),
                 ),
-                lambda p: p["distance"] <= F.lit(max_distance),
+                lambda p: (p["distance"] <= F.lit(max_distance))
+                & (p["id_a"] != p["id_b"]),
             ),
         )
     )

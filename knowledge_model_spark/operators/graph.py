@@ -67,8 +67,13 @@ def connected_components(
             .select("node", F.coalesce("l_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        # labels are positive and only decrease → sum is a monotone witness
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # labels are positive and only decrease → sum is a monotone
+        # witness; decimal(38,0) accumulation cannot overflow for any
+        # realistic graph (int64 sums would wrap silently — or throw
+        # under ANSI — for billions of hash-derived ids)
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
         prev_sum = cur_sum

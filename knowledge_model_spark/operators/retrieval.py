@@ -47,6 +47,65 @@ def build_passage_index(
     return passages.withColumn("vector", hash_embed(F.col("chunk_text"), dim))
 
 
+def embed(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    model_udf=None,
+    out_col: str = "vector",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding stage with a pluggable-model seam — the embed-side twin
+    of the rerank hook (:func:`rerank_top_k`).
+
+    ``model_udf`` is any pandas UDF mapping a text Series to an
+    array<float|double> Series: the real-model slot (reference:
+    build_faiss.py:69-85 — SentenceTransformer.encode, batch 64,
+    normalize_embeddings=True).  Arrow batching is the reference's
+    batch-64 analog; per-executor lazy model init belongs INSIDE the UDF
+    closure (load on first batch, reuse for the executor's lifetime —
+    the @lru_cache analog of re_rank.py:20-24; see
+    :func:`stats_model_udf` for the canonical shape).  Defaults to the
+    deterministic :func:`hash_embed` expression so pipelines run without
+    model downloads.
+    """
+    if model_udf is None:
+        return df.withColumn(out_col, hash_embed(F.col(text_col), dim))
+    return df.withColumn(out_col, model_udf(F.col(text_col)))
+
+
+def stats_model_udf():
+    """Deterministic fake "model" for the embed seam, shaped exactly like
+    a real SentenceTransformer UDF: lazy per-executor init in the
+    closure, Arrow-batched encode, L2-normalized output — but computing a
+    4-dim text-stats embedding [n_chars, n_words, n_vowels, 1]/‖·‖ that a
+    SQL oracle can reproduce bit-for-bit."""
+    state: dict = {}
+
+    @F.pandas_udf("array<double>")
+    def model(texts: pd.Series) -> pd.Series:
+        import math
+        import re
+
+        if "vowel" not in state:  # lazy init: once per executor process
+            state["vowel"] = re.compile(r"[aeiou]")
+            state["ws"] = re.compile(r"\s+")
+        vowel_re, ws_re = state["vowel"], state["ws"]
+        out = []
+        for t in texts:
+            t = t or ""
+            v = [
+                float(len(t)),
+                float(len([w for w in ws_re.split(t) if w])),
+                float(len(vowel_re.findall(t.lower()))),
+                1.0,
+            ]
+            n = math.sqrt(sum(x * x for x in v))
+            out.append([x / n for x in v])
+        return pd.Series(out)
+
+    return model
+
+
 def retrieve(
     index: DataFrame,
     queries: DataFrame,

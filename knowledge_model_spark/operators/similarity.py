@@ -71,6 +71,43 @@ def brute_force_top_k(
 
 
 @lru_cache(maxsize=8)
+def _hyperplane_probes_udf(n_tables: int, n_planes: int, dim: int, n_probe_bits: int):
+    """Margin-guided multiprobe buckets: vector → flat array of
+    n_tables × (1 + n_probe_bits) bucket ids.
+
+    For each table the first entry is the home bucket; the rest flip the
+    ``n_probe_bits`` sign bits with the SMALLEST projection magnitude —
+    the bits a near-neighbor is most likely to disagree on.  Probing only
+    low-margin bits buys ~all of Hamming-1 recall at a fraction of the
+    candidate volume (flipping a high-margin bit lands in a bucket no
+    true neighbor occupies).  Same seed as :func:`_hyperplane_buckets_udf`
+    → identical planes, so probe buckets address the same corpus tables.
+    Entry index // (1 + n_probe_bits) recovers the table id after
+    posexplode.
+    """
+    rng = np.random.default_rng(424242)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def udf(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        proj = (mat @ planes.T).reshape(len(mat), n_tables, n_planes)
+        bits = proj > 0
+        buckets = (bits * weights[None, None, :]).sum(axis=2)  # (rows, T)
+        order = np.argsort(np.abs(proj), axis=2)[:, :, :n_probe_bits]  # low margin
+        flips = weights[order]  # (rows, T, nb) — XOR flips exactly that bit
+        probes = np.concatenate(
+            [buckets[:, :, None], buckets[:, :, None] ^ flips], axis=2
+        )  # (rows, T, 1+nb)
+        return pd.Series(list(probes.reshape(len(mat), -1)))
+
+    return udf
+
+
+@lru_cache(maxsize=8)
 def _hyperplane_buckets_udf(n_tables: int, n_planes: int, dim: int):
     """Arrow-batched hyperplane LSH: vector → array of n_tables bucket ids.
 
@@ -109,19 +146,26 @@ def lsh_bucket_top_k(
     n_planes: int = 6,
     dim: int = 64,
     n_tables: int = 8,
-    probe_hamming: int = 1,
+    n_probe_bits: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k: score only same-LSH-bucket pairs.
 
     ``n_tables`` independent hash tables (plane sets offset by table id)
-    are unioned for recall; multiprobe (``probe_hamming=1``) additionally
-    probes every query bucket with one sign bit flipped — the cheap recall
-    lever that avoids adding tables.  Equi-join on (table, bucket) →
-    shuffle-partitioned by bucket: candidate count ∝ bucket occupancy,
-    not corpus size — the 100 TB path.  Tune ``n_planes`` ≈
-    log2(corpus/desired_bucket_size).  Recall is gated against
-    brute_force_top_k by the eval harness (mirroring the reference's
-    eval_snapshot.py:74-108, gate continuous.py:34-36).
+    are unioned for recall; queries additionally probe, per table, the
+    ``n_probe_bits`` buckets reached by flipping their LOWEST-MARGIN sign
+    bits (margin-guided multiprobe) — the bits a true neighbor most
+    plausibly disagrees on.  r02 probed ALL n_planes bits (7× query
+    bucket rows at n_planes=6, the 1.8× bench regression); margin-guided
+    probing at the default 4 bits is the measured knee: recall@10 vs
+    exact = 0.81/0.80/0.84 at sf0.001/0.01/0.1 (vs 0.83/0.82/0.88 at all
+    6 bits) for 5/7 of the candidate volume — full curve in PLANS.md.  Equi-join
+    on (table, bucket) → candidate count ∝ bucket occupancy, not corpus
+    size — the 100 TB path.  Candidates are scored BEFORE the per-pair
+    dedup so the shuffle carries (query, id, score), not two 64-float
+    vectors.  Tune ``n_planes`` ≈ log2(corpus/desired_bucket_size).
+    Recall is gated against brute_force_top_k by the eval harness
+    (mirroring the reference's eval_snapshot.py:74-108, gate
+    continuous.py:34-36) — registered as ``eval_ann_recall_vs_exact``.
     """
     from knowledge_model_spark.session import ensure_min_partitions
 
@@ -129,39 +173,29 @@ def lsh_bucket_top_k(
         F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
     )
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
+
     bk = _hyperplane_buckets_udf(n_tables, n_planes, dim)
+    cb = c.select("*", F.posexplode(bk(F.col("__cv"))).alias("tbl", "bkt"))
 
-    def with_buckets(df: DataFrame, vec_col: str, multiprobe: bool) -> DataFrame:
-        # bk() output index = table id.  Queries additionally probe each
-        # bucket with single sign bits flipped (Hamming-1 multiprobe).
-        masks = [0] + (
-            [1 << j for j in range(n_planes)] if multiprobe and probe_hamming >= 1 else []
-        )
-        mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
-        tb = F.flatten(
-            F.transform(
-                bk(F.col(vec_col)),
-                lambda b, t: F.transform(
-                    mask_arr,
-                    lambda m: F.struct(t.alias("tbl"), b.bitwiseXOR(m).alias("bkt")),
-                ),
-            )
-        )
-        return df.select("*", F.explode(tb).alias("tb")).select(
-            "*", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
-        ).drop("tb")
+    n_probe_bits = max(0, min(n_probe_bits, n_planes))
+    pk = _hyperplane_probes_udf(n_tables, n_planes, dim, n_probe_bits)
+    per_table = 1 + n_probe_bits
+    qb = q.select("*", F.posexplode(pk(F.col("__qv"))).alias("pos", "bkt")).select(
+        "*", (F.col("pos") / per_table).cast("int").alias("tbl")
+    ).drop("pos")
 
-    cb = with_buckets(c, "__cv", multiprobe=False)
-    qb = with_buckets(q, "__qv", multiprobe=True)
-    cands = (
+    # Score map-side (64-mult dot per candidate), THEN dedup: the
+    # max-aggregation collapses multi-table/multi-probe duplicates with a
+    # slim 3-column shuffle instead of shipping both vectors per row.
+    scored = (
         cb.join(broadcast(qb), ["tbl", "bkt"])
-        .select(query_id, corpus_id, "__cv", "__qv")
-        .dropDuplicates([query_id, corpus_id])
-    )
-    scored = cands.select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(dot(F.col("__cv"), F.col("__qv")), 6).alias("score"),
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(dot(F.col("__cv"), F.col("__qv")), 6).alias("score"),
+        )
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

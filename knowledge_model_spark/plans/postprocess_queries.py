@@ -108,8 +108,9 @@ _ORACLE = f"""
                    regexp_extract_all(answer, '{pp.CITATION_RE}', 0) AS cits
             FROM s10)
     SELECT doc_id, answer,
-           list_filter(cits, (x, i) ->
-             len(x) > 0 AND NOT list_contains(cits[1:i-1], x)) AS citations
+           array_to_string(
+             list_filter(cits, (x, i) ->
+               len(x) > 0 AND NOT list_contains(cits[1:i-1], x)), ';') AS citations
     FROM fin
 """
 
@@ -284,4 +285,11 @@ def postprocess_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.select("doc_id", pp.dedup_bullets(F.col("t"), 10).alias("t"))
     df = df.select("doc_id", pp.remove_boilerplate(F.col("t")).alias("t"))
     df = df.select("doc_id", F.trim(pp.cap_words(F.col("t"), MAX_WORDS)).alias("answer"))
-    return df.select("doc_id", "answer", pp.extract_citations(F.col("answer")).alias("citations"))
+    # citations emitted as a ';'-joined scalar, not array<string>: the
+    # driver's canonicalizer sorts all columns through pandas, which cannot
+    # hash list cells (r02 red row) — a string column is canon-safe
+    return df.select(
+        "doc_id",
+        "answer",
+        F.array_join(pp.extract_citations(F.col("answer")), ";").alias("citations"),
+    )

@@ -305,3 +305,47 @@ def eval_recall_label_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.coalesce("hit", F.lit(0))), 6).alias("recall"),
         )
     )
+
+
+@register(
+    "embed_seam_parity",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(text) AS DOUBLE) AS c0,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> len(w) > 0)) AS DOUBLE) AS c1,
+             CAST(len(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                  AS DOUBLE) AS c2
+      FROM documents
+    ),
+    n AS (SELECT doc_id, c0, c1, c2,
+                 sqrt(c0*c0 + c1*c1 + c2*c2 + 1.0) AS nrm FROM s)
+    SELECT doc_id,
+           round(c0 / nrm, 6) AS e0,
+           round(c1 / nrm, 6) AS e1,
+           round(c2 / nrm, 6) AS e2,
+           round(1.0 / nrm, 6) AS e3
+    FROM n
+    """,
+    doc="pluggable-model embed seam (operators/retrieval.py embed(), "
+    "reference: build_faiss.py:69-85): an injected deterministic "
+    "text-stats 'model' pandas UDF (lazy per-executor init, Arrow "
+    "batches, L2-normalized output) must reproduce the SQL-computed "
+    "embedding exactly — proves the seam feeds the model verbatim text "
+    "and ships its vectors through unchanged",
+)
+def embed_seam_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.retrieval import embed, stats_model_udf
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    t = load_tables(spark, sf_dir)
+    docs = ensure_min_partitions(t["documents"])
+    vecs = embed(docs, "text", model_udf=stats_model_udf(), out_col="v")
+    return vecs.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("v", i + 1), 6).alias(f"e{i}")
+            for i in range(4)
+        ],
+    )

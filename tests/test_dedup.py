@@ -151,3 +151,100 @@ def test_embedding_lsh_matches_exact_on_planted_dups(spark, tables):
     assert set(lsh) == set(exact)  # full recall AND structural precision
     for p, c in lsh.items():
         assert c == exact[p]
+
+
+def test_ngram_max_df_prunes_stop_shingles(spark):
+    """A boilerplate phrase shared by ALL docs must not blow up the
+    inverted-index join: with max_df on, candidate pairs collapse to the
+    true near-dups while recall on them holds."""
+    boiler = "this article is distributed under the terms of the creative commons license "
+    rows = [(0, boiler + BASE), (1, boiler + BASE.replace("quick", "rapid"))]
+    # 18 docs sharing ONLY the boilerplate prefix (unique suffixes)
+    rows += [
+        (i, boiler + f"unique subject {i} covering topic number {i * 7} "
+            f"with entirely distinct narrative content item {i * 13} "
+            f"and more filler words specific to document {i * 31}")
+        for i in range(2, 20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # Unpruned: the boilerplate shingles force every doc pair through the
+    # groupBy (190 pairs materialized as candidates).
+    unpruned_cands = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.0)
+        .count()
+    )
+    assert unpruned_cands == 190  # all C(20,2) pairs share a shingle
+
+    # Pruned at max_df=3: boilerplate shingles (df=20) drop out of the
+    # sets; only docs sharing genuine content ever pair.
+    pruned = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.0, max_df=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pruned.collect()}
+    assert set(got) == {(0, 1)}  # candidate count collapsed 190 → 1
+    # recall holds: the true near-dup pair survives with high Jaccard
+    # over the pruned shingle universe (a 1-word edit at k=5 perturbs 5
+    # shingles per side → ≈0.75)
+    assert got[(0, 1)] > 0.7
+
+
+def test_minhash_sketch_path_roundtrip(spark, docs, tmp_path):
+    """sketch_path writes the signature table to Parquet once and reads
+    it back — results identical to the persist() path."""
+    via_persist = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    via_parquet = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            sketch_path=str(tmp_path / "sketches"),
+        ).collect()
+    }
+    assert via_parquet == via_persist and via_persist
+
+
+def test_bucket_cap_default_keeps_recall_on_true_pairs(spark, docs):
+    """The default max_bucket_size must not drop the planted near-dups
+    (test buckets are far below the cap), and a tiny explicit cap only
+    removes pairs, never corrupts them."""
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert (0, 1) in base and (0, 5) in base  # planted exact/near dups
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_bucket_size=2
+        ).collect()
+    }
+    assert capped <= base
+
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "doc_id", "text", max_distance=3).collect()
+    }
+    assert (0, 1) in sim
+    sim_capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_distance=3, max_bucket_size=2
+        ).collect()
+    }
+    assert sim_capped <= sim
+
+
+def test_duplicate_input_ids_never_self_pair(spark):
+    """Malformed input (same id twice) must not emit (x,x) pairs."""
+    rows = [(0, BASE), (0, BASE), (1, BASE + " tail"), (1, BASE + " tail")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for pairs in (
+        minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5),
+        simhash_pairs(docs, "doc_id", "text", max_distance=3),
+    ):
+        got = pairs.select("id_a", "id_b").collect()
+        assert all(r["id_a"] != r["id_b"] for r in got)
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
