@@ -47,6 +47,8 @@ HEADLINE: dict[str, bool] = {
     "dedup_exact_survivors": False,
     "dedup_minhash_lsh": False,
     "dedup_embedding_cosine": False,
+    "dedup_connected_components": False,
+    "embed_seam_parity": False,
     "ann_bruteforce_topk": True,
     "ann_lsh_topk": True,
     "retrieval_threshold_cascade": True,
@@ -90,27 +92,40 @@ def main() -> None:
     registry = load_registry()
     _warmup(spark)
 
+    # min over REPS runs per query: single-run timings at this scale swing
+    # up to ~3× on plan/JIT/GC noise (an unchanged join_asof plan measured
+    # 1.09 s one round and 2.41 s the next); the minimum is the standard
+    # low-variance estimator of the plan's true cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, force_collect in HEADLINE.items():
         spec = registry.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        if force_collect:
-            df.collect()
-        else:
-            # A bare count() would let Catalyst prune the very work being
-            # measured (projection-only queries like text_clean_battery
-            # need no columns to count rows).  Hashing every output column
-            # into one aggregate forces full evaluation while still moving
-            # only 8 bytes to the driver.  bit_xor (not sum): ANSI-safe —
-            # no int64 overflow — and order-independent.
-            df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            if force_collect:
+                df.collect()
+            else:
+                # A bare count() would let Catalyst prune the very work being
+                # measured (projection-only queries like text_clean_battery
+                # need no columns to count rows).  Hashing every output column
+                # into one aggregate forces full evaluation while still moving
+                # only 8 bytes to the driver.  bit_xor (not sum): ANSI-safe —
+                # no int64 overflow — and order-independent.
+                df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # queries that persist() intermediates (minhash/cosine-LSH
+            # sketches) would otherwise hand rep 2 a warm cache via the
+            # CacheManager's canonicalized-plan matching — every rep must
+            # pay the full plan, or min-of-reps overstates
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

@@ -73,6 +73,62 @@ def quality_score(col: Column) -> Column:
     return F.round((len_score + alpha_ratio + punct_score) / 3.0, 6)
 
 
+def gopher_quality_flags(col: Column) -> list[Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    standard pretraining-corpus repetition/format filters) as pure Column
+    expressions, one boolean per rule plus the stats they derive from:
+
+    - ``n_words``: whitespace word count
+    - ``mean_word_len``: mean characters per word, must be in [3, 10]
+    - ``symbol_word_ratio``: '#' or ellipsis runs per word, must be < 0.1
+    - ``bullet_line_ratio``: lines starting with a bullet, must be < 0.9
+    - ``ellipsis_line_ratio``: lines ending in ellipsis, must be < 0.3
+    - ``alpha_word_ratio``: words containing a letter, must be > 0.8
+    - ``gopher_pass``: all rules plus a 50-word minimum
+
+    Everything is computed from two array expressions (words, lines), so
+    the battery runs at scan speed — no UDF, no shuffle.
+    """
+    words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(F.split(col, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_words = F.size(words).cast("double")
+    n_lines = F.size(lines).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_word_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0)).cast("double")
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([•\-\*]|\d+[.)])\s"))
+    ).cast("double")
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    ellipsis_ratio = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    gopher_pass = (
+        (n_words >= 50)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio > 0.8)
+    )
+    return [
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        gopher_pass.alias("gopher_pass"),
+    ]
+
+
 def normalize_for_dedup(col: Column) -> Column:
     """Lowercase, strip non-alphanumerics, collapse whitespace — the
     normalized dedup key (reference analog: alpha-only lowercase key,

@@ -180,3 +180,37 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by hash fraction.
+
+    A training pipeline rebalances its domain/language mix by sampling
+    each stratum at a target rate (e.g. downsample web text, keep all
+    reference text).  Membership is content-addressed — keep row iff the
+    first 4 hex chars of md5(key) compare below the stratum's rate
+    rendered as a 4-digit hex bound (md5 hex is uniform) — so the sample is
+    stable across runs, cluster sizes, and incremental corpus additions,
+    and needs no RNG state or shuffle: it is a scan-speed filter, unlike
+    ``df.sampleBy`` whose seeds don't survive repartitioning.  Plain
+    string comparison so the DuckDB oracle states the identical predicate.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    bound = F.lit(hex_rate_bound(default_rate))
+    for stratum, r in sorted(rates.items()):
+        bound = F.when(F.col(strata_col) == stratum, F.lit(hex_rate_bound(r))).otherwise(bound)
+    return df.filter(h < bound)
+
+
+def hex_rate_bound(rate: float) -> str:
+    """rate in [0,1] -> 4-digit lowercase hex bound ('zzzz' for keep-all,
+    which compares above every hex digit)."""
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(0, int(rate * 65536)), "04x")

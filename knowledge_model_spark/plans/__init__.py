@@ -43,6 +43,11 @@ _GATE_PRIORITY = [
     "dedup_connected_components",
     "dedup_cluster_survivors",
     "embed_seam_parity",
+    "text_pii_redact",
+    "quality_gopher_rules",
+    "decontam_report",
+    "decontam_survivors",
+    "sample_stratified_lang",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged
@@ -97,6 +102,7 @@ def load_registry() -> dict[str, QuerySpec]:
         postprocess_queries,
         training_queries,
         graph_queries,
+        quality_queries,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -1,0 +1,276 @@
+"""Corpus-quality queries: PII redaction, Gopher rules, decontamination,
+stratified sampling — the filter/scrub stages of a pretraining data
+pipeline, all oracle-checked.
+
+North-star extensions (the reference pipeline ingests published
+literature and has none of these stages); each is a scan-speed column
+battery or a broadcast join — no UDFs, no corpus shuffle.
+
+PII fixtures are PLANTED deterministically from doc_id (same
+construction in Spark and SQL) so every redaction rule demonstrably
+fires; the Gopher battery runs over planted per-doc degradations for the
+same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.pii import oracle_sql_redact, redact_pii
+from knowledge_model_spark.functions.text_analysis import gopher_quality_flags
+from knowledge_model_spark.operators.decontam import (
+    contamination_pairs,
+    decontaminate,
+)
+from knowledge_model_spark.operators.relational import (
+    hex_rate_bound,
+    stratified_sample,
+)
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+# ---- PII ---------------------------------------------------------------
+
+_PII_RAW_SQL = """
+    substring(text, 1, 120) || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@example.org or +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+    || '.7 card 4111111111111111 ssn 123-45-6789 tail'
+"""
+
+
+def _pii_raw_col() -> F.Column:
+    return F.concat(
+        F.substring("text", 1, 120),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111111111111111 ssn 123-45-6789 tail"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH raw AS (SELECT doc_id, {_PII_RAW_SQL} AS t FROM documents)
+    SELECT doc_id, {oracle_sql_redact('t')} AS redacted
+    FROM raw
+    """,
+    doc="PII redaction battery (emails, IPv4, SSN, phones, card numbers → "
+    "typed placeholders) over planted fixtures — pure regexp_replace "
+    "chain, scan-speed, zero Python (functions/pii.py)",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", redact_pii(_pii_raw_col()).alias("redacted")
+    )
+
+
+# ---- Gopher quality rules ---------------------------------------------
+
+# Planted degradations: doc_id % 5 selects a failure mode so every rule
+# fires somewhere.  chr(10)-joined lines exercise the line-based rules.
+_GOPHER_RAW_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN text
+      WHEN 1 THEN regexp_replace(substring(text, 1, 200), ' ',
+                                 chr(10) || chr(8226) || ' ', 'g')
+      WHEN 2 THEN regexp_replace(substring(text, 1, 200), ' ',
+                                 '...' || chr(10), 'g')
+      WHEN 3 THEN regexp_replace(substring(text, 1, 300), ' ', ' # ', 'g')
+      ELSE substring(text, 1, 40)
+    END
+"""
+
+
+def _gopher_raw_col() -> F.Column:
+    return (
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.regexp_replace(F.substring("text", 1, 200), " ", "\n• "),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.regexp_replace(F.substring("text", 1, 200), " ", "...\n"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.regexp_replace(F.substring("text", 1, 300), " ", " # "),
+        )
+        .otherwise(F.substring("text", 1, 40))
+    )
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+    WITH raw AS (SELECT doc_id, {_GOPHER_RAW_SQL} AS t FROM documents),
+    stats AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                         w -> len(w) > 0) AS words,
+             list_filter(regexp_split_to_array(t, chr(10)),
+                         l -> len(trim(l)) > 0) AS lines,
+             len(regexp_extract_all(t, '#|\\.\\.\\.|…', 0)) AS symbols
+      FROM raw
+    ),
+    ratios AS (
+      SELECT doc_id,
+             CAST(len(words) AS DOUBLE) AS n_words,
+             CAST(len(lines) AS DOUBLE) AS n_lines,
+             CAST(len(array_to_string(words, '')) AS DOUBLE) AS word_chars,
+             CAST(symbols AS DOUBLE) AS symbols,
+             CAST(len(list_filter(lines, l ->
+               regexp_matches(trim(l), '^([•\\-\\*]|\\d+[.)])\\s')))
+               AS DOUBLE) AS bullet_lines,
+             CAST(len(list_filter(lines, l ->
+               regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+               AS DOUBLE) AS ellipsis_lines,
+             CAST(len(list_filter(words, w ->
+               regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words
+      FROM stats
+    ),
+    flags AS (
+      SELECT doc_id,
+             n_words,
+             CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS mwl,
+             CASE WHEN n_words > 0 THEN symbols / n_words ELSE 0.0 END AS swr,
+             CASE WHEN n_lines > 0 THEN bullet_lines / n_lines ELSE 0.0 END AS blr,
+             CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines ELSE 0.0 END AS elr,
+             CASE WHEN n_words > 0 THEN alpha_words / n_words ELSE 0.0 END AS awr
+      FROM ratios
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(swr, 6) AS symbol_word_ratio,
+           round(blr, 6) AS bullet_line_ratio,
+           round(elr, 6) AS ellipsis_line_ratio,
+           round(awr, 6) AS alpha_word_ratio,
+           (n_words >= 50 AND mwl >= 3.0 AND mwl <= 10.0 AND swr < 0.1
+            AND blr < 0.9 AND elr < 0.3 AND awr > 0.8) AS gopher_pass
+    FROM flags
+    """,
+    doc="Gopher-style quality rules (Rae et al. 2021 §A1.1: word count, "
+    "mean word length, symbol/bullet/ellipsis ratios, alpha-word ratio) "
+    "over planted per-doc degradations — two array expressions drive the "
+    "whole battery at scan speed (functions/text_analysis.py)",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", *gopher_quality_flags(_gopher_raw_col())
+    )
+
+
+# ---- decontamination ---------------------------------------------------
+
+_K = 8  # word 8-grams — the GPT-3 data card's 13-gram rule, scaled to
+# the synthetic docs' shorter sentences
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_DECONTAM_CTE = f"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM}, ' '),
+                         w -> len(w) > 0) AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) < {_K} THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(words) - {_K - 1}),
+                         i -> array_to_string(list_slice(words, i, i + {_K - 1}), ' ')))
+             END AS sh
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    train_sh AS (SELECT doc_id AS train_id, s FROM ex WHERE train_id % 10 != 0),
+    eval_sh  AS (SELECT doc_id AS eval_id,  s FROM ex WHERE eval_id % 10 = 0),
+    hits AS (
+      SELECT train_id, eval_id, count(*) AS n_shared
+      FROM train_sh JOIN eval_sh USING (s)
+      GROUP BY train_id, eval_id
+    )
+"""
+
+
+@register(
+    "decontam_report",
+    _DECONTAM_CTE + "SELECT train_id, eval_id, n_shared FROM hits",
+    doc="train/eval contamination report: word 8-gram overlap between the "
+    "train split (doc_id % 10 != 0) and eval split (doc_id % 10 = 0) — "
+    "eval shingle index broadcasts, corpus never shuffles "
+    "(operators/decontam.py; the GPT-3/PaLM n-gram decontamination rule)",
+)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return contamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        k=_K,
+    )
+
+
+@register(
+    "decontam_survivors",
+    _DECONTAM_CTE
+    + """
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 10 != 0
+      AND doc_id NOT IN (SELECT train_id FROM hits)
+    """,
+    doc="decontaminated training corpus: train rows minus every document "
+    "sharing an 8-gram with the eval split (broadcast anti-join on the "
+    "small doomed set)",
+)
+def decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        k=_K,
+    ).select("doc_id", "source")
+
+
+# ---- stratified sampling ----------------------------------------------
+
+_RATES = {"en": 0.5, "zh": 0.75}  # downsample the majority languages
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '{hex_rate_bound(0.5)}'
+                    WHEN 'zh' THEN '{hex_rate_bound(0.75)}'
+                    ELSE 'zzzz' END
+    """,
+    doc="deterministic stratified rebalancing: downsample en to 50% and zh "
+    "to 75% by md5-hash fraction — content-addressed membership, stable "
+    "across runs/cluster sizes/corpus growth, scan-speed filter with no "
+    "RNG state (operators/relational.py stratified_sample)",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return stratified_sample(
+        t["documents"], "lang", _RATES, key_col="doc_id"
+    ).select("doc_id", "lang")

@@ -1,0 +1,114 @@
+"""Quality-stage operators: PII redaction, Gopher rules, decontamination,
+stratified sampling — constructed-fixture ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.functions.pii import pii_counts, redact_pii
+from knowledge_model_spark.functions.text_analysis import gopher_quality_flags
+from knowledge_model_spark.operators.decontam import (
+    contamination_pairs,
+    decontaminate,
+)
+from knowledge_model_spark.operators.relational import stratified_sample
+
+
+def test_pii_redaction_all_categories(spark):
+    raw = (
+        "mail a.b+1@host2.com or visit 192.168.1.7, call +1 555-123-4567, "
+        "card 4111111111111111, ssn 123-45-6789, keep year 2024 and id 42"
+    )
+    df = spark.createDataFrame([(1, raw)], ["id", "t"])
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"), pii_counts(F.col("t")).alias("c")
+    ).collect()[0]
+    assert "[EMAIL]" in out["r"] and "a.b+1@host2.com" not in out["r"]
+    assert "[IP]" in out["r"] and "192.168.1.7" not in out["r"]
+    assert "[PHONE]" in out["r"] and "555-123-4567" not in out["r"]
+    assert "[NUMBER]" in out["r"] and "4111111111111111" not in out["r"]
+    assert "[SSN]" in out["r"] and "123-45-6789" not in out["r"]
+    # non-PII digits survive
+    assert "2024" in out["r"] and "id 42" in out["r"]
+    assert out["c"]["emails"] == 1 and out["c"]["ips"] == 1
+    assert out["c"]["ssns"] == 1 and out["c"]["cards"] == 1
+
+
+def test_gopher_rules_fire_per_failure_mode(spark):
+    good = " ".join(f"word{i} plain text here" for i in range(20))  # 80 words
+    bullets = "\n".join(f"• item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = " ".join("#" if i % 2 else f"w{i}" for i in range(100))
+    short = "only four words here"
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, ellipses), (3, symbols), (4, short)],
+        ["id", "t"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select("id", *gopher_quality_flags(F.col("t"))).collect()
+    }
+    assert rows[0]["gopher_pass"] is True
+    assert rows[1]["bullet_line_ratio"] == 1.0 and not rows[1]["gopher_pass"]
+    assert rows[2]["ellipsis_line_ratio"] == 1.0 and not rows[2]["gopher_pass"]
+    assert rows[3]["symbol_word_ratio"] > 0.1 and not rows[3]["gopher_pass"]
+    assert rows[4]["n_words"] == 4 and not rows[4]["gopher_pass"]
+
+
+@pytest.fixture()
+def contam_fixture(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, shared + " with a train-only tail of words"),
+            (2, "entirely unrelated training document about columnar engines "
+                "and vectorized execution with no overlap at all"),
+            (3, shared),  # verbatim eval leak
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, shared + " plus an eval suffix")], ["doc_id", "text"]
+    )
+    return train, eval_df
+
+
+def test_contamination_pairs_and_decontaminate(spark, contam_fixture):
+    train, eval_df = contam_fixture
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(train, eval_df, "doc_id", "text", k=8).collect()
+    }
+    assert set(pairs) == {(1, 100), (3, 100)}
+    assert all(n >= 1 for n in pairs.values())
+
+    survivors = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_df, "doc_id", "text", k=8).collect()
+    }
+    assert survivors == {2}
+
+    # min_shared above the overlap count keeps everything
+    lax = decontaminate(train, eval_df, "doc_id", "text", k=8, min_shared=10**6)
+    assert {r["doc_id"] for r in lax.collect()} == {1, 2, 3}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    kept = stratified_sample(df, "stratum", {"a": 0.25}, key_col="id")
+    got = kept.groupBy("stratum").count().collect()
+    counts = {r["stratum"]: r["count"] for r in got}
+    assert counts["b"] == 1000  # default rate 1.0 keeps everything
+    assert 175 <= counts["a"] <= 325  # ~25% of 1000, hash-uniform
+
+    # content-addressed: identical membership on every run and partitioning
+    ids1 = sorted(r["id"] for r in kept.collect())
+    ids2 = sorted(
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(13), "stratum", {"a": 0.25}, key_col="id"
+        ).collect()
+    )
+    assert ids1 == ids2
