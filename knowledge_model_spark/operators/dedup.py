@@ -545,3 +545,108 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------ incremental minhash
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sketch_store: str,
+    k: int = 5,
+    n_hashes: int = N_HASHES,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
+    update_store: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW document batch against the accumulated
+    corpus — the continuous-ingest form of :func:`minhash_lsh_pairs`.
+
+    The reference rebuilds its entire FAISS index every month
+    (pipeline.py:215-226, O(corpus) per ingest); the incremental shape a
+    100 TB pipeline needs instead is: sketch ONLY the new batch (one UDF
+    pass over new rows), join its banded buckets against a durable
+    Parquet ``sketch_store`` of all previously-sketched documents, emit
+    new-vs-old and new-vs-new pairs, and append the new sketches to the
+    store for the next batch.  Cost per batch ∝ batch size + matched
+    bucket occupancy — never ∝ corpus size.
+
+    Old-vs-old pairs are deliberately NOT re-emitted (they were reported
+    when those batches arrived); the pair filter keeps only pairs with at
+    least one new side.  Pairs are (id_a < id_b) with the same
+    ``est_jaccard`` verification as the batch operator.  The store append
+    is idempotent per batch only if batch ids are disjoint — resubmitting
+    a batch duplicates sketch rows, so feed it exactly-once input (e.g.
+    from the month gap scan, pipelines.py).
+    """
+    spark = new_df.sparkSession
+    new_sk = _minhash_banded(
+        new_df, id_col, text_col, k, n_hashes, bands, persist=True
+    ).withColumn("is_new", F.lit(True))
+    try:
+        old_sk = spark.read.parquet(sketch_store).withColumn("is_new", F.lit(False))
+        all_sk = new_sk.unionByName(old_sk)
+    except Exception:  # first batch: empty store
+        old_sk = None
+        all_sk = new_sk
+
+    banded = all_sk.select(
+        "id", "is_new", F.posexplode("bkt").alias("band", "bucket")
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("id", "is_new"))).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+        # a bucket containing no new doc cannot produce a reportable pair —
+        # prune it BEFORE pair expansion (the common case: old-corpus
+        # buckets untouched by this batch)
+        .filter(F.exists("ms", lambda m: m["is_new"]))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        (x["is_new"] | y["is_new"]).alias("reportable"),
+                    ),
+                ),
+                lambda p: p["reportable"] & (p["id_a"] != p["id_b"]),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sig_tbl = all_sk.select("id", "sig")
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_hashes))
+    pairs = (
+        cands.join(sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    if update_store:
+        # materialize pairs BEFORE the append so the plan can't observe
+        # its own write; then extend the store with this batch's sketches
+        pairs = pairs.localCheckpoint(eager=True)
+        new_sk.select("id", "sig", "bkt").write.mode("append").parquet(sketch_store)
+    return pairs

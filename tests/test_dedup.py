@@ -248,3 +248,49 @@ def test_duplicate_input_ids_never_self_pair(spark):
         got = pairs.select("id_a", "id_b").collect()
         assert all(r["id_a"] != r["id_b"] for r in got)
         assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+
+
+def test_minhash_incremental_batches(spark, tmp_path):
+    """Batch 2 finds its dups against batch 1 via the durable sketch
+    store without resketching batch 1, never re-reports old-old pairs,
+    and matches the all-at-once batch operator on the reportable set."""
+    from knowledge_model_spark.operators.dedup import minhash_incremental_pairs
+
+    store = str(tmp_path / "sketches")
+    batch1 = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (4, "something else entirely about other topics "
+                                   "and more words to make it a real document")],
+        ["doc_id", "text"],
+    )
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(
+            batch1, "doc_id", "text", store, threshold=0.8
+        ).collect()
+    }
+    assert p1 == {(0, 1)}  # in-batch dup found on the first batch
+
+    batch2 = spark.createDataFrame(
+        [(7, BASE.replace("quick", "rapid")), (8, BASE.replace("quick", "rapid"))],
+        ["doc_id", "text"],
+    )
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(
+            batch2, "doc_id", "text", store, threshold=0.8
+        ).collect()
+    }
+    # new-vs-old (0,7),(0,8),(1,7),(1,8) and new-vs-new (7,8);
+    # old-vs-old (0,1) must NOT reappear
+    assert (0, 1) not in p2
+    assert (7, 8) in p2 and (0, 7) in p2 and (1, 8) in p2
+
+    # equivalence with the batch operator on the union corpus, minus
+    # pairs wholly inside batch 1
+    union_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            batch1.unionByName(batch2), "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert p2 == {p for p in union_pairs if not (p[0] <= 4 and p[1] <= 4)}
