@@ -56,6 +56,9 @@ HEADLINE: dict[str, bool] = {
     "eval_recall_label_at_10": True,
     "postprocess_battery": False,
     "chunk_sentence_budget": False,
+    "text_pii_redact": False,
+    "quality_gopher_rules": False,
+    "decontam_report": False,
 }
 
 

@@ -65,3 +65,37 @@ def test_interval_overlap_joins_on_day_bucket(spark):
     plan = _plan(spark, "join_interval_overlap")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_dedups_on_slim_columns(spark):
+    """The multiprobe candidate dedup must be a max-aggregation over
+    (query, id, score) with a map-side partial — not a dropDuplicates
+    shuffle carrying both 64-float vectors."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontam_broadcasts_eval_index(spark):
+    """The eval shingle index must broadcast; the train corpus must never
+    be hash-exchanged before the probe join."""
+    plan = _plan(spark, "decontam_report")
+    assert "BroadcastHashJoin" in plan
+    probe = plan.split("BroadcastHashJoin")[-1]
+    assert "BroadcastExchange" in probe
+
+
+def test_quality_batteries_are_udf_free_scans(spark):
+    """PII redaction and the Gopher rules must stay whole-stage-codegen
+    column expressions: no Python evaluation, no exchange, no join."""
+    for name in ("text_pii_redact", "quality_gopher_rules"):
+        plan = _plan(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Join" not in plan
+
+
+def test_stratified_sample_is_scan_speed_filter(spark):
+    plan = _plan(spark, "sample_stratified_lang")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "ArrowEvalPython" not in plan
