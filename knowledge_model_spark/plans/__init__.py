@@ -48,6 +48,7 @@ _GATE_PRIORITY = [
     "decontam_report",
     "decontam_survivors",
     "sample_stratified_lang",
+    "window_range_frame_revenue",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

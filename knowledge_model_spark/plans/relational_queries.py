@@ -723,3 +723,42 @@ def case_when_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(tier.alias("tier"), F.col("o_orderstatus"))
         .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
     )
+
+
+@register(
+    "window_range_frame_revenue",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS day
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+                                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+             AS revenue_30d,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS orders_30d
+    FROM o
+    """,
+    doc="RANGE frame over epoch-day ordering: per-customer trailing-30-day "
+    "revenue and order count — value-based frames (peers at the same day "
+    "all see the same window), completing the ROWS/RANGE frame surface of "
+    "SURVEY §2.5; epoch-day longs keep Spark and DuckDB frame arithmetic "
+    "identical",
+)
+def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice", day.alias("day"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+            F.count("*").over(w).cast("long").alias("orders_30d"),
+        )
+    )
