@@ -160,14 +160,23 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
-    """``array<string>`` of distinct character n-grams of normalized text.
+    """``array<string>`` of distinct character n-grams of ``col``.
 
-    Same shifted-slice construction as :func:`shingles` — the normalize
-    subtree must not be referenced from inside a lambda body.
+    substr-over-sequence construction: linear generated code (the former
+    arrays_zip-of-n-slices variant compiled a whole-stage-codegen method
+    so large Janino took seconds).  ``col`` must be a plain column or
+    materialized attribute — passing an expression subtree (e.g.
+    ``normalize_for_dedup(...)``) re-evaluates it once per ELEMENT when
+    CollapseProject inlines it into the lambda; normalize into a
+    checkpointed projection first (see plans/dedup_queries.py
+    dedup_char_ngram_jaccard).
     """
-    chars = F.split(normalize_for_dedup(col), "")
-    ln = F.size(chars)
-    m = F.greatest(ln - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(chars, j + 1, m) for j in range(n)])
-    grams = F.transform(zipped, lambda s: F.concat_ws("", *[s[str(j)] for j in range(n)]))
-    return F.when(ln == 0, F.array().cast("array<string>")).otherwise(F.array_distinct(grams))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: F.substr(col, i, F.lit(n)),
+        )
+    )
+    return F.when(F.length(col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
