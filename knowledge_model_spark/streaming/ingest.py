@@ -85,3 +85,58 @@ def stream_corpus_ingest(
     )
     q.awaitTermination()
     return n_batches
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    sketch_store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> int:
+    """Streaming ingest with near-dup suppression against ALL history:
+    each micro-batch is minhash-sketched once, compared to the durable
+    sketch store (operators/dedup.minhash_incremental_pairs), its
+    duplicate rows dropped (first-seen-wins: a doc pairing as the larger
+    id of any near-dup pair is doomed), and only survivors land in
+    ``out_dir``.  Returns the number of micro-batches run.
+
+    The composed form of the reference's monthly ingest + skip-if-exists
+    idempotency (pipeline.py:78-81) — except dedup here is NEAR-dup over
+    the whole accumulated corpus, at per-batch cost: the sketch store
+    grows by one append per batch and candidate work is ∝ matched-bucket
+    occupancy, never corpus size.  Assumes ids are assigned monotonically
+    across batches (keep-min convention then always dooms the newer doc).
+    """
+    from pyspark.sql import functions as SF
+
+    from knowledge_model_spark.operators.dedup import minhash_incremental_pairs
+
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        pairs = minhash_incremental_pairs(
+            batch_df, id_col, text_col, sketch_store, threshold=threshold
+        )
+        doomed = pairs.select(SF.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(SF.broadcast(doomed), id_col, "left_anti")
+        survivors.write.mode("append").partitionBy("source").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .json(landing_dir)
+        .withColumn("batch_source_file", F.input_file_name())
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
