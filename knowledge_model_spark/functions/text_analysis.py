@@ -180,3 +180,47 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return F.when(F.length(col) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# local fingerprinting scheme): rolling polynomial k-gram hashes, then
+# the minimum hash of every w-hash window.  Guarantees any shared
+# substring of length >= k + w - 1 contributes a shared fingerprint —
+# the substring-overlap detector that whole-document md5 (``fingerprint``)
+# cannot provide.
+WINNOW_P = 1_000_000_007  # hash values < 2^30
+WINNOW_B = 257
+
+
+def rolling_gram_hashes(codes: Column, k: int = 7) -> Column:
+    """``array<long>`` polynomial hashes of char k-grams over an
+    ``array<int>`` of character codes.
+
+    Horner evaluation with mod after every step: intermediates stay
+    below P·B + 255 ≈ 2.6e11 — ANSI-safe in int64.  ``codes`` must be a
+    materialized column (see char_ngrams note on CollapseProject).
+    """
+
+    def gram(i):
+        h = F.element_at(codes, i).cast("long")
+        for j in range(1, k):
+            h = (h * WINNOW_B + F.element_at(codes, i + F.lit(j)).cast("long")) % WINNOW_P
+        return h
+
+    m = F.size(codes) - (k - 1)
+    return F.when(
+        m >= 1, F.transform(F.sequence(F.lit(1), m), gram)
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def window_minima(hashes: Column, w: int = 4) -> Column:
+    """``array<long>`` of per-window minima: element i is
+    min(hashes[i..i+w-1]).  ``hashes`` must be materialized."""
+    m = F.size(hashes) - (w - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.least(*[F.element_at(hashes, i + F.lit(j)) for j in range(w)]),
+        ),
+    ).otherwise(F.array().cast("array<long>"))

@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "sample_stratified_lang",
     "window_range_frame_revenue",
     "dedup_char_ngram_jaccard",
+    "text_winnow_fingerprint",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

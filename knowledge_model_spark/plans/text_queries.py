@@ -321,3 +321,96 @@ def text_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             xml_text_join(xml, ".//body//p").alias("paragraphs"),
         )
     )
+
+
+def _winnow_horner_sql(k: int = 7, p: int = 1_000_000_007, b: int = 257) -> str:
+    expr = "c[i]"
+    for j in range(1, k):
+        expr = f"(({expr} * {b} + c[i + {j}]) % {p})"
+    return expr
+
+
+@register(
+    "text_winnow_fingerprint",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN []
+                  ELSE list_transform(generate_series(1, len(t)),
+                                      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))
+             END AS c
+      FROM norm
+    ),
+    hs AS (
+      SELECT doc_id,
+             CASE WHEN len(c) >= 7
+                  THEN list_transform(generate_series(1, len(c) - 6),
+                                      i -> {_winnow_horner_sql()})
+                  ELSE [] END AS h
+      FROM codes
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+                  THEN list_transform(generate_series(1, len(h) - 3),
+                                      i -> least(h[i], h[i+1], h[i+2], h[i+3]))
+                  ELSE [] END AS m
+      FROM hs
+    ),
+    fps AS (SELECT doc_id, list_distinct(m) AS f FROM mins)
+    SELECT doc_id,
+           CAST(len(f) AS BIGINT) AS n_fps,
+           CAST(CASE WHEN len(f) = 0 THEN 0
+                     ELSE list_aggregate(f, 'sum') % 1000000007 END AS BIGINT) AS fp_digest,
+           list_aggregate(f, 'min') AS fp_min,
+           list_aggregate(f, 'max') AS fp_max
+    FROM fps
+    """,
+    doc="winnowing document fingerprints (Schleimer et al. 2003, the MOSS "
+    "scheme; SURVEY §2.11 'rolling hash' fingerprinting): char-7-gram "
+    "rolling polynomial hashes → minimum of every 4-hash window → distinct "
+    "fingerprint set, reduced to scalar digest/count/min/max — any shared "
+    "substring of length ≥ 10 yields a shared fingerprint, which whole-doc "
+    "md5 cannot detect; staged checkpointed projections keep each HOF "
+    "lambda reading a materialized array",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.text_analysis import (
+        WINNOW_P,
+        normalize_for_dedup,
+        rolling_gram_hashes,
+        window_minima,
+    )
+
+    t = load_tables(spark, sf_dir)
+    normed = (
+        t["documents_spread"]
+        .select("doc_id", normalize_for_dedup(F.col("text")).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    codes = normed.select(
+        "doc_id",
+        F.when(
+            F.length("t") > 0,
+            F.transform(F.split("t", ""), lambda ch: F.ascii(ch).cast("long")),
+        ).otherwise(F.array().cast("array<long>")).alias("c"),
+    ).localCheckpoint(eager=True)
+    hashes = codes.select(
+        "doc_id", rolling_gram_hashes(F.col("c"), 7).alias("h")
+    ).localCheckpoint(eager=True)
+    fps = hashes.select(
+        "doc_id", F.array_distinct(window_minima(F.col("h"), 4)).alias("f")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("f").cast("long").alias("n_fps"),
+        F.aggregate(
+            F.col("f"), F.lit(0).cast("long"), lambda acc, x: (acc + x) % WINNOW_P
+        ).alias("fp_digest"),
+        F.array_min("f").alias("fp_min"),
+        F.array_max("f").alias("fp_max"),
+    )

@@ -112,3 +112,41 @@ def test_stratified_sample_rates_and_determinism(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_winnow_fingerprints_detect_substring_overlap(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (= 10 here) share at least one fingerprint; disjoint docs share none.
+    Whole-document md5 can detect neither."""
+    from knowledge_model_spark.functions.text_analysis import (
+        normalize_for_dedup,
+        rolling_gram_hashes,
+        window_minima,
+    )
+
+    shared = "unique overlapping passage of text zq7 " * 2
+    rows = [
+        (0, "prefix words here " + shared + " suffix alpha"),
+        (1, "totally different opening " + shared + " and closing beta"),
+        (2, "no common content in this document about engines gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    normed = df.select(
+        "doc_id", normalize_for_dedup(F.col("text")).alias("t")
+    ).localCheckpoint(eager=True)
+    codes = normed.select(
+        "doc_id",
+        F.transform(F.split("t", ""), lambda c: F.ascii(c).cast("long")).alias("c"),
+    ).localCheckpoint(eager=True)
+    hashes = codes.select(
+        "doc_id", rolling_gram_hashes(F.col("c"), 7).alias("h")
+    ).localCheckpoint(eager=True)
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in hashes.select(
+            "doc_id", F.array_distinct(window_minima(F.col("h"), 4)).alias("f")
+        ).collect()
+    }
+    assert fps[0] & fps[1], "docs sharing a long substring must share a fingerprint"
+    assert len(fps[0] & fps[1]) >= 3  # the shared region yields several
+    assert len(fps[0] & fps[2]) <= 1  # disjoint text: at most chance overlap
