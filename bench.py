@@ -58,7 +58,10 @@ HEADLINE: dict[str, bool] = {
     "chunk_sentence_budget": False,
     "text_pii_redact": False,
     "quality_gopher_rules": False,
+    "quality_repetition_rules": False,
     "decontam_report": False,
+    "dedup_char_ngram_jaccard": False,
+    "text_winnow_fingerprint": False,
 }
 
 

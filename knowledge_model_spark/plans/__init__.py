@@ -51,6 +51,7 @@ _GATE_PRIORITY = [
     "window_range_frame_revenue",
     "dedup_char_ngram_jaccard",
     "text_winnow_fingerprint",
+    "quality_repetition_rules",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -274,3 +274,144 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         t["documents"], "lang", _RATES, key_col="doc_id"
     ).select("doc_id", "lang")
+
+
+# ---- intra-document repetition ----------------------------------------
+
+# Planted degradations: %3==1 repeats a line, %3==2 loops one phrase.
+_REP_RAW_SQL = """
+    CASE doc_id % 3
+      WHEN 1 THEN substring(text, 1, 60) || chr(10) || substring(text, 1, 60)
+                  || chr(10) || substring(text, 1, 60) || chr(10)
+                  || substring(text, 61, 120)
+      WHEN 2 THEN repeat(substring(text, 1, 30) || ' ', 10)
+                  || substring(text, 31, 200)
+      ELSE text
+    END
+"""
+
+
+def _rep_raw_col() -> F.Column:
+    line = F.substring("text", 1, 60)
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(line, F.lit("\n"), line, F.lit("\n"), line, F.lit("\n"),
+                     F.substring("text", 61, 120)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.repeat(F.concat(F.substring("text", 1, 30), F.lit(" ")), 10),
+                     F.substring("text", 31, 200)),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+@register(
+    "quality_repetition_rules",
+    f"""
+    WITH raw AS (SELECT doc_id, {_REP_RAW_SQL} AS t FROM documents),
+    parts AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(t, chr(10)),
+                         l -> len(trim(l)) > 0) AS lines,
+             list_filter(regexp_split_to_array(
+                           trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         w -> len(w) > 0) AS words
+      FROM raw
+    ),
+    grams AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(words) < 2 THEN []
+                  ELSE list_transform(generate_series(1, len(words) - 1),
+                                      i -> words[i] || ' ' || words[i+1])
+             END AS g
+      FROM parts
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(lines) AS DOUBLE) AS n_lines,
+             CAST(len(list_distinct(lines)) AS DOUBLE) AS n_distinct_lines,
+             CAST(len(g) AS DOUBLE) AS n_grams,
+             CAST(CASE WHEN len(g) = 0 THEN 0
+                       ELSE list_max(list_transform(list_distinct(g),
+                              x -> len(list_filter(g, y -> y = x))))
+                  END AS DOUBLE) AS top_gram
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           round(CASE WHEN n_lines > 0
+                      THEN 1.0 - n_distinct_lines / n_lines ELSE 0.0 END, 6)
+             AS dup_line_frac,
+           round(CASE WHEN n_grams > 0 THEN top_gram / n_grams ELSE 0.0 END, 6)
+             AS top_bigram_frac,
+           ((CASE WHEN n_lines > 0
+                  THEN 1.0 - n_distinct_lines / n_lines ELSE 0.0 END) < 0.3
+            AND (CASE WHEN n_grams > 0 THEN top_gram / n_grams ELSE 0.0 END) < 0.2)
+             AS repetition_pass
+    FROM stats
+    """,
+    doc="intra-document repetition rules (Gopher §A1.1 repetition "
+    "filters): duplicate-line fraction and most-frequent-word-bigram "
+    "fraction over planted degradations — repeated boilerplate inside a "
+    "single document is the quality failure near-dup detection across "
+    "documents cannot see",
+)
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.text_analysis import normalize_for_dedup
+
+    t = load_tables(spark, sf_dir)
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    # materialize lines/words/bigrams first: the top-bigram count lambda
+    # references the gram array per distinct element — it must be an
+    # attribute read, not an inlined expression subtree
+    parts = (
+        ensure_min_partitions(t["documents"])
+        .select(
+            "doc_id",
+            F.filter(F.split(_rep_raw_col(), "\n"),
+                     lambda l: F.length(F.trim(l)) > 0).alias("lines"),
+            F.filter(F.split(normalize_for_dedup(_rep_raw_col()), " "),
+                     lambda w: F.length(w) > 0).alias("words"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams = parts.select(
+        "doc_id",
+        "lines",
+        F.when(
+            F.size("words") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("words", i), F.element_at("words", i + F.lit(1))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("g"),
+    ).localCheckpoint(eager=True)
+    n_lines = F.size("lines").cast("double")
+    n_grams = F.size("g").cast("double")
+    top_gram = F.when(
+        F.size("g") == 0, F.lit(0.0)
+    ).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct("g"),
+                lambda x: F.size(F.filter("g", lambda y: y == x)),
+            )
+        ).cast("double")
+    )
+    dup_line_frac = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct("lines")) / n_lines
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(n_grams > 0, top_gram / n_grams).otherwise(F.lit(0.0))
+    return grams.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        ((dup_line_frac < 0.3) & (top_frac < 0.2)).alias("repetition_pass"),
+    )
