@@ -231,6 +231,30 @@ def _minhash_banded(
     )
 
 
+def _bucket_pairs(buckets: DataFrame, arr: str) -> DataFrame:
+    """Expand each bucket's sorted member array into ordered (a, b) rows.
+
+    Incremental two-explode shape: ``posexplode`` picks the left member
+    and a per-row tail ``slice`` supplies the right members, so no
+    intermediate row ever holds more than O(B) elements.  A single
+    flatten of all C(B,2) pair structs would concentrate ~B²/2 structs
+    in ONE row — an executor OOM / 2^31 array-limit hazard on a
+    degenerate hot bucket, and a skew point the old self-join shape
+    distributed.  Aggregate work is the same O(B²/2); peak allocation
+    drops from O(B²) to O(B), and whole-stage codegen pipelines the
+    generated rows straight into the downstream filter without ever
+    materializing the pair set.
+    """
+    return buckets.select(
+        F.col(arr).alias("__m"), F.posexplode(arr).alias("__i", "a")
+    ).select(
+        "a",
+        F.explode(
+            F.slice("__m", F.col("__i") + F.lit(2), F.size("__m"))
+        ).alias("b"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -254,13 +278,13 @@ def minhash_lsh_pairs(
     size, the 100 TB path.
 
     ``max_bucket_size`` (default 1000) skips degenerate hot buckets the
-    way web-scale dedup pipelines drop stop-buckets: the in-bucket
-    expansion materializes all B(B-1)/2 pair structs of a bucket in one
-    row, so an uncapped boilerplate bucket of 100k ids would build a
-    ~5e9-element array in a single task (OOM / 2^31 array limit).  At the
-    cap the largest per-row array is ~500k structs (~a few MB).  A capped
-    bucket only loses pairs that every OTHER band also skips; recall vs
-    exact Jaccard with the cap on is gated in tests/test_dedup.py.
+    way web-scale dedup pipelines drop stop-buckets: even with the
+    incremental O(B)-per-row expansion (:func:`_bucket_pairs`), an
+    uncapped boilerplate bucket of 100k ids still costs B²/2 ≈ 5e9
+    candidate comparisons in one task — a straggler, if no longer an
+    OOM.  A capped bucket only loses pairs that every OTHER band also
+    skips; recall vs exact Jaccard with the cap on is gated in
+    tests/test_dedup.py.
 
     ``sketch_path``: when set, the signature table is written to Parquet
     once and read back instead of persist()+count() — the durable variant
@@ -291,18 +315,9 @@ def minhash_lsh_pairs(
     # input ids can't emit (x,x) self-pairs) and sorted, so emitting
     # (ids[i], ids[j>i]) yields each pair in canonical order; the same
     # pair surfacing from several bands is collapsed by the distinct.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     cands = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
@@ -416,31 +431,23 @@ def simhash_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket_size)
-    # In-bucket pair expansion with the Hamming filter applied map-side:
-    # only actual near-dups (distance ≤ max) reach the distinct shuffle.
-    # The id_a != id_b guard preserves the strict-pair invariant when the
+    # In-bucket pair expansion with the Hamming filter applied map-side
+    # (same task, before any shuffle): only actual near-dups
+    # (distance ≤ max) reach the dropDuplicates shuffle.  The
+    # id_a != id_b guard preserves the strict-pair invariant when the
     # input carries duplicate ids (which would otherwise self-pair at
     # distance 0).
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        hamming64(x["simhash"], y["simhash"]).alias("distance"),
-                    ),
-                ),
-                lambda p: (p["distance"] <= F.lit(max_distance))
-                & (p["id_a"] != p["id_b"]),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.distance")
+        _bucket_pairs(buckets, "ms")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("distance"),
+        )
+        .filter(
+            (F.col("distance") <= F.lit(max_distance))
+            & (F.col("id_a") != F.col("id_b"))
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -609,25 +616,15 @@ def minhash_incremental_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket_size)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        (x["is_new"] | y["is_new"]).alias("reportable"),
-                    ),
-                ),
-                lambda p: p["reportable"] & (p["id_a"] != p["id_b"]),
-            ),
-        )
-    )
     cands = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _bucket_pairs(buckets, "ms")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.col("a.is_new") | F.col("b.is_new")).alias("reportable"),
+        )
+        .filter(F.col("reportable") & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b")
         .distinct()
     )
     sig_tbl = all_sk.select("id", "sig")
