@@ -62,6 +62,8 @@ HEADLINE: dict[str, bool] = {
     "decontam_report": False,
     "dedup_char_ngram_jaccard": False,
     "text_winnow_fingerprint": False,
+    "dedup_containment_pairs": False,
+    "text_boilerplate_scrub": False,
 }
 
 

@@ -647,3 +647,113 @@ def minhash_incremental_pairs(
         pairs = pairs.localCheckpoint(eager=True)
         new_sk.select("id", "sig", "bkt").write.mode("append").parquet(sketch_store)
     return pairs
+
+
+# ------------------------------------------- fingerprint containment
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = 20,
+    max_bucket_size: int | None = None,
+    min_fps: int = 5,
+) -> DataFrame:
+    """Doc-inside-doc detection via winnowing-fingerprint containment.
+
+    Near-dup pair operators (Jaccard, MinHash, SimHash, cosine) all score
+    *symmetric* similarity, which goes to zero when a short document is
+    embedded verbatim inside a much longer one — the quote/mirror/
+    aggregator case a training-corpus pipeline must catch.  Containment
+    C(a,b) = |FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|) stays 1.0 for exact
+    substring inclusion regardless of the length ratio (Broder's
+    resemblance-vs-containment distinction, 1997).
+
+    FP(x) is the winnowing fingerprint set (rolling char ``k``-gram
+    hashes → per-``w``-window minima → distinct;
+    functions/text_analysis.py), which guarantees any shared substring of
+    length ≥ k + w - 1 contributes a shared fingerprint.
+
+    Scale design mirrors the inverted-index dedup ladder: explode
+    fingerprints, cut stop-fingerprints appearing in > ``max_df`` docs
+    (boilerplate hashes would otherwise pair everything with everything;
+    the cut also bounds every bucket at ``max_df`` ids, which is why
+    ``max_bucket_size`` defaults off here), group the survivors per
+    fingerprint, expand in-bucket pairs incrementally
+    (:func:`_bucket_pairs`), and count common fingerprints per pair — one
+    slim shuffle of (fp, id) pairs plus one of (id_a, id_b) candidates.
+    Containment denominators are the PRUNED set sizes, so both sides of
+    the ratio see the same universe; ``min_fps`` floors the smaller
+    denominator (a doc with 1 surviving fingerprint would score
+    containment 1.0 against anything sharing that hash — ratio noise,
+    not evidence).
+    """
+    from knowledge_model_spark.functions.text_analysis import (
+        normalize_for_dedup,
+        rolling_gram_hashes,
+        window_minima,
+    )
+
+    # Staged eager checkpoints: each higher-order fn reads a materialized
+    # array — CollapseProject would otherwise re-inline the rolling-hash
+    # expression once per window-minimum lambda (the known blowup).
+    normed = df.select(
+        F.col(id_col).alias("id"), normalize_for_dedup(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=True)
+    codes = normed.select(
+        "id",
+        F.when(
+            F.length("t") > 0,
+            F.transform(F.split("t", ""), lambda ch: F.ascii(ch).cast("long")),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("c"),
+    ).localCheckpoint(eager=True)
+    hashes = codes.select(
+        "id", rolling_gram_hashes(F.col("c"), k).alias("h")
+    ).localCheckpoint(eager=True)
+    fps = hashes.select(
+        "id", F.array_distinct(window_minima(F.col("h"), w)).alias("f")
+    )
+    ex = fps.select("id", F.explode("f").alias("fp"))
+    if max_df is not None:
+        # (id, fp) rows are distinct (array_distinct) → count(*) per fp
+        # IS document frequency; keep only informative fingerprints.
+        rare = (
+            ex.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        ex = ex.join(rare, "fp")
+    n_fps = ex.groupBy("id").agg(F.count("*").alias("n"))
+    buckets = (
+        ex.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    common = (
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = n_fps.select(F.col("id").alias("id_a"), F.col("n").alias("__na"))
+    nb = n_fps.select(F.col("id").alias("id_b"), F.col("n").alias("__nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.least("__na", "__nb") >= F.lit(min_fps))
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("__na", "__nb"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "common", "containment")
+    )

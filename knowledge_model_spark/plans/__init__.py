@@ -52,6 +52,8 @@ _GATE_PRIORITY = [
     "dedup_char_ngram_jaccard",
     "text_winnow_fingerprint",
     "quality_repetition_rules",
+    "dedup_containment_pairs",
+    "text_boilerplate_scrub",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -233,3 +233,83 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def _winnow_fps_cte() -> str:
+    """DuckDB CTE chain reproducing the winnowing fingerprint sets
+    (mirrors text_queries.text_winnow_fingerprint's oracle)."""
+    from knowledge_model_spark.plans.text_queries import _winnow_horner_sql
+
+    return f"""
+    norm AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN []
+                  ELSE list_transform(generate_series(1, len(t)),
+                                      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))
+             END AS c
+      FROM norm
+    ),
+    hs AS (
+      SELECT doc_id,
+             CASE WHEN len(c) >= 7
+                  THEN list_transform(generate_series(1, len(c) - 6),
+                                      i -> {_winnow_horner_sql()})
+                  ELSE [] END AS h
+      FROM codes
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+                  THEN list_transform(generate_series(1, len(h) - 3),
+                                      i -> least(h[i], h[i+1], h[i+2], h[i+3]))
+                  ELSE [] END AS m
+      FROM hs
+    ),
+    fps AS (SELECT doc_id, list_distinct(m) AS f FROM mins)
+    """
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_winnow_fps_cte()},
+    ex AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 20),
+    pruned AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
+    nf AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, CAST(p.common AS BIGINT) AS common,
+           round(p.common / least(na.n, nb.n), 6) AS containment
+    FROM pairs p
+    JOIN nf na ON p.id_a = na.doc_id
+    JOIN nf nb ON p.id_b = nb.doc_id
+    WHERE least(na.n, nb.n) >= 5
+      AND round(p.common / least(na.n, nb.n), 6) >= 0.6
+    """,
+    doc="doc-inside-doc detection via winnowing-fingerprint containment "
+    "C(a,b)=|FP(a)∩FP(b)|/min(|FP(a)|,|FP(b)|) (Broder's "
+    "resemblance-vs-containment; SURVEY §2.11): catches a short document "
+    "embedded in a long one, where every symmetric similarity (Jaccard/"
+    "MinHash/SimHash/cosine) reads near zero; stop-fingerprint cut at "
+    "df≤20 bounds every inverted-index bucket, min-5-fingerprint floor "
+    "kills ratio noise",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.dedup import winnow_containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    return winnow_containment_pairs(
+        t["documents_spread"],
+        "doc_id",
+        "text",
+        threshold=0.6,
+        max_df=20,
+        min_fps=5,
+    )

@@ -414,3 +414,41 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("f").alias("fp_min"),
         F.array_max("f").alias("fp_max"),
     )
+
+
+@register(
+    "text_boilerplate_scrub",
+    """
+    WITH nd AS (SELECT count(*) AS n FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS u
+      FROM documents
+    ),
+    hot AS (
+      SELECT u FROM tok, nd GROUP BY u, nd.n
+      HAVING count(DISTINCT doc_id) >= 0.8 * any_value(nd.n)
+    ),
+    hl AS (SELECT coalesce(list(u), []) AS hs FROM hot)
+    SELECT d.doc_id,
+           coalesce(array_to_string(
+             list_filter(list_filter(string_split(d.text, ' '), x -> len(x) > 0),
+                         x -> NOT list_contains(hs, x)), ' '), '') AS scrubbed,
+           CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0))
+                - len(list_filter(list_filter(string_split(d.text, ' '), x -> len(x) > 0),
+                                  x -> NOT list_contains(hs, x))) AS BIGINT) AS n_dropped
+    FROM documents d, hl
+    """,
+    doc="C4-style cross-document boilerplate removal (SURVEY §2.11; "
+    "reference's single-answer bullet dedup main.py:283-291 generalized "
+    "corpus-wide): units in ≥60% of documents are dropped from every "
+    "document — hot set is provably ≤ mean_units/frac values, collected "
+    "once and inlined as a literal-array predicate so the scrub pass is "
+    "scan-speed with zero corpus shuffle",
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.boilerplate import scrub_frequent_units
+
+    t = load_tables(spark, sf_dir)
+    return scrub_frequent_units(
+        t["documents_spread"], "doc_id", "text", sep=" ", min_df_frac=0.8
+    ).select("doc_id", "scrubbed", "n_dropped")
