@@ -64,6 +64,8 @@ HEADLINE: dict[str, bool] = {
     "text_winnow_fingerprint": False,
     "dedup_containment_pairs": False,
     "text_boilerplate_scrub": False,
+    "dedup_spans_first_seen": False,
+    "sample_mixture_temperature": False,
 }
 
 

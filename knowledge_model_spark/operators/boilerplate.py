@@ -97,3 +97,61 @@ def scrub_frequent_units(
         )
         .drop("__toks")
     )
+
+
+def dedup_spans_first_seen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_chars: int = 100,
+) -> DataFrame:
+    """Corpus-wide exact span dedup, first occurrence wins (C4's
+    repeated-span removal at sub-document granularity).
+
+    Documents are cut into fixed ``span_chars`` windows; every window
+    whose exact text already occurred earlier in the corpus (ordered by
+    document id, then span position) is dropped, and each document is
+    reassembled from its surviving spans.  Unlike
+    :func:`scrub_frequent_units` (which removes EVERY occurrence of
+    corpus-hot units) this keeps one canonical copy — the C4 semantics
+    for repeated paragraphs/licenses.
+
+    Scale: one shuffle partitioned by the span hash (uniform key — no
+    skew: identical spans collapse into one partition-group whose size
+    is the duplication factor), a window row_number inside it, then one
+    groupBy(doc) to reassemble.  Both keys are uniform; nothing is
+    collected.
+    """
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.col(text_col), f"(?s)(?<=\\G.{{{span_chars}}})")
+        ).alias("pos", "span"),
+    ).filter(F.length("span") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("span")).orderBy("id", "pos")
+    kept = spans.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    n_spans = spans.groupBy("id").agg(F.count("*").alias("__n_total"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            "",
+        ).alias("deduped_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        n_spans.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+            (F.col("__n_total") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_spans_dropped"),
+        )
+    )

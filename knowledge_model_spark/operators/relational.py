@@ -214,3 +214,57 @@ def hex_rate_bound(rate: float) -> str:
     if rate >= 1.0:
         return "zzzz"
     return format(max(0, int(rate * 65536)), "04x")
+
+
+def mixture_rates(df: DataFrame, source_col: str, alpha: float = 0.5) -> DataFrame:
+    """Per-source keep rates for temperature/alpha mixture re-weighting.
+
+    LLM training corpora rebalance their source mix by sampling source s
+    with probability ∝ n_s^alpha (multilingual-LM temperature sampling;
+    alpha=1 keeps the natural mix, alpha=0 uniform across sources).
+    Expressed as pure downsampling — no upsampling — the keep rate is
+    r_s = (n_min / n_s)^(1-alpha): the smallest source keeps everything,
+    larger sources shed their excess.  Returns (source, n, rate, bound)
+    where ``bound`` is the 4-hex-digit md5 threshold for
+    :func:`apply_mixture`.
+
+    alpha=0.5 computes via ``sqrt``, which is IEEE-exactly-rounded in
+    both the JVM and DuckDB — bit-identical bounds, so the oracle can
+    state the same arithmetic (a general ``pow`` is not exactly rounded
+    and could disagree in the last ulp right at a bucket edge).
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("nmin"))
+    ratio = F.col("nmin").cast("double") / F.col("n").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    return (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn("rate", rate)
+        .withColumn(
+            "bound",
+            F.when(F.col("rate") >= 1.0, F.lit("zzzz")).otherwise(
+                F.lpad(
+                    F.lower(F.hex(F.floor(F.col("rate") * 65536).cast("long"))),
+                    4,
+                    "0",
+                )
+            ),
+        )
+        .select(source_col, "n", "rate", "bound")
+    )
+
+
+def apply_mixture(
+    df: DataFrame, source_col: str, key_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Filter ``df`` to the temperature-rebalanced mixture.
+
+    The rates table is one row per source — broadcast joined, so the
+    corpus side stays scan-speed: a content-addressed md5 filter exactly
+    like :func:`stratified_sample`, stable across runs, cluster sizes,
+    and corpus growth (a document's membership only changes if its
+    source's rate does).
+    """
+    rates = mixture_rates(df, source_col, alpha).select(source_col, "bound")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    return df.join(F.broadcast(rates), source_col).filter(h < F.col("bound")).drop("bound")

@@ -313,3 +313,42 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=20,
         min_fps=5,
     )
+
+
+@register(
+    "dedup_spans_first_seen",
+    """
+    WITH spans AS (
+      SELECT doc_id, i AS pos, substr(text, i*100 + 1, 100) AS span
+      FROM documents, unnest(range(0, CAST(ceil(len(text)/100.0) AS BIGINT))) AS t(i)
+      WHERE len(substr(text, i*100 + 1, 100)) > 0
+    ),
+    kept AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM spans GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, string_agg(span, '' ORDER BY pos) AS deduped_text,
+             count(*) AS n_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(reb.deduped_text, '') AS deduped_text,
+           CAST(t.n_total - coalesce(reb.n_kept, 0) AS BIGINT) AS n_spans_dropped
+    FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+    """,
+    doc="corpus-wide exact span dedup, first occurrence wins (C4's "
+    "repeated-span removal at sub-document granularity; complements "
+    "text_boilerplate_scrub, which removes EVERY occurrence of hot "
+    "units): 100-char windows, row_number over md5(span) ordered by "
+    "(doc, pos), documents reassembled from surviving spans — uniform "
+    "hash keys end to end, no skew, nothing collected",
+)
+def dedup_spans_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.boilerplate import (
+        dedup_spans_first_seen as _spans,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return _spans(t["documents_spread"], "doc_id", "text", span_chars=100)

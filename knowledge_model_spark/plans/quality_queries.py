@@ -415,3 +415,40 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_frac, 6).alias("top_bigram_frac"),
         ((dup_line_frac < 0.3) & (top_frac < 0.2)).alias("repetition_pass"),
     )
+
+
+@register(
+    "sample_mixture_temperature",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    r AS (
+      SELECT lang,
+             CASE WHEN sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) >= 1.0
+                  THEN 'zzzz'
+                  ELSE lpad(lower(to_hex(CAST(floor(
+                         sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 65536
+                       ) AS BIGINT))), 4, '0')
+             END AS bound
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.bound
+    """,
+    doc="temperature/alpha mixture re-weighting (multilingual-LM sampling, "
+    "alpha=0.5) over the skewed lang strata: per-stratum keep rate "
+    "(n_min/n_s)^(1-alpha) computed from "
+    "corpus counts — smallest source keeps all, larger sources shed excess "
+    "— applied as a broadcast-joined content-addressed md5 filter, "
+    "scan-speed on the corpus side; sqrt (IEEE exactly rounded in both "
+    "JVM and DuckDB) makes the hex bucket bound bit-identical to the "
+    "oracle (operators/relational.py mixture_rates/apply_mixture)",
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import apply_mixture
+
+    t = load_tables(spark, sf_dir)
+    return apply_mixture(
+        t["documents"], "lang", key_col="doc_id", alpha=0.5
+    ).select("doc_id", "lang")

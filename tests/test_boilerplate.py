@@ -102,3 +102,34 @@ def test_containment_deterministic(spark):
     a = sorted(map(tuple, winnow_containment_pairs(d, "doc_id", "text").collect()))
     b = sorted(map(tuple, winnow_containment_pairs(d, "doc_id", "text").collect()))
     assert a == b
+
+
+def test_span_dedup_first_seen_semantics(spark):
+    rows = [(1, "AAAABBBBCCCC"), (2, "BBBBXXXXAAAA"), (3, "AAAA")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    from knowledge_model_spark.operators.boilerplate import dedup_spans_first_seen
+
+    out = {
+        r["doc_id"]: (r["deduped_text"], r["n_spans_dropped"])
+        for r in dedup_spans_first_seen(d, "doc_id", "text", span_chars=4).collect()
+    }
+    # doc 1 is first for all its spans: untouched
+    assert out[1] == ("AAAABBBBCCCC", 0)
+    # doc 2 loses BBBB and AAAA (seen in doc 1), keeps its unique middle
+    assert out[2] == ("XXXX", 2)
+    # doc 3 is entirely duplicate: empty string (never null), count right
+    assert out[3] == ("", 1)
+
+
+def test_span_dedup_short_tail_kept(spark):
+    d = spark.createDataFrame([(1, "AAAAB"), (2, "B")], "doc_id int, text string")
+    from knowledge_model_spark.operators.boilerplate import dedup_spans_first_seen
+
+    out = {
+        r["doc_id"]: (r["deduped_text"], r["n_spans_dropped"])
+        for r in dedup_spans_first_seen(d, "doc_id", "text", span_chars=4).collect()
+    }
+    # the 1-char tail span of doc 1 and doc 2's whole text are the same
+    # exact span: first seen (doc 1, pos 1) wins
+    assert out[1] == ("AAAAB", 0)
+    assert out[2] == ("", 1)

@@ -150,3 +150,31 @@ def test_winnow_fingerprints_detect_substring_overlap(spark):
     assert fps[0] & fps[1], "docs sharing a long substring must share a fingerprint"
     assert len(fps[0] & fps[1]) >= 3  # the shared region yields several
     assert len(fps[0] & fps[2]) <= 1  # disjoint text: at most chance overlap
+
+
+def test_mixture_rates_temperature_math(spark):
+    from knowledge_model_spark.operators.relational import mixture_rates
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id int, src string")
+    r = {x["src"]: x for x in mixture_rates(d, "src", alpha=0.5).collect()}
+    assert r["small"]["rate"] == 1.0 and r["small"]["bound"] == "zzzz"
+    # (n_min/n)^(1-alpha) = sqrt(100/400) = 0.5
+    assert abs(r["big"]["rate"] - 0.5) < 1e-12
+    assert r["big"]["bound"] == format(int(0.5 * 65536), "04x")
+
+
+def test_apply_mixture_downsamples_majority_only(spark):
+    from knowledge_model_spark.operators.relational import apply_mixture
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id int, src string")
+    out = apply_mixture(d, "src", key_col="doc_id", alpha=0.5)
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 100           # smallest stratum keeps everything
+    assert 150 <= counts["big"] <= 250      # ~200 expected at rate 0.5
+    # deterministic: same membership on a second run
+    again = apply_mixture(d, "src", key_col="doc_id", alpha=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
