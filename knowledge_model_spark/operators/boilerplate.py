@@ -120,7 +120,9 @@ def dedup_spans_first_seen(
     skew: identical spans collapse into one partition-group whose size
     is the duplication factor), a window row_number inside it, then one
     groupBy(doc) to reassemble.  Both keys are uniform; nothing is
-    collected.
+    collected.  The per-document span total is ceil(len/span_chars) —
+    a pure expression on the base table, so the corpus is scanned and
+    exploded exactly once.
     """
     spans = df.select(
         F.col(id_col).alias("id"),
@@ -134,7 +136,10 @@ def dedup_spans_first_seen(
     kept = spans.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
-    n_spans = spans.groupBy("id").agg(F.count("*").alias("__n_total"))
+    n_spans = df.select(
+        F.col(id_col).alias("id"),
+        F.ceil(F.length(text_col) / F.lit(span_chars)).alias("__n_total"),
+    )
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -99,3 +99,31 @@ def test_stratified_sample_is_scan_speed_filter(spark):
     plan = _plan(spark, "sample_stratified_lang")
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_containment_pairs", "dedup_spans_first_seen", "text_boilerplate_scrub"],
+)
+def test_corpus_hygiene_queries_have_no_all_pairs_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_broadcasts_rates_not_corpus(spark):
+    """The per-stratum rates table (one row per lang) must broadcast so
+    the corpus side is a scan-speed filter — a shuffled join here would
+    move the whole corpus for a 5-row dimension."""
+    plan = _plan(spark, "sample_mixture_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scrub_corpus_side_is_scan_only(spark):
+    """scrub_frequent_units inlines the bounded hot set as a literal
+    array: the scrub projection must contain no join at all (the only
+    joins in the plan would come from the corpus side, since the
+    hot-set job already ran at plan-build time)."""
+    plan = _plan(spark, "text_boilerplate_scrub")
+    assert "Join" not in plan
