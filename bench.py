@@ -66,6 +66,7 @@ HEADLINE: dict[str, bool] = {
     "text_boilerplate_scrub": False,
     "dedup_spans_first_seen": False,
     "sample_mixture_temperature": False,
+    "dedup_semantic_pairs": False,
 }
 
 

@@ -757,3 +757,130 @@ def winnow_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "common", "containment")
     )
+
+
+# --------------------------------------------------- semantic (SemDeDup)
+
+
+def _assign_centroids_udf(centroids, n_assign: int = 1):
+    """Arrow-batched top-``n_assign`` cosine centroid assignment: one
+    numpy matmul per batch against the broadcast (k × d) centroid
+    matrix, then a stable argsort — ties break to the lowest cluster
+    index, deterministically.  Returns an array<int> of cluster ids,
+    best first."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d), L2-normalized
+    Ct = C.T.copy()
+    m = max(1, min(n_assign, C.shape[0]))
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        order = np.argsort(-(M @ Ct), axis=1, kind="stable")[:, :m]
+        return pd.Series(list(order.astype("int32")))
+
+    return assign
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    n_iter: int = 2,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Semantic near-dup pairs via cluster-then-verify (SemDeDup,
+    Abbas et al. 2023): k-means-style clustering restricts the exact
+    cosine check to same-cluster pairs, so pair volume is
+    Σ B_c²/2 instead of n²/2.
+
+    Everything is deterministic and rescale-stable: seed centroids are
+    the ``n_clusters`` vectors with the smallest md5(id)
+    (content-addressed, like every sampling operator here), Lloyd
+    updates are exact mean-then-normalize aggregates, and argmax ties
+    break to the lowest cluster index.  Per iteration the corpus is
+    scanned once (broadcast k×d matmul in an Arrow batch) and the
+    update shuffles k partial sums — the SemDeDup paper's shape, where
+    ``n_clusters`` grows ∝ corpus size to hold per-cluster pair cost
+    constant.  Candidate generation assigns each vector to its top
+    ``n_assign`` centroids (IVF multi-assignment): a pair split across a
+    cluster boundary — the classic single-assignment miss — still meets
+    in the runner-up cell, at ``n_assign``× candidate cost.  Lloyd
+    updates use the top-1 cell only (classic k-means).  Not
+    oracle-expressible (argmax over float dot products can differ in the
+    last ulp between engines), so correctness is gated against the
+    planted ground truth in tests/test_dedup.py — the minhash/simhash
+    precedent.
+
+    Returns (id_a, id_b, cosine) for pairs sharing ≥1 assigned cell with
+    cosine ≥ threshold.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        base.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(n_clusters)
+    )
+    centroids = [r["v"] for r in seeds.collect()]  # k rows: bounded dim fetch
+    for _ in range(max(0, n_iter)):
+        asg = _assign_centroids_udf(centroids)
+        # Lloyd update: per-(cluster, dim) partial sums — a k×d-key
+        # shuffle of doubles with map-side combine, then a bounded k×d
+        # driver fetch to rebuild the centroid matrix.
+        stats = (
+            base.withColumn("c", asg(F.col("v"))[0])
+            .select("c", F.posexplode("v").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        M = np.asarray(centroids, dtype=np.float64)
+        for r in stats:
+            M[r["c"], r["i"]] = r["s"] / r["n"]
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        centroids = (M / norms[:, None]).tolist()
+    asg = _assign_centroids_udf(centroids, n_assign)
+    assigned = base.select(
+        "id", "v", F.explode(asg(F.col("v"))).alias("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        # multi-assignment surfaces a pair once per shared cell; the
+        # cosine is pair-determined, so a plain pair dedup suffices
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Rows of ``df`` surviving semantic dedup: near-dup groups found by
+    :func:`semantic_dedup_pairs` are collapsed to their smallest id via
+    the connected-components ladder (pairs → clusters → survivors),
+    first-seen-wins like every other dedup operator here."""
+    from knowledge_model_spark.operators.graph import dedup_cluster_survivors
+
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, n_clusters, threshold, n_iter
+    ).select(F.col("id_a"), F.col("id_b"))
+    return dedup_cluster_survivors(df, pairs, id_col)

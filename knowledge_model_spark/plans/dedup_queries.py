@@ -352,3 +352,38 @@ def dedup_spans_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return _spans(t["documents_spread"], "doc_id", "text", span_chars=100)
+
+
+@register(
+    "dedup_semantic_pairs",
+    None,  # argmax over float dots can differ in the last ulp across engines
+    doc="SemDeDup (Abbas et al. 2023) cluster-then-verify semantic near-dup "
+    "pairs: deterministic content-addressed seed centroids, one Lloyd "
+    "iteration (broadcast k×d matmul per scan, k×d-key partial-sum "
+    "shuffle), top-2 multi-assignment, exact cosine ≥ 0.99 within "
+    "shared cells only.  The corpus is "
+    "the embeddings table plus a deterministic perturbed twin for every "
+    "5th vector (the planted ground truth — raw testdata has no semantic "
+    "dups, max pairwise cosine 0.51); exact recovery of exactly the "
+    "planted pairs is gated in tests/test_dedup.py",
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.dedup import semantic_dedup_pairs
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    twins = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return semantic_dedup_pairs(
+        e.unionByName(twins),
+        "vec_id",
+        "embedding",
+        n_clusters=16,
+        threshold=0.99,
+        n_iter=1,
+    )

@@ -294,3 +294,62 @@ def test_minhash_incremental_batches(spark, tmp_path):
         ).collect()
     }
     assert p2 == {p for p in union_pairs if not (p[0] <= 4 and p[1] <= 4)}
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_recovers_exactly_planted_twins(spark, tables):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.dedup import semantic_dedup_pairs
+
+    e = tables["embeddings"].select("vec_id", "embedding")
+    twins = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(twins)
+    pairs = semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", n_clusters=8, threshold=0.99
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in e.filter(F.col("vec_id") % 5 == 0).collect()
+    }
+    # every planted twin co-clusters with its original (cosine ~0.9988)
+    # and nothing else in the raw table is near-dup (max cosine ~0.51)
+    assert got == planted
+
+
+def test_semantic_dedup_survivors_keep_min_id(spark, tables):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.dedup import semantic_dedup_survivors
+
+    e = tables["embeddings"].select("vec_id", "embedding")
+    twins = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(twins)
+    surv = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(
+            corpus, "vec_id", "embedding", n_clusters=8, threshold=0.99
+        ).collect()
+    }
+    originals = {r["vec_id"] for r in e.collect()}
+    assert surv == originals  # every twin collapsed onto its original
+
+
+def test_semantic_dedup_deterministic(spark, tables):
+    from knowledge_model_spark.operators.dedup import semantic_dedup_pairs
+
+    e = tables["embeddings"].select("vec_id", "embedding").limit(200)
+    a = sorted(map(tuple, semantic_dedup_pairs(e, "vec_id", "embedding", 4, 0.9).collect()))
+    b = sorted(map(tuple, semantic_dedup_pairs(e, "vec_id", "embedding", 4, 0.9).collect()))
+    assert a == b
