@@ -56,6 +56,8 @@ _GATE_PRIORITY = [
     "text_boilerplate_scrub",
     "dedup_spans_first_seen",
     "sample_mixture_temperature",
+    "dedup_semantic_pairs",
+    "corpus_token_drift",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -154,3 +154,46 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "corpus_token_drift",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    oldc AS (SELECT term, count(*) AS cnt_old FROM tok WHERE doc_id % 2 = 0 GROUP BY term),
+    newc AS (SELECT term, count(*) AS cnt_new FROM tok GROUP BY term),
+    tot AS (
+      SELECT (SELECT coalesce(sum(cnt_old), 0) FROM oldc) AS total_old,
+             (SELECT coalesce(sum(cnt_new), 0) FROM newc) AS total_new
+    )
+    SELECT coalesce(o.term, n.term) AS term,
+           CAST(coalesce(o.cnt_old, 0) AS BIGINT) AS cnt_old,
+           CAST(coalesce(n.cnt_new, 0) AS BIGINT) AS cnt_new,
+           CAST(t.total_old AS BIGINT) AS total_old,
+           CAST(t.total_new AS BIGINT) AS total_new,
+           round(coalesce(n.cnt_new, 0) / CAST(greatest(t.total_new, 1) AS DOUBLE)
+                 - coalesce(o.cnt_old, 0) / CAST(greatest(t.total_old, 1) AS DOUBLE),
+                 9) AS freq_shift
+    FROM oldc o FULL OUTER JOIN newc n ON o.term = n.term, tot t
+    WHERE coalesce(o.cnt_old, 0) >= 5 OR coalesce(n.cnt_new, 0) >= 5
+    """,
+    doc="token-distribution drift between two corpus snapshots (ingest "
+    "monitoring for a continuously-fed pipeline; old = even doc_ids, new "
+    "= full corpus): exact occurrence counts + snapshot totals as longs, "
+    "rounded relative-frequency shift — one combiner groupBy per "
+    "snapshot, full outer join on token, totals broadcast as literals "
+    "(operators/text_rank.py token_drift)",
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.text_rank import token_drift
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return token_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d, "doc_id", "text", min_count=5
+    )
