@@ -94,6 +94,14 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     # read nanos as long and truncate to microseconds (same truncation the
     # DuckDB oracle applies).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Newer testdata writes naive timestamp[us], which Spark 4 infers as
+    # TIMESTAMP_NTZ (unix_micros/unix_timestamp reject NTZ).  Read it as the
+    # classic LTZ type and pin the session to UTC so hour()/window() render
+    # the same wall-clock values the DuckDB oracle sees for naive timestamps.
+    # These are runtime SQL confs set here (not only in get_spark) so they
+    # also take effect on externally-built sessions (the driver's).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
