@@ -25,11 +25,18 @@ def event_stream_dir(tmp_path_factory):
 
 
 def _read_stream(spark, path):
+    # Mirror session.load_tables: nanos-era testdata reads ts as bigint
+    # (convert with exact int64 division), naive-us-era testdata reads it
+    # as classic LTZ with NTZ inference off and the session pinned to UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_df = spark.read.parquet(path)
     stream = spark.readStream.schema(batch_df.schema).parquet(path)
-    to_ts = F.timestamp_micros(F.expr("ts div 1000"))  # exact int64 division
-    return batch_df.withColumn("ts", to_ts), stream.withColumn("ts", to_ts)
+    if dict(batch_df.dtypes).get("ts") == "bigint":
+        to_ts = F.timestamp_micros(F.expr("ts div 1000"))  # exact int64 division
+        return batch_df.withColumn("ts", to_ts), stream.withColumn("ts", to_ts)
+    return batch_df, stream
 
 
 def test_tumbling_counts_match_batch(spark, event_stream_dir, tmp_path):
