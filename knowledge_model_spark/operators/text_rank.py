@@ -60,6 +60,82 @@ def top_terms_tfidf(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    min_len: int = 2,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a literal query.
+
+    score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                 · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Engine-parity design (the oracle recomputes the same formula):
+
+    - ONE shuffle: a single groupBy(doc) produces dl and each query
+      term's tf as conditional counts — per-term columns in a fixed
+      literal order, so the score is a deterministic left-to-right sum
+      (no float-addition order ambiguity across runs or engines).
+    - N / total_dl / df_t are driver scalars from one 1-row agg (exact
+      longs); avgdl = total_dl/N is one exact double division, NOT an
+      incremental float avg().
+    - Ranking uses the score ROUNDED to 6 dp (doc_id tiebreak): ln()
+      can differ in the last ulp between JVM and C libm, so ordering on
+      the raw double would be rank-unstable across engines (the same
+      hazard text_top_terms documents).
+
+    Scale: the tokenizer explode + combiner-friendly groupBy is the only
+    corpus-sized movement; everything after operates on one row per doc.
+    """
+    terms = doc_terms(df, id_col, text_col, min_len)
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    perdoc = terms.groupBy("id").agg(F.count("*").alias("dl"), *tf_cols)
+
+    stats = perdoc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]  # one row of exact longs — driver scalars by design
+    n_docs = stats["n"]
+    avgdl = stats["total_dl"] / n_docs
+
+    norm = F.col("dl") / F.lit(avgdl)
+    score = F.lit(0.0)
+    matched = F.lit(False)
+    for i in range(len(query_terms)):
+        dfreq = stats[f"df_{i}"]
+        idf = F.log(F.lit(1.0) + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        tf = F.col(f"tf_{i}")
+        score = score + idf * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * norm))
+        )
+        matched = matched | (tf > 0)
+
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # partial top-k, no global sort); the unpartitioned row_number window
+    # then runs over only the k survivors — never a full-corpus
+    # single-partition sort.
+    topk = (
+        perdoc.filter(matched)
+        .select(F.col("id"), F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    return topk.withColumn("rnk", F.row_number().over(w))
+
+
 def token_drift(
     old: DataFrame,
     new: DataFrame,

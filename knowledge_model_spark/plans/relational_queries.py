@@ -762,3 +762,33 @@ def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w).cast("long").alias("orders_30d"),
         )
     )
+
+
+@register(
+    "join_fuzzy_name_qgram",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON a.p_name < b.p_name
+     AND abs(len(a.p_name) - len(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="edit-distance<=2 fuzzy self-join over distinct part names — the "
+    "reference's near-identical entity-name linkage as an Ed-Join-style "
+    "q-gram prefix-filtered candidate join + exact JVM levenshtein "
+    "verify (operators/fuzzy.py); the oracle is the brute-force "
+    "all-pairs join the prefix filter provably equals",
+)
+def join_fuzzy_name_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.fuzzy import qgram_fuzzy_pairs
+
+    t = load_tables(spark, sf_dir)
+    names = t["part"].select("p_name").distinct()
+    pairs = qgram_fuzzy_pairs(names, "p_name", "p_name", max_dist=2, q=2)
+    return pairs.select(
+        F.col("id_a").alias("name_a"),
+        F.col("id_b").alias("name_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )

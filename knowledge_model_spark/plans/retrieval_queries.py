@@ -349,3 +349,64 @@ def embed_seam_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+@register(
+    "text_bm25_rank",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (WHERE term = 'join')   AS tf0,
+             count(*) FILTER (WHERE term = 'vector') AS tf1,
+             count(*) FILTER (WHERE term = 'slow')   AS tf2
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             count(*) FILTER (WHERE tf0 > 0) AS df0,
+             count(*) FILTER (WHERE tf1 > 0) AS df1,
+             count(*) FILTER (WHERE tf2 > 0) AS df2
+      FROM perdoc
+    ),
+    scored AS (
+      SELECT doc_id,
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             AS score
+      FROM perdoc, stats
+      WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    )
+    SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, round(score, 6) AS bm25,
+                 row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+    """,
+    doc="Okapi BM25 top-10 for the literal query [join, vector, slow] "
+    "(k1=1.2, b=0.75) — lexical ranking stage of the reference's "
+    "retrieval cascade re-expressed as one tokenize+groupBy pass, "
+    "driver-scalar corpus stats, and a fixed-order JVM score "
+    "expression; ranked on the 6-dp-rounded score so a last-ulp ln() "
+    "difference between JVM and C libm cannot flip the order",
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.text_rank import bm25_rank
+
+    t = load_tables(spark, sf_dir)
+    out = bm25_rank(
+        t["documents_spread"], "doc_id", "text", ["join", "vector", "slow"], k=10
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "bm25", F.col("rnk").cast("long").alias("rnk")
+    )
