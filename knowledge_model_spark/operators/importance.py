@@ -1,0 +1,99 @@
+"""DSIR-style importance weighting: unigram log-likelihood ratio between
+a target distribution and the raw corpus (Xie et al., "Data Selection
+for Language Models via Importance Resampling", NeurIPS'23 — public
+method; the hashed-ngram variant reduces to this unigram form when the
+feature map is the identity).
+
+A training-data pipeline uses these weights to resample a huge raw crawl
+toward a smaller high-quality target domain.  Per document:
+
+    w(d) = (1/|d|) · Σ_{t ∈ d} [ ln p_tgt(t) − ln p_raw(t) ]
+
+with add-1 smoothing over the raw vocabulary V (target ⊆ raw, so V is
+shared): p(t) = (cnt(t)+1)/(tot+V).
+
+Engine-parity design (mirrored by the DuckDB oracle):
+
+- ONE token pass: groupBy(term) with a conditional sum produces raw and
+  target counts together; V / tot_raw / tot_tgt are exact-long driver
+  scalars from a 1-row agg.
+- The per-doc sum is over (term, tf) structs sorted by term and folded
+  left with ``F.aggregate`` — a FIXED float-addition order, so results
+  are identical across partitionings and match the oracle's
+  ``sum(x ORDER BY term)``.  ln() last-ulp noise is absorbed by the
+  6-dp rounding of the final mean (no ranking happens on this value).
+
+Scale: tokens move once into the (doc, term) tf aggregate; the term
+stats table is term-level (AQE broadcasts it back); per-doc arrays hold
+distinct terms only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-document importance weight ln p_tgt/p_raw, averaged per token.
+
+    ``target_col``: boolean column marking target-domain documents.
+    Returns (id, dl, dsir_weight) for every document with ≥1 token.
+    """
+    # tokens carry the target flag from the scan — no corpus-sized
+    # join-back of tokens to documents
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("long").alias("__is_tgt"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= min_len,
+            )
+        ).alias("term"),
+    )
+
+    stats = (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("c_raw"),
+            F.sum("__is_tgt").alias("c_tgt"),
+        )
+    )
+    tot = stats.agg(
+        F.count("*").alias("v"),
+        F.sum("c_raw").alias("tot_raw"),
+        F.sum("c_tgt").alias("tot_tgt"),
+    ).collect()[0]  # three exact-long driver scalars
+    v, tot_raw, tot_tgt = tot["v"], tot["tot_raw"], tot["tot_tgt"]
+
+    lr = F.log((F.col("c_tgt") + 1.0) / F.lit(float(tot_tgt + v))) - F.log(
+        (F.col("c_raw") + 1.0) / F.lit(float(tot_raw + v))
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    contrib = tf.join(stats, "term").select(
+        "id", "term", "tf", (F.col("tf") * lr).alias("contrib")
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
+        )
+        .select(
+            "id",
+            "dl",
+            F.round(
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+                )
+                / F.col("dl"),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )

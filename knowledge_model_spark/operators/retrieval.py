@@ -264,3 +264,42 @@ def recall_at_k(
             F.round(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 6).alias("recall"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_a: str,
+    rank_b: str,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two ranked candidate lists (hybrid
+    lexical+vector retrieval; Cormack et al., SIGIR'09).
+
+    rrf(d) = Σ_lists 1/(k0 + rank_list(d)), a document absent from a
+    list contributing 0.  Because the score is derived ONLY from small
+    integer ranks, both engines compute bit-identical doubles — no
+    ln()/sum-order hazard — so ordering on the raw score is stable.
+    Fixed addition order (list a, then b); ties (symmetric rank swaps)
+    break on id.
+
+    Scale: a full-outer join of two k-row lists per query and a top-k —
+    nothing corpus-sized; the expensive work happened upstream in the
+    per-list retrievers.
+    """
+    a = ranked_a.select(F.col(id_col).alias("id"), F.col(rank_a).alias("ra"))
+    b = ranked_b.select(F.col(id_col).alias("id"), F.col(rank_b).alias("rb"))
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(1.0 / (F.lit(k0) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k0) + F.col("rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    topk = fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "id", F.round("rrf", 6).alias("rrf"), "rnk"
+    )

@@ -60,6 +60,8 @@ _GATE_PRIORITY = [
     "corpus_token_drift",
     "text_bm25_rank",
     "join_fuzzy_name_qgram",
+    "retrieval_hybrid_rrf",
+    "quality_dsir_weights",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -452,3 +452,51 @@ def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_mixture(
         t["documents"], "lang", key_col="doc_id", alpha=0.5
     ).select("doc_id", "lang")
+
+
+@register(
+    "quality_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS is_tgt, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(*) AS c_raw,
+             count(*) FILTER (WHERE is_tgt) AS c_tgt
+      FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT count(*) AS v, sum(c_raw) AS tot_raw, sum(c_tgt) AS tot_tgt
+      FROM stats
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((s.c_tgt + 1.0) / CAST(t.tot_tgt + t.v AS DOUBLE))
+                      - ln((s.c_raw + 1.0) / CAST(t.tot_raw + t.v AS DOUBLE)))
+               AS contrib
+      FROM tf JOIN stats s USING (term) CROSS JOIN tot t
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+           round(sum(contrib ORDER BY term) / sum(tf), 6) AS dsir_weight
+    FROM contrib GROUP BY doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al., NeurIPS'23): per-doc "
+    "mean unigram log-likelihood ratio toward the lang='en' target "
+    "slice, add-1 smoothed over the shared vocabulary — the resampling "
+    "score a 100 TB crawl-to-target selection pass sorts by; per-doc "
+    "sums fold in sorted term order on BOTH engines (F.aggregate vs "
+    "sum(... ORDER BY term)) so float addition order is fixed",
+)
+def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.importance import dsir_importance
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"].withColumn("__tgt", F.col("lang") == "en")
+    out = dsir_importance(docs, "doc_id", "text", "__tgt")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("dl").cast("long").alias("dl"), "dsir_weight"
+    )

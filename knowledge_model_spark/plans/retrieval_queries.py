@@ -410,3 +410,97 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "bm25", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (WHERE term = 'join')   AS tf0,
+             count(*) FILTER (WHERE term = 'vector') AS tf1,
+             count(*) FILTER (WHERE term = 'slow')   AS tf2
+      FROM toks GROUP BY doc_id
+    ),
+    bstats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             count(*) FILTER (WHERE tf0 > 0) AS df0,
+             count(*) FILTER (WHERE tf1 > 0) AS df1,
+             count(*) FILTER (WHERE tf2 > 0) AS df2
+      FROM perdoc
+    ),
+    bscored AS (
+      SELECT doc_id,
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             AS score
+      FROM perdoc, bstats
+      WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ),
+    lex AS (
+      SELECT doc_id AS id, rnk AS ra
+      FROM (SELECT doc_id,
+                   row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+            FROM bscored)
+      WHERE rnk <= 20
+    ),
+    cent AS (
+      SELECT list(m ORDER BY d) AS qv FROM (
+        SELECT d, avg(v) AS m FROM (
+          SELECT generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+          FROM embeddings WHERE label = 0) GROUP BY d)
+    ),
+    vec AS (
+      SELECT vec_id AS id, rnk AS rb
+      FROM (SELECT e.vec_id,
+                   row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(c.qv, e.embedding), 6)
+                       DESC, e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN cent c)
+      WHERE rnk <= 20
+    ),
+    fused AS (
+      SELECT coalesce(lex.id, vec.id) AS doc_id,
+             coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0)
+               AS rrf
+      FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, rrf,
+                 row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= 10
+    """,
+    doc="hybrid retrieval via Reciprocal Rank Fusion (Cormack et al., "
+    "SIGIR'09): BM25 top-20 for [join, vector, slow] fused with "
+    "cosine top-20 against the label-0 centroid, rrf = Σ 1/(60+rank) — "
+    "scores derive from small integer ranks only, so both engines "
+    "compute bit-identical doubles and raw-score ordering is stable",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.retrieval import rrf_fuse
+    from knowledge_model_spark.operators.text_rank import bm25_rank
+
+    t = load_tables(spark, sf_dir)
+    lex = bm25_rank(
+        t["documents_spread"], "doc_id", "text", ["join", "vector", "slow"], k=20
+    ).select("id", F.col("rnk").alias("ra"))
+    cent = _centroid_queries(t).filter(F.col("query_id") == 0)
+    vec = brute_force_top_k(
+        t["embeddings"], cent, "vec_id", "embedding", "query_id", "qv", k=20
+    ).select(F.col("vec_id").alias("id"), F.col("rank").alias("rb"))
+    fused = rrf_fuse(lex, vec, "id", "ra", "rb", k0=60, k=10)
+    return fused.select(
+        F.col("id").alias("doc_id"), "rrf", F.col("rnk").cast("long").alias("rnk")
+    )

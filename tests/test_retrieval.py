@@ -52,3 +52,18 @@ def test_embed_seam_injected_model_and_default(spark):
         vecs, qs, "doc_id", "v", "qid", "qv", k=1, normalized=True
     ).collect()
     assert top[0]["doc_id"] == 0 and top[0]["score"] == pytest.approx(1.0)
+
+
+def test_rrf_fuse_exact_values(spark):
+    from knowledge_model_spark.operators.retrieval import rrf_fuse
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "ra"])
+    b = spark.createDataFrame([(3, 1), (4, 2)], ["id", "rb"])
+    got = {r["id"]: (r["rrf"], r["rnk"]) for r in rrf_fuse(a, b, "id", "ra", "rb").collect()}
+    # doc 3: in both lists; docs 1,2 lexical-only; doc 4 vector-only
+    assert got[3] == (round(1 / 63 + 1 / 61, 6), 1)
+    assert got[1] == (round(1 / 61, 6), 2)
+    # ids 2 and 4 tie at 1/62 — id-ascending tiebreak
+    assert got[2] == (round(1 / 62, 6), 3)
+    assert got[4] == (round(1 / 62, 6), 4)
