@@ -256,3 +256,52 @@ def ivf_top_k(
     ).dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    corpus_label: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    highest-cosine corpus vectors whose label DIFFERS from the query's —
+    the near-misses a bi-encoder learns the most from (the in-batch /
+    mined-negative recipe of DPR and sentence-transformers training).
+
+    The wrong-label filter runs BEFORE ranking (a negative that would
+    rank 2nd overall must surface even when same-label positives fill
+    the global top-k), which is why this is not brute_force_top_k + a
+    post-filter.  Plan shape is the exact-scorer baseline: broadcast
+    query batch × one corpus scan, JVM dot product in codegen, per-query
+    WindowGroupLimit top-k — the corpus never shuffles beyond the
+    candidate cut.  Queries are keyed by label (centroids), so
+    query_id doubles as the label to exclude.
+    """
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id),
+        F.col(corpus_label).alias("__clabel"),
+        l2_normalize(F.col(corpus_vec)).alias("__cv"),
+    )
+    q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("__clabel") != F.col(query_id))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(dot(F.col("__cv"), F.col("__qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

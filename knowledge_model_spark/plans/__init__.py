@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     "join_fuzzy_name_qgram",
     "retrieval_hybrid_rrf",
     "quality_dsir_weights",
+    "sample_hard_negatives",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

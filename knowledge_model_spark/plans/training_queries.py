@@ -197,3 +197,44 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_drift(
         d.filter(F.col("doc_id") % 2 == 0), d, "doc_id", "text", min_count=5
     )
+
+
+@register(
+    "sample_hard_negatives",
+    """
+    WITH dims AS (SELECT label, generate_subscripts(embedding, 1) AS d,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+    cents AS (SELECT label AS query_id, list(m ORDER BY d) AS qv
+              FROM (SELECT label, d, avg(v) AS m FROM dims GROUP BY label, d)
+              GROUP BY label),
+    scored AS (SELECT c.query_id, e.vec_id,
+                      round(list_cosine_similarity(c.qv, e.embedding), 6) AS score
+               FROM embeddings e CROSS JOIN cents c
+               WHERE e.label <> c.query_id)
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="hard-negative mining (DPR-style): per label centroid, the 5 "
+    "highest-cosine vectors with a DIFFERENT label — wrong-label filter "
+    "applied before ranking so near-miss negatives buried under "
+    "same-label positives still surface; broadcast centroid batch × one "
+    "corpus scan, per-query WindowGroupLimit top-k",
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.similarity import hard_negatives
+    from knowledge_model_spark.plans.retrieval_queries import _centroid_queries
+
+    t = load_tables(spark, sf_dir)
+    out = hard_negatives(
+        t["embeddings"], _centroid_queries(t),
+        corpus_id="vec_id", corpus_vec="embedding", corpus_label="label",
+        query_id="query_id", query_vec="qv", k=5,
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "vec_id", "score", F.col("rank").cast("long").alias("rank"),
+    )

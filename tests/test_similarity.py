@@ -85,3 +85,34 @@ def test_ivf_recall_gate(corpus, queries, exact_hits):
         n_centroids=16, n_probe=8,
     ).collect()
     assert _recall(approx, exact_hits) >= 0.8
+
+
+def test_hard_negatives_excludes_query_label_and_outranks_postfilter(spark, tables):
+    from knowledge_model_spark.operators.similarity import (
+        brute_force_top_k,
+        hard_negatives,
+    )
+    from knowledge_model_spark.plans.retrieval_queries import _centroid_queries
+
+    emb = tables["embeddings"]
+    cents = _centroid_queries(tables)
+    negs = hard_negatives(
+        emb, cents, "vec_id", "embedding", "label", "query_id", "qv", k=5
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert len(negs) > 0
+    assert all(labels[r["vec_id"]] != r["query_id"] for r in negs)
+
+    # filter-before-rank must dominate rank-then-filter: every query gets
+    # a full k negatives even when same-label positives crowd the global
+    # top-k (post-filtering brute_force_top_k can come up short)
+    per_q = {}
+    for r in negs:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    post = brute_force_top_k(
+        emb, cents, "vec_id", "embedding", "query_id", "qv", k=5
+    ).collect()
+    kept = [r for r in post if labels[r["vec_id"]] != r["query_id"]]
+    assert len(kept) < len(negs)  # post-filter loses negatives; mining must not
