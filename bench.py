@@ -67,6 +67,11 @@ HEADLINE: dict[str, bool] = {
     "dedup_spans_first_seen": False,
     "sample_mixture_temperature": False,
     "dedup_semantic_pairs": False,
+    "text_bm25_rank": True,
+    "join_fuzzy_name_qgram": True,
+    "retrieval_hybrid_rrf": True,
+    "quality_dsir_weights": False,
+    "sample_hard_negatives": True,
 }
 
 

@@ -268,3 +268,40 @@ def apply_mixture(
     rates = mixture_rates(df, source_col, alpha).select(source_col, "bound")
     h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
     return df.join(F.broadcast(rates), source_col).filter(h < F.col("bound")).drop("bound")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row draws u ~ U(0,1] and the k largest
+    ``u^(1/w)`` keys win — inclusion probability ∝ weight, no RNG state.
+
+    u is content-addressed like every sampler here (stable across runs,
+    partitionings, and corpus growth): the first 13 md5 hex chars of the
+    id parsed as a 52-bit integer give an EXACT dyadic rational
+    (v+1)/2^52 — bit-identical in Spark (conv base-16) and DuckDB
+    ('0x' cast), because 52 bits fit a double mantissa and the divisor
+    is a power of two.  Ranking uses the monotone-equivalent
+    ln(u)/w (avoids pow(), which is not exactly rounded), rounded to
+    9 dp with id tiebreak so a last-ulp ln() difference cannot flip the
+    cross-engine order.
+
+    Scale: a scan-speed key computation + TakeOrderedAndProject top-k —
+    no shuffle beyond the per-partition partial top-k merge.
+    """
+    v = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    u = (v + 1) / F.lit(float(2**52))
+    key = F.round(F.log(u) / F.greatest(F.col(weight_col), F.lit(1)), 9)
+    topk = (
+        df.select(F.col(id_col), F.col(weight_col), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+    return topk.withColumn("rnk", F.row_number().over(w))

@@ -238,3 +238,38 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("int").alias("query_id"),
         "vec_id", "score", F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                            AS BIGINT) + 1) / 4503599627370496.0)
+                   / greatest(n_chars, 1), 9) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+          FROM keyed)
+    WHERE rnk <= 50
+    """,
+    doc="deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): 50 docs with inclusion probability ∝ n_chars via "
+    "content-addressed exact-dyadic u and ln(u)/w priority keys — the "
+    "length-weighted subset selection a token-budgeted pipeline draws "
+    "reproducibly; scan-speed keys + TakeOrderedAndProject, no shuffle",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import weighted_sample_topk
+
+    t = load_tables(spark, sf_dir)
+    out = weighted_sample_topk(t["documents"], "doc_id", "n_chars", k=50)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "es_key",
+        F.col("rnk").cast("long").alias("rnk"),
+    )

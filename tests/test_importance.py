@@ -51,3 +51,42 @@ def test_dl_matches_token_count(spark, tables):
     for r in toks:
         if r["n"] > 0:
             assert w[r["doc_id"]][0] == r["n"]
+
+
+def test_weighted_sample_bias_and_determinism(spark, tables):
+    from knowledge_model_spark.operators.relational import weighted_sample_topk
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    a = [tuple(r) for r in weighted_sample_topk(docs, "doc_id", "n_chars", 50).collect()]
+    b = [
+        tuple(r)
+        for r in weighted_sample_topk(
+            docs.repartition(11), "doc_id", "n_chars", 50
+        ).collect()
+    ]
+    assert a == b and len(a) == 50
+    # inclusion probability ∝ weight → the sample skews long
+    sample_ids = {t[0] for t in a}
+    rows = docs.collect()
+    mean_all = sum(r["n_chars"] for r in rows) / len(rows)
+    mean_s = sum(r["n_chars"] for r in rows if r["doc_id"] in sample_ids) / 50
+    assert mean_s > mean_all
+
+
+def test_weighted_sample_stable_under_corpus_growth(spark, tables):
+    # content-addressed keys: a doc's priority never changes when other
+    # docs arrive, so the top-k only changes by displacement
+    from knowledge_model_spark.operators.relational import weighted_sample_topk
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    half = docs.filter(F.col("doc_id") < 250)
+    full_keys = {
+        r["doc_id"]: r["es_key"]
+        for r in weighted_sample_topk(docs, "doc_id", "n_chars", 500).collect()
+    }
+    half_keys = {
+        r["doc_id"]: r["es_key"]
+        for r in weighted_sample_topk(half, "doc_id", "n_chars", 500).collect()
+    }
+    for d, k in half_keys.items():
+        assert full_keys[d] == k
