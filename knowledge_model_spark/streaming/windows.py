@@ -240,3 +240,23 @@ def stateful_capped_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a live event stream with a
+    slow-changing dimension table (user profile, document metadata).
+
+    The static side is re-planned per micro-batch — a broadcast hash
+    join against the streamed batch, no streaming state at all (unlike
+    stream-stream joins there is nothing to watermark: the static side
+    is always wholly available).  At cluster scale the dimension scan is
+    pruned/pushed-down per batch, so the recurring cost is the dim
+    read, not a shuffle of the stream.  Left join keeps events whose
+    dimension row is missing (nulls), the ingest-friendly default.
+    """
+    return stream.join(F.broadcast(dim), key_col, how)

@@ -253,3 +253,37 @@ def test_stream_dedup_ingest_suppresses_cross_batch_dups(spark, tmp_path):
     stream_dedup_ingest(spark, str(landing), out, ckpt, store, threshold=0.6)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 4}  # 3 suppressed as a near-dup of historical 1
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream_dir, tmp_path):
+    from knowledge_model_spark.streaming import windows as W
+
+    batch, stream = _read_stream(spark, event_stream_dir)
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], ["user_id", "tier"]
+    )
+    agg_stream = (
+        W.stream_static_enrich(stream, dim, "user_id")
+        .groupBy("tier")
+        .count()
+    )
+    q = (
+        agg_stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["tier"]: r["count"] for r in spark.sql("select * from enriched").collect()
+    }
+    want = {
+        r["tier"]: r["count"]
+        for r in W.stream_static_enrich(batch, dim, "user_id")
+        .groupBy("tier")
+        .count()
+        .collect()
+    }
+    assert got == want and sum(got.values()) > 0
