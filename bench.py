@@ -72,6 +72,7 @@ HEADLINE: dict[str, bool] = {
     "retrieval_hybrid_rrf": True,
     "quality_dsir_weights": False,
     "sample_hard_negatives": True,
+    "ann_pq_topk": True,
 }
 
 

@@ -64,6 +64,7 @@ _GATE_PRIORITY = [
     "quality_dsir_weights",
     "sample_hard_negatives",
     "sample_weighted_priority",
+    "ann_pq_topk",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

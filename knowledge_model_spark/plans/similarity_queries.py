@@ -128,9 +128,15 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     )
+    from knowledge_model_spark.operators.quantization import pq_top_k
+
     exact = brute_force_top_k(t["embeddings"], q, **kw).select("query_id", "vec_id")
     out = []
-    for method, fn in (("lsh", lsh_bucket_top_k), ("ivf", ivf_top_k)):
+    for method, fn in (
+        ("lsh", lsh_bucket_top_k),
+        ("ivf", ivf_top_k),
+        ("pq", pq_top_k),
+    ):
         approx = fn(t["embeddings"], q, **kw).select("query_id", "vec_id")
         hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
         out.append(
@@ -140,7 +146,10 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.count("*") / F.lit(float(N_QUERIES * K)) >= 0.80).alias("passes_gate"),
             )
         )
-    return out[0].unionByName(out[1])
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 @register(
@@ -203,3 +212,29 @@ def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.round("v", 6).alias("centroid_v"),
     )
+
+
+@register(
+    "ann_pq_topk",
+    None,  # float argmin codebook assignment — recall gated vs exact
+    doc="product-quantization approximate top-10 (8 codes × 4 bits = 64× "
+    "compression vs float32; Jégou et al. TPAMI'11): deterministic "
+    "codebooks (md5 seeds + Lloyd partial-sum shuffles), JVM ADC over "
+    "literal per-query LUTs, exact cosine re-rank of the k·12 "
+    "shortlist — the memory-bound 100 TB path where the quantized "
+    "corpus fits in cluster RAM and full vectors are touched only for "
+    "the shortlist",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.quantization import pq_top_k
+
+    t = load_tables(spark, sf_dir)
+    return pq_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
