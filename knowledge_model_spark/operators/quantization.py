@@ -4,7 +4,7 @@ asymmetric-distance (ADC) top-k with exact re-rank.
 Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
 Search" (TPAMI 2011) — the memory-compression scale path FAISS's
 IVFPQ indexes use: a d-dim float vector becomes ``m`` small codes
-(here 8 codes × 4 bits ≈ 64× smaller than float32), so a 100 TB
+(default 8 codes × 5 bits ≈ 50× smaller than float32), so a 100 TB
 embedding corpus's quantized form fits in cluster RAM and the exact
 vectors are only touched for the final shortlist.
 
@@ -124,10 +124,10 @@ def pq_top_k(
     query_vec: str,
     k: int = 10,
     m: int = 8,
-    ksub: int = 16,
-    refine: int = 12,
+    ksub: int = 32,
+    refine: int = 24,
     codebooks: list | None = None,
-    n_iter: int = 3,
+    n_iter: int = 2,
 ) -> DataFrame:
     """PQ/ADC approximate cosine top-k per query with exact re-rank.
 

@@ -217,7 +217,7 @@ def udaf_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_pq_topk",
     None,  # float argmin codebook assignment — recall gated vs exact
-    doc="product-quantization approximate top-10 (8 codes × 4 bits = 64× "
+    doc="product-quantization approximate top-10 (8 codes × 5 bits ≈ 50× "
     "compression vs float32; Jégou et al. TPAMI'11): deterministic "
     "codebooks (md5 seeds + Lloyd partial-sum shuffles), JVM ADC over "
     "literal per-query LUTs, exact cosine re-rank of the k·12 "
