@@ -127,3 +127,43 @@ def test_scrub_corpus_side_is_scan_only(spark):
     hot-set job already ran at plan-build time)."""
     plan = _plan(spark, "text_boilerplate_scrub")
     assert "Join" not in plan
+
+
+def test_bm25_takeordered_not_global_window(spark):
+    # top-k must compile to TakeOrderedAndProject (per-partition partial
+    # top-k); a global-sort window over all matched docs would be a
+    # single-partition bottleneck at corpus scale
+    plan = _plan(spark, "text_bm25_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_no_cartesian_and_nested_loop_only_for_sidecar(spark):
+    plan = _plan(spark, "join_fuzzy_name_qgram")
+    assert "CartesianProduct" not in plan
+    # candidate generation joins grams hash-wise; the only nested loop
+    # allowed is the short-string sidecar (empty for name-like data)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_is_scan_plus_takeordered(spark):
+    plan = _plan(spark, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan  # zero shuffles
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_dsir_single_broadcast_join(spark):
+    # term-stats (vocabulary-sized) must broadcast back onto the tf
+    # table; no corpus-sized SortMergeJoin anywhere
+    plan = _plan(spark, "quality_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_windowgrouplimit(spark):
+    plan = _plan(spark, "sample_hard_negatives")
+    assert "WindowGroupLimit" in plan  # top-k pruned map-side
+    assert "CartesianProduct" not in plan
