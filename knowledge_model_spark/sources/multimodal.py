@@ -5,12 +5,18 @@ disk): image/audio/video travel as ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas``.
 
-The actual codec libraries (Pillow/ffmpeg/librosa) are NOT in this
-container, so the decode kernels are stubbed: ``decode=DETERMINISTIC``
-derives reproducible pseudo-features from the payload bytes (so the
-Spark-side plumbing — schema, batching, partitioning — is fully real
-and tested), and ``decode=REAL`` raises NotImplementedError at the
-point where a codec would run.
+Decode modes:
+
+- ``DETERMINISTIC`` derives reproducible pseudo-features from the
+  payload bytes (so the Spark-side plumbing — schema, batching,
+  partitioning — is fully real and tested regardless of format).
+- ``REAL`` genuinely decodes the UNCOMPRESSED formats pure numpy can
+  parse — P6 PPM and 24-bit BI_RGB BMP images, RIFF PCM-16 WAV audio —
+  and computes real pixel/waveform statistics.  Compressed codecs
+  (JPEG/PNG/MP3/MP4) need Pillow/ffmpeg/librosa, which are NOT in this
+  container: those payloads raise NotImplementedError at the exact
+  point the library call would go (the remaining declared seam; video
+  container demux is ffmpeg-only and stays fully stubbed).
 
 Scale notes: binary payloads dominate row size → ``maxRecordsPerBatch``
 must be kept small for these stages (set per-call, not globally), and
@@ -52,6 +58,128 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def decode_ppm(b: bytes) -> np.ndarray | None:
+    """Binary P6 PPM → (H, W, 3) uint8 RGB; None if not P6/maxval>255."""
+    if not b or not b.startswith(b"P6"):
+        return None
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"#":  # comment to end of line
+            j = b.find(b"\n", i)
+            i = (j + 1) if j != -1 else len(b)
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        try:
+            tokens.append(int(b[i:j]))
+        except ValueError:
+            return None
+        i = j
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = tokens
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    need = w * h * 3
+    if len(b) < i + need:
+        return None
+    return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BI_RGB BMP → (H, W, 3) uint8 RGB; None otherwise."""
+    import struct
+
+    if not b or not b.startswith(b"BM") or len(b) < 54:
+        return None
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    header_size = struct.unpack_from("<I", b, 14)[0]
+    if header_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    _, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = row_size * h
+    if len(b) < data_offset + need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=need, offset=data_offset).reshape(
+        h, row_size
+    )
+    img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
+    """RIFF PCM-16 WAV → (mono float32 waveform in [-1,1], sample_rate);
+    stereo downmixes by mean; None for non-PCM16 / non-RIFF payloads."""
+    import struct
+
+    if not b or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    data = rate = channels = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                return None
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bps = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bps != 16:
+                return None
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks pad to even
+    if data is None or rate is None:
+        return None
+    wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if channels and channels > 1:
+        n = (len(wave) // channels) * channels
+        wave = wave[:n].reshape(-1, channels).mean(axis=1)
+    return wave, int(rate)
+
+
+def _real_image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed image and compute REAL pixel statistics:
+    per-channel means/stds, luminance mean/std, 8-bin luma histogram —
+    exactly FEATURE_DIM values, all in [0, 1]."""
+    img = decode_ppm(payload)
+    if img is None:
+        img = decode_bmp(payload)
+    if img is None:
+        raise NotImplementedError(
+            "compressed image formats (JPEG/PNG) require Pillow — not in "
+            "container; REAL decode supports P6 PPM and 24-bit BMP"
+        )
+    x = img.astype(np.float64) / 255.0
+    luma = 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    hist = hist / max(1, luma.size)
+    vec = np.concatenate(
+        [
+            x.reshape(-1, 3).mean(axis=0),
+            x.reshape(-1, 3).std(axis=0),
+            [float(luma.mean()), float(luma.std())],
+            hist,
+        ]
+    ).astype(np.float32)
+    return int(img.shape[1]), int(img.shape[0]), vec
+
+
 def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic pseudo-embedding of a binary payload: sha256-seeded
     byte statistics.  Stands in for a real image encoder."""
@@ -75,9 +203,21 @@ def image_features(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFrame
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "REAL":
-                raise NotImplementedError(
-                    "real image decode requires Pillow/torchvision (not in container)"
+                # genuine numpy decode (PPM/BMP): dimensions come from the
+                # pixel data, features are real image statistics
+                trip = pdf["payload"].map(_real_image_features)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": trip.map(lambda t: t[0]).astype("int32"),
+                        "height": trip.map(lambda t: t[1]).astype("int32"),
+                        "n_bytes": pdf["payload"].map(
+                            lambda b: len(b) if b is not None else 0
+                        ),
+                        "features": trip.map(lambda t: t[2].tolist()),
+                    }
                 )
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -166,15 +306,25 @@ def audio_features(
             }
             for _, row in pdf.iterrows():
                 if decode == "REAL":
-                    raise NotImplementedError(
-                        "real audio decode requires librosa/ffmpeg (not in container)"
+                    # genuine numpy decode: PCM-16 WAV windows cut by the
+                    # REAL sample rate from the fmt chunk
+                    decoded = decode_wav_pcm16(row["payload"] or b"")
+                    if decoded is None:
+                        raise NotImplementedError(
+                            "compressed audio (MP3/OGG/…) requires librosa/"
+                            "ffmpeg — not in container; REAL decode supports "
+                            "RIFF PCM-16 WAV"
+                        )
+                    wave, rate = decoded
+                    step = max(1, rate * window_ms // 1000)
+                    n_win = max(1, -(-len(wave) // step))  # ceil
+                else:
+                    duration = int(row["duration_ms"] or 0)
+                    wave = np.frombuffer(row["payload"] or b"", dtype=np.int8).astype(
+                        np.float32
                     )
-                duration = int(row["duration_ms"] or 0)
-                wave = np.frombuffer(row["payload"] or b"", dtype=np.int8).astype(
-                    np.float32
-                )
-                n_win = max(1, duration // window_ms)
-                step = max(1, len(wave) // n_win) if len(wave) else 1
+                    n_win = max(1, duration // window_ms)
+                    step = max(1, len(wave) // n_win) if len(wave) else 1
                 for i in range(n_win):
                     w = wave[i * step : (i + 1) * step]
                     rms = float(np.sqrt(np.mean(w**2))) if len(w) else 0.0
