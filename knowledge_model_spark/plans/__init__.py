@@ -65,6 +65,7 @@ _GATE_PRIORITY = [
     "sample_hard_negatives",
     "sample_weighted_priority",
     "ann_pq_topk",
+    "udtf_sentence_split",
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -452,3 +452,40 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_frequent_units(
         t["documents_spread"], "doc_id", "text", sep=" ", min_df_frac=0.8
     ).select("doc_id", "scrubbed", "n_dropped")
+
+
+@register(
+    "udtf_sentence_split",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS t
+      FROM documents
+    ),
+    s AS (SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS l FROM p)
+    SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS sentence_index,
+           unnest(l) AS sentence
+    FROM s
+    """,
+    doc="genuine Python UDTF (Spark 4 table function) applied via SQL "
+    "LATERAL: sentence-split each document (periods injected every 5 "
+    "words so the synthetic corpus actually has boundaries) — the "
+    "§2.10 table-function extension point; hot-path splitters remain "
+    "the vectorized posexplode/pandas-UDF chunkers",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.udtf import register_udtfs
+
+    load_tables(spark, sf_dir)  # registers the documents view
+    register_udtfs(spark)
+    return spark.sql(
+        r"""
+        SELECT d.doc_id,
+               CAST(s.sentence_index AS BIGINT) AS sentence_index,
+               s.sentence
+        FROM documents d,
+        LATERAL split_sentences(
+          regexp_replace(d.text, '((?:\\S+ ){4}\\S+) ', '$1. ')) s
+        """
+    )

@@ -115,3 +115,17 @@ def test_bm25_deterministic_across_runs(spark, tables):
         for r in bm25_rank(docs.repartition(7), "doc_id", "text", terms).collect()
     ]
     assert a == b
+
+
+def test_udtf_splits_sentences(spark):
+    from knowledge_model_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM split_sentences('One two. Three four! Five?')"
+    ).collect()
+    assert [(r["sentence_index"], r["sentence"]) for r in rows] == [
+        (0, "One two."),
+        (1, " Three four!"),
+        (2, " Five?"),
+    ]
