@@ -39,6 +39,7 @@ _GATE_PRIORITY = [
     "dedup_ngram_jaccard",        # max_df stop-shingle pruning added (r3)
     "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)
     "dedup_simhash",              # same (r3)
+    "dedup_exact_groups",         # dup_ids array<bigint> → comma string (canon-safe)
     # (b) new this round
     "dedup_connected_components",
     "dedup_cluster_survivors",

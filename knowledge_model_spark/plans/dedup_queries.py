@@ -35,14 +35,23 @@ _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
       FROM keyed GROUP BY fp
     )
     SELECT fp AS fingerprint, keep_id,
-           list_filter(all_ids, x -> x != keep_id) AS dup_ids, n_dups
+           array_to_string(list_transform(list_filter(all_ids, x -> x != keep_id),
+                                          x -> CAST(x AS VARCHAR)), ',') AS dup_ids,
+           n_dups
     FROM grouped WHERE n_dups > 1
     """,
     doc="exact dedup groups by md5 fingerprint: hash-groupBy, one shuffle",
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return exact_duplicates(t["documents"], "doc_id", "text")
+    # dup_ids is emitted as a comma-joined string: the driver's result
+    # canonicalizer sorts on every column and list values are unhashable
+    # there (the exact failure postprocess_battery hit in r02).  The
+    # typed array API stays on the operator (exact_duplicates).
+    return exact_duplicates(t["documents"], "doc_id", "text").withColumn(
+        "dup_ids",
+        F.array_join(F.transform("dup_ids", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(
