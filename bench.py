@@ -73,6 +73,10 @@ HEADLINE: dict[str, bool] = {
     "quality_dsir_weights": False,
     "sample_hard_negatives": True,
     "ann_pq_topk": True,
+    "graph_pagerank_trade": False,
+    "events_scd2_user_type": False,
+    "agg_hll_region_rollup": True,
+    "agg_kll_quantile_merge": True,
 }
 
 

@@ -80,6 +80,69 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Synchronous PageRank over the directed edge set, ``iterations``
+    rounds — (node, rank).
+
+    The reference's corpus is citation-shaped (PubMed articles citing
+    articles); link-analysis importance is the canonical iterative graph
+    workload beyond components.  Each round is two joins and one
+    aggregation, all partitioned by node id — the classic BSP shape that
+    holds at billions of edges (contributions shuffle on ``dst`` only;
+    no adjacency ever sits on the driver).
+
+    Determinism (required for the DuckDB oracle): per-node contributions
+    are folded in SORTED order (``aggregate(array_sort(collect_list))``)
+    so floating-point sums are bit-identical at any parallelism — same
+    convention as quality_dsir_weights.  Dangling nodes (no out-edges)
+    simply leak their mass, and the oracle unrolls the identical
+    recurrence, so the simplification cancels out.
+
+    Lineage is truncated per round with localCheckpoint (swap for
+    ``checkpoint()`` on a cluster, as in :func:`connected_components`).
+    The single driver scalar is the node count (one number).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(deg, "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        recv = contribs.groupBy("node").agg(
+            F.expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").alias(
+                "recv"
+            )
+        )
+        ranks = (
+            nodes.join(recv, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def dedup_cluster_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

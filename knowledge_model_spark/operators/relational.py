@@ -305,3 +305,60 @@ def weighted_sample_topk(
     )
     w = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
     return topk.withColumn("rnk", F.row_number().over(w))
+
+
+def scd2_collapse(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an event log into SCD Type-2 dimension history.
+
+    The reference re-fetches article metadata monthly and last-writes it
+    over the DB row (pipeline.py:135,181-207) — history is lost.  The
+    warehouse-correct shape is slowly-changing-dimension type 2: one row
+    per (entity, consecutive run of an attribute value) with
+    ``valid_from`` / ``valid_to`` effectivity bounds, ``version``
+    ordinal, and an ``is_current`` flag.
+
+    Classic gaps-and-islands: a change flag (lag over the entity
+    timeline), a running change count to number the islands, a per-island
+    aggregate, then lead() for the exclusive upper bound.  Every window
+    and the aggregate partition by the entity key — one shuffle total on
+    the entity, holds at any scale; ``tiebreak_col`` makes same-timestamp
+    orderings deterministic.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    flagged = df.select(entity_col, ts_col, attr_col, tiebreak_col).withColumn(
+        "__chg",
+        F.when(
+            F.lag(attr_col).over(w).isNull()
+            | (F.lag(attr_col).over(w) != F.col(attr_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__ver", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = islands.groupBy(entity_col, "__ver").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy(entity_col).orderBy(F.col("valid_from").asc())
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            F.col(entity_col),
+            F.col("__ver").alias("version"),
+            F.col(attr_col),
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+    )

@@ -1,0 +1,107 @@
+"""Mergeable-sketch aggregations (Apache DataSketches via Spark 4 builtins).
+
+The 100 TB story: exact ``COUNT(DISTINCT)`` and exact percentiles both
+need a full shuffle of the raw values per re-grouping — at petabyte scale
+you cannot re-scan the corpus for every rollup level.  Sketches are
+commutative-monoid summaries: build them ONCE per fine-grained group
+(map-side partial aggregation, bytes per group), then any coarser rollup
+is a union/merge of the group sketches — no second pass over the data.
+This is the same pre-aggregation contract the reference's monthly
+snapshot layout implies (data/index/YYYY/MM — continuous.py:17-26):
+month-level summaries that re-aggregate to year/corpus level without
+touching the raw rows.
+
+Correctness note (why these are oracle-checkable at all): DataSketches
+HLL is EXACT below its promotion threshold (coupon/sparse mode), and KLL
+retains every item until its buffer (~k items) first compacts, so at the
+driver's oracle scale the estimates equal exact answers; tests gate the
+approximate regime (larger n) by relative error and by the merge
+invariant (union-of-parts == direct sketch).  Determinism: in exact mode
+the result is independent of merge order, so the nondeterministic
+``collect_list`` ordering below cannot change values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count rollup through HLL sketches.
+
+    Builds one HLL sketch per ``fine_keys`` group, then unions the
+    sketches up to ``coarse_keys`` (a subset of ``fine_keys``) and
+    estimates.  The union is lossless for same-``lg_k`` sketches
+    (register-wise max), so the merged estimate equals the estimate of a
+    sketch built directly on the coarse group.
+
+    Returns ``coarse_keys + [n_fine_groups, est_distinct]``.
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("__sk")
+    )
+    return fine.groupBy(*coarse_keys).agg(
+        F.count("*").alias("n_fine_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"), F.lit(False))).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def _kll_merge_fold(col: str) -> Column:
+    """Fold a collected array of KLL sketches with the binary merge.
+
+    ``kll_sketch_merge_double`` is a scalar (left, right) function, not
+    an aggregate; per-coarse-group sketch counts are small (one per fine
+    group), so a driver-free fold over ``collect_list`` is the right
+    shape — the sketches being merged are already tiny summaries.
+    """
+    # slice length must be size-1 exactly: an INT_MAX sentinel overflows
+    # (start + length wraps) and silently yields an empty slice.
+    return F.expr(
+        f"""aggregate(slice({col}, 2, greatest(size({col}) - 1, 0)), {col}[0],
+                      (acc, x) -> kll_sketch_merge_double(acc, x))"""
+    )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    k: int = 2048,
+) -> DataFrame:
+    """Quantile rollup through KLL sketches.
+
+    One KLL(k) sketch per fine group (map-side partials), merged per
+    coarse group, then queried at ``quantiles``.  KLL answers with an
+    actual stream item (an order statistic), matching DuckDB's
+    ``quantile_disc`` exactly while n < k; beyond that the rank error is
+    the published ~1.65/sqrt(k) bound, gated in tests.
+
+    Returns ``coarse_keys + [q_<pct> ...]`` — one scalar column per
+    requested quantile (canon-safe: no array outputs).
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.expr(
+            f"kll_sketch_agg_double(cast({value_col} as double), {k})"
+        ).alias("__kll")
+    )
+    merged = fine.groupBy(*coarse_keys).agg(
+        F.collect_list("__kll").alias("__klls")
+    )
+    qarr = ", ".join(f"{q}D" for q in quantiles)
+    merged = merged.withColumn("__merged", _kll_merge_fold("__klls")).withColumn(
+        "__qs",
+        F.expr(f"kll_sketch_get_quantile_double(__merged, array({qarr}))"),
+    )
+    cols = [F.col("__qs")[i].alias(f"q_{int(q * 100)}") for i, q in enumerate(quantiles)]
+    return merged.select(*coarse_keys, *cols)

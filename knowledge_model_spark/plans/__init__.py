@@ -67,6 +67,10 @@ _GATE_PRIORITY = [
     "sample_weighted_priority",
     "ann_pq_topk",
     "udtf_sentence_split",
+    "graph_pagerank_trade",       # new r3: iterative BSP PageRank
+    "events_scd2_user_type",      # new r3: SCD2 dimension history
+    "agg_hll_region_rollup",      # new r3: mergeable HLL rollup
+    "agg_kll_quantile_merge",     # new r3: mergeable KLL quantiles
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged
@@ -122,6 +126,7 @@ def load_registry() -> dict[str, QuerySpec]:
         training_queries,
         graph_queries,
         quality_queries,
+        sketch_queries,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -248,3 +248,53 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(a.day, "user_a", "user_b")
     )
+
+
+@register(
+    "events_scd2_user_type",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM ordered
+    ),
+    runs AS (
+      SELECT user_id, ver AS version, event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM islands GROUP BY user_id, ver, event_type
+    )
+    SELECT user_id, version, event_type,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(valid_from) OVER w2) AS BIGINT) AS valid_to_us,
+           n_events,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+    doc="SCD Type-2 dimension history from the event log (gaps-and-islands: "
+    "change flag → island numbering → per-run effectivity bounds via lead); "
+    "one shuffle on the entity key — operators/relational.py::scd2_collapse",
+)
+def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import scd2_collapse
+
+    t = load_tables(spark, sf_dir)
+    hist = scd2_collapse(t["events"], "user_id", "ts", "event_type", "event_id")
+    return hist.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "n_events",
+        "is_current",
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from knowledge_model_spark.operators.graph import (
     connected_components,
     dedup_cluster_survivors,
+    pagerank,
 )
 from knowledge_model_spark.plans import register
 from knowledge_model_spark.session import load_tables
@@ -79,4 +80,76 @@ def dedup_cluster_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     return dedup_cluster_survivors(docs, _edges(docs), "doc_id").select(
         "doc_id", "lang", "source"
+    )
+
+
+# PageRank over the customer↔supplier trade graph (who-bought-from-whom,
+# made symmetric).  The oracle unrolls the identical recurrence for the
+# same 3 rounds; every float expression is written so both engines run
+# the same IEEE ops in the same order (sorted contribution folds; the
+# teleport term is (1.0 - 0.85)/n, NOT the decimal literal 0.15/n — those
+# differ in the last ulp).  Output is rank×1e6 rounded to 3 dp: scaling
+# first keeps ~6 significant digits through the round.
+_PR_ITER = """
+    c{i} AS (
+      SELECT e.dst AS node,
+             list_reduce(list_sort(list(r.rank / deg.outdeg)),
+                         (a, b) -> a + b)::DOUBLE AS recv
+      FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+               + 0.85::DOUBLE * coalesce(c{i}.recv, 0.0::DOUBLE) AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )"""
+
+_PR_SQL = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+    """
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, round(rank * 1000000.0, 3) AS rank_ppm FROM r3
+    """
+)
+
+
+@register(
+    "graph_pagerank_trade",
+    _PR_SQL,
+    doc="PageRank (3 synchronous rounds, damping 0.85) over the symmetric "
+    "customer↔supplier trade graph — iterative BSP DataFrame algorithm "
+    "(operators/graph.py::pagerank): contributions shuffle on dst only, "
+    "per-round lineage truncation, sorted contribution folds for "
+    "bit-deterministic float sums; oracle unrolls the same recurrence",
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(sym, iterations=3, damping=0.85)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1000000.0, 3).alias("rank_ppm")
     )

@@ -1,0 +1,88 @@
+"""Mergeable-sketch rollup queries (DataSketches HLL / KLL builtins).
+
+Why these are oracle-checkable even though they are "approximate":
+DataSketches HLL stays in exact coupon/sparse mode below its promotion
+threshold (~thousands of distincts at lgK=12), and KLL(k) retains every
+item until ~k of them arrive — so at the driver's oracle scale (sf0.01:
+~300 customers per region) the HLL estimate IS the exact distinct count
+and the KLL quantile IS the exact order statistic DuckDB's
+``quantile_disc`` returns.  The approximate regime (larger n) is gated
+in tests/test_sketches.py by relative error and by the merge invariant
+(union-of-parts == direct sketch).  Determinism in exact mode is
+order-independent, so collect_list/merge ordering cannot change values.
+
+The scale story (operators/sketches.py): sketch once per fine group
+map-side, re-aggregate any coarser level from the sketch bytes — never
+re-shuffle raw values per rollup level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.operators.sketches import hll_rollup, kll_quantile_rollup
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+
+def _cust_geo(t) -> DataFrame:
+    cust, nat, reg = t["customer"], t["nation"], t["region"]
+    return (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .select("r_name", "n_name", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "agg_hll_region_rollup",
+    """
+    SELECT r_name, count(DISTINCT n_name) AS n_fine_groups,
+           count(DISTINCT c_custkey) AS est_distinct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="distinct-customer rollup via HLL sketches: one sketch per nation "
+    "(map-side partials), lossless register-max union to region level, "
+    "estimate — exact in sparse mode at oracle scale, ~1.6%/sqrt(2^lgK) "
+    "beyond; merge invariant + error gated in tests/test_sketches.py",
+)
+def agg_hll_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return hll_rollup(
+        _cust_geo(t),
+        fine_keys=["r_name", "n_name"],
+        coarse_keys=["r_name"],
+        value_col="c_custkey",
+    )
+
+
+@register(
+    "agg_kll_quantile_merge",
+    """
+    SELECT r_name,
+           quantile_disc(c_acctbal, 0.25) AS q_25,
+           quantile_disc(c_acctbal, 0.5)  AS q_50,
+           quantile_disc(c_acctbal, 0.75) AS q_75
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="account-balance quantiles via KLL(2048) sketches: one sketch per "
+    "nation, binary-merge fold to region, order-statistic answers — "
+    "exact while n < k (the oracle regime), published ~1.65/sqrt(k) rank "
+    "error beyond, gated in tests/test_sketches.py",
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return kll_quantile_rollup(
+        _cust_geo(t),
+        fine_keys=["r_name", "n_name"],
+        coarse_keys=["r_name"],
+        value_col="c_acctbal",
+        quantiles=[0.25, 0.5, 0.75],
+    )

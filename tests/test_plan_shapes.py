@@ -167,3 +167,24 @@ def test_hard_negatives_windowgrouplimit(spark):
     plan = _plan(spark, "sample_hard_negatives")
     assert "WindowGroupLimit" in plan  # top-k pruned map-side
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_entity_shuffle(spark):
+    """Both windows and the island aggregate cluster on the entity key:
+    one Exchange total.  (HashPartitioning(user_id) satisfies the
+    (user_id, __ver) grouping — a second exchange here would mean the
+    run aggregation re-shuffled what the window already placed.)"""
+    plan = _plan(spark, "events_scd2_user_type")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_rollups_broadcast_dims_and_shuffle_sketch_bytes(spark):
+    """The geo dims broadcast; the only exchanges are the two
+    aggregation levels, and the second moves sketch bytes (one blob per
+    fine group), never raw values — the mergeable-summary contract."""
+    for q in ("agg_hll_region_rollup", "agg_kll_quantile_merge"):
+        plan = _plan(spark, q)
+        assert "SortMergeJoin" not in plan, q
+        assert plan.count("BroadcastHashJoin") == 2, q
+        assert plan.count("Exchange hashpartitioning") == 2, q

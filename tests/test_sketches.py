@@ -1,0 +1,188 @@
+"""Gates for the mergeable-sketch operators, the PageRank iteration, and
+SCD2 history collapse.
+
+The registry parity tests (test_oracle_parity.py) prove the exact-regime
+oracle equality; these tests gate the APPROXIMATE regime the oracle
+can't reach (large-cardinality HLL error, post-compaction KLL rank
+error, merge invariants) plus unit semantics for PageRank and SCD2.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from knowledge_model_spark.operators.graph import pagerank
+from knowledge_model_spark.operators.relational import scd2_collapse
+from knowledge_model_spark.operators.sketches import hll_rollup, kll_quantile_rollup
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def test_hll_rollup_exact_regime_and_merge_invariant(spark):
+    # 40k rows, 10k distinct ids spread over 20 fine groups / 4 coarse
+    df = spark.range(40000).select(
+        (F.col("id") % 20).alias("fine"),
+        (F.col("id") % 4).alias("coarse"),
+        (F.col("id") % 10000).alias("val"),
+    )
+    rolled = hll_rollup(df, ["coarse", "fine"], ["coarse"], "val").orderBy("coarse")
+    exact = (
+        df.groupBy("coarse").agg(F.countDistinct("val").alias("exact")).orderBy("coarse")
+    )
+    est = {r["coarse"]: r["est_distinct"] for r in rolled.collect()}
+    ex = {r["coarse"]: r["exact"] for r in exact.collect()}
+    for k in ex:
+        rel = abs(est[k] - ex[k]) / ex[k]
+        assert rel < 0.03, f"coarse={k}: est {est[k]} vs exact {ex[k]} (rel {rel:.3f})"
+
+    # merge invariant: union of fine sketches == sketch built directly on
+    # the coarse group (register-wise max is lossless at equal lgK)
+    direct = (
+        df.groupBy("coarse")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("val", F.lit(12))).alias("d"))
+        .collect()
+    )
+    direct = {r["coarse"]: r["d"] for r in direct}
+    assert est == direct
+
+
+# ------------------------------------------------------------------ KLL
+
+
+def test_kll_rollup_rank_error_beyond_exact_regime(spark):
+    # 50k values per coarse group — far beyond k=2048, so the sketch is
+    # compacted; gate the published ~1.65/sqrt(k) rank error (≈0.036)
+    df = spark.range(100000).select(
+        (F.col("id") % 10).alias("fine"),
+        (F.col("id") % 2).alias("coarse"),
+        (F.hash(F.col("id")) % 1000000).cast("double").alias("val"),
+    )
+    out = kll_quantile_rollup(
+        df, ["coarse", "fine"], ["coarse"], "val", [0.25, 0.5, 0.75]
+    ).collect()
+    rows = df.select("coarse", "val").toPandas()
+    for r in out:
+        vals = np.sort(rows[rows["coarse"] == r["coarse"]]["val"].to_numpy())
+        n = len(vals)
+        for q, col in ((0.25, "q_25"), (0.5, "q_50"), (0.75, "q_75")):
+            got = r[col]
+            true_rank = np.searchsorted(vals, got, side="right") / n
+            assert abs(true_rank - q) < 0.05, (
+                f"coarse={r['coarse']} q={q}: value {got} has rank {true_rank:.3f}"
+            )
+
+
+# ------------------------------------------------------------- PageRank
+
+
+def _numpy_pagerank(edges, iterations=3, damping=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        recv = {v: [] for v in nodes}
+        for a, b in edges:
+            recv[b].append(rank[a] / out[a])
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for c in sorted(recv[v]):
+                s += c
+            nxt[v] = (1.0 - damping) / n + damping * s
+        rank = nxt
+    return rank, idx
+
+
+def test_pagerank_matches_reference_on_known_graph(spark):
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (3, 4), (4, 3)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    want, _ = _numpy_pagerank(edges, iterations=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-15), v
+    # no dangling nodes in a symmetric graph → total mass conserved
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-12)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = [(i, (i * 7) % 50) for i in range(50) if i != (i * 7) % 50]
+    sym = edges + [(b, a) for a, b in edges]
+    e1 = spark.createDataFrame(sym, ["src", "dst"]).repartition(1)
+    e2 = spark.createDataFrame(sym, ["src", "dst"]).repartition(16)
+    r1 = sorted(pagerank(e1).collect())
+    r2 = sorted(pagerank(e2).collect())
+    assert [(r["node"], r["rank"]) for r in r1] == [(r["node"], r["rank"]) for r in r2]
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+def test_scd2_collapse_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A A B A  → 3 versions
+        (1, t0, "A", 10),
+        (1, t0 + dt.timedelta(hours=1), "A", 11),
+        (1, t0 + dt.timedelta(hours=2), "B", 12),
+        (1, t0 + dt.timedelta(hours=3), "A", 13),
+        # user 2: single event → 1 current version
+        (2, t0, "X", 14),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    hist = scd2_collapse(df, "user_id", "ts", "event_type", "event_id")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from"],
+            r["valid_to"],
+            r["n_events"],
+            r["is_current"],
+        )
+        for r in hist.collect()
+    }
+    assert got[(1, 1)] == ("A", t0, t0 + dt.timedelta(hours=2), 2, False)
+    assert got[(1, 2)] == (
+        "B",
+        t0 + dt.timedelta(hours=2),
+        t0 + dt.timedelta(hours=3),
+        1,
+        False,
+    )
+    assert got[(1, 3)] == ("A", t0 + dt.timedelta(hours=3), None, 1, True)
+    assert got[(2, 1)] == ("X", t0, None, 1, True)
+    # effectivity intervals tile the timeline: every non-current
+    # valid_to equals the next version's valid_from
+    assert len(got) == 4
+
+
+def test_scd2_same_timestamp_tiebreak_deterministic(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "B", 2), (1, t0, "A", 1), (1, t0 + dt.timedelta(hours=1), "B", 3)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out1 = sorted(
+        scd2_collapse(df, "user_id", "ts", "event_type", "event_id").collect()
+    )
+    out2 = sorted(
+        scd2_collapse(
+            df.repartition(8), "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    )
+    assert out1 == out2
+    # event_id tiebreak: A (id 1) before B (id 2) → versions A, B
+    types = [r["event_type"] for r in sorted(out1, key=lambda r: r["version"])]
+    assert types == ["A", "B"]
