@@ -77,6 +77,8 @@ HEADLINE: dict[str, bool] = {
     "events_scd2_user_type": False,
     "agg_hll_region_rollup": True,
     "agg_kll_quantile_merge": True,
+    "join_asof_cogrouped": False,
+    "agg_incremental_state": True,
 }
 
 

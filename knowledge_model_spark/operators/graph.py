@@ -86,6 +86,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Synchronous PageRank over the directed edge set, ``iterations``
     rounds — (node, rank).
@@ -104,43 +105,81 @@ def pagerank(
     simply leak their mass, and the oracle unrolls the identical
     recurrence, so the simplification cancels out.
 
-    Lineage is truncated per round with localCheckpoint (swap for
-    ``checkpoint()`` on a cluster, as in :func:`connected_components`).
-    The single driver scalar is the node count (one number).
+    Ranks are FIXED-POINT int64 (scale 1e12) throughout: contributions
+    are integer divisions, the per-node reduce is a plain ``sum(long)``
+    — commutative and associative EXACTLY, so the result is
+    bit-deterministic at any parallelism without the sorted-fold trick
+    float sums need (and an integer sum is a map-side-combinable
+    HashAggregate, vastly cheaper than collect_list + array_sort).
+    This is the standard way to make iterative numeric algorithms
+    reproducible on a cluster: quantize once, iterate in exact integer
+    arithmetic, convert at the edge.  Total mass is ≤ the scale (1e12),
+    so sums can never overflow int64 even on billion-node graphs.
+    ``damping`` is applied as the rational p/q = damping rounded to
+    1/100ths (17/20 for 0.85) — the DuckDB oracle mirrors the identical
+    integer recurrence.
+
+    The static sides (edges with pre-joined out-degree, the node set)
+    are materialized ONCE with localCheckpoint and reused every round;
+    rank lineage is truncated every ``checkpoint_every`` rounds (a
+    3-round run needs none).  Swap localCheckpoint for ``checkpoint()``
+    on a cluster, as in :func:`connected_components`.  The single
+    driver scalar is the node count (one number).
+
+    Returns (node, rank_e12 long, rank double) — ``rank_e12`` is the
+    exact fixed-point value (hash-stable), ``rank`` the float view.
     """
+    SCALE = 10**12
+    p = int(round(damping * 100))
+    q = 100
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # out-degree via a window (one exchange on s), not a groupBy
+    # self-join (which would re-derive the edge pipeline a second time
+    # and add a join exchange)
+    from pyspark.sql import Window
+
+    ed = e.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("s"))
+    ).localCheckpoint(eager=True)
+    # node set from the checkpointed edges — reads the materialized
+    # rows, not the upstream scan
     nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e["s"] == ranks["node"])
-            .join(deg, "s")
-            .select(F.col("d").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+    # localCheckpoint erases size statistics (LogicalRDD defaults to
+    # size-unknown), so Catalyst would SortMergeJoin the huge edge list
+    # against the node-sized rank table every round.  We KNOW the rank
+    # cardinality — it is n — so hint the broadcast ourselves while the
+    # node set plausibly fits executor memory; beyond that the SMJ is
+    # correct anyway (both sides hash on the same key, so the exchanges
+    # are reused across rounds).
+    bcast = (lambda d: F.broadcast(d)) if n <= 5_000_000 else (lambda d: d)
+    teleport_fp = (SCALE * (q - p)) // (q * n)
+    ranks = nodes.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
+    for i in range(iterations):
+        contribs = ed.join(bcast(ranks), ed["s"] == ranks["node"]).select(
+            F.col("d").alias("node"),
+            F.expr("rank_fp div outdeg").alias("c"),
         )
-        recv = contribs.groupBy("node").agg(
-            F.expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").alias(
-                "recv"
-            )
+        recv = contribs.groupBy("node").agg(F.sum("c").alias("recv"))
+        ranks = nodes.join(bcast(recv), "node", "left").select(
+            "node",
+            (
+                F.lit(teleport_fp)
+                + F.expr(f"(coalesce(recv, 0L) * {p}) div {q}")
+            ).cast("long").alias("rank_fp"),
         )
-        ranks = (
-            nodes.join(recv, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return ranks
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.col("rank_fp").alias("rank_e12"),
+        (F.col("rank_fp") / F.lit(float(SCALE))).alias("rank"),
+    )
 
 
 def dedup_cluster_survivors(

@@ -362,3 +362,124 @@ def scd2_collapse(
             "is_current",
         )
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Co-grouped pandas twin of :func:`asof_join` —
+    ``groupBy().cogroup().applyInPandas`` with a per-key
+    ``pandas.merge_asof``.
+
+    Same contract and same single-shuffle-per-side cost as the
+    union+window formulation (both sides hash on the key; each key's
+    rows meet in one task).  The union+window operator remains the hot
+    path — it stays JVM-side — but cogroup is the right seam when the
+    per-key logic outgrows window algebra (model-based imputation,
+    irregular interpolation), and this twin completes the §2.10 pandas
+    API surface (GROUPED_MAP / GROUPED_AGG / mapInPandas /
+    applyInPandasWithState / cogroup).  Equivalence against the window
+    formulation is asserted in tests/test_sketches.py.
+
+    Caveat vs the window twin: a key whose rows don't fit one task's
+    memory needs the window path; Arrow batches bound nothing across a
+    single cogroup key.
+    """
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_time)]
+    clash = sorted(set(left.columns) & set(right_cols))
+    if clash:
+        raise ValueError(
+            f"asof_join_cogrouped: left already has column(s) {clash}; "
+            "alias the right value columns to non-colliding names"
+        )
+
+    out_fields = left.schema.fields + [right.schema[c] for c in right_cols]
+    from pyspark.sql.types import StructType
+
+    schema = StructType(out_fields)
+    lcols = list(left.columns)
+    rkeep = [on, right_time, *right_cols]
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=lcols + list(right_cols))
+        ldf = ldf.sort_values(left_time, kind="mergesort")
+        if rdf.empty:
+            for c in right_cols:
+                ldf[c] = None
+            return ldf[lcols + list(right_cols)]
+        # rename the right time column: a name shared with left_time
+        # (both "ts" is the common case) would suffix-collide inside
+        # merge_asof and drop the left column from the output
+        rdf = (
+            rdf[rkeep]
+            .rename(columns={right_time: "__rt"})
+            .sort_values("__rt", kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            ldf,
+            rdf.drop(columns=[on]),
+            left_on=left_time,
+            right_on="__rt",
+            direction=direction,
+        )
+        return merged[lcols + list(right_cols)]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
+def merge_partial_aggs(
+    state: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental maintenance of algebraic aggregates.
+
+    ``state`` is a partial-aggregate table (keys + per-column sums +
+    row count + min/max per sum column); ``batch`` is NEW raw rows.
+    Returns the updated state: the batch is aggregated alone (cost ∝
+    batch) and merged with the prior state by re-aggregating two
+    partial rows per key — the raw corpus is never touched again.
+    sum/count/min/max are algebraic (partials merge losslessly), and
+    avg derives as sum/count at read time: the standard incremental-
+    view-maintenance contract, matching the reference's monthly
+    continuous flow (one new month folded into standing statistics).
+
+    At 100 TB the state table is keyed-group-sized (not corpus-sized);
+    the merge is one shuffle of two small tables.
+    """
+    aggs = [F.count("*").cast("long").alias(count_col)]
+    for c in sum_cols:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    partial = batch.groupBy(*keys).agg(*aggs)
+    if state is None:
+        return partial
+    merged_aggs = [F.sum(count_col).cast("long").alias(count_col)]
+    for c in sum_cols:
+        merged_aggs += [
+            F.sum(f"sum_{c}").alias(f"sum_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+    return state.unionByName(partial).groupBy(*keys).agg(*merged_aggs)

@@ -71,6 +71,8 @@ _GATE_PRIORITY = [
     "events_scd2_user_type",      # new r3: SCD2 dimension history
     "agg_hll_region_rollup",      # new r3: mergeable HLL rollup
     "agg_kll_quantile_merge",     # new r3: mergeable KLL quantiles
+    "join_asof_cogrouped",        # new r3: cogrouped-pandas as-of twin
+    "agg_incremental_state",      # new r3: incremental view maintenance
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

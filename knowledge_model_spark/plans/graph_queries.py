@@ -84,24 +84,20 @@ def dedup_cluster_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PageRank over the customer↔supplier trade graph (who-bought-from-whom,
-# made symmetric).  The oracle unrolls the identical recurrence for the
-# same 3 rounds; every float expression is written so both engines run
-# the same IEEE ops in the same order (sorted contribution folds; the
-# teleport term is (1.0 - 0.85)/n, NOT the decimal literal 0.15/n — those
-# differ in the last ulp).  Output is rank×1e6 rounded to 3 dp: scaling
-# first keeps ~6 significant digits through the round.
+# made symmetric).  The oracle unrolls the identical FIXED-POINT integer
+# recurrence for the same 3 rounds (scale 1e12, damping as the rational
+# 17/20): integer sums are exactly commutative/associative, so both
+# engines agree bit-for-bit with no float-ordering gymnastics at all.
 _PR_ITER = """
     c{i} AS (
-      SELECT e.dst AS node,
-             list_reduce(list_sort(list(r.rank / deg.outdeg)),
-                         (a, b) -> a + b)::DOUBLE AS recv
+      SELECT e.dst AS node, CAST(sum(r.rank_fp // deg.outdeg) AS BIGINT) AS recv
       FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON e.src = deg.src
       GROUP BY e.dst
     ),
     r{i} AS (
       SELECT nodes.node,
-             (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
-               + 0.85::DOUBLE * coalesce(c{i}.recv, 0.0::DOUBLE) AS rank
+             CAST((SELECT t FROM tp) + (coalesce(c{i}.recv, 0) * 17) // 20
+                  AS BIGINT) AS rank_fp
       FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
     )"""
 
@@ -115,13 +111,16 @@ _PR_SQL = (
     e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
     nodes AS (SELECT DISTINCT src AS node FROM e
               UNION SELECT DISTINCT dst AS node FROM e),
-    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    tp AS (SELECT (1000000000000 * 15) // (100 * n) AS t FROM nn),
     deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+    r0 AS (SELECT node,
+                  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_fp
+           FROM nodes),
     """
     + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
     + """
-    SELECT node, round(rank * 1000000.0, 3) AS rank_ppm FROM r3
+    SELECT node, rank_fp AS rank_e12 FROM r3
     """
 )
 
@@ -129,11 +128,11 @@ _PR_SQL = (
 @register(
     "graph_pagerank_trade",
     _PR_SQL,
-    doc="PageRank (3 synchronous rounds, damping 0.85) over the symmetric "
+    doc="PageRank (3 synchronous rounds, damping 17/20) over the symmetric "
     "customer↔supplier trade graph — iterative BSP DataFrame algorithm "
-    "(operators/graph.py::pagerank): contributions shuffle on dst only, "
-    "per-round lineage truncation, sorted contribution folds for "
-    "bit-deterministic float sums; oracle unrolls the same recurrence",
+    "(operators/graph.py::pagerank): fixed-point int64 ranks, plain "
+    "map-side-combinable integer sums (bit-deterministic by construction); "
+    "oracle unrolls the identical integer recurrence",
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -144,12 +143,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
+    # no pre-distinct here: pagerank() dedups its edge input once — a
+    # distinct on each side of the union would add two more full
+    # shuffles of the edge list for nothing
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    ranks = pagerank(sym, iterations=3, damping=0.85)
-    return ranks.select(
-        "node", F.round(F.col("rank") * 1000000.0, 3).alias("rank_ppm")
     )
+    ranks = pagerank(sym, iterations=3, damping=0.85)
+    return ranks.select("node", "rank_e12")

@@ -792,3 +792,94 @@ def join_fuzzy_name_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("name_b"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+@register(
+    "join_asof_cogrouped",
+    """
+    SELECT o.o_orderkey, o.o_custkey, e.event_type AS last_event_type
+    FROM (SELECT o_orderkey, o_custkey, o_custkey % 20 AS uid,
+                 TIMESTAMP '2024-01-01' + to_minutes(o_orderkey % 40000) AS ots
+          FROM orders) o
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_type
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) e
+      ON o.uid = e.user_id AND o.ots >= e.ts
+    """,
+    doc="the SAME as-of semantics as join_asof_last_event_before_order, "
+    "computed through the cogrouped-pandas seam "
+    "(groupBy().cogroup().applyInPandas + per-key merge_asof) — two "
+    "formulations, one oracle; the union+window twin remains the "
+    "JVM-side hot path",
+)
+def join_asof_cogrouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import asof_join_cogrouped
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.pmod(F.col("o_orderkey"), F.lit(40000)).cast("int"))
+        ).alias("ots"),
+        F.pmod(F.col("o_custkey"), F.lit(20)).alias("uid"),
+    )
+    events = (
+        t["events"]
+        .select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(F.col("user_id").alias("uid"), "ts", "event_type")
+    )
+    joined = asof_join_cogrouped(
+        orders,
+        events,
+        on="uid",
+        left_time="ots",
+        right_time="ts",
+        direction="backward",
+        right_cols=["event_type"],
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", F.col("event_type").alias("last_event_type")
+    )
+
+
+@register(
+    "agg_incremental_state",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="incremental view maintenance: the state table is built by folding "
+    "three disjoint batches (event_id mod 3) through merge_partial_aggs — "
+    "batch aggregated alone (cost ∝ batch), merged with prior state by "
+    "re-aggregating partials; the oracle is the FULL recompute, so the "
+    "green row proves incremental == full (sum/count/min/max are "
+    "algebraic; avg derives at read time)",
+)
+def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import merge_partial_aggs
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "value")
+    state = None
+    for i in range(3):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        state = merge_partial_aggs(state, batch, ["event_type"], ["value"])
+    return state.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
