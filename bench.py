@@ -79,6 +79,8 @@ HEADLINE: dict[str, bool] = {
     "agg_kll_quantile_merge": True,
     "join_asof_cogrouped": False,
     "agg_incremental_state": True,
+    "layout_zorder_keys": False,
+    "eval_ndcg_mrr_at_10": True,
 }
 
 

@@ -73,6 +73,8 @@ _GATE_PRIORITY = [
     "agg_kll_quantile_merge",     # new r3: mergeable KLL quantiles
     "join_asof_cogrouped",        # new r3: cogrouped-pandas as-of twin
     "agg_incremental_state",      # new r3: incremental view maintenance
+    "layout_zorder_keys",         # new r3: Morton clustering key
+    "eval_ndcg_mrr_at_10",        # new r3: ranking-quality eval
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

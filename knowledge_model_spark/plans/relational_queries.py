@@ -883,3 +883,58 @@ def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def _zorder_oracle() -> str:
+    from knowledge_model_spark.operators.layout import bucket_expr, morton_expr
+
+    bx = bucket_expr(
+        "d", "(SELECT dlo FROM b)", "(SELECT dhi FROM b)", 4096, div_op="//"
+    )
+    by = bucket_expr(
+        "k", "(SELECT klo FROM b)", "(SELECT khi FROM b)", 4096, div_op="//"
+    )
+    z = morton_expr([f"({bx})", f"({by})"], 12)
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             o_custkey AS k
+      FROM orders
+    ),
+    b AS (SELECT min(d) AS dlo, max(d) AS dhi, min(k) AS klo, max(k) AS khi
+          FROM base)
+    SELECT o_orderkey, {z} AS zkey FROM base
+    """
+
+
+@register(
+    "layout_zorder_keys",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering key over (order date, customer): "
+    "exact integer bucket + bit-interleave expressions shared verbatim "
+    "with the DuckDB oracle; operators/layout.py::write_zordered uses "
+    "this key with repartitionByRange + sortWithinPartitions so parquet "
+    "files carry narrow min/max on EVERY interleaved dim (file skipping "
+    "for filters on any of them — tests/test_layout.py proves the "
+    "pruning against a single-dim-sorted layout)",
+)
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.layout import zorder_key
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey",
+        F.expr("unix_date(cast(o_orderdate as date))").alias("d"),
+        F.col("o_custkey").alias("k"),
+    )
+    lo_hi = base.agg(
+        F.min("d"), F.max("d"), F.min("k"), F.max("k")
+    ).collect()[0]
+    keyed = zorder_key(
+        base,
+        ["d", "k"],
+        [(lo_hi[0], lo_hi[1]), (lo_hi[2], lo_hi[3])],
+        bits=12,
+    )
+    return keyed.select("o_orderkey", "zkey")

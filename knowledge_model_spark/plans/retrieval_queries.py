@@ -504,3 +504,141 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         F.col("id").alias("doc_id"), "rrf", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# DCG weights 1/log2(r+1), their prefix sums (ideal DCG for m relevant),
+# and reciprocal ranks — emitted as LITERALS in both engines: Spark's
+# log2 (Math.log ratio) and DuckDB's (libm log2) can differ in the last
+# ulp, literals cannot.
+_DCG_W = [
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+]
+_IDCG_P = [
+    "1.0", "1.6309297535714575", "2.1309297535714578", "2.5616063116448506",
+    "2.9484591188793923", "3.3046663059874146", "3.637999639320748",
+    "3.953464516106477", "4.254494511770458", "4.543559338088346",
+]
+_RR = [
+    "1.0", "0.5", "0.3333333333333333", "0.25", "0.2",
+    "0.16666666666666666", "0.14285714285714285", "0.125",
+    "0.1111111111111111", "0.1",
+]
+
+
+@register(
+    "eval_ndcg_mrr_at_10",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_EVAL_QUERIES}),
+    scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                      round(list_cosine_similarity(q.qv, e.embedding), 6) AS s
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.qid),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY s DESC, vec_id) AS r
+               FROM scored),
+    hit_ranks AS (SELECT qid, list(r ORDER BY r) AS hr
+                  FROM ranked WHERE r <= 10 AND label = qlabel GROUP BY qid),
+    nrel AS (SELECT q.qid,
+                    least(10, CAST(count(*) FILTER (WHERE e.label = q.qlabel
+                                                    AND e.vec_id <> q.qid)
+                                   AS INTEGER)) AS m
+             FROM q, embeddings e GROUP BY q.qid, q.qlabel),
+    per_q AS (
+      SELECT q.qid,
+             CASE WHEN hr IS NULL OR len(hr) = 0 THEN 0.0::DOUBLE
+                  ELSE list_reduce(list_transform(hr, x -> ([{", ".join(_DCG_W)}]::DOUBLE[])[x]),
+                                   (a, b) -> a + b) END
+               / (CASE WHEN m = 0 THEN 1.0::DOUBLE ELSE ([{", ".join(_IDCG_P)}]::DOUBLE[])[m] END)
+               AS ndcg,
+             CASE WHEN hr IS NULL OR len(hr) = 0 THEN 0.0::DOUBLE
+                  ELSE ([{", ".join(_RR)}]::DOUBLE[])[hr[1]] END AS rr
+      FROM q LEFT JOIN hit_ranks USING (qid) JOIN nrel USING (qid)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(list_reduce(list_sort(list(ndcg)), (a, b) -> a + b)
+                 / count(*), 6) AS ndcg_at_10,
+           round(list_reduce(list_sort(list(rr)), (a, b) -> a + b)
+                 / count(*), 6) AS mrr_at_10
+    FROM per_q
+    """,
+    doc="ranking-quality eval beyond recall: nDCG@10 and MRR@10 over the "
+    "same-label golden relation, exact brute-force ranking (rounded "
+    "score + id tiebreak = engine-identical order); DCG/ideal-DCG/RR "
+    "weights are shared literals and every float reduction is a sorted "
+    "fold, so the metric doubles match bit-for-bit",
+)
+def eval_ndcg_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        l2_normalize(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
+        .crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("cv"), F.col("qv")), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    top10 = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    hit_ranks = (
+        top10.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.sort_array(F.collect_list("r")).alias("hr"))
+    )
+    warr = f"array({', '.join(f'{x}D' for x in _DCG_W)})"
+    parr = f"array({', '.join(f'{x}D' for x in _IDCG_P)})"
+    rarr = f"array({', '.join(f'{x}D' for x in _RR)})"
+    # relevant-in-corpus count per query label (self excluded), capped 10
+    label_counts = e.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count("*").alias("__lc")
+    )
+    per_q = (
+        q.join(hit_ranks, "qid", "left")
+        .join(F.broadcast(label_counts), "qlabel")
+        .withColumn("m", F.least(F.lit(10), (F.col("__lc") - 1).cast("int")))
+        .withColumn(
+            "dcg",
+            F.expr(
+                f"CASE WHEN hr IS NULL OR size(hr) = 0 THEN 0.0D "
+                f"ELSE aggregate(transform(hr, x -> element_at({warr}, x)), "
+                f"0D, (a, b) -> a + b) END"
+            ),
+        )
+        .withColumn(
+            "ndcg",
+            F.col("dcg")
+            / F.expr(f"CASE WHEN m = 0 THEN 1.0D ELSE element_at({parr}, m) END"),
+        )
+        .withColumn(
+            "rr",
+            F.expr(
+                f"CASE WHEN hr IS NULL OR size(hr) = 0 THEN 0.0D "
+                f"ELSE element_at({rarr}, hr[0]) END"
+            ),
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.expr("aggregate(array_sort(collect_list(ndcg)), 0D, (a, b) -> a + b)")
+            / F.count("*"),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.expr("aggregate(array_sort(collect_list(rr)), 0D, (a, b) -> a + b)")
+            / F.count("*"),
+            6,
+        ).alias("mrr_at_10"),
+    )
