@@ -81,6 +81,7 @@ HEADLINE: dict[str, bool] = {
     "agg_incremental_state": True,
     "layout_zorder_keys": False,
     "eval_ndcg_mrr_at_10": True,
+    "text_bpe_tokenize": False,
 }
 
 

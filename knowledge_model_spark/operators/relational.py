@@ -483,3 +483,49 @@ def merge_partial_aggs(
             F.max(f"max_{c}").alias(f"max_{c}"),
         ]
     return state.unionByName(partial).groupBy(*keys).agg(*merged_aggs)
+
+
+def hot_key_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    hot_threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Adaptive skew join: salt ONLY the hot keys.
+
+    :func:`salted_join` replicates the entire right side ``n_salt``×,
+    taxing every key to fix the few; AQE's skew splitting fixes sort-
+    merge stages but not all shapes.  The production middle ground is
+    key-frequency-aware salting: one cheap aggregation finds keys whose
+    left-side count exceeds ``hot_threshold`` (the hot set is tiny by
+    definition — skew means FEW keys hold the mass, so it broadcasts),
+    then only those keys get salted/replicated; the long tail joins
+    completely untouched.  Cost: one count shuffle + right-side
+    replication ∝ (hot keys × n_salt) instead of (all keys × n_salt).
+
+    Deterministic: the salt comes from xxhash64 of the whole left row.
+    """
+    counts = left.groupBy(key).agg(F.count("*").alias("__kc"))
+    hot = counts.filter(F.col("__kc") > hot_threshold).select(key)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l_marked = left.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), key, "left"
+    )
+    l_salted = l_marked.withColumn(
+        "__salt", F.when(F.col("__hot"), salt).otherwise(F.lit(0))
+    ).drop("__hot")
+    r_marked = right.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), key, "left"
+    )
+    r_salted = r_marked.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                F.col("__hot"),
+                F.array(*[F.lit(i) for i in range(n_salt)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("__hot")
+    return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")

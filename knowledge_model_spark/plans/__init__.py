@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     "agg_incremental_state",      # new r3: incremental view maintenance
     "layout_zorder_keys",         # new r3: Morton clustering key
     "eval_ndcg_mrr_at_10",        # new r3: ranking-quality eval
+    "text_bpe_tokenize",          # new r3: expression-level BPE
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

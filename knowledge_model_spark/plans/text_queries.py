@@ -489,3 +489,49 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
           regexp_replace(d.text, '((?:\\S+ ){4}\\S+) ', '$1. ')) s
         """
     )
+
+
+# Frozen output of learn_bpe_merges(documents sample, n_merges=20) at
+# sf0.01 — the merge table ships as literals so the oracle can state the
+# identical replace chain (learning itself is the Spark loop in
+# functions/tokenize.py, exercised in tests/test_tokenize.py).
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+]
+
+
+def _bpe_oracle() -> str:
+    from knowledge_model_spark.functions.tokenize import bpe_sql
+
+    expr = bpe_sql("text", _BPE_MERGES)
+    return f"""
+    SELECT doc_id,
+           len({expr}) AS n_tok,
+           array_to_string(list_slice({expr}, 1, 10), '|') AS preview
+    FROM documents
+    """
+
+
+@register(
+    "text_bpe_tokenize",
+    _bpe_oracle(),
+    doc="BPE subword tokenization as pure whole-stage-codegen string "
+    "expressions: boundary-safe chained replaces over space-separated "
+    "symbols, merge table learned by the distributed greedy loop "
+    "(functions/tokenize.py::learn_bpe_merges — one pair-count shuffle "
+    "per round, driver holds only the table) and frozen as literals so "
+    "both engines run the identical chain; zero Python on the apply path",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.tokenize import bpe_tokens_expr
+
+    t = load_tables(spark, sf_dir)
+    toks = bpe_tokens_expr("text", _BPE_MERGES)
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.array_join(F.slice(toks, 1, 10), "|").alias("preview"),
+    )

@@ -84,3 +84,66 @@ def test_salted_join_parity_on_skewed_keys(spark):
     # determinism: salt comes from a hash of the left row, not randomness
     again = sorted(map(tuple, salted_join(left, right, "k", n_salt=8).collect()))
     assert again == got
+
+
+def test_hot_key_salted_join_parity_and_selective_replication(spark):
+    """hot_key_salted_join must equal the plain equi-join while salting
+    only the keys above the threshold (the tail is left untouched)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.relational import hot_key_salted_join
+
+    # key 0 is hot (3000 rows), keys 1..50 hold ~20 rows each
+    left = (
+        spark.range(4000)
+        .select(
+            F.when(F.col("id") < 3000, F.lit(0))
+            .otherwise((F.col("id") % 50) + 1)
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+    )
+    right = spark.range(51).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    got = sorted(
+        map(
+            tuple,
+            hot_key_salted_join(
+                left, right, "k", n_salt=8, hot_threshold=100
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 4000
+    # determinism across partitionings
+    again = sorted(
+        map(
+            tuple,
+            hot_key_salted_join(
+                left.repartition(16), right, "k", n_salt=8, hot_threshold=100
+            ).collect(),
+        )
+    )
+    assert again == want
+
+
+def test_hot_key_salted_join_left_outer(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.relational import hot_key_salted_join
+
+    left = spark.range(200).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("rv"))
+    want = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    got = sorted(
+        map(
+            tuple,
+            hot_key_salted_join(
+                left, right, "k", n_salt=4, hot_threshold=10, how="left"
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -251,3 +251,41 @@ def test_merge_partial_aggs_incremental_equals_full(spark, tables):
         "event_type", (F.col("sum_value") / F.col("n_rows")).alias("avg")
     ).collect()
     assert all(r["avg"] is not None for r in avg)
+
+
+def test_asof_cogrouped_forward_direction(spark):
+    import datetime as dt
+
+    from knowledge_model_spark.operators.relational import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(hours=h), f"L{k}{h}") for k in (1, 2) for h in (0, 2, 5)],
+        ["k", "lts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(hours=h), float(h)) for k in (1, 2) for h in (1, 3, 4)],
+        ["k", "rts", "rv"],
+    )
+    a = sorted(
+        map(
+            tuple,
+            asof_join(
+                left, right, "k", "lts", "rts", direction="forward", right_cols=["rv"]
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            asof_join_cogrouped(
+                left, right, "k", "lts", "rts", direction="forward", right_cols=["rv"]
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 6
+    # h=5 has no following right row → null fill in both formulations
+    assert any(t[-1] is None for t in a)
