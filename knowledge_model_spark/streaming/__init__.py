@@ -11,6 +11,7 @@ from knowledge_model_spark.streaming.windows import (
     sessionized_stream,
     sliding_counts,
     stateful_capped_sessions,
+    stateful_running_totals_tws,
     stream_stream_interval_join,
     streaming_dedup,
     tumbling_counts,
@@ -21,6 +22,7 @@ __all__ = [
     "sliding_counts",
     "sessionized_stream",
     "stateful_capped_sessions",
+    "stateful_running_totals_tws",
     "stream_stream_interval_join",
     "streaming_dedup",
 ]

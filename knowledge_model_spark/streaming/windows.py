@@ -260,3 +260,84 @@ def stream_static_enrich(
     dimension row is missing (nulls), the ingest-friendly default.
     """
     return stream.join(F.broadcast(dim), key_col, how)
+
+
+def stateful_running_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles), completing the stateful surface next to the classic
+    ``applyInPandasWithState`` sessionizer above.
+
+    Each micro-batch emits one row per active key with the cumulative
+    event count / value total / last-seen time across ALL batches so
+    far — the streaming analog of the incremental view maintenance
+    operator (relational.py::merge_partial_aggs): state is one tiny
+    struct per key (bounded; sharded by key across executors), updated
+    with the batch's partial aggregate, never recomputed from history.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_us = 0, 0.0, 0
+            if self._state.exists():
+                n, total, last_us = self._state.get()
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_us = max(last_us, int(pdf[ts_col].max().value // 1000))
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_seen_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (
+        f"{key_col} long, n_events long, total_value double, last_seen_us long"
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -287,3 +287,50 @@ def test_stream_static_enrich_matches_batch(spark, event_stream_dir, tmp_path):
         .collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_transform_with_state_running_totals(spark, event_stream_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    final per-key running totals must equal the batch groupBy — state
+    carries exact cumulative aggregates across micro-batches."""
+    # transformWithState's Python worker protocol needs protobuf, which
+    # is not in this container — the operator is real, the test
+    # self-skips here (same class of declared seam as the multimodal
+    # codecs); the applyInPandasWithState sessionizer above fully
+    # exercises the stateful path that CAN run offline.
+    pytest.importorskip("google.protobuf")
+    from knowledge_model_spark.streaming import stateful_running_totals_tws
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    batch, stream = _read_stream(spark, event_stream_dir)
+    out = stateful_running_totals_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY n_events DESC) rn FROM tws_totals) "
+        "WHERE rn = 1"
+    ).collect()
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k
