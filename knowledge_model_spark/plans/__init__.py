@@ -76,6 +76,7 @@ _GATE_PRIORITY = [
     "layout_zorder_keys",         # new r3: Morton clustering key
     "eval_ndcg_mrr_at_10",        # new r3: ranking-quality eval
     "text_bpe_tokenize",          # new r3: expression-level BPE
+    "sample_kfold_assign",        # new r3: k-fold CV assignment
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -273,3 +273,35 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es_key",
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+@register(
+    "sample_kfold_assign",
+    """
+    WITH folds AS (
+      SELECT doc_id, lang,
+             (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 5
+               AS fold
+      FROM documents
+    )
+    SELECT fold, lang, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM folds GROUP BY fold, lang
+    """,
+    doc="k-fold cross-validation assignment (k=5), content-addressed like "
+    "every sampler here: fold = md5-derived bytes mod k, so membership "
+    "is stable under repartitioning and corpus growth; a scan-speed "
+    "projection (no shuffle beyond the report aggregation)",
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    fold = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 5
+    return (
+        t["documents"]
+        .select("doc_id", "lang", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
