@@ -77,6 +77,7 @@ _GATE_PRIORITY = [
     "eval_ndcg_mrr_at_10",        # new r3: ranking-quality eval
     "text_bpe_tokenize",          # new r3: expression-level BPE
     "sample_kfold_assign",        # new r3: k-fold CV assignment
+    "events_variant_props",       # new r3: Spark 4 VARIANT extraction
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -298,3 +298,33 @@ def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_current",
     )
+
+
+@register(
+    "events_variant_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY 1
+    """,
+    doc="semi-structured props through Spark 4's VARIANT type: "
+    "try_parse_json once, variant_get typed extraction — the binary "
+    "variant encoding is parsed once per row instead of re-parsing the "
+    "JSON string per extracted field (the at-scale reason the type "
+    "exists); oracle states the same semantics over DuckDB json_extract",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    v = t["events"].withColumn("pv", F.try_parse_json("props"))
+    return (
+        v.groupBy(
+            F.pmod(
+                F.variant_get(F.col("pv"), "$.k", "long"), F.lit(10)
+            ).alias("k_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+    )
