@@ -65,9 +65,56 @@ class PagedRecordsReader(DataSourceReader):
             yield _record(i, partition.page)
 
 
+class PagedRecordsStreamReader:
+    """Incremental (streaming) cursor over the same paged upstream —
+    the reference's monthly continuous pull (pipelines/flows/
+    continuous.py) as a NATIVE streaming source: the offset dict is the
+    retstart cursor, checkpointed by Spark, so a stopped query resumes
+    exactly where the listing left off (mid-stream crash recovery for
+    free).  Each micro-batch advances the cursor by at most
+    ``max_pages_per_batch`` pages — bounded batches, AvailableNow
+    drains to the current ``total``.
+
+    Implements the SimpleDataSourceStreamReader contract (offsets are
+    plain dicts; ``read(start)`` returns (rows, next_offset)).
+    """
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", 1000))
+        self.page_size = int(options.get("page_size", 100))
+        self.max_pages = int(options.get("max_pages_per_batch", 2))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.page_size * self.max_pages, self.total)
+        # iter(list), not a bare generator: the runtime both advances
+        # the iterator and pickles it for its prefetch cache — a
+        # list_iterator supports both; size is bounded by
+        # page_size × max_pages
+        rows = [_record(i, i // self.page_size) for i in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: same pure transport
+        return iter(
+            [
+                _record(i, i // self.page_size)
+                for i in range(int(start["pos"]), int(end["pos"]))
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class PagedRecordsDataSource(DataSource):
     """``spark.read.format("paged_records").option("total", N)
-    .option("page_size", P).option("offset", R).load()``"""
+    .option("page_size", P).option("offset", R).load()`` — batch; or
+    ``spark.readStream.format("paged_records")`` for the incremental
+    cursor (offsets checkpointed by the engine)."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +125,9 @@ class PagedRecordsDataSource(DataSource):
 
     def reader(self, schema) -> PagedRecordsReader:
         return PagedRecordsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> PagedRecordsStreamReader:
+        return PagedRecordsStreamReader(self.options)
 
 
 def register_paged_source(spark) -> None:

@@ -399,3 +399,54 @@ def test_paged_datasource_empty_read(spark):
         "body",
         "page",
     ]
+
+
+def test_paged_datasource_streaming_incremental_resume(spark, tmp_path):
+    """Streaming cursor over the paged source: AvailableNow drains to
+    the current total in bounded micro-batches; restarting against a
+    GROWN total resumes from the checkpointed cursor and reads only the
+    tail (the reference's monthly continuous pull, natively)."""
+    from knowledge_model_spark.sources.paged_source import register_paged_source
+
+    register_paged_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain(total):
+        q = (
+            spark.readStream.format("paged_records")
+            .option("total", total)
+            .option("page_size", 50)
+            .option("max_pages_per_batch", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(sink).collect()
+
+    # AvailableNow processes the prefetched batch(es) per run; each run
+    # resumes from the checkpointed cursor against the durable parquet
+    # sink, so looping until the sink stops growing exercises
+    # restart-resume on every iteration.
+    def drain_all(total, max_runs=12):
+        seen = -1
+        rows = []
+        for _ in range(max_runs):
+            rows = drain(total)
+            if len(rows) == seen:
+                break
+            seen = len(rows)
+        return rows
+
+    first = drain_all(150)
+    assert {r["rec_id"] for r in first} == set(range(150))
+    # upstream grew; the resumed stream reads ONLY the tail 150..249
+    second = drain_all(250)
+    ids = [r["rec_id"] for r in second]
+    assert set(ids) == set(range(250))
+    assert len(ids) == 250  # exactly-once across every restart
