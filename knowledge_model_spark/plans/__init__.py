@@ -78,6 +78,8 @@ _GATE_PRIORITY = [
     "text_bpe_tokenize",          # new r3: expression-level BPE
     "sample_kfold_assign",        # new r3: k-fold CV assignment
     "events_variant_props",       # new r3: Spark 4 VARIANT extraction
+    "sql_recursive_chain_walk",   # new r3: Spark 4 WITH RECURSIVE
+    "sql_pipe_syntax_revenue",    # new r3: Spark 4 pipe syntax
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged
@@ -134,6 +136,7 @@ def load_registry() -> dict[str, QuerySpec]:
         graph_queries,
         quality_queries,
         sketch_queries,
+        sql_surface_queries,
     )
 
     ordered: dict[str, QuerySpec] = {}

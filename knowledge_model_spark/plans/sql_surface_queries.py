@@ -1,0 +1,78 @@
+"""Spark 4 SQL-surface queries: recursive CTEs and pipe syntax.
+
+Two capabilities that landed in Spark 4 and round out the engine's SQL
+surface next to the DataFrame API:
+
+- ``WITH RECURSIVE`` (UNION ALL form — Spark does not yet support the
+  UNION-dedup form, so the recursion must be acyclic/bounded; cyclic
+  closure stays on the dataframe pointer-jumping path in
+  operators/graph.py, which is also the right shape at scale).
+- SQL pipe syntax (``|>``), the linear query form.
+
+Both queries share semantics with their DuckDB oracles; the recursive
+one runs the IDENTICAL SQL text on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+# The decade-chain fixture from graph_queries: nodes with doc_id%10 in
+# 0..3 link to doc_id+1 → each head (doc_id%10 == 0) reaches h..h+4.
+# Acyclic and depth-bounded, so UNION ALL recursion terminates on both
+# engines; the join back to documents keeps it honest (only existing
+# nodes are walked).
+_RCTE = """
+    WITH RECURSIVE walk(head, node, depth) AS (
+      SELECT doc_id AS head, doc_id AS node, 0 AS depth
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT w.head, w.node + 1, w.depth + 1
+      FROM walk w JOIN documents d ON d.doc_id = w.node + 1
+      WHERE (w.node + 1) % 10 BETWEEN 1 AND 4
+    )
+    SELECT head, node, depth FROM walk
+"""
+
+
+@register(
+    "sql_recursive_chain_walk",
+    _RCTE,
+    doc="WITH RECURSIVE (Spark 4) transitive walk over the decade-chain "
+    "graph — the IDENTICAL SQL text runs on both engines; UNION ALL "
+    "form, acyclic by construction (cyclic closure stays on the "
+    "dataframe pointer-jumping path, operators/graph.py)",
+)
+def sql_recursive_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)  # registers the temp views
+    return spark.sql(_RCTE)
+
+
+@register(
+    "sql_pipe_syntax_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (|>, Spark 4): linear scan → filter → aggregate "
+    "form compiling to the same plan as the classic query — oracle "
+    "states the classic form",
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             GROUP BY l_returnflag, l_linestatus
+        """
+    )
