@@ -82,6 +82,10 @@ HEADLINE: dict[str, bool] = {
     "layout_zorder_keys": False,
     "eval_ndcg_mrr_at_10": True,
     "text_bpe_tokenize": False,
+    "sample_kfold_assign": True,
+    "events_variant_props": True,
+    "sql_recursive_chain_walk": False,
+    "sql_pipe_syntax_revenue": True,
 }
 
 

@@ -354,3 +354,42 @@ def make_synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
         F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
     )
     return rows
+
+
+def arrow_byte_stats(df, binary_col: str = "payload", id_col: str = "doc_id"):
+    """Per-row byte statistics through ``mapInArrow`` — the Arrow-native
+    sibling of the mapInPandas kernels above: batches stay as
+    ``pyarrow.RecordBatch`` end to end (no pandas materialization, no
+    object boxing), which is the right call for pure-binary kernels
+    where pandas would only add a copy.  Completes the §2.10 map-family
+    surface (mapInPandas / applyInPandas / cogroup / mapInArrow).
+
+    Emits (id, n_bytes, first_byte, byte_sum_mod) per row.
+    """
+    import pyarrow as pa
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, first_byte int, byte_sum_mod long"
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            payloads = batch.column(binary_col)
+            n_bytes, first, sums = [], [], []
+            for buf in payloads:
+                b = buf.as_py() or b""
+                n_bytes.append(len(b))
+                first.append(b[0] if b else -1)
+                sums.append(sum(b) % 1_000_003)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.to_pylist(), type=pa.int64()),
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(first, type=pa.int32()),
+                    pa.array(sums, type=pa.int64()),
+                ],
+                names=[id_col, "n_bytes", "first_byte", "byte_sum_mod"],
+            )
+
+    return df.select(id_col, binary_col).mapInArrow(kernel, out_schema)

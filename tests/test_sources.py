@@ -450,3 +450,23 @@ def test_paged_datasource_streaming_incremental_resume(spark, tmp_path):
     ids = [r["rec_id"] for r in second]
     assert set(ids) == set(range(250))
     assert len(ids) == 250  # exactly-once across every restart
+
+
+def test_map_in_arrow_byte_stats(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.sources.multimodal import arrow_byte_stats
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("payload"),
+    )
+    out = arrow_byte_stats(df).collect()
+    assert len(out) == 100
+    byid = {r["doc_id"]: r for r in out}
+    # cross-check against a driver-side reference
+    for i in (0, 7, 99):
+        b = f"payload-{i}".encode()
+        assert byid[i]["n_bytes"] == len(b)
+        assert byid[i]["first_byte"] == b[0]
+        assert byid[i]["byte_sum_mod"] == sum(b) % 1_000_003
