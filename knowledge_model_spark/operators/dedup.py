@@ -816,9 +816,16 @@ def semantic_dedup_pairs(
     Returns (id_a, id_b, cosine) for pairs sharing ≥1 assigned cell with
     cosine ≥ threshold.
     """
+    from pyspark import StorageLevel
+
+    # persist the normalized vectors: seeds, every Lloyd round, and the
+    # final assignment all scan this — without the barrier each pass
+    # re-reads parquet and re-normalizes (SemDeDup runs on the
+    # embeddings table, orders of magnitude smaller than the text
+    # corpus, so caching it is the intended shape at scale too)
     base = df.select(
         F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
         base.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")
@@ -845,9 +852,12 @@ def semantic_dedup_pairs(
         norms[norms == 0] = 1.0
         centroids = (M / norms[:, None]).tolist()
     asg = _assign_centroids_udf(centroids, n_assign)
+    # persist the assignment too: the in-cell pair self-join reads it
+    # from BOTH sides — unpersisted, the Arrow assignment UDF would run
+    # twice over the corpus
     assigned = base.select(
         "id", "v", F.explode(asg(F.col("v"))).alias("cluster")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va")
     )
