@@ -83,9 +83,15 @@ def pq_train(
     (m·ksub·dsub)-key partial-sum shuffle + a bounded driver fetch.
     Cells that lose all members keep their previous centroid.
     """
+    from pyspark import StorageLevel
+
+    # persist the normalized vectors: the seed scan and every Lloyd
+    # round read this table — unpersisted, each pass re-reads parquet
+    # and re-normalizes (same fix as semantic_dedup_pairs; embeddings
+    # are the small table, caching them is the at-scale shape too)
     base = df.select(
         F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
         base.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")
@@ -112,6 +118,7 @@ def pq_train(
         )  # ≤ m·ksub·dsub rows — bounded driver fetch
         for r in stats:
             M[r["mi"], r["code"], r["i"] - r["mi"] * dsub] = r["s"] / r["n"]
+    base.unpersist()
     return M.tolist()
 
 
