@@ -20,7 +20,13 @@ belong in ``read()`` (executor-side), never in ``partitions()``.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 SCHEMA = "rec_id bigint, pmid string, title string, body string, page int"
 
@@ -132,3 +138,77 @@ class PagedRecordsDataSource(DataSource):
 
 def register_paged_source(spark) -> None:
     spark.dataSource.register(PagedRecordsDataSource)
+
+
+class _QuarantineCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class QuarantineTsvWriter(DataSourceWriter):
+    """Partition-parallel TSV writer with two-phase commit.
+
+    The reference appends ``pmid\\treason`` lines to a single quarantine
+    manifest from one process (fetch_pubmed.py:83-90) — a write path
+    that cannot scale past one worker and corrupts on crash.  Here each
+    task writes its own shard to a staging name and the DRIVER commit
+    renames the shards into place; ``abort`` removes the staging files,
+    so a failed job leaves no partial manifest (the DataSourceWriter
+    two-phase contract).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.cols = [
+            c.strip() for c in options.get("columns", "pmid,reason").split(",")
+        ]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        part = uuid.uuid4().hex
+        staging = os.path.join(self.path, f"_staging-{part}.tsv")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(staging, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write("\t".join(str(row[c]) for c in self.cols) + "\n")
+                n += 1
+        return _QuarantineCommit(staging, n)
+
+    def commit(self, messages):
+        import os
+
+        for msg in messages:
+            if msg is None or msg.n == 0:
+                if msg is not None and os.path.exists(msg.path):
+                    os.remove(msg.path)
+                continue
+            final = msg.path.replace("_staging-", "part-")
+            os.replace(msg.path, final)
+
+    def abort(self, messages):
+        import os
+
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.path):
+                os.remove(msg.path)
+
+
+class QuarantineTsvDataSource(DataSource):
+    """``df.write.format("quarantine_tsv").option("path", dir).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "quarantine_tsv"
+
+    def writer(self, schema, overwrite: bool) -> QuarantineTsvWriter:
+        opts = dict(self.options)
+        opts.setdefault("columns", ",".join(f.name for f in schema.fields))
+        return QuarantineTsvWriter(opts)
+
+
+def register_quarantine_sink(spark) -> None:
+    spark.dataSource.register(QuarantineTsvDataSource)

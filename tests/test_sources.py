@@ -470,3 +470,30 @@ def test_map_in_arrow_byte_stats(spark):
         assert byid[i]["n_bytes"] == len(b)
         assert byid[i]["first_byte"] == b[0]
         assert byid[i]["byte_sum_mod"] == sum(b) % 1_000_003
+
+
+def test_quarantine_tsv_writer_two_phase_commit(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.sources.paged_source import register_quarantine_sink
+
+    register_quarantine_sink(spark)
+    out = str(tmp_path / "quarantine")
+    df = spark.range(100).select(
+        F.concat(F.lit("PMID"), F.col("id")).alias("pmid"),
+        F.when(F.col("id") % 2 == 0, "fetch_timeout")
+        .otherwise("parse_error")
+        .alias("reason"),
+    ).repartition(4)
+    df.write.format("quarantine_tsv").option("path", out).mode("append").save()
+    files = sorted(glob.glob(os.path.join(out, "part-*.tsv")))
+    assert files and not glob.glob(os.path.join(out, "_staging-*"))
+    lines = []
+    for f in files:
+        lines += open(f, encoding="utf-8").read().splitlines()
+    assert len(lines) == 100
+    recs = dict(l.split("\t") for l in lines)
+    assert recs["PMID0"] == "fetch_timeout" and recs["PMID1"] == "parse_error"
