@@ -89,6 +89,15 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     key = (id(spark.sparkContext), sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
+        # Temp views are session-global and last-registration-wins, so a
+        # later load_tables() against a DIFFERENT sf_dir leaves `FROM
+        # documents` SQL pointing at the wrong scale factor.  Re-point the
+        # views on every call (metadata-only, no I/O) so a query that does
+        # load_tables(sf_dir) immediately before spark.sql(...) always
+        # reads the tables it asked for.
+        for name, df in cached.items():
+            if name in TABLE_NAMES:
+                df.createOrReplaceTempView(name)
         return cached
     # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     # read nanos as long and truncate to microseconds (same truncation the

@@ -126,3 +126,20 @@ def test_salted_join_matches_plain(spark):
     exp = left.join(right, "k")
     assert got.count() == exp.count() > 0
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_load_tables_repoints_views_per_call(spark):
+    """Temp views are session-global; a load against another sf_dir must not
+    leave `FROM documents` SQL reading the wrong scale factor (the exact
+    interleaving the full test suite produces: sf0.001 fixtures + sf0.01
+    oracle-parity queries sharing one session)."""
+    from tests.conftest import ORACLE_SF_DIR, SF_DIR
+    from knowledge_model_spark.session import load_tables
+
+    small = load_tables(spark, SF_DIR)["orders"].count()
+    big = load_tables(spark, ORACLE_SF_DIR)["orders"].count()
+    assert small != big  # distinct scale factors, or the test proves nothing
+    load_tables(spark, SF_DIR)
+    assert spark.table("orders").count() == small
+    load_tables(spark, ORACLE_SF_DIR)
+    assert spark.table("orders").count() == big
