@@ -13,9 +13,12 @@ Spark-first shape:
 - **Training** reuses the deterministic k-means recipe proved out by
   semantic dedup (operators/dedup.py::semantic_dedup_pairs):
   content-addressed seeds (smallest md5(id)), Lloyd updates as ONE
-  corpus scan per iteration producing (subspace, code, dim) partial
-  sums — an m·ksub·dsub-key shuffle with map-side combine and a
-  bounded driver fetch.  All m subspaces train in the same pass.
+  Arrow pass per iteration emitting per-batch (subspace, code, Σsub,
+  n) partials — no per-dimension posexplode shuffle; the driver folds
+  ≤ partitions·m·ksub bounded rows in sorted order.  All m subspaces
+  train in the same pass, and L2 normalization happens inside the
+  kernels (the JVM transform-lambda normalize re-evaluates its norm
+  aggregate per element).
 - **Encoding** is a vectorized Arrow kernel (numpy argmin per
   subspace, first-occurrence tiebreak) — the codes table is the only
   thing the search shuffles.
@@ -43,17 +46,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
-from knowledge_model_spark.functions.vectors import dot, l2_normalize
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization (zero rows pass through unchanged) —
+    normalization lives INSIDE the Arrow kernels here: the JVM
+    l2_normalize expression recomputes the norm aggregate once per
+    array element (the lambda body re-evaluates its captured outer
+    expression), which profiling showed dominating PQ's cost."""
+    n = np.linalg.norm(X, axis=1)
+    n[n == 0] = 1.0
+    return X / n[:, None]
 
 
 def _pq_codes_udf(codebooks: np.ndarray):
-    """vector column → array<int> of m codes (argmin L2 per subspace)."""
+    """raw vector column → array<int> of m codes (argmin L2 per subspace
+    after in-kernel L2 normalization; idempotent on pre-normalized
+    input)."""
     M = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m, _, dsub = M.shape
 
     @pandas_udf(ArrayType(IntegerType()))
     def enc(vs: pd.Series) -> pd.Series:
-        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X = _normalize_rows(np.stack(vs.to_numpy()).astype(np.float64))
         codes = np.empty((X.shape[0], m), dtype=np.int32)
         for mi in range(m):
             sub = X[:, mi * dsub : (mi + 1) * dsub]
@@ -65,6 +80,34 @@ def _pq_codes_udf(codebooks: np.ndarray):
         return pd.Series(list(codes))
 
     return enc
+
+
+def _pq_lloyd_partials_kernel(codebooks: np.ndarray):
+    """mapInPandas kernel: per Arrow batch, normalize + encode against
+    the broadcast codebooks and emit one (mi, code, Σsubvec, n) partial
+    row per (subspace, code) present — all m subspaces in one corpus
+    pass, no per-dimension posexplode shuffle."""
+    M = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = M.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            rows = []
+            for mi in range(m):
+                sub = X[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((sub[:, None, :] - M[mi][None, :, :]) ** 2).sum(-1)
+                a = np.argmin(d2, axis=1)
+                for c in np.unique(a):
+                    mask = a == c
+                    rows.append(
+                        (mi, int(c), sub[mask].sum(axis=0).tolist(), int(mask.sum()))
+                    )
+            yield pd.DataFrame(rows, columns=["mi", "code", "s", "n"])
+
+    return gen
 
 
 def pq_train(
@@ -83,21 +126,18 @@ def pq_train(
     (m·ksub·dsub)-key partial-sum shuffle + a bounded driver fetch.
     Cells that lose all members keep their previous centroid.
     """
-    from pyspark import StorageLevel
-
-    # persist the normalized vectors: the seed scan and every Lloyd
-    # round read this table — unpersisted, each pass re-reads parquet
-    # and re-normalizes (same fix as semantic_dedup_pairs; embeddings
-    # are the small table, caching them is the at-scale shape too)
-    base = df.select(
-        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # raw vectors; normalization happens inside the Arrow kernels (the
+    # JVM l2_normalize expression re-evaluates its norm aggregate per
+    # array element — profiling showed it dominating train time)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     seeds = (
         base.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")
         .limit(ksub)
     )
-    seed_vecs = np.asarray([r["v"] for r in seeds.collect()], dtype=np.float64)
+    seed_vecs = _normalize_rows(
+        np.asarray([r["v"] for r in seeds.collect()], dtype=np.float64)
+    )
     dim = seed_vecs.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -106,19 +146,18 @@ def pq_train(
     M = np.stack([seed_vecs[:, mi * dsub : (mi + 1) * dsub] for mi in range(m)])
 
     for _ in range(max(0, n_iter)):
-        enc = _pq_codes_udf(M)
-        stats = (
-            base.withColumn("codes", enc(F.col("v")))
-            .select("codes", F.posexplode("v").alias("i", "x"))
-            .withColumn("mi", (F.col("i") / dsub).cast("int"))
-            .withColumn("code", F.element_at("codes", F.col("mi") + 1))
-            .groupBy("mi", "code", "i")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )  # ≤ m·ksub·dsub rows — bounded driver fetch
-        for r in stats:
-            M[r["mi"], r["code"], r["i"] - r["mi"] * dsub] = r["s"] / r["n"]
-    base.unpersist()
+        # ONE Arrow pass per iteration: encode + per-batch partial sums,
+        # folded in sorted order on the driver (order-independent floats)
+        stats = base.select("v").mapInPandas(
+            _pq_lloyd_partials_kernel(M), "mi int, code int, s array<double>, n long"
+        ).collect()  # ≤ partitions·m·ksub bounded rows
+        sums = np.zeros_like(M)
+        counts = np.zeros((m, M.shape[1]), dtype=np.int64)
+        for r in sorted(stats, key=lambda r: (r["mi"], r["code"], r["n"], tuple(r["s"]))):
+            sums[r["mi"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["mi"], r["code"]] += r["n"]
+        nz = counts > 0
+        M[nz] = sums[nz] / counts[nz, None]
     return M.tolist()
 
 
@@ -151,16 +190,18 @@ def pq_top_k(
     m, ksub, dsub = M.shape
 
     base = ensure_min_partitions(corpus).select(
-        F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
+        F.col(corpus_id), F.col(corpus_vec).alias("__cv")
     )
     codes = base.withColumn("__codes", _pq_codes_udf(M)(F.col("__cv")))
 
     q_rows = queries.select(
-        F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv")
+        F.col(query_id), F.col(query_vec).alias("__qv")
     ).collect()  # small query batch by contract
     lut_rows = []
+    qnorm: dict = {}
     for r in q_rows:
-        qv = np.asarray(r["__qv"], dtype=np.float64)
+        qv = _normalize_rows(np.asarray([r["__qv"]], dtype=np.float64))[0]
+        qnorm[r[query_id]] = qv
         lut = np.concatenate(
             [M[mi] @ qv[mi * dsub : (mi + 1) * dsub] for mi in range(m)]
         )
@@ -190,14 +231,21 @@ def pq_top_k(
 
     qdf = broadcast(
         spark.createDataFrame(
-            [(r[query_id], [float(x) for x in r["__qv"]]) for r in q_rows],
+            [(qid, [float(x) for x in vec]) for qid, vec in sorted(qnorm.items())],
             [query_id, "__qv"],
         )
     )
+
+    @pandas_udf("double")
+    def _cosine(cv: pd.Series, qv: pd.Series) -> pd.Series:
+        C = _normalize_rows(np.stack(cv.to_numpy()).astype(np.float64))
+        Q = np.stack(qv.to_numpy()).astype(np.float64)  # pre-normalized
+        return pd.Series(np.round((C * Q).sum(axis=1), 6))
+
     rescored = shortlist.join(qdf, query_id).select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(dot(F.col("__cv"), F.col("__qv")), 6).alias("score"),
+        _cosine(F.col("__cv"), F.col("__qv")).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
