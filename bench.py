@@ -86,6 +86,11 @@ HEADLINE: dict[str, bool] = {
     "events_variant_props": True,
     "sql_recursive_chain_walk": False,
     "sql_pipe_syntax_revenue": True,
+    "agg_heavy_hitter_terms": True,
+    "join_bloom_pruned": False,
+    "events_funnel_steps": True,
+    "text_url_normalize": False,
+    "quality_unigram_logppl": False,
 }
 
 

@@ -97,3 +97,61 @@ def dsir_importance(
             ).alias("dsir_weight"),
         )
     )
+
+
+def unigram_log_ppl(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-document unigram log-perplexity against an in-corpus LM —
+    the CCNet-style quality signal (Wenzek et al., LREC'20 score docs
+    with a KenLM perplexity and keep the low-perplexity head; an
+    in-corpus unigram LM is the self-contained analog, and the ``stats``
+    table below is the seam where a broadcast table of pretrained
+    log-probs would plug in).
+
+        logppl(d) = −(1/|d|) · Σ_{t ∈ d} tf(t)·ln p(t),
+        p(t) = (cnt(t)+1)/(tot+V)   (add-1 over the corpus vocabulary)
+
+    Lower = more typical of the corpus.  Engine parity exactly as
+    :func:`dsir_importance`: one token pass, exact-long driver scalars,
+    per-doc sums folded in sorted term order, 6-dp rounding.
+    Returns (id, dl, logppl).
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= min_len,
+            )
+        ).alias("term"),
+    )
+    stats = terms.groupBy("term").agg(F.count("*").alias("c"))
+    tot = stats.agg(
+        F.count("*").alias("v"), F.sum("c").alias("tot")
+    ).collect()[0]
+    v, tot_raw = tot["v"], tot["tot"]
+    logp = F.log((F.col("c") + 1.0) / F.lit(float(tot_raw + v)))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    contrib = tf.join(stats, "term").select(
+        "id", "term", "tf", (F.col("tf") * logp).alias("contrib")
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"),
+        )
+        .select(
+            "id",
+            "dl",
+            F.round(
+                -F.aggregate("cs", F.lit(0.0), lambda acc, x: acc + x["contrib"])
+                / F.col("dl"),
+                6,
+            ).alias("logppl"),
+        )
+    )

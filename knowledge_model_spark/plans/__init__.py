@@ -80,6 +80,11 @@ _GATE_PRIORITY = [
     "events_variant_props",       # new r3: Spark 4 VARIANT extraction
     "sql_recursive_chain_walk",   # new r3: Spark 4 WITH RECURSIVE
     "sql_pipe_syntax_revenue",    # new r3: Spark 4 pipe syntax
+    "agg_heavy_hitter_terms",     # new r3: Misra-Gries + exact verify
+    "join_bloom_pruned",          # new r3: Bloom probe-side pruning
+    "events_funnel_steps",        # new r3: ordered conversion funnel
+    "text_url_normalize",         # new r3: URL canon + domain extraction
+    "quality_unigram_logppl",     # new r3: CCNet-style LM quality score
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

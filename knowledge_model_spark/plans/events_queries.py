@@ -328,3 +328,60 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").cast("long").alias("n_types"),
         )
     )
+
+
+@register(
+    "events_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS t2
+      FROM events e JOIN s1 s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s.t1
+        AND e.ts <= s.t1 + INTERVAL 2 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t2
+        AND e.ts <= s.t1 + INTERVAL 2 DAY
+      GROUP BY e.user_id
+    ),
+    n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                 (SELECT count(*) FROM s2) AS n2,
+                 (SELECT count(*) FROM s3) AS n3)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n1 AS n_users,
+           round(n1 / CAST(n1 AS DOUBLE), 6) AS frac_of_first FROM n
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    """,
+    doc="ordered conversion funnel view → click → purchase with a 2-day "
+    "budget from each user's first view (operators/funnel.py): one "
+    "min-time aggregation per step, every step keyed on user_id so the "
+    "first Exchange's partitioning is reused — no per-user event-history "
+    "collect or sort; the product-analytics operator the reference's "
+    "event tables exist to answer",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.funnel import funnel_counts
+
+    t = load_tables(spark, sf_dir)
+    return funnel_counts(
+        t["events"],
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within="2 DAY",
+    ).select(
+        F.col("step"),
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        "frac_of_first",
+    )

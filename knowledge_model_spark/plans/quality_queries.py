@@ -500,3 +500,43 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), F.col("dl").cast("long").alias("dl"), "dsir_weight"
     )
+
+
+@register(
+    "quality_unigram_logppl",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    stats AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS v, sum(c) AS tot FROM stats),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((s.c + 1.0) / CAST(t.tot + t.v AS DOUBLE)) AS contrib
+      FROM tf JOIN stats s USING (term) CROSS JOIN tot t
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+           round(-sum(contrib ORDER BY term) / sum(tf), 6) AS logppl
+    FROM contrib GROUP BY doc_id
+    """,
+    doc="CCNet-style unigram log-perplexity quality score (Wenzek et "
+    "al., LREC'20: score with an LM, keep the low-perplexity head) "
+    "with an in-corpus add-1 unigram LM — the stats table is the seam "
+    "where a broadcast table of pretrained KenLM log-probs plugs in; "
+    "per-doc sums fold in sorted term order on BOTH engines so float "
+    "addition order is fixed (operators/importance.py::unigram_log_ppl)",
+)
+def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.importance import unigram_log_ppl
+
+    t = load_tables(spark, sf_dir)
+    out = unigram_log_ppl(t["documents_spread"], "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        "logppl",
+    )

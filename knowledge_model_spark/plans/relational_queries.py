@@ -938,3 +938,51 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=12,
     )
     return keyed.select("o_orderkey", "zkey")
+
+
+@register(
+    "join_bloom_pruned",
+    """
+    WITH hot AS (SELECT o_orderkey, o_orderdate
+                 FROM orders WHERE o_totalprice > 400000)
+    SELECT h.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN hot h ON l.l_orderkey = h.o_orderkey
+    GROUP BY h.o_orderkey
+    """,
+    doc="big-to-big join with Bloom-filter probe pruning "
+    "(operators/bloom.py): the selective build side (orders > 400k) is "
+    "compacted into a 2^17-bit bitmap via one bit_or aggregation, "
+    "shipped to the lineitem scan as an array<long> literal, and the "
+    "membership test (pure codegen bit arithmetic) drops non-matching "
+    "probe rows BEFORE the join shuffle — no false negatives, so the "
+    "result is provably the plain join, which is what the oracle "
+    "states; at 100 TB only plausibly-matching fact rows pay the "
+    "shuffle",
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.bloom import bloom_pruned_join
+
+    t = load_tables(spark, sf_dir)
+    build = t["orders"].filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey"), F.col("o_orderdate")
+    )
+    probe = t["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    joined = bloom_pruned_join(probe, build, "o_orderkey", num_bits=1 << 17)
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        ).cast("double").alias("revenue"),
+    )

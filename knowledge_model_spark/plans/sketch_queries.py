@@ -86,3 +86,42 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="c_acctbal",
         quantiles=[0.25, 0.5, 0.75],
     )
+
+
+@register(
+    "agg_heavy_hitter_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term AS item, count(*) AS cnt
+    FROM toks, tot
+    GROUP BY term, tot.n
+    HAVING count(*) >= ceil(tot.n / 512.0)
+    """,
+    doc="exact heavy-hitter tokens (freq ≥ 1/512 of all token "
+    "occurrences) via per-partition Misra–Gries summaries + exact "
+    "verification of the bounded candidate set "
+    "(operators/frequency.py::heavy_hitters) — the full-vocabulary "
+    "groupBy shuffle a 100 TB corpus cannot afford is replaced by "
+    "map-side k-entry summaries and a candidate-only count; the MG "
+    "superset guarantee makes the result exactly the naive answer, "
+    "which is what the oracle states",
+)
+def agg_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.frequency import heavy_hitters
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents_spread"].select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= 2,
+            )
+        ).alias("term")
+    )
+    return heavy_hitters(toks, "term", threshold_frac=1.0 / 512)

@@ -535,3 +535,72 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tok"),
         F.array_join(F.slice(toks, 1, 10), "|").alias("preview"),
     )
+
+
+# Deterministic messy-URL synthesis shared by the Spark query and the
+# DuckDB oracle: the documents table has no URL column, so one is
+# derived from (doc_id, source, lang) with every normalization hazard
+# present — mixed case, www, default ports, missing paths, tracking
+# params, fragments.
+_URL_SPARK = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://sub.' END || "
+    "source || '.Example.COM' || "
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '' "
+    "     ELSE '/Papers/' || CAST(doc_id AS STRING) END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || lang "
+    "     WHEN doc_id % 3 = 1 THEN '?ref=' || lang || '&gclid=abc123#sec-2' "
+    "     ELSE '' END"
+)
+_URL_DUCK = _URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "text_url_normalize",
+    f"""
+    WITH raw AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+    n0 AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1))
+               || regexp_replace(url, '^[^/?#]*://[^/?#]*', '') AS u
+           FROM raw),
+    n1 AS (SELECT doc_id, url, regexp_replace(u, '^([a-z]+://)www\\.', '\\1') AS u FROM n0),
+    n2 AS (SELECT doc_id, url, regexp_replace(u, '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2') AS u FROM n1),
+    n3 AS (SELECT doc_id, url, regexp_replace(u, '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2') AS u FROM n2),
+    n4 AS (SELECT doc_id, url, regexp_replace(u, '#.*$', '') AS u FROM n3),
+    n5 AS (SELECT doc_id, url, regexp_replace(u, '[?&](utm_[a-z0-9]+|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM n4),
+    n6 AS (SELECT doc_id, url, regexp_replace(u, '^([^?]*)&', '\\1?') AS u FROM n5),
+    n7 AS (SELECT doc_id, url, regexp_replace(u, '[?&]$', '') AS u FROM n6),
+    n8 AS (SELECT doc_id, url, regexp_replace(u, '^([a-z]+://[^/?#]+)$', '\\1/') AS u FROM n7),
+    n9 AS (SELECT doc_id, url, regexp_replace(u, '^([a-z]+://[^/?#]+)\\?', '\\1/?') AS u FROM n8),
+    fin AS (
+      SELECT doc_id, u AS url_norm,
+             regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+      FROM n9)
+    SELECT doc_id, url_norm, host,
+           CASE WHEN regexp_matches(host, '\\.[^.]+\\.')
+                THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                ELSE host END AS domain
+    FROM fin
+    """,
+    doc="URL normalization battery (functions/url.py): lowercase "
+    "scheme+host, strip www/default ports/fragments/tracking params, "
+    "default path; plus host and registered-domain extraction — the "
+    "crawl-pipeline canonical key everything dedups and mixes on; pure "
+    "RE2-safe regexp expressions, scan-speed, identical text in both "
+    "engines",
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.url import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    t = load_tables(spark, sf_dir)
+    raw = t["documents"].select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    return raw.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+        url_registered_domain(F.col("url")).alias("domain"),
+    )

@@ -90,3 +90,25 @@ def test_weighted_sample_stable_under_corpus_growth(spark, tables):
     }
     for d, k in half_keys.items():
         assert full_keys[d] == k
+
+
+def test_unigram_logppl_matches_reference(spark):
+    """Hand-computed add-1 unigram log-perplexity on a 3-doc corpus."""
+    import math
+
+    from knowledge_model_spark.operators.importance import unigram_log_ppl
+
+    docs = [(1, "aa bb aa"), (2, "aa cc"), (3, "bb bb dd")]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    out = {r["id"]: (r["dl"], r["logppl"]) for r in
+           unigram_log_ppl(df, "id", "text").collect()}
+    # counts: aa=3, bb=3, cc=1, dd=1; V=4, tot=8 → denom=12
+    p = {"aa": 4 / 12, "bb": 4 / 12, "cc": 2 / 12, "dd": 2 / 12}
+
+    def ref(toks):
+        s = -sum(math.log(p[t]) for t in toks) / len(toks)
+        return round(s, 6)
+
+    assert out[1] == (3, ref(["aa", "aa", "bb"]))
+    assert out[2] == (2, ref(["aa", "cc"]))
+    assert out[3] == (3, ref(["bb", "bb", "dd"]))
