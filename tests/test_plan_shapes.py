@@ -188,3 +188,42 @@ def test_sketch_rollups_broadcast_dims_and_shuffle_sketch_bytes(spark):
         assert "SortMergeJoin" not in plan, q
         assert plan.count("BroadcastHashJoin") == 2, q
         assert plan.count("Exchange hashpartitioning") == 2, q
+
+
+def test_bloom_prune_filters_probe_before_join(spark):
+    # the bitmap membership test must sit on the probe side BELOW the
+    # join (prune-then-shuffle, not shuffle-then-prune)
+    plan = _plan(spark, "join_bloom_pruned")
+    assert "xxhash64" in plan
+    join_kw = "ShuffledHashJoin" if "ShuffledHashJoin" in plan else (
+        "SortMergeJoin" if "SortMergeJoin" in plan else "BroadcastHashJoin"
+    )
+    probe_side = plan.split(join_kw, 1)[1]
+    assert "xxhash64" in probe_side  # filter is inside the join's subtree
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_steps_single_user_key_partitioning(spark):
+    # every step aggregates on the user key: hashpartitioning(user...)
+    # is the only grouping key that appears — no per-user sort of raw
+    # event history, no collect_list
+    plan = _plan(spark, "events_funnel_steps")
+    assert "collect_list" not in plan
+    import re
+
+    parts = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert parts <= {"user", "user_id"}, parts
+
+
+def test_url_battery_is_udf_free_scan(spark):
+    plan = _plan(spark, "text_url_normalize")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_heavy_hitters_verify_filters_scan(spark):
+    # the exact-verify pass must push the candidate-set membership into
+    # the scan stage (a Filter on the token column), not post-shuffle
+    plan = _plan(spark, "agg_heavy_hitter_terms")
+    before_exchange = plan.split("Exchange")[-1]  # deepest = scan side
+    assert "Filter" in before_exchange or "PushedFilters" in before_exchange
