@@ -91,6 +91,7 @@ HEADLINE: dict[str, bool] = {
     "events_funnel_steps": True,
     "text_url_normalize": False,
     "quality_unigram_logppl": False,
+    "retrieval_mmr_rerank": True,
 }
 
 

@@ -303,3 +303,76 @@ def rrf_fuse(
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "id", F.round("rrf", 6).alias("rrf"), "rnk"
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    query_id: str,
+    cand_id: str,
+    score_col: str,
+    vec_col: str,
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR'98): greedily select ``k`` of each query's
+    candidates maximizing
+
+        λ·rel(c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+
+    — the standard fix for top-k lists full of near-duplicates (which a
+    dedup'd-but-not-perfectly corpus always produces).
+
+    One Arrow task per query (``applyInPandas``): the candidate set is
+    an upstream top-N (small by contract — the same bounded-fanout
+    contract as rerank_top_k), so the greedy loop is an in-memory numpy
+    matmul per query, never a cross join.  Engine-stable determinism:
+    every quantity entering a comparison is rounded to 6 dp (relevance
+    upstream, pairwise cosines, marginals) and ties break to the
+    smallest candidate id — the DuckDB oracle unrolls the identical
+    greedy steps.
+
+    Returns (query_id, cand_id, mmr_rank, mmr_score).
+    """
+    import numpy as np
+
+    id_types = dict(cands.dtypes)
+    out_schema = (
+        f"{query_id} {id_types[query_id]}, {cand_id} {id_types[cand_id]}, "
+        "mmr_rank long, mmr_score double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(cand_id, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        V = V / norms[:, None]
+        sims = np.round(V @ V.T, 6)
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[cand_id].to_numpy()
+        selected: list[int] = []
+        maxsim = np.zeros(n)
+        out_rows = []
+        avail = np.ones(n, dtype=bool)
+        for step in range(1, min(k, n) + 1):
+            if step == 1:
+                marg = np.round(lam * rel, 6)
+            else:
+                marg = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+            # argmax with smallest-id tiebreak: ids are ascending, so
+            # the FIRST occurrence of the max marginal wins
+            cand_idx = np.where(avail)[0]
+            pick = cand_idx[np.argmax(marg[cand_idx])]
+            out_rows.append(
+                (pdf[query_id].iloc[0], ids[pick], step, float(marg[pick]))
+            )
+            avail[pick] = False
+            selected.append(pick)
+            maxsim = np.maximum(maxsim, sims[:, pick])
+        return pd.DataFrame(
+            out_rows, columns=[query_id, cand_id, "mmr_rank", "mmr_score"]
+        )
+
+    return cands.groupBy(query_id).applyInPandas(kernel, out_schema)

@@ -85,6 +85,7 @@ _GATE_PRIORITY = [
     "events_funnel_steps",        # new r3: ordered conversion funnel
     "text_url_normalize",         # new r3: URL canon + domain extraction
     "quality_unigram_logppl",     # new r3: CCNet-style LM quality score
+    "retrieval_mmr_rerank",       # new r3: MMR diversification
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -238,3 +238,91 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "retrieval_mmr_rerank",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS score,
+             CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e CROSS JOIN q
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    s1 AS (
+      SELECT * FROM (
+        SELECT query_id, vec_id, score, v, round(0.7 * score, 6) AS m,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(0.7 * score, 6) DESC, vec_id) AS r
+        FROM cand) WHERE r = 1
+    ),
+    p2 AS (
+      SELECT c.query_id, c.vec_id, c.score, c.v,
+             round(0.7 * c.score
+                   - 0.3 * round(list_cosine_similarity(c.v, s1.v), 6), 6) AS m
+      FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+    ),
+    s2 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY m DESC, vec_id) AS r
+        FROM p2) WHERE r = 1
+    ),
+    p3 AS (
+      SELECT c.query_id, c.vec_id,
+             round(0.7 * c.score
+                   - 0.3 * greatest(
+                       round(list_cosine_similarity(c.v, s1.v), 6),
+                       round(list_cosine_similarity(c.v, s2.v), 6)), 6) AS m
+      FROM cand c
+      JOIN s1 ON c.query_id = s1.query_id
+      JOIN s2 ON c.query_id = s2.query_id
+      WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+    ),
+    s3 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY m DESC, vec_id) AS r
+        FROM p3) WHERE r = 1
+    )
+    SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank, m AS mmr_score FROM s1
+    UNION ALL
+    SELECT query_id, vec_id, CAST(2 AS BIGINT), m FROM s2
+    UNION ALL
+    SELECT query_id, vec_id, CAST(3 AS BIGINT), m FROM s3
+    """,
+    doc="Maximal Marginal Relevance diversification (Carbonell & "
+    "Goldstein SIGIR'98) of the exact top-10: greedy λ·rel − (1−λ)·"
+    "max-sim-to-selected, λ=0.7, k=3 — one Arrow task per query over "
+    "the bounded candidate set (operators/retrieval.py::mmr_rerank); "
+    "every compared quantity rounded to 6 dp with smallest-id "
+    "tiebreak, so the oracle can unroll the identical greedy steps",
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.retrieval import mmr_rerank
+
+    t = load_tables(spark, sf_dir)
+    hits = brute_force_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=10,
+    )
+    cands = hits.join(
+        t["embeddings"].select("vec_id", "embedding"), "vec_id"
+    ).select("query_id", "vec_id", "score", "embedding")
+    out = mmr_rerank(
+        cands, "query_id", "vec_id", "score", "embedding", k=3, lam=0.7
+    )
+    return out.select("query_id", "vec_id", "mmr_rank", "mmr_score")

@@ -67,3 +67,33 @@ def test_rrf_fuse_exact_values(spark):
     # ids 2 and 4 tie at 1/62 — id-ascending tiebreak
     assert got[2] == (round(1 / 62, 6), 3)
     assert got[4] == (round(1 / 62, 6), 4)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Plain top-3 picks the three near-identical high scorers; MMR must
+    swap in the diverse candidate despite its lower relevance."""
+    from knowledge_model_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        # three near-duplicate vectors with top relevance
+        ("q", 1, 0.99, [1.0, 0.0, 0.0]),
+        ("q", 2, 0.98, [0.999, 0.01, 0.0]),
+        ("q", 3, 0.97, [0.998, 0.02, 0.0]),
+        # orthogonal, lower relevance
+        ("q", 4, 0.60, [0.0, 1.0, 0.0]),
+        ("q", 5, 0.50, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["qid", "cid", "score", "vec"])
+    out = {r["mmr_rank"]: r["cid"] for r in
+           mmr_rerank(df, "qid", "cid", "score", "vec", k=3, lam=0.5).collect()}
+    assert out[1] == 1          # highest relevance first
+    assert set(out.values()) == {1, 4, 5}  # then the two orthogonal ones
+
+
+def test_mmr_rerank_k_exceeds_candidates(spark):
+    from knowledge_model_spark.operators.retrieval import mmr_rerank
+
+    rows = [("q", 1, 0.9, [1.0, 0.0]), ("q", 2, 0.8, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["qid", "cid", "score", "vec"])
+    got = mmr_rerank(df, "qid", "cid", "score", "vec", k=10).collect()
+    assert sorted(r["mmr_rank"] for r in got) == [1, 2]
