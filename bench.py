@@ -92,6 +92,7 @@ HEADLINE: dict[str, bool] = {
     "text_url_normalize": False,
     "quality_unigram_logppl": False,
     "retrieval_mmr_rerank": True,
+    "sample_fixed_per_group": True,
 }
 
 

@@ -208,6 +208,33 @@ def stratified_sample(
     return df.filter(h < bound)
 
 
+def fixed_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, deterministically.
+
+    The eval-set construction primitive: "3 documents per language",
+    stable across runs, partitionings, and cluster sizes.  Priority is
+    the md5 of the key (content-addressed, like every sampler here) with
+    the key itself as tiebreak; one row_number window per group — a
+    single shuffle on the group key, no RNG state (a distributed
+    reservoir sample would need mergeable per-partition reservoirs and
+    still be seed-sensitive; hash priority gets the same statistical
+    behavior for free).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def hex_rate_bound(rate: float) -> str:
     """rate in [0,1] -> 4-digit lowercase hex bound ('zzzz' for keep-all,
     which compares above every hex digit)."""

@@ -86,6 +86,7 @@ _GATE_PRIORITY = [
     "text_url_normalize",         # new r3: URL canon + domain extraction
     "quality_unigram_logppl",     # new r3: CCNet-style LM quality score
     "retrieval_mmr_rerank",       # new r3: MMR diversification
+    "sample_fixed_per_group",     # new r3: exact-n-per-stratum sample
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -540,3 +540,28 @@ def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dl").cast("long").alias("dl"),
         "logppl",
     )
+
+
+@register(
+    "sample_fixed_per_group",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+    doc="exactly-3-documents-per-language deterministic sample (eval-set "
+    "construction): md5-of-key priority + key tiebreak, one row_number "
+    "window = a single shuffle on the group key, content-addressed so "
+    "membership is stable across runs/partitionings/corpus growth "
+    "(operators/relational.py::fixed_sample_per_group)",
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import fixed_sample_per_group
+
+    t = load_tables(spark, sf_dir)
+    return fixed_sample_per_group(
+        t["documents"].select("doc_id", "lang"), "lang", 3, "doc_id"
+    )

@@ -178,3 +178,19 @@ def test_apply_mixture_downsamples_majority_only(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_fixed_sample_per_group_deterministic_and_capped(spark, tables):
+    from knowledge_model_spark.operators.relational import fixed_sample_per_group
+
+    docs = tables["documents"].select("doc_id", "lang")
+    a = sorted(map(tuple, fixed_sample_per_group(docs, "lang", 3, "doc_id").collect()))
+    b = sorted(map(tuple,
+        fixed_sample_per_group(docs.repartition(13), "lang", 3, "doc_id").collect()))
+    assert a == b  # partitioning-independent membership
+    import collections
+
+    per = collections.Counter(lang for _, lang in a)
+    sizes = dict(docs.groupBy("lang").count().collect())
+    for lang, c in per.items():
+        assert c == min(3, sizes[lang])
