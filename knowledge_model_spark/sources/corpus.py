@@ -244,3 +244,55 @@ def compact_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return frag
+
+
+def read_csv_deadletter(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema'd CSV/TSV reader; returns (good, dead_letter).
+
+    Same warn-and-continue contract as :func:`read_jsonl`, via
+    ``from_csv`` over a text scan: malformed lines (wrong arity, type
+    casts that fail) land in the dead-letter frame with their raw text
+    instead of failing the 100 TB scan.  Explicit schema = single pass,
+    no inference scan; a TSV is ``sep='\\t'`` (the reference's
+    quarantine manifest format, fetch_pubmed.py:83-90).
+
+    ``from_csv`` cannot represent "fewer/more columns than schema" as a
+    corrupt record when every present field parses, so arity is checked
+    structurally: a good row must split into exactly ``len(schema)``
+    fields.
+    """
+    n_fields = len(schema.fields)
+    full_schema = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    import re as _re
+
+    lines = spark.read.text(path)
+    if header:
+        header_line = sep.join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != header_line)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_csv(
+            F.col("value"),
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in full_schema),
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+                "sep": sep,
+            },
+        ).alias("__r"),
+        F.size(F.split(F.col("value"), _re.escape(sep), -1)).alias("__arity"),
+    )
+    ok = F.col("__r._corrupt_record").isNull() & (F.col("__arity") == n_fields)
+    good = parsed.filter(ok).select(
+        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    dead = parsed.filter(~ok).select(F.col("value").alias("_corrupt_record"))
+    return good, dead

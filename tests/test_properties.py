@@ -113,3 +113,51 @@ def test_minhash_sketch_invariant_to_partitioning(spark, tables, parts):
         test_minhash_sketch_invariant_to_partitioning._base = sigs
     else:
         assert sigs == base
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([0.05, 0.1, 0.3]),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitters_equals_naive_on_random_data(spark, items, frac):
+    import math
+
+    from knowledge_model_spark.operators.frequency import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in items], ["v"]).repartition(5)
+    min_cnt = math.ceil(len(items) * frac)
+    naive = {
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_cnt)
+        .collect()
+    }
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "v", frac).collect()}
+    assert got == naive
+
+
+@given(
+    st.lists(
+        st.from_regex(
+            r"https?://[A-Za-z][A-Za-z0-9.]{0,12}(:\d{1,4})?(/[a-z0-9/]{0,8})?"
+            r"(\?(utm_x=1|q=2)(&(utm_y=3|p=4))?)?(#[a-z]{0,4})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_url_normalize_is_idempotent(spark, urls):
+    from knowledge_model_spark.functions.url import url_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(url_normalize(F.col("url")).alias("n"))
+    twice = once.select(url_normalize(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]

@@ -543,3 +543,36 @@ def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
     assert sorted(r["id"] for r in after.collect()) == before_ids
     # idempotent: a second pass finds nothing to do
     assert compact_partitions(spark, path, target_bytes=1 << 30, min_files=4) == {}
+
+
+def test_read_csv_deadletter(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from knowledge_model_spark.sources.corpus import read_csv_deadletter
+
+    p = tmp_path / "in.tsv"
+    p.write_text(
+        "id\tname\tscore\n"          # header
+        "1\talpha\t0.5\n"             # good
+        "2\tbeta\t0.75\n"             # good
+        "3\tgamma\n"                  # missing field -> dead
+        "4\tdelta\t0.1\textra\n"      # extra field -> dead
+        "notanint\teps\t0.2\n"        # type failure -> dead
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, dead = read_csv_deadletter(spark, str(p), schema, sep="\t")
+    rows = sorted(map(tuple, good.collect()))
+    assert rows == [(1, "alpha", 0.5), (2, "beta", 0.75)]
+    assert good.schema == schema
+    dead_rows = {r["_corrupt_record"] for r in dead.collect()}
+    assert dead_rows == {
+        "3\tgamma",
+        "4\tdelta\t0.1\textra",
+        "notanint\teps\t0.2",
+    }
