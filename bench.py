@@ -93,6 +93,7 @@ HEADLINE: dict[str, bool] = {
     "quality_unigram_logppl": False,
     "retrieval_mmr_rerank": True,
     "sample_fixed_per_group": True,
+    "agg_corr_regression": True,
 }
 
 

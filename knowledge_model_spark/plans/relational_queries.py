@@ -986,3 +986,81 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "agg_corr_regression",
+    """
+    WITH s AS (
+      SELECT n_name,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,6)))        AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(28,6)))   AS sy,
+             sum(CAST(l_quantity AS DECIMAL(28,6))
+                 * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy,
+             sum(CAST(l_quantity AS DECIMAL(28,6))
+                 * CAST(l_quantity AS DECIMAL(28,6)))      AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(28,6))
+                 * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_price_per_qty
+    FROM s
+    """,
+    doc="per-nation Pearson correlation and OLS slope of price vs "
+    "quantity, computed from EXACT decimal moment sums (Σx Σy Σxy Σx² "
+    "Σy² are order-independent decimals; only the final scalar formula "
+    "touches floats) — the standard trick that makes statistical "
+    "aggregates bit-identical across engines and partitionings, where "
+    "the builtin corr()/regr_slope() float accumulators are "
+    "summation-order-dependent",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(28,6)")
+    y = F.col("l_extendedprice").cast("decimal(28,6)")
+    s = (
+        t["lineitem"]
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = nD * sxy - sx * sy
+    var_x = nD * sxx - sx * sx
+    var_y = nD * syy - sy * sy
+    return s.select(
+        "n_name",
+        F.col("n").cast("long").alias("n"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_n / var_x, 6).alias("slope_price_per_qty"),
+    )
