@@ -94,6 +94,7 @@ HEADLINE: dict[str, bool] = {
     "retrieval_mmr_rerank": True,
     "sample_fixed_per_group": True,
     "agg_corr_regression": True,
+    "ann_ivfpq_topk": True,
 }
 
 

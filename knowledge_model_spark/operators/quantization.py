@@ -59,16 +59,19 @@ def _normalize_rows(X: np.ndarray) -> np.ndarray:
     return X / n[:, None]
 
 
-def _pq_codes_udf(codebooks: np.ndarray):
+def _pq_codes_udf(codebooks: np.ndarray, normalize: bool = True):
     """raw vector column → array<int> of m codes (argmin L2 per subspace
     after in-kernel L2 normalization; idempotent on pre-normalized
-    input)."""
+    input).  ``normalize=False`` for residual vectors (IVFPQ), whose
+    magnitude IS the signal."""
     M = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m, _, dsub = M.shape
 
     @pandas_udf(ArrayType(IntegerType()))
     def enc(vs: pd.Series) -> pd.Series:
-        X = _normalize_rows(np.stack(vs.to_numpy()).astype(np.float64))
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        if normalize:
+            X = _normalize_rows(X)
         codes = np.empty((X.shape[0], m), dtype=np.int32)
         for mi in range(m):
             sub = X[:, mi * dsub : (mi + 1) * dsub]
@@ -82,7 +85,7 @@ def _pq_codes_udf(codebooks: np.ndarray):
     return enc
 
 
-def _pq_lloyd_partials_kernel(codebooks: np.ndarray):
+def _pq_lloyd_partials_kernel(codebooks: np.ndarray, normalize: bool = True):
     """mapInPandas kernel: per Arrow batch, normalize + encode against
     the broadcast codebooks and emit one (mi, code, Σsubvec, n) partial
     row per (subspace, code) present — all m subspaces in one corpus
@@ -94,7 +97,9 @@ def _pq_lloyd_partials_kernel(codebooks: np.ndarray):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if normalize:
+                X = _normalize_rows(X)
             rows = []
             for mi in range(m):
                 sub = X[:, mi * dsub : (mi + 1) * dsub]
@@ -117,6 +122,7 @@ def pq_train(
     m: int = 8,
     ksub: int = 16,
     n_iter: int = 2,
+    normalize: bool = True,
 ) -> list:
     """Train m per-subspace codebooks of ksub centroids; returns a
     nested list (m × ksub × d/m) — plain data, broadcastable anywhere.
@@ -135,9 +141,9 @@ def pq_train(
         .orderBy("__h", "id")
         .limit(ksub)
     )
-    seed_vecs = _normalize_rows(
-        np.asarray([r["v"] for r in seeds.collect()], dtype=np.float64)
-    )
+    seed_vecs = np.asarray([r["v"] for r in seeds.collect()], dtype=np.float64)
+    if normalize:
+        seed_vecs = _normalize_rows(seed_vecs)
     dim = seed_vecs.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -149,7 +155,8 @@ def pq_train(
         # ONE Arrow pass per iteration: encode + per-batch partial sums,
         # folded in sorted order on the driver (order-independent floats)
         stats = base.select("v").mapInPandas(
-            _pq_lloyd_partials_kernel(M), "mi int, code int, s array<double>, n long"
+            _pq_lloyd_partials_kernel(M, normalize),
+            "mi int, code int, s array<double>, n long",
         ).collect()  # ≤ partitions·m·ksub bounded rows
         sums = np.zeros_like(M)
         counts = np.zeros((m, M.shape[1]), dtype=np.int64)
@@ -246,6 +253,191 @@ def pq_top_k(
         F.col(query_id),
         F.col(corpus_id),
         _cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _residual_kernel(coarse: np.ndarray, n_assign: int = 1):
+    """mapInPandas kernel: (id, v) → one row per assigned cell:
+    (id, cell, v, r).  L2-normalize, assign the ``n_assign`` nearest
+    coarse centroids by L2 (stable argsort, first-occurrence tiebreak —
+    the SAME rule the coarse training kernel used), residual computed
+    against EACH assigned cell's centroid.  Multi-assignment (the same
+    lever as ivf_top_k's) closes the Voronoi-boundary miss at
+    n_assign× index size."""
+    C = np.asarray(coarse, dtype=np.float64)
+    a = max(1, min(n_assign, C.shape[0]))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :a]
+            frames = []
+            for ai in range(a):
+                cells = order[:, ai]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(),
+                            "cell": cells.astype("int32"),
+                            "v": list(X),
+                            "r": list(X - C[cells]),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return gen
+
+
+def ivfpq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    n_assign: int = 3,
+    m: int = 8,
+    ksub: int = 32,
+    refine: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """FAISS-IVFPQ-shaped composite index: coarse k-means cells + PQ
+    codes of the RESIDUAL (v − centroid), probed ADC, exact re-rank.
+
+    Why the composition beats either part alone at 100 TB: IVF's cell
+    pruning means a query touches n_probe/n_cells of the codes table
+    (which partition-prunes if the codes table is written partitioned
+    by cell), and PQ-on-residuals quantizes a far tighter distribution
+    than PQ-on-vectors (the cell centroid absorbs the coarse position,
+    so the same m×ksub code budget buys much lower distortion — the
+    IVFADC recipe of Jégou et al. TPAMI'11 §V).
+
+    Scoring uses the inner-product decomposition
+    ⟨q, v⟩ = ⟨q, c_cell⟩ + ⟨q, r⟩ ≈ qc + Σ_mi LUT[mi][code_mi]:
+    the per-query LUT is built from q's SLICES (not residuals), so one
+    LUT serves every probed cell; only the scalar qc differs per
+    (query, cell).  Everything downstream of the two k-means trainings
+    is the pq_top_k machinery: broadcast (cell, qc, LUT) rows, JVM ADC
+    in whole-stage codegen, k·refine shortlist, exact cosine re-rank.
+
+    Deterministic end-to-end (content-addressed seeds, argmin
+    first-occurrence tiebreaks, sorted partial folds); recall-gated vs
+    the exact baseline in tests — not oracle-expressible, like LSH/IVF.
+    """
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    # 1) coarse centroids — full-vector k-means IS pq_train with m=1
+    coarse = np.asarray(
+        pq_train(corpus, corpus_id, corpus_vec, m=1, ksub=n_cells,
+                 n_iter=n_iter, normalize=True)
+    )[0]  # (n_cells, d)
+    dim = coarse.shape[1]
+
+    base = ensure_min_partitions(corpus).select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
+    )
+    resid = base.mapInPandas(
+        _residual_kernel(coarse, n_assign),
+        f"id {dict(corpus.dtypes)[corpus_id]}, cell int, "
+        "v array<double>, r array<double>",
+    )
+    from pyspark import StorageLevel
+
+    # the residual frame feeds PQ training (n_iter passes) AND encoding:
+    # persist or every pass re-runs the assignment kernel over the corpus
+    resid = resid.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 2) residual codebooks (NO normalization — residual magnitude is
+    # the signal)
+    Mr = np.asarray(
+        pq_train(resid, "id", "r", m=m, ksub=ksub, n_iter=n_iter,
+                 normalize=False)
+    )
+    dsub = dim // m
+    codes = resid.select(
+        "id", "cell", "v", _pq_codes_udf(Mr, normalize=False)(F.col("r")).alias("__codes")
+    )
+
+    # 3) query side: probe the n_probe nearest cells (same L2 rule),
+    # one LUT per query from q's slices, one qc scalar per (query, cell)
+    q_rows = queries.select(
+        F.col(query_id), F.col(query_vec).alias("__qv")
+    ).collect()
+    probe_rows = []
+    qn_rows = []
+    for rrow in q_rows:
+        qn = _normalize_rows(np.asarray([rrow["__qv"]], dtype=np.float64))[0]
+        qn_rows.append((rrow[query_id], [float(x) for x in qn]))
+        lut = np.concatenate(
+            [Mr[mi] @ qn[mi * dsub : (mi + 1) * dsub] for mi in range(m)]
+        )
+        d2 = ((qn[None, :] - coarse) ** 2).sum(-1)
+        cells = np.argsort(d2, kind="stable")[:n_probe]
+        for c in cells:
+            probe_rows.append(
+                (
+                    rrow[query_id],
+                    int(c),
+                    float(qn @ coarse[c]),
+                    [float(x) for x in lut],
+                )
+            )
+    spark = corpus.sparkSession
+    probed = spark.createDataFrame(
+        probe_rows, [query_id, "cell", "__qc", "__lut"]
+    )
+
+    adc = F.col("__qc") + F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: F.element_at(
+                "__lut", mi * ksub + F.element_at("__codes", mi + 1) + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.join(broadcast(probed), "cell").select(
+        F.col(query_id), F.col("id").alias(corpus_id), F.col("v"), adc.alias("__adc")
+    )
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("__adc").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = scored.withColumn("__r", F.row_number().over(w_short)).filter(
+        F.col("__r") <= k * refine
+    )
+
+    qdf = broadcast(spark.createDataFrame(qn_rows, [query_id, "__qn"]))
+
+    @pandas_udf("double")
+    def _dot(cv: pd.Series, qv: pd.Series) -> pd.Series:
+        C = np.stack(cv.to_numpy()).astype(np.float64)  # pre-normalized
+        Q = np.stack(qv.to_numpy()).astype(np.float64)
+        return pd.Series(np.round((C * Q).sum(axis=1), 6))
+
+    rescored = (
+        shortlist.join(qdf, query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            _dot(F.col("v"), F.col("__qn")).alias("score"),
+        )
+        # multi-assignment can surface the same (query, id) via several
+        # cells; the exact score is pair-determined, so a plain dedup
+        .dropDuplicates([query_id, corpus_id])
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()

@@ -128,7 +128,7 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     )
-    from knowledge_model_spark.operators.quantization import pq_top_k
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k, pq_top_k
 
     exact = brute_force_top_k(t["embeddings"], q, **kw).select("query_id", "vec_id")
     out = []
@@ -136,6 +136,7 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", lsh_bucket_top_k),
         ("ivf", ivf_top_k),
         ("pq", pq_top_k),
+        ("ivfpq", ivfpq_top_k),
     ):
         approx = fn(t["embeddings"], q, **kw).select("query_id", "vec_id")
         hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
@@ -326,3 +327,30 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands, "query_id", "vec_id", "score", "embedding", k=3, lam=0.7
     )
     return out.select("query_id", "vec_id", "mmr_rank", "mmr_score")
+
+
+@register(
+    "ann_ivfpq_topk",
+    None,  # float argmin cell/code assignment — recall gated vs exact
+    doc="FAISS-IVFPQ-shaped composite approximate top-10: coarse k-means "
+    "cells (probe 6 of 16, corpus multi-assigned ×3) + PQ codes of the "
+    "RESIDUAL v − centroid (the IVFADC recipe, Jégou et al. TPAMI'11 "
+    "§V — residual quantization buys far lower distortion per code "
+    "budget), inner-product decomposition ⟨q,v⟩ ≈ ⟨q,c⟩ + LUT-ADC, "
+    "exact cosine re-rank of the k·8 shortlist; at 100 TB a query "
+    "touches n_probe/n_cells of a cell-partitioned codes table "
+    "(operators/quantization.py::ivfpq_top_k)",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k
+
+    t = load_tables(spark, sf_dir)
+    return ivfpq_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))

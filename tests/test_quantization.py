@@ -63,3 +63,42 @@ def test_pq_train_shapes_and_reuse(spark, tables):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_ivfpq_recall_gate_and_determinism(spark, tables):
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k
+
+    q = _queries(tables)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(tables["embeddings"], q, **KW).collect()
+    }
+    out1 = sorted(map(tuple, ivfpq_top_k(tables["embeddings"], q, **KW).collect()))
+    approx = {(r[0], r[1]) for r in out1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.80, f"IVFPQ recall {recall} below the reference gate"
+    out2 = sorted(map(tuple, ivfpq_top_k(tables["embeddings"], q, **KW).collect()))
+    assert out1 == out2
+
+
+def test_ivfpq_multi_assign_improves_recall(spark, tables):
+    """The n_assign lever must actually buy recall on this corpus —
+    guards against the boundary-miss regression the default exists for."""
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k
+
+    q = _queries(tables)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(tables["embeddings"], q, **KW).collect()
+    }
+
+    def recall(na):
+        a = {
+            (r["query_id"], r["vec_id"])
+            for r in ivfpq_top_k(
+                tables["embeddings"], q, n_assign=na, **KW
+            ).collect()
+        }
+        return len(exact & a) / len(exact)
+
+    assert recall(3) >= recall(1)
