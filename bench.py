@@ -95,6 +95,7 @@ HEADLINE: dict[str, bool] = {
     "sample_fixed_per_group": True,
     "agg_corr_regression": True,
     "ann_ivfpq_topk": True,
+    "events_retention_cohorts": True,
 }
 
 

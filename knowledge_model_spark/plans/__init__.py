@@ -89,6 +89,7 @@ _GATE_PRIORITY = [
     "sample_fixed_per_group",     # new r3: exact-n-per-stratum sample
     "agg_corr_regression",        # new r3: exact-moment corr/OLS slope
     "ann_ivfpq_topk",             # new r3: IVFPQ composite (rows-only)
+    "events_retention_cohorts",   # new r3: weekly retention matrix
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

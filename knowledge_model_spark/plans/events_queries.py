@@ -385,3 +385,63 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         "frac_of_first",
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+    doc="weekly retention cohort matrix: users bucketed by first-seen "
+    "week, per (cohort, week-offset) active-user counts and retention "
+    "fraction — the product-analytics triangle view.  Two aggregations "
+    "keyed on user (Exchange reuse with the funnel's shape) + one "
+    "coarse (cohort, offset) rollup; no per-user history collect",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+    )
