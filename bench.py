@@ -96,6 +96,8 @@ HEADLINE: dict[str, bool] = {
     "agg_corr_regression": True,
     "ann_ivfpq_topk": True,
     "events_retention_cohorts": True,
+    "cdc_apply_latest": False,
+    "cdc_snapshot_diff": False,
 }
 
 

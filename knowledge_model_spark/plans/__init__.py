@@ -90,6 +90,8 @@ _GATE_PRIORITY = [
     "agg_corr_regression",        # new r3: exact-moment corr/OLS slope
     "ann_ivfpq_topk",             # new r3: IVFPQ composite (rows-only)
     "events_retention_cohorts",   # new r3: weekly retention matrix
+    "cdc_apply_latest",           # new r3: CDC log apply (last-write-wins)
+    "cdc_snapshot_diff",          # new r3: snapshot diff -> I/U/D changelog
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

@@ -445,3 +445,109 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cdc_apply_latest",
+    """
+    WITH log AS (
+      SELECT user_id AS key, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY key
+               ORDER BY seq DESC, (op = 'D') DESC, op DESC) AS rn
+      FROM log
+    )
+    SELECT key, value FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC change-log apply, last-write-wins with delete tombstones "
+    "(operators/cdc.py::cdc_apply_latest — the MERGE/compaction half of "
+    "Delta-style CDC as plain DataFrame ops): the events stream doubles "
+    "as the op log (event_id = sequence, 'error' = delete); one window "
+    "on the key, WindowGroupLimit prunes losers map-side, no global "
+    "sort or collect",
+)
+def cdc_apply_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.cdc import cdc_apply_latest
+
+    t = load_tables(spark, sf_dir)
+    log = t["events"].select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    return cdc_apply_latest(log, ["key"], "seq")
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, 'N', 1.0
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT 'I' AS op, n.o_orderkey, n.o_orderstatus, n.o_totalprice
+    FROM new n LEFT JOIN old o USING (o_orderkey) WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'D', o.o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM old o LEFT JOIN new n USING (o_orderkey) WHERE n.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'U', n.o_orderkey, n.o_orderstatus, n.o_totalprice
+    FROM new n JOIN old o USING (o_orderkey)
+    WHERE n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+    """,
+    doc="snapshot diff → minimal I/U/D changelog (operators/cdc.py::"
+    "cdc_snapshot_diff — the Change-Data-Feed half): deterministic "
+    "'new' snapshot derived from orders (drop %5 keys, mutate %7 "
+    "status, insert %11 twins); one co-partitioned full-outer join on "
+    "the key, null-safe value comparison",
+)
+def cdc_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.cdc import cdc_snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    old = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(
+            t["orders"]
+            .filter(F.col("o_orderkey") % 11 == 0)
+            .select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    out = cdc_snapshot_diff(old, new, ["o_orderkey"])
+    # D rows carry the NEW side's null payload by construction; project
+    # explicitly so both engines emit identical null columns
+    return out.select(
+        "op",
+        "o_orderkey",
+        F.when(F.col("op") != "D", F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("op") != "D", F.col("o_totalprice")).alias("o_totalprice"),
+    )

@@ -289,3 +289,39 @@ def test_asof_cogrouped_forward_direction(spark):
     assert a == b and len(a) == 6
     # h=5 has no following right row → null fill in both formulations
     assert any(t[-1] is None for t in a)
+
+
+def test_cdc_apply_latest_semantics(spark):
+    from knowledge_model_spark.operators.cdc import cdc_apply_latest
+
+    rows = [
+        ("U", 1, 1, "a"), ("U", 1, 3, "c"), ("U", 1, 2, "b"),   # last write wins
+        ("U", 2, 1, "x"), ("D", 2, 2, None),                     # deleted
+        ("D", 3, 1, None), ("U", 3, 2, "alive"),                 # resurrected
+        ("U", 4, 5, "keep"), ("D", 4, 5, None),                  # tie: delete wins
+    ]
+    log = spark.createDataFrame(rows, ["op", "k", "seq", "val"])
+    got = {r["k"]: r["val"] for r in cdc_apply_latest(log, ["k"], "seq").collect()}
+    assert got == {1: "c", 3: "alive"}
+
+
+def test_cdc_snapshot_diff_roundtrip(spark):
+    """Applying the diff as a change log over `old` must reproduce `new`."""
+    from knowledge_model_spark.operators.cdc import cdc_apply_latest, cdc_snapshot_diff
+    import pyspark.sql.functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)], ["k", "s", "x"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", None), (4, "d", 4.0)], ["k", "s", "x"]
+    )
+    diff = cdc_snapshot_diff(old, new, ["k"])
+    ops = {(r["op"], r["k"]) for r in diff.collect()}
+    assert ops == {("U", 2), ("D", 3), ("I", 4)}  # unchanged k=1 absent
+
+    log = old.select(F.lit("U").alias("op"), "k", "s", "x").withColumn(
+        "seq", F.lit(0)
+    ).unionByName(diff.withColumn("seq", F.lit(1)))
+    applied = cdc_apply_latest(log, ["k"], "seq")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
