@@ -98,6 +98,7 @@ HEADLINE: dict[str, bool] = {
     "events_retention_cohorts": True,
     "cdc_apply_latest": False,
     "cdc_snapshot_diff": False,
+    "events_anomaly_zscore": True,
 }
 
 

@@ -551,3 +551,73 @@ def cdc_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("op") != "D", F.col("o_orderstatus")).alias("o_orderstatus"),
         F.when(F.col("op") != "D", F.col("o_totalprice")).alias("o_totalprice"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type, hr, c,
+             count(*)  OVER w AS n,
+             sum(c)    OVER w AS s1,
+             sum(c * c) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, CAST(c AS BIGINT) AS c,
+           round((c - CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 * n / sqrt(CAST(n AS DOUBLE) * (n - 1)), 6) AS zscore
+    FROM stats
+    WHERE n >= 3 AND CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1 > 0
+    """,
+    doc="trailing-window anomaly z-score per (event_type, hour): count "
+    "vs the previous 6 hours' sample mean/std — the observability "
+    "query over event streams.  The trailing moments are INTEGER sums "
+    "(counts), so mean/std derive from exact arithmetic and the float "
+    "z-score is engine-identical (same exact-moment recipe as "
+    "agg_corr_regression); ROWS frame per type, one shuffle on "
+    "event_type",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-6, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hr",
+        "c",
+        F.count("*").over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    s1D = F.col("s1").cast("double")
+    var_num = nD * F.col("s2").cast("double") - s1D * s1D
+    z = (
+        (F.col("c") - s1D / F.col("n"))
+        / F.sqrt(var_num)
+        * F.col("n")
+        / F.sqrt(nD * (F.col("n") - 1))
+    )
+    return stats.filter((F.col("n") >= 3) & (var_num > 0)).select(
+        "event_type",
+        "hr",
+        F.col("c").cast("long").alias("c"),
+        F.round(z, 6).alias("zscore"),
+    )

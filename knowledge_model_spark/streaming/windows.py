@@ -341,3 +341,28 @@ def stateful_running_totals_tws(
             timeMode="EventTime",
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Watermarked tumbling-window APPROXIMATE distinct-user counts.
+
+    Streaming cannot hold per-window distinct sets (unbounded state per
+    window under late data); ``approx_count_distinct`` keeps one HLL
+    register block per window — algebraic, mergeable across
+    micro-batches, watermark-evictable.  Same trade as the batch HLL
+    rollup (operators/sketches.py): exact below the sparse threshold,
+    ~rsd beyond.  The batch twin for tests is the identical expression
+    without the watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.approx_count_distinct(user_col, rsd=rsd).alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )

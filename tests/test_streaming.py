@@ -334,3 +334,41 @@ def test_transform_with_state_running_totals(spark, event_stream_dir, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_windowed_distinct_users_stream_matches_batch(
+    spark, event_stream_dir, tmp_path
+):
+    """HLL windowed distinct over the stream == the same expression in
+    batch (algebraic merge across micro-batches must not change the
+    sketch result), and == exact distinct at this sub-sparse scale."""
+    from knowledge_model_spark.streaming.windows import windowed_distinct_users
+
+    batch_df, src = _read_stream(spark, event_stream_dir)
+    out = windowed_distinct_users(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wdu")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wdu"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_users"])
+        for r in spark.sql("select * from wdu").collect()
+    }
+    exp = {
+        (r["window_start"], r["n_users"])
+        for r in windowed_distinct_users(batch_df).collect()
+    }
+    assert got == exp and len(got) > 0
+    exact = {
+        (r["w"], r["n"])
+        for r in batch_df.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+        .collect()
+    }
+    assert got == exact  # sub-sparse regime: HLL is exact here
