@@ -99,6 +99,7 @@ HEADLINE: dict[str, bool] = {
     "cdc_apply_latest": False,
     "cdc_snapshot_diff": False,
     "events_anomaly_zscore": True,
+    "quality_k_anonymity": True,
 }
 
 

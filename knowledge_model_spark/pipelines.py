@@ -128,3 +128,25 @@ def continuous_update(
                 f"ingesting {year}-{month:02d}"
             )
     return MonthReport(year, month, n_docs, n_passages, recall)
+
+
+def audited(df: DataFrame, name: str, **metrics):
+    """Attach single-scan audit metrics to a pipeline stage.
+
+    ``metrics`` are aggregate Columns (e.g. ``rows=F.count(F.lit(1)),
+    null_texts=F.count_if(F.col("text").isNull())``) evaluated by the
+    SAME job that materializes ``df`` — Spark's ``Observation`` /
+    ``observe`` API — so a 100 TB pipeline gets its data-quality
+    counters (rows in/out, null rates, drop counts) for free instead of
+    paying a second full scan per audit point.  Returns
+    ``(df, observation)``; read ``observation.get`` AFTER an action on
+    the returned frame.
+
+    The reference logs ad-hoc counters between steps
+    (ingestion/pipeline.py warn-and-continue tallies); this is the
+    engine-native form.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs

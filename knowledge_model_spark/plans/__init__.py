@@ -93,6 +93,7 @@ _GATE_PRIORITY = [
     "cdc_apply_latest",           # new r3: CDC log apply (last-write-wins)
     "cdc_snapshot_diff",          # new r3: snapshot diff -> I/U/D changelog
     "events_anomaly_zscore",      # new r3: trailing-window z-score
+    "quality_k_anonymity",        # new r3: privacy equivalence classes
     "ann_lsh_topk",               # multiprobe retuned (rows-only check)
     "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
     # (c) r02-unsampled, r01-green, unchanged

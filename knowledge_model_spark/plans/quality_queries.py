@@ -565,3 +565,30 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_sample_per_group(
         t["documents"].select("doc_id", "lang"), "lang", 3, "doc_id"
     )
+
+
+@register(
+    "quality_k_anonymity",
+    """
+    WITH groups AS (
+      SELECT lang, source, count(*) AS grp_n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, CAST(grp_n AS BIGINT) AS grp_n,
+           grp_n < 5 AS at_risk
+    FROM groups
+    """,
+    doc="k-anonymity audit over the quasi-identifier pair (lang, "
+    "source): equivalence-class sizes with k=5 risk flags — the "
+    "privacy gate a training-data release runs after PII redaction "
+    "(small classes re-identify even with direct identifiers "
+    "scrubbed); one groupBy on the quasi-identifier tuple",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("grp_n"))
+        .select("lang", "source", "grp_n", (F.col("grp_n") < 5).alias("at_risk"))
+    )

@@ -82,3 +82,29 @@ def test_recall_gate_passes_on_self_queries(spark, monthly_source, tmp_path):
     )
     rep = continuous_update(spark, monthly_source, sink, eval_queries=good_eval)
     assert rep is not None and rep.recall >= 0.8
+
+
+def test_audited_metrics_single_scan(spark, tables):
+    """Observation metrics match independently-computed values and come
+    from the same job as the action (no second scan needed)."""
+    import pyspark.sql.functions as F
+
+    from knowledge_model_spark.pipelines import audited
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    staged, obs_in = audited(
+        docs,
+        "ingest",
+        rows=F.count(F.lit(1)),
+        null_texts=F.count_if(F.col("text").isNull()),
+        langs=F.approx_count_distinct("lang"),
+    )
+    kept = staged.filter(F.length("text") >= 50)
+    kept, obs_out = audited(kept, "after_length_gate", rows=F.count(F.lit(1)))
+    n_out = kept.count()  # ONE action materializes both observations
+
+    m_in, m_out = obs_in.get, obs_out.get
+    assert m_in["rows"] == docs.count()
+    assert m_in["null_texts"] == 0
+    assert m_out["rows"] == n_out
+    assert 0 < n_out <= m_in["rows"]
