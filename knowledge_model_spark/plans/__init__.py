@@ -33,14 +33,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # the r02 sample skipped (all r01-green, code unchanged), then (d)
 # everything r02-green, whose rows are on record in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
-    # (a) changed since last green row
+    # (a) changed since their last driver-green row, oracle-checked
     "postprocess_battery",        # r02 RED (array canon) — citations now scalar
     "dedup_embedding_cosine",     # rewritten cross-join→LSH after its r01 green
     "dedup_ngram_jaccard",        # max_df stop-shingle pruning added (r3)
-    "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)
-    "dedup_simhash",              # same (r3)
     "dedup_exact_groups",         # dup_ids array<bigint> → comma string (canon-safe)
-    # (b) new this round
+    # (b) never driver-checked, oracle-checked — the ~50-query sample
+    # window should be spent here: an oracle row is the strong signal
     "dedup_connected_components",
     "dedup_cluster_survivors",
     "embed_seam_parity",
@@ -57,7 +56,6 @@ _GATE_PRIORITY = [
     "text_boilerplate_scrub",
     "dedup_spans_first_seen",
     "sample_mixture_temperature",
-    "dedup_semantic_pairs",
     "corpus_token_drift",
     "text_bm25_rank",
     "join_fuzzy_name_qgram",
@@ -65,38 +63,43 @@ _GATE_PRIORITY = [
     "quality_dsir_weights",
     "sample_hard_negatives",
     "sample_weighted_priority",
-    "ann_pq_topk",
     "udtf_sentence_split",
-    "graph_pagerank_trade",       # new r3: iterative BSP PageRank
-    "events_scd2_user_type",      # new r3: SCD2 dimension history
-    "agg_hll_region_rollup",      # new r3: mergeable HLL rollup
-    "agg_kll_quantile_merge",     # new r3: mergeable KLL quantiles
-    "join_asof_cogrouped",        # new r3: cogrouped-pandas as-of twin
-    "agg_incremental_state",      # new r3: incremental view maintenance
-    "layout_zorder_keys",         # new r3: Morton clustering key
-    "eval_ndcg_mrr_at_10",        # new r3: ranking-quality eval
-    "text_bpe_tokenize",          # new r3: expression-level BPE
-    "sample_kfold_assign",        # new r3: k-fold CV assignment
-    "events_variant_props",       # new r3: Spark 4 VARIANT extraction
-    "sql_recursive_chain_walk",   # new r3: Spark 4 WITH RECURSIVE
-    "sql_pipe_syntax_revenue",    # new r3: Spark 4 pipe syntax
-    "agg_heavy_hitter_terms",     # new r3: Misra-Gries + exact verify
-    "join_bloom_pruned",          # new r3: Bloom probe-side pruning
-    "events_funnel_steps",        # new r3: ordered conversion funnel
-    "text_url_normalize",         # new r3: URL canon + domain extraction
-    "quality_unigram_logppl",     # new r3: CCNet-style LM quality score
-    "retrieval_mmr_rerank",       # new r3: MMR diversification
-    "sample_fixed_per_group",     # new r3: exact-n-per-stratum sample
-    "agg_corr_regression",        # new r3: exact-moment corr/OLS slope
-    "ann_ivfpq_topk",             # new r3: IVFPQ composite (rows-only)
-    "events_retention_cohorts",   # new r3: weekly retention matrix
-    "cdc_apply_latest",           # new r3: CDC log apply (last-write-wins)
-    "cdc_snapshot_diff",          # new r3: snapshot diff -> I/U/D changelog
-    "events_anomaly_zscore",      # new r3: trailing-window z-score
-    "quality_k_anonymity",        # new r3: privacy equivalence classes
-    "ann_lsh_topk",               # multiprobe retuned (rows-only check)
-    "eval_ann_recall_vs_exact",   # recall gate for the retuned probe set
-    # (c) r02-unsampled, r01-green, unchanged
+    "graph_pagerank_trade",
+    "events_scd2_user_type",
+    "agg_hll_region_rollup",
+    "agg_kll_quantile_merge",
+    "join_asof_cogrouped",
+    "agg_incremental_state",
+    "layout_zorder_keys",
+    "eval_ndcg_mrr_at_10",
+    "text_bpe_tokenize",
+    "sample_kfold_assign",
+    "events_variant_props",
+    "sql_recursive_chain_walk",
+    "sql_pipe_syntax_revenue",
+    "agg_heavy_hitter_terms",
+    "join_bloom_pruned",
+    "events_funnel_steps",
+    "text_url_normalize",
+    "quality_unigram_logppl",
+    "retrieval_mmr_rerank",
+    "sample_fixed_per_group",
+    "agg_corr_regression",
+    "events_retention_cohorts",
+    "cdc_apply_latest",
+    "cdc_snapshot_diff",
+    "events_anomaly_zscore",
+    "quality_k_anonymity",
+    # (c) rows-only entries (changed or never-checked) — a driver row
+    # here is only a rows-count check; tests carry the real gate
+    "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)
+    "dedup_simhash",              # same (r3)
+    "dedup_semantic_pairs",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",               # multiprobe retuned
+    "eval_ann_recall_vs_exact",   # recall gate for lsh/ivf/pq/ivfpq
+    # (d) r02-unsampled, r01-green, unchanged
     "date_functions_orders",
     "month_sequence_gap_scan",
     "case_when_price_tiers",
@@ -110,7 +113,6 @@ _GATE_PRIORITY = [
     "text_source_lang_matrix",
     "text_accent_fold",
     "text_xml_extract",
-    "dedup_exact_groups",
     "dedup_exact_survivors",
     "events_tumbling_1h",
     "events_sliding_1h_30m",
