@@ -100,6 +100,7 @@ HEADLINE: dict[str, bool] = {
     "cdc_snapshot_diff": False,
     "events_anomaly_zscore": True,
     "quality_k_anonymity": True,
+    "quality_classifier_score": False,
 }
 
 

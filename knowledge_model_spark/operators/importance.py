@@ -155,3 +155,79 @@ def unigram_log_ppl(
             ).alias("logppl"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    dim: int = 4096,
+    min_len: int = 2,
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashing-trick
+    unigram features — the shape of the DataComp/RedPajama quality
+    filters (Joulin et al. 2016: bag of hashed n-grams → linear layer
+    → sigmoid), as a pure Column pipeline.
+
+        idx(t) = int(md5(t)[:4 hex], 16) mod dim
+        score(d) = sigmoid( mean_t w[idx(t)] + bias )
+
+    ``weights`` is the trained-model seam: a real fastText/logistic
+    weight vector rides as ONE array literal (element_at is O(1) per
+    token, whole-stage codegen — no Python at scan time).  When absent,
+    deterministic pseudo-weights w = idx/dim − 0.5 exercise the
+    identical plumbing.  md5-hex indexing (not xxhash64) keeps the
+    featurizer DuckDB-expressible, and the per-doc mean folds in sorted
+    term order — the engine-parity recipe shared with DSIR/log-ppl.
+
+    Returns (id, dl, score).
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= min_len,
+            )
+        ).alias("term"),
+    )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    if weights is None:
+        w = idx / F.lit(float(dim)) - F.lit(0.5)
+    else:
+        if len(weights) != dim:
+            raise ValueError(f"weights must have length dim={dim}")
+        w = F.element_at(F.lit([float(x) for x in weights]), (idx + 1).cast("int"))
+    scored = terms.select("id", "term", w.alias("w"))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("dl"),
+            F.array_sort(F.collect_list(F.struct("term", "w"))).alias("cs"),
+        )
+        .select(
+            "id",
+            "dl",
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.aggregate(
+                                "cs", F.lit(0.0), lambda acc, x: acc + x["w"]
+                            )
+                            / F.col("dl")
+                            + F.lit(bias)
+                        )
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )

@@ -592,3 +592,43 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("grp_n"))
         .select("lang", "source", "grp_n", (F.col("grp_n") < 5).alias("at_risk"))
     )
+
+
+@register(
+    "quality_classifier_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, term,
+             (('0x' || substring(md5(term), 1, 4))::BIGINT % 4096) AS idx
+      FROM toks
+    ),
+    w AS (SELECT doc_id, term, idx / 4096.0 - 0.5 AS w FROM feat)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           round(1.0 / (1.0 + exp(-(sum(w ORDER BY term) / count(*)))), 6)
+             AS score
+    FROM w GROUP BY doc_id
+    """,
+    doc="fastText-shaped quality classifier (Joulin et al. 2016; the "
+    "DataComp/RedPajama filter pattern): hashing-trick unigram features "
+    "(md5-hex mod 4096) → linear layer → sigmoid, entirely as Column "
+    "expressions — a trained weight vector plugs in as ONE array "
+    "literal (operators/importance.py::hashed_linear_score); "
+    "deterministic pseudo-weights exercise the identical plumbing, "
+    "sorted-fold float determinism",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.importance import hashed_linear_score
+
+    t = load_tables(spark, sf_dir)
+    out = hashed_linear_score(t["documents_spread"], "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        "score",
+    )

@@ -112,3 +112,38 @@ def test_unigram_logppl_matches_reference(spark):
     assert out[1] == (3, ref(["aa", "aa", "bb"]))
     assert out[2] == (2, ref(["aa", "cc"]))
     assert out[3] == (3, ref(["bb", "bb", "dd"]))
+
+
+def test_hashed_linear_score_with_injected_weights(spark):
+    """A real weight vector rides as one array literal: scoring with an
+    all-positive vector must saturate toward 1, all-negative toward 0,
+    and the default pseudo-weights must agree with a manual reference."""
+    import math
+
+    from knowledge_model_spark.operators.importance import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], ["id", "text"]
+    )
+    hi = {r["id"]: r["score"] for r in
+          hashed_linear_score(df, "id", "text", weights=[5.0] * 4096).collect()}
+    lo = {r["id"]: r["score"] for r in
+          hashed_linear_score(df, "id", "text", weights=[-5.0] * 4096).collect()}
+    assert all(v > 0.99 for v in hi.values())
+    assert all(v < 0.01 for v in lo.values())
+
+    # default pseudo-weights vs manual md5 reference
+    import hashlib
+
+    def ref(tokens):
+        ws = sorted(
+            (t, (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 4096) / 4096 - 0.5)
+            for t in tokens
+        )
+        s = 0.0
+        for _, w in ws:
+            s += w
+        return round(1.0 / (1.0 + math.exp(-(s / len(ws)))), 6)
+
+    got = {r["id"]: r["score"] for r in hashed_linear_score(df, "id", "text").collect()}
+    assert got == {1: ref(["alpha", "beta", "gamma"]), 2: ref(["delta", "epsilon"])}
