@@ -101,6 +101,7 @@ HEADLINE: dict[str, bool] = {
     "events_anomaly_zscore": True,
     "quality_k_anonymity": True,
     "quality_classifier_score": False,
+    "sql_lateral_topk_per_group": True,
 }
 
 

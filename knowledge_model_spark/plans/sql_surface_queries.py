@@ -76,3 +76,29 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "sql_lateral_topk_per_group",
+    _LATERAL_SQL,
+    doc="correlated LATERAL subquery (top-2 suppliers per nation by "
+    "account balance): the IDENTICAL SQL text runs on Spark and DuckDB "
+    "— Catalyst decorrelates the per-row subquery into a window-ranked "
+    "join rather than executing it N times (DecorrelateInnerQuery), "
+    "the at-scale requirement for lateral; deterministic via the "
+    "(acctbal, name) total order",
+)
+def sql_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
