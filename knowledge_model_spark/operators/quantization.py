@@ -311,7 +311,7 @@ def ivfpq_top_k(
     n_assign: int = 3,
     m: int = 8,
     ksub: int = 32,
-    refine: int = 8,
+    refine: int = 24,
     n_iter: int = 2,
 ) -> DataFrame:
     """FAISS-IVFPQ-shaped composite index: coarse k-means cells + PQ

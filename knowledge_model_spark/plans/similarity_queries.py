@@ -337,7 +337,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RESIDUAL v − centroid (the IVFADC recipe, Jégou et al. TPAMI'11 "
     "§V — residual quantization buys far lower distortion per code "
     "budget), inner-product decomposition ⟨q,v⟩ ≈ ⟨q,c⟩ + LUT-ADC, "
-    "exact cosine re-rank of the k·8 shortlist; at 100 TB a query "
+    "exact cosine re-rank of the k·24 shortlist; at 100 TB a query "
     "touches n_probe/n_cells of a cell-partitioned codes table "
     "(operators/quantization.py::ivfpq_top_k)",
 )
