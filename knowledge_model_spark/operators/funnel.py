@@ -87,7 +87,11 @@ def funnel_counts(
             F.lit(i).cast("long").alias("step"),
             F.lit(step).alias("event_type"),
             F.col(f"n{i}").alias("n_users"),
-            F.round(F.col(f"n{i}") / F.col("n1"), 6).alias("frac_of_first"),
+            # empty funnel (no step-1 user): NULL fraction, not an
+            # ANSI divide-by-zero error (found by the hypothesis suite)
+            F.when(
+                F.col("n1") > 0, F.round(F.col(f"n{i}") / F.col("n1"), 6)
+            ).alias("frac_of_first"),
         )
         for i, step in enumerate(steps, start=1)
     ]

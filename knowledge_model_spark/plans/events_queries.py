@@ -355,11 +355,14 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (SELECT count(*) FROM s2) AS n2,
                  (SELECT count(*) FROM s3) AS n3)
     SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n1 AS n_users,
-           round(n1 / CAST(n1 AS DOUBLE), 6) AS frac_of_first FROM n
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE round(n1 / CAST(n1 AS DOUBLE), 6) END AS frac_of_first FROM n
     UNION ALL
-    SELECT CAST(2 AS BIGINT), 'click', n2, round(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+    SELECT CAST(2 AS BIGINT), 'click', n2,
+           CASE WHEN n1 = 0 THEN NULL ELSE round(n2 / CAST(n1 AS DOUBLE), 6) END FROM n
     UNION ALL
-    SELECT CAST(3 AS BIGINT), 'purchase', n3, round(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    SELECT CAST(3 AS BIGINT), 'purchase', n3,
+           CASE WHEN n1 = 0 THEN NULL ELSE round(n3 / CAST(n1 AS DOUBLE), 6) END FROM n
     """,
     doc="ordered conversion funnel view → click → purchase with a 2-day "
     "budget from each user's first view (operators/funnel.py): one "

@@ -161,3 +161,66 @@ def test_url_normalize_is_idempotent(spark, urls):
     once = df.select(url_normalize(F.col("url")).alias("n"))
     twice = once.select(url_normalize(F.col("n")).alias("n"))
     assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),          # user
+            st.integers(min_value=0, max_value=96),         # hour offset
+            st.sampled_from(["view", "click", "buy", "other"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_step_times_are_ordered_and_counts_monotone(spark, evs):
+    import datetime
+
+    from knowledge_model_spark.operators.funnel import funnel_counts, funnel_times
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(u, base + datetime.timedelta(hours=h), t) for u, h, t in evs]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "buy"]
+    times = funnel_times(ev, "user_id", "ts", "event_type", steps).collect()
+    for r in times:
+        ts = [r[f"t{i}"] for i in range(1, 4)]
+        # a reached step implies all earlier steps reached, in time order
+        for i in range(1, 3):
+            if ts[i] is not None:
+                assert ts[i - 1] is not None and ts[i] >= ts[i - 1]
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, "user_id", "ts", "event_type", steps).collect()
+    }
+    if counts:
+        assert counts[1] >= counts[2] >= counts[3]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=10,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=10,
+             unique=True),
+    st.data(),
+)
+@settings(**_SETTINGS)
+def test_cdc_diff_apply_roundtrip(spark, old_keys, new_keys, data):
+    """apply(old, diff(old, new)) == new for arbitrary keyed snapshots
+    with arbitrary (possibly NULL) payloads."""
+    from knowledge_model_spark.operators.cdc import cdc_apply_latest, cdc_snapshot_diff
+
+    payload = st.one_of(st.none(), st.text(alphabet="xyz", max_size=2))
+    old_rows = [(k, data.draw(payload)) for k in old_keys]
+    new_rows = [(k, data.draw(payload)) for k in new_keys]
+    schema = "k long, val string"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    diff = cdc_snapshot_diff(old, new, ["k"])
+    log = old.selectExpr("'U' AS op", "k", "val", "0 AS seq").unionByName(
+        diff.selectExpr("op", "k", "val", "1 AS seq")
+    )
+    applied = cdc_apply_latest(log, ["k"], "seq")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
