@@ -892,6 +892,15 @@ def semantic_dedup_pairs(
         .limit(n_clusters)
     )
     centroids = [r["v"] for r in seeds.collect()]  # k rows: bounded dim fetch
+    if not centroids:
+        # empty corpus: schema-correct empty pair set
+        base.unpersist()
+        a = base.select(F.col("id").alias("id_a"))
+        return (
+            a.limit(0)
+            .crossJoin(base.select(F.col("id").alias("id_b")).limit(0))
+            .withColumn("cosine", F.lit(0.0))
+        )
     for _ in range(max(0, n_iter)):
         # Lloyd update: ONE Arrow pass emits per-batch (cluster, Σv, n)
         # partial rows — the shuffle the old posexplode formulation paid

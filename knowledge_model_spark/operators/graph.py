@@ -150,6 +150,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set: schema-correct empty ranks, not a division
+        # by zero (empty-input sweep contract)
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_e12"),
+            F.lit(0.0).alias("rank"),
+        ).limit(0)
     # localCheckpoint erases size statistics (LogicalRDD defaults to
     # size-unknown), so Catalyst would SortMergeJoin the huge edge list
     # against the node-sized rank table every round.  We KNOW the rank

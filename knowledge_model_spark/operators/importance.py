@@ -71,6 +71,13 @@ def dsir_importance(
         F.sum("c_tgt").alias("tot_tgt"),
     ).collect()[0]  # three exact-long driver scalars
     v, tot_raw, tot_tgt = tot["v"], tot["tot_raw"], tot["tot_tgt"]
+    if not v:
+        # empty corpus: schema-correct empty result (empty-input sweep)
+        return terms.select(
+            "id",
+            F.lit(0).cast("long").alias("dl"),
+            F.lit(0.0).alias("dsir_weight"),
+        ).limit(0)
 
     lr = F.log((F.col("c_tgt") + 1.0) / F.lit(float(tot_tgt + v))) - F.log(
         (F.col("c_raw") + 1.0) / F.lit(float(tot_raw + v))
@@ -134,6 +141,12 @@ def unigram_log_ppl(
         F.count("*").alias("v"), F.sum("c").alias("tot")
     ).collect()[0]
     v, tot_raw = tot["v"], tot["tot"]
+    if not v:
+        return terms.select(
+            "id",
+            F.lit(0).cast("long").alias("dl"),
+            F.lit(0.0).alias("logppl"),
+        ).limit(0)
     logp = F.log((F.col("c") + 1.0) / F.lit(float(tot_raw + v)))
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     contrib = tf.join(stats, "term").select(

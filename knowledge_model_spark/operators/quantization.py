@@ -141,7 +141,10 @@ def pq_train(
         .orderBy("__h", "id")
         .limit(ksub)
     )
-    seed_vecs = np.asarray([r["v"] for r in seeds.collect()], dtype=np.float64)
+    seed_rows = [r["v"] for r in seeds.collect()]
+    if not seed_rows:
+        return []  # empty corpus — callers return empty results
+    seed_vecs = np.asarray(seed_rows, dtype=np.float64)
     if normalize:
         seed_vecs = _normalize_rows(seed_vecs)
     dim = seed_vecs.shape[1]
@@ -166,6 +169,18 @@ def pq_train(
         nz = counts > 0
         M[nz] = sums[nz] / counts[nz, None]
     return M.tolist()
+
+
+def _empty_topk(corpus, queries, corpus_id, query_id):
+    """Schema-correct empty (query_id, corpus_id, score, rank) result
+    for degenerate inputs (empty corpus or query batch)."""
+    return (
+        queries.select(F.col(query_id))
+        .limit(0)
+        .crossJoin(corpus.select(F.col(corpus_id)).limit(0))
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rank", F.lit(0))
+    )
 
 
 def pq_top_k(
@@ -193,6 +208,8 @@ def pq_top_k(
 
     if codebooks is None:
         codebooks = pq_train(corpus, corpus_id, corpus_vec, m, ksub, n_iter)
+    if not codebooks:
+        return _empty_topk(corpus, queries, corpus_id, query_id)
     M = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = M.shape
 
@@ -204,6 +221,8 @@ def pq_top_k(
     q_rows = queries.select(
         F.col(query_id), F.col(query_vec).alias("__qv")
     ).collect()  # small query batch by contract
+    if not q_rows:
+        return _empty_topk(corpus, queries, corpus_id, query_id)
     lut_rows = []
     qnorm: dict = {}
     for r in q_rows:
@@ -340,10 +359,11 @@ def ivfpq_top_k(
     from knowledge_model_spark.session import ensure_min_partitions
 
     # 1) coarse centroids — full-vector k-means IS pq_train with m=1
-    coarse = np.asarray(
-        pq_train(corpus, corpus_id, corpus_vec, m=1, ksub=n_cells,
-                 n_iter=n_iter, normalize=True)
-    )[0]  # (n_cells, d)
+    coarse_cb = pq_train(corpus, corpus_id, corpus_vec, m=1, ksub=n_cells,
+                         n_iter=n_iter, normalize=True)
+    if not coarse_cb:
+        return _empty_topk(corpus, queries, corpus_id, query_id)
+    coarse = np.asarray(coarse_cb)[0]  # (n_cells, d)
     dim = coarse.shape[1]
 
     base = ensure_min_partitions(corpus).select(
@@ -376,6 +396,8 @@ def ivfpq_top_k(
     q_rows = queries.select(
         F.col(query_id), F.col(query_vec).alias("__qv")
     ).collect()
+    if not q_rows:
+        return _empty_topk(corpus, queries, corpus_id, query_id)
     probe_rows = []
     qn_rows = []
     for rrow in q_rows:

@@ -108,6 +108,14 @@ def bm25_rank(
         ],
     ).collect()[0]  # one row of exact longs — driver scalars by design
     n_docs = stats["n"]
+    if not n_docs:
+        # empty corpus: empty result with the output schema, not a
+        # NoneType arithmetic error (empty-input sweep contract)
+        return (
+            perdoc.select(F.col("id"), F.lit(0.0).alias("bm25"))
+            .withColumn("rnk", F.lit(0))
+            .limit(0)
+        )
     avgdl = stats["total_dl"] / n_docs
 
     norm = F.col("dl") / F.lit(avgdl)

@@ -931,6 +931,11 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_hi = base.agg(
         F.min("d"), F.max("d"), F.min("k"), F.max("k")
     ).collect()[0]
+    if lo_hi[0] is None:
+        # empty table: no bounds to bucket against — schema-correct empty
+        return base.select(
+            "o_orderkey", F.lit(0).cast("long").alias("zkey")
+        ).limit(0)
     keyed = zorder_key(
         base,
         ["d", "k"],

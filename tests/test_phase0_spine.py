@@ -143,3 +143,33 @@ def test_load_tables_repoints_views_per_call(spark):
     assert spark.table("orders").count() == small
     load_tables(spark, ORACLE_SF_DIR)
     assert spark.table("orders").count() == big
+
+
+def test_every_registered_query_survives_empty_tables(spark, tmp_path):
+    """Empty partitions happen at 100 TB; an engine must return empty
+    results, not ANSI arithmetic errors or numpy axis crashes.  Sweep
+    EVERY registered query against zero-row twins of all ten tables.
+    (This sweep found 10 crashers: bm25/rrf corpus stats, dsir/logppl
+    vocabulary totals, pagerank node count, zorder bounds, semantic
+    seeds, pq/ivfpq codebook training.)"""
+    import duckdb
+
+    from knowledge_model_spark.plans import load_registry
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 0)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    failures = []
+    for name, spec in load_registry().items():
+        try:
+            spec.fn(spark, str(d)).count()
+        except Exception as ex:  # noqa: BLE001 — we report them all at once
+            failures.append(f"{name}: {type(ex).__name__}")
+    assert not failures, failures
