@@ -102,6 +102,8 @@ HEADLINE: dict[str, bool] = {
     "quality_k_anonymity": True,
     "quality_classifier_score": False,
     "sql_lateral_topk_per_group": True,
+    "setop_multiset_all": False,
+    "events_gap_fill_hourly": False,
 }
 
 

@@ -556,3 +556,71 @@ def hot_key_salted_join(
         ),
     ).drop("__hot")
     return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regularize an irregular time series: one row per (key, bucket)
+    on a dense per-key grid between the key's first and last
+    observation, carrying the last-observed value forward across gaps
+    — the standard sensor/metrics preparation step before window
+    algebra that assumes regular spacing.
+
+    Spark-first shape: the grid comes from ``sequence()`` exploded per
+    key (no driver loop, no cross join with a global calendar — each
+    key materializes only ITS span), observations collapse to one
+    deterministic row per bucket (latest ``ts`` wins), and the fill is
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    window — one shuffle on the key, which the grid join reuses.
+    Buckets before a key's first observation keep NULL.
+
+    Returns (key, bucket_ts, value, observed).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    bounds = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(b).alias("__lo"), F.max(b).alias("__hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, INTERVAL 1 {bucket})")
+        ).alias("bucket_ts"),
+    )
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        # equal-timestamp observations need a total order or the kept
+        # value is partition-order-dependent
+        order.append(F.col(tiebreak_col).desc())
+    w_pick = Window.partitionBy("key", "bucket_ts").orderBy(*order)
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            b.alias("bucket_ts"),
+            F.col(ts_col),
+            F.col(value_col).alias("__v"),
+            *([F.col(tiebreak_col)] if tiebreak_col else []),
+        )
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select("key", "bucket_ts", "__v")
+    )
+    w_fill = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["key", "bucket_ts"], "left")
+        .select(
+            "key",
+            "bucket_ts",
+            F.last("__v", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("__v").isNotNull().alias("observed"),
+        )
+    )

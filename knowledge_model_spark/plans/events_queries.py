@@ -624,3 +624,48 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("c"),
         F.round(z, 6).alias("zscore"),
     )
+
+
+@register(
+    "events_gap_fill_hourly",
+    """
+    WITH b AS (
+      SELECT user_id AS key, min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM b
+    ),
+    obs AS (
+      SELECT key, bucket_ts, v FROM (
+        SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts, value AS v,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT g.key, g.bucket_ts,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+    """,
+    doc="time-series regularization: dense per-user hourly grid between "
+    "each user's first and last event with last-observed-value forward "
+    "fill (operators/relational.py::gap_fill_forward) — the sensor/"
+    "metrics preparation step before regular-spacing window algebra; "
+    "grid from sequence() exploded per key (each key materializes only "
+    "ITS span, no global calendar cross join), fill via "
+    "last(ignorenulls) over an unbounded-preceding window, one key "
+    "shuffle reused end-to-end",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import gap_fill_forward
+
+    t = load_tables(spark, sf_dir)
+    return gap_fill_forward(
+        t["events"], "user_id", "ts", "value", bucket="hour",
+        tiebreak_col="event_id",
+    )

@@ -102,3 +102,30 @@ _LATERAL_SQL = """
 def sql_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_SETOP_ALL_SQL = """
+    WITH lo AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10),
+    hi AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+    ex AS (SELECT 'except_all' AS op, k
+           FROM (SELECT * FROM lo EXCEPT ALL SELECT * FROM hi)),
+    ia AS (SELECT 'intersect_all' AS op, k
+           FROM (SELECT * FROM lo INTERSECT ALL SELECT * FROM hi))
+    SELECT op, k, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+    GROUP BY op, k
+"""
+
+
+@register(
+    "setop_multiset_all",
+    _SETOP_ALL_SQL,
+    doc="multiset set operations (EXCEPT ALL / INTERSECT ALL): bag "
+    "semantics over duplicate supplier keys — min/difference of "
+    "per-side multiplicities, which the DISTINCT variants the rest of "
+    "§2.7 covers cannot express; the IDENTICAL SQL text runs on both "
+    "engines",
+)
+def setop_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SETOP_ALL_SQL)

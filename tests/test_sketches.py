@@ -325,3 +325,32 @@ def test_cdc_snapshot_diff_roundtrip(spark):
     ).unionByName(diff.withColumn("seq", F.lit(1)))
     applied = cdc_apply_latest(log, ["k"], "seq")
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_gap_fill_forward_semantics(spark):
+    import datetime
+
+    from knowledge_model_spark.operators.relational import gap_fill_forward
+
+    T = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, T(1, 30), 10.0, 1),
+        (1, T(1, 45), 11.0, 2),   # same hour, later ts wins
+        (1, T(4, 5), 40.0, 3),    # hours 2,3 are gaps -> carry 11.0
+        (2, T(2, 0), 7.0, 4),
+        (2, T(2, 0), 8.0, 5),     # identical ts: higher event_id wins
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+    got = {
+        (r["key"], r["bucket_ts"].hour): (r["value"], r["observed"])
+        for r in gap_fill_forward(
+            ev, "user_id", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == {
+        (1, 1): (11.0, True),
+        (1, 2): (11.0, False),
+        (1, 3): (11.0, False),
+        (1, 4): (40.0, True),
+        (2, 2): (8.0, True),
+    }
