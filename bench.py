@@ -104,6 +104,7 @@ HEADLINE: dict[str, bool] = {
     "sql_lateral_topk_per_group": True,
     "setop_multiset_all": False,
     "events_gap_fill_hourly": False,
+    "events_gap_interpolate_hourly": False,
 }
 
 

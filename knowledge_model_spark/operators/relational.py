@@ -624,3 +624,96 @@ def gap_fill_forward(
             F.col("__v").isNotNull().alias("observed"),
         )
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`gap_fill_forward`: gap
+    buckets between two observations take the time-weighted blend
+    v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev);
+    buckets outside the observed span stay NULL beyond the edges
+    (leading NULL, trailing = last observation, the pandas
+    ``interpolate(limit_direction='forward')`` convention).
+
+    Same single key shuffle: the forward pass carries (t_prev, v_prev)
+    via last(ignorenulls), the backward pass carries (t_next, v_next)
+    via first(ignorenulls) over the mirrored frame — two window
+    functions over one partitioning, no join against shifted copies.
+    The blend fraction is exact integer second arithmetic; the float
+    blend is rounded to 6 dp for engine parity.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    bounds = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(b).alias("__lo"), F.max(b).alias("__hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, INTERVAL 1 {bucket})")
+        ).alias("bucket_ts"),
+    )
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w_pick = Window.partitionBy("key", "bucket_ts").orderBy(*order)
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            b.alias("bucket_ts"),
+            F.col(ts_col),
+            F.col(value_col).alias("__v"),
+            *([F.col(tiebreak_col)] if tiebreak_col else []),
+        )
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select("key", "bucket_ts", "__v")
+    )
+    w_fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = grid.join(obs, ["key", "bucket_ts"], "left").select(
+        "key",
+        "bucket_ts",
+        F.col("__v"),
+        F.last(F.when(F.col("__v").isNotNull(), F.col("bucket_ts")), True)
+        .over(w_fwd)
+        .alias("__tp"),
+        F.last("__v", ignorenulls=True).over(w_fwd).alias("__vp"),
+        F.first(F.when(F.col("__v").isNotNull(), F.col("bucket_ts")), True)
+        .over(w_bwd)
+        .alias("__tn"),
+        F.first("__v", ignorenulls=True).over(w_bwd).alias("__vn"),
+    )
+    span = F.unix_timestamp("__tn") - F.unix_timestamp("__tp")
+    frac = (F.unix_timestamp("bucket_ts") - F.unix_timestamp("__tp")) / span
+    interp = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.when(
+            F.col("__vp").isNotNull() & F.col("__vn").isNotNull(),
+            F.col("__vp") + (F.col("__vn") - F.col("__vp")) * frac,
+        ).otherwise(F.col("__vp"))  # trailing: carry last; leading: NULL
+    )
+    # floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): interpolation fractions
+    # are exact binary ratios, so blends land exactly on half-ulp
+    # boundaries where Spark's HALF_UP and DuckDB's double rounding
+    # disagree; the floor form is bit-identical given identical inputs
+    return g.select(
+        "key",
+        "bucket_ts",
+        (F.floor(interp * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "value"
+        ),
+        F.col("__v").isNotNull().alias("observed"),
+    )

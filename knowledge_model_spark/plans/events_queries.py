@@ -669,3 +669,64 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"], "user_id", "ts", "value", bucket="hour",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "events_gap_interpolate_hourly",
+    """
+    WITH b AS (
+      SELECT user_id AS key, min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM b
+    ),
+    obs AS (
+      SELECT key, bucket_ts, v FROM (
+        SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts, value AS v,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    g AS (
+      SELECT grid.key, grid.bucket_ts, o.v,
+             last_value(CASE WHEN o.v IS NOT NULL THEN grid.bucket_ts END IGNORE NULLS)
+               OVER fwd AS tp,
+             last_value(o.v IGNORE NULLS) OVER fwd AS vp,
+             first_value(CASE WHEN o.v IS NOT NULL THEN grid.bucket_ts END IGNORE NULLS)
+               OVER bwd AS tn,
+             first_value(o.v IGNORE NULLS) OVER bwd AS vn
+      FROM grid LEFT JOIN obs o
+        ON grid.key = o.key AND grid.bucket_ts = o.bucket_ts
+      WINDOW fwd AS (PARTITION BY grid.key ORDER BY grid.bucket_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             bwd AS (PARTITION BY grid.key ORDER BY grid.bucket_ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key, bucket_ts,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN vp IS NOT NULL AND vn IS NOT NULL
+                       THEN vp + (vn - vp)
+                            * ((epoch(bucket_ts) - epoch(tp))
+                               / CAST(epoch(tn) - epoch(tp) AS DOUBLE))
+                       ELSE vp END) * 1000000.0 + 0.5) / 1000000.0 AS value,
+           v IS NOT NULL AS observed
+    FROM g
+    """,
+    doc="linear-interpolation twin of the forward fill "
+    "(operators/relational.py::gap_fill_interpolate): gap buckets take "
+    "the time-weighted blend between the surrounding observations — "
+    "two window passes (forward carry + mirrored backward carry) over "
+    "ONE key partitioning, no shifted-copy self-join; blend fraction "
+    "from exact epoch-second integers, 6-dp rounded",
+)
+def events_gap_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import gap_fill_interpolate
+
+    t = load_tables(spark, sf_dir)
+    return gap_fill_interpolate(
+        t["events"], "user_id", "ts", "value", bucket="hour",
+        tiebreak_col="event_id",
+    )

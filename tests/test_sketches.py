@@ -354,3 +354,27 @@ def test_gap_fill_forward_semantics(spark):
         (1, 4): (40.0, True),
         (2, 2): (8.0, True),
     }
+
+
+def test_gap_fill_interpolate_semantics(spark):
+    import datetime
+
+    from knowledge_model_spark.operators.relational import gap_fill_interpolate
+
+    T = lambda h: datetime.datetime(2024, 1, 1, h)
+    rows = [(1, T(1), 10.0, 1), (1, T(4), 40.0, 2), (1, T(6), 40.0, 3)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+    got = {
+        (r["key"], r["bucket_ts"].hour): (r["value"], r["observed"])
+        for r in gap_fill_interpolate(
+            ev, "user_id", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == {
+        (1, 1): (10.0, True),
+        (1, 2): (20.0, False),   # 10 + (40-10)*1/3
+        (1, 3): (30.0, False),   # 10 + (40-10)*2/3
+        (1, 4): (40.0, True),
+        (1, 5): (40.0, False),   # flat segment interpolates flat
+        (1, 6): (40.0, True),
+    }
