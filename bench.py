@@ -105,6 +105,7 @@ HEADLINE: dict[str, bool] = {
     "setop_multiset_all": False,
     "events_gap_fill_hourly": False,
     "events_gap_interpolate_hourly": False,
+    "stats_chi2_lang_source": True,
 }
 
 

@@ -632,3 +632,79 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dl").cast("long").alias("dl"),
         "score",
     )
+
+
+@register(
+    "stats_chi2_lang_source",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang)   AS row_n,
+             sum(o) OVER (PARTITION BY source) AS col_n,
+             sum(o) OVER ()                    AS n
+      FROM c
+    ),
+    parts AS (
+      SELECT lang || '|' || source AS cell,
+             (o - (row_n * col_n) / CAST(n AS DOUBLE))
+             * (o - (row_n * col_n) / CAST(n AS DOUBLE))
+             / ((row_n * col_n) / CAST(n AS DOUBLE)) AS part,
+             (SELECT count(DISTINCT lang) FROM c)   AS r,
+             (SELECT count(DISTINCT source) FROM c) AS k
+      FROM m
+    )
+    SELECT round(sum(part ORDER BY cell), 6) AS chi2,
+           CAST((any_value(r) - 1) * (any_value(k) - 1) AS BIGINT) AS dof
+    FROM parts
+    """,
+    doc="chi-square independence test over the (lang × source) "
+    "contingency table: observed counts are exact longs, expected "
+    "counts derive from them in double, and the statistic folds its "
+    "per-cell terms in sorted cell order — the exact-moment recipe, so "
+    "the float χ² is engine- and partitioning-identical; one groupBy "
+    "plus window marginals, no second scan.  (Note: OBSERVED cells "
+    "only, the sparse-table convention — all-zero cells contribute 0)",
+)
+def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    c = t["documents"].groupBy("lang", "source").agg(F.count("*").alias("o"))
+    m = c.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = (F.col("row_n") * F.col("col_n")) / F.col("n").cast("double")
+    parts = m.select(
+        F.concat_ws("|", "lang", "source").alias("cell"),
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("part"),
+    )
+    dims = c.agg(
+        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("k")
+    )
+    return (
+        parts.agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("cell", "part"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["part"],
+                ),
+                6,
+            ).alias("chi2")
+        )
+        .crossJoin(dims)
+        .select(
+            "chi2",
+            ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+        )
+    )
