@@ -583,9 +583,14 @@ def gap_fill_forward(
     Returns (key, bucket_ts, value, observed).
     """
     b = F.date_trunc(bucket, F.col(ts_col))
+    # repartition the (tiny) bounds table on the key BEFORE exploding:
+    # the per-key sequence() multiplies rows ~span×, and without the
+    # spread that generation runs in however few tasks the aggregation
+    # coalesced to — a serial bottleneck the join's later exchange
+    # cannot recover
     bounds = df.groupBy(F.col(key_col).alias("key")).agg(
         F.min(b).alias("__lo"), F.max(b).alias("__hi")
-    )
+    ).repartition(F.col("key"))
     grid = bounds.select(
         "key",
         F.explode(
@@ -649,9 +654,14 @@ def gap_fill_interpolate(
     blend is rounded to 6 dp for engine parity.
     """
     b = F.date_trunc(bucket, F.col(ts_col))
+    # repartition the (tiny) bounds table on the key BEFORE exploding:
+    # the per-key sequence() multiplies rows ~span×, and without the
+    # spread that generation runs in however few tasks the aggregation
+    # coalesced to — a serial bottleneck the join's later exchange
+    # cannot recover
     bounds = df.groupBy(F.col(key_col).alias("key")).agg(
         F.min(b).alias("__lo"), F.max(b).alias("__hi")
-    )
+    ).repartition(F.col("key"))
     grid = bounds.select(
         "key",
         F.explode(
