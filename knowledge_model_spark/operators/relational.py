@@ -732,3 +732,88 @@ def gap_fill_interpolate(
         ),
         F.col("__v").isNotNull().alias("observed"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    window: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """OHLC time-series downsampling: open/high/low/close (+ count, sum)
+    per (``group_cols``, tumbling ``window``) bucket.
+
+    open/close are expressed as ``min_by``/``max_by`` over a
+    ``struct(ts, tiebreak)`` ordering key — an ALGEBRAIC aggregate
+    (commutative, associative, map-side-combinable), so the whole bar
+    builds in ONE partial+final hash aggregation with no per-key sort.
+    The naive formulation (two row_number windows per key) shuffles AND
+    sorts every event; at 100 TB of tick data the sort dominates, while
+    this plan's cost is the scan plus one slim shuffle of per-bucket
+    partial bars.  ``tiebreak_col`` makes the ordering key total, so
+    simultaneous events resolve identically on any partitioning (and
+    identically to the oracle's ORDER BY ts, tiebreak).
+    """
+    key = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.sum(v), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def key_skew_audit(df: DataFrame, key_col: str, label: str | None = None) -> DataFrame:
+    """One-row skew profile of a prospective join/aggregation key.
+
+    The pre-flight check a 100 TB job runs BEFORE choosing a join
+    strategy: n_keys / max key count / p50 / p99 / top-key share decide
+    between a plain shuffle join, AQE skew splitting, and
+    :func:`hot_key_salted_join`.  Two shuffles total — one groupBy on
+    the key (map-side combined), one scalar aggregate over the (much
+    smaller) count table.  top_share_ppm is exact integer arithmetic;
+    the percentiles use the engine/oracle-shared linear interpolation.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("cnt"))
+    agg = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+    )
+    return agg.select(
+        F.lit(label or key_col).alias("keyset"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        # exact integral division (never float): matches the oracle's `//`
+        F.expr("max_cnt * 1000000L div n_rows").alias("top_share_ppm"),
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 4
+        ).alias("max_over_avg"),
+    )

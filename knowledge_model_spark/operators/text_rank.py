@@ -198,3 +198,88 @@ def token_drift(
         F.lit(tot_n).cast("long").alias("total_new"),
         F.round(shift, 9).alias("freq_shift"),
     )
+
+
+# ------------------------------------------- all-pairs sparse cosine
+
+
+def bow_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs document similarity on TF-weighted word-``k``-shingle
+    vectors (the APSS problem of Bayardo et al., WWW'07), via an
+    inverted-index self-join.
+
+    Representation: term-frequency vectors over word k-grams (multiset,
+    unlike the set semantics of :func:`ngram_jaccard_pairs` — repeated
+    boilerplate inside ONE document weighs in here).  cosine(a, b) =
+    dot(a,b) / sqrt(|a|^2 * |b|^2) where dot and the squared norms are
+    exact integer aggregates, so the final double is one correctly
+    rounded sqrt + divide — bit-identical across engines, which is what
+    lets the registered query hash-match a C++ oracle.
+
+    Scale design: only pairs sharing >= 1 term are materialized, so the
+    self-join cost is sum(df(term)^2) over the vocabulary, not n^2 —
+    and ``max_df`` cuts the stop-terms that dominate that sum (the same
+    lever as the Jaccard/containment operators; Bayardo's prefix filter
+    is the next refinement when the df distribution is flat).  The cut
+    prunes terms from the VECTORS (norms recomputed post-cut), keeping
+    cosine a true similarity of the pruned representation.  Docs with
+    fewer than ``k`` words have no k-grams and drop out.
+
+    Reference analog: the 60-char-key near-dup distinct at
+    ``main.py:283-291`` is the degenerate exact-match case; this is the
+    graded-similarity generalization a 100 TB corpus dedup needs.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda w: F.length(w) > 1,
+    )
+    n = F.size(words)
+    m = n - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+            ).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if max_df is not None:
+        keep = (
+            toks.groupBy("term")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("term")
+        )
+        toks = toks.join(keep, "term")
+    norms = toks.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
+    a = toks.select(F.col("id").alias("id_a"), F.col("tf").alias("tf_a"), "term")
+    b = toks.select(F.col("id").alias("id_b"), F.col("tf").alias("tf_b"), "term")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("id_a"), F.col("nsq").alias("na")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("nsq").alias("nb")), "id_b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

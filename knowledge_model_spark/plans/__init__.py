@@ -40,6 +40,11 @@ _GATE_PRIORITY = [
     "dedup_exact_groups",         # dup_ids array<bigint> → comma string (canon-safe)
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
+    # (newest code first: zero parity history = most valuable row)
+    "dedup_bow_cosine",
+    "events_ohlc_hourly",
+    "sample_group_holdout",
+    "diag_key_skew",
     "dedup_connected_components",
     "dedup_cluster_survivors",
     "embed_seam_parity",

@@ -396,3 +396,49 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.99,
         n_iter=1,
     )
+
+
+@register(
+    "dedup_bow_cosine",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 w -> len(w) > 1) AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS term
+      FROM words
+    ),
+    toks AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY doc_id, term),
+    kept AS (
+      SELECT t.* FROM toks t
+      JOIN (SELECT term FROM toks GROUP BY term HAVING count(*) <= 50) s USING (term)
+    ),
+    norms AS (SELECT doc_id, sum(tf * tf) AS nsq FROM kept GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+      FROM kept a JOIN kept b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)), 6)
+               AS cosine
+      FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b)
+    WHERE cosine >= 0.5
+    """,
+    doc="all-pairs sparse cosine >= 0.5 on TF-weighted word-3-gram vectors "
+    "(Bayardo APSS shape): inverted-index self-join whose cost is "
+    "sum(df^2), with a df<=50 stop-term cut; dot and norms are exact "
+    "integers so the cosine double is engine-identical",
+)
+def dedup_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.text_rank import bow_cosine_pairs
+
+    t = load_tables(spark, sf_dir)
+    return bow_cosine_pairs(
+        t["documents"], "doc_id", "text", k=3, threshold=0.5, max_df=50
+    )

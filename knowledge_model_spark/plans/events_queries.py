@@ -730,3 +730,42 @@ def events_gap_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
         t["events"], "user_id", "ts", "value", bucket="hour",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type, value, ts, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY h, event_type
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY h, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT CAST(epoch(h) AS BIGINT) AS window_start, event_type,
+           max(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rl = 1 THEN value END) AS close,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="OHLC downsampling per (event_type, hour): open/close as algebraic "
+    "min_by/max_by over struct(ts, event_id) — one partial+final hash agg, "
+    "no per-key sort (the oracle's window form is the naive plan this "
+    "replaces); tiebreak on event_id makes ties deterministic",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import ohlc_bars
+
+    t = load_tables(spark, sf_dir)
+    return ohlc_bars(
+        t["events"], "ts", "value", ["event_type"], window="1 hour",
+        tiebreak_col="event_id",
+    )

@@ -1069,3 +1069,36 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
         F.round(cov_n / var_x, 6).alias("slope_price_per_qty"),
     )
+
+
+@register(
+    "diag_key_skew",
+    """
+    WITH lc AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1)
+    SELECT 'lineitem.l_suppkey' AS keyset, count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
+           round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 4) AS max_over_avg
+    FROM lc
+    UNION ALL
+    SELECT 'orders.o_custkey', count(*), CAST(sum(cnt) AS BIGINT), max(cnt),
+           round(quantile_cont(cnt, 0.5), 4), round(quantile_cont(cnt, 0.99), 4),
+           CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT),
+           round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 4)
+    FROM oc
+    """,
+    doc="join-key skew audit (n_keys, max/p50/p99 counts, top-key share): "
+    "the pre-flight profile that decides between plain shuffle join, AQE "
+    "skew splitting, and hot-key salting — two map-side-combined shuffles "
+    "per keyset, integer top-share, shared percentile interpolation",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import key_skew_audit
+
+    t = load_tables(spark, sf_dir)
+    a = key_skew_audit(t["lineitem"], "l_suppkey", "lineitem.l_suppkey")
+    b = key_skew_audit(t["orders"], "o_custkey", "orders.o_custkey")
+    return a.unionByName(b)

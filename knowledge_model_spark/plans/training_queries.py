@@ -305,3 +305,40 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@register(
+    "sample_group_holdout",
+    """
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train'
+                  WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(DISTINCT source) AS n_groups, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split
+    """,
+    doc="group-aware holdout: the md5 split key is the GROUP (source), not "
+    "the document, so same-source near-duplicates (shared boilerplate, "
+    "re-crawls) can never straddle train/test — the leakage mode a "
+    "per-document split invites and dedup alone cannot close; same "
+    "content-addressed determinism as sample_train_split (no RNG state, "
+    "stable under corpus growth and repartitioning)",
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = F.substring(F.md5(F.col("source")), 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    return (
+        t["documents"]
+        .select("source", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_groups"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -108,3 +108,43 @@ def test_audited_metrics_single_scan(spark, tables):
     assert m_in["null_texts"] == 0
     assert m_out["rows"] == n_out
     assert 0 < n_out <= m_in["rows"]
+
+
+# ------------------------------------------------------- OHLC bars
+
+
+def test_ohlc_bars_tiebreak_deterministic(spark):
+    import datetime as dt
+
+    from knowledge_model_spark.operators.relational import ohlc_bars
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # two events at the IDENTICAL timestamp: event_id must break the tie
+        (1, base, "a", 5.0),
+        (2, base, "a", 9.0),
+        (3, base + dt.timedelta(minutes=30), "a", 7.0),
+        (4, base + dt.timedelta(minutes=59), "a", 2.0),
+        (5, base + dt.timedelta(minutes=59), "a", 11.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    for n_parts in (1, 7):
+        out = ohlc_bars(
+            df.repartition(n_parts), "ts", "value", ["event_type"],
+            window="1 hour", tiebreak_col="event_id",
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.open, r.high, r.low, r.close, r.n) == (5.0, 11.0, 2.0, 11.0, 5)
+
+
+def test_key_skew_audit_flags_hot_key(spark):
+    from knowledge_model_spark.operators.relational import key_skew_audit
+
+    rows = [(0, i) for i in range(900)] + [(k, 0) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, ["key", "payload"])
+    r = key_skew_audit(df, "key", "fixture").collect()[0]
+    assert r.keyset == "fixture"
+    assert r.n_keys == 101 and r.n_rows == 1000 and r.max_cnt == 900
+    assert r.top_share_ppm == 900000
+    assert r.p50_cnt == 1.0
