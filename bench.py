@@ -106,6 +106,12 @@ HEADLINE: dict[str, bool] = {
     "events_gap_fill_hourly": False,
     "events_gap_interpolate_hourly": False,
     "stats_chi2_lang_source": True,
+    "dedup_bow_cosine": False,
+    "events_ohlc_hourly": False,
+    "sample_group_holdout": True,
+    "diag_key_skew": True,
+    "agg_bitmap_distinct_rollup": True,
+    "events_attribution_last_touch": False,
 }
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,4 +98,63 @@ def funnel_counts(
     return (
         counts.select(F.explode(F.array(*per_step)).alias("s"))
         .select("s.step", "s.event_type", "s.n_users", "s.frac_of_first")
+    )
+
+
+def attribute_last_touch(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conv_type: str,
+    touch_type: str,
+    value_col: str = "value",
+    max_lag_us: int = 86400 * 1_000_000,
+) -> DataFrame:
+    """Last-touch conversion attribution: each ``conv_type`` event is
+    credited to the most recent preceding ``touch_type`` event by the
+    same user within ``max_lag_us`` microseconds (or to no touch).
+
+    Union + last-value window formulation — ONE shuffle on the user key,
+    linear in events — rather than the naive conversions×touches range
+    join (the oracle states that form), whose pair blowup is quadratic
+    in per-user activity.  Ordering (ts, is_conv, id) is total, so ties
+    (touch at the exact conversion instant, simultaneous touches)
+    resolve identically on any partitioning: a same-instant touch IS
+    attributable, and the larger id wins among simultaneous touches.
+    Because touches are scanned in recency order, filtering the lag
+    AFTER picking the latest touch equals filtering before (any older
+    touch is farther away) — the tolerance never needs the pair join.
+    """
+    is_conv = F.col(type_col) == conv_type
+    tagged = events.filter(F.col(type_col).isin([conv_type, touch_type])).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__value"),
+        is_conv.cast("int").alias("__conv"),
+        F.when(~is_conv, F.unix_micros(F.col(ts_col))).alias("__touch_us"),
+        F.when(~is_conv, F.col(id_col)).alias("__touch_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__ts").asc(), F.col("__conv").asc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        tagged.withColumn("t_us", F.last("__touch_us", ignorenulls=True).over(w))
+        .withColumn("t_id", F.last("__touch_id", ignorenulls=True).over(w))
+        .filter(F.col("__conv") == 1)
+    )
+    lag_us = F.unix_micros(F.col("__ts")) - F.col("t_us")
+    in_window = F.col("t_us").isNotNull() & (lag_us <= max_lag_us)
+    return filled.select(
+        "user_id",
+        F.col("__id").alias("conv_id"),
+        F.unix_micros(F.col("__ts")).alias("conv_us"),
+        F.round(F.col("__value"), 2).alias("conv_value"),
+        F.when(in_window, F.col("t_id")).alias("touch_id"),
+        F.when(in_window, F.col("t_us")).alias("touch_us"),
+        F.when(in_window, lag_us).alias("lag_us"),
     )

@@ -45,6 +45,8 @@ _GATE_PRIORITY = [
     "events_ohlc_hourly",
     "sample_group_holdout",
     "diag_key_skew",
+    "agg_bitmap_distinct_rollup",
+    "events_attribution_last_touch",
     "dedup_connected_components",
     "dedup_cluster_survivors",
     "embed_seam_parity",

@@ -769,3 +769,46 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"], "ts", "value", ["event_type"], window="1 hour",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS cts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, event_id AS touch_id, ts AS tts
+      FROM events WHERE event_type = 'click'
+    ),
+    best AS (
+      SELECT conv_id, touch_id, tts FROM (
+        SELECT c.conv_id, t.touch_id, t.tts,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.tts DESC, t.touch_id DESC) AS rn
+        FROM conv c JOIN tch t
+          ON t.user_id = c.user_id AND t.tts <= c.cts
+         AND epoch_us(c.cts) - epoch_us(t.tts) <= 86400000000)
+      WHERE rn = 1
+    )
+    SELECT c.user_id, c.conv_id, CAST(epoch_us(c.cts) AS BIGINT) AS conv_us,
+           round(c.value, 2) AS conv_value,
+           b.touch_id, CAST(epoch_us(b.tts) AS BIGINT) AS touch_us,
+           CAST(epoch_us(c.cts) - epoch_us(b.tts) AS BIGINT) AS lag_us
+    FROM conv c LEFT JOIN best b USING (conv_id)
+    """,
+    doc="last-touch attribution: each purchase credited to the user's most "
+    "recent click within 24h — union + last-value window (one user-key "
+    "shuffle, linear), not the oracle's conversionsxtouches range join "
+    "whose pairs grow quadratically in per-user activity; (ts, kind, id) "
+    "total order makes simultaneous-event ties partition-invariant",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.funnel import attribute_last_touch
+
+    t = load_tables(spark, sf_dir)
+    return attribute_last_touch(
+        t["events"], "user_id", "ts", "event_type", "event_id",
+        conv_type="purchase", touch_type="click",
+    )

@@ -125,3 +125,49 @@ def agg_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return heavy_hitters(toks, "term", threshold_frac=1.0 / 512)
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    """
+    WITH fine AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY 1, 2
+    ),
+    coarse AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(epoch(day) AS BIGINT) AS day_epoch, n_distinct,
+           'fine' AS level
+    FROM fine
+    UNION ALL
+    SELECT event_type, CAST(-1 AS BIGINT), n_distinct, 'coarse' FROM coarse
+    """,
+    doc="EXACT distinct-user rollup via 64-bit bitmap chunks (bit_or of "
+    "1<<id%64 per id div 64): the coarse level re-ORs the fine CHUNK "
+    "table — rows ∝ distinct-ids/64 — never re-shuffling raw events; "
+    "exact where HLL approximates, sized by id range not event count",
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import bitmap_distinct_rollup
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("day", F.col("ts").cast("date"))
+    fine, coarse = bitmap_distinct_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+    return fine.select(
+        "event_type",
+        F.unix_timestamp(F.col("day").cast("timestamp")).alias("day_epoch"),
+        "n_distinct",
+        F.lit("fine").alias("level"),
+    ).unionByName(
+        coarse.select(
+            "event_type",
+            F.lit(-1).cast("long").alias("day_epoch"),
+            "n_distinct",
+            F.lit("coarse").alias("level"),
+        )
+    )

@@ -378,3 +378,70 @@ def test_gap_fill_interpolate_semantics(spark):
         (1, 5): (40.0, False),   # flat segment interpolates flat
         (1, 6): (40.0, True),
     }
+
+
+# ------------------------------------------- exact bitmap rollup
+
+
+def test_bitmap_rollup_exact_and_mergeable(spark, tables):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.sketches import bitmap_distinct_rollup
+
+    ev = tables["events"].withColumn("day", F.col("ts").cast("date"))
+    fine, coarse = bitmap_distinct_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+    # exact at both levels vs countDistinct ground truth
+    want_fine = {
+        (r.event_type, r.day): r.n
+        for r in ev.groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got_fine = {(r.event_type, r.day): r.n_distinct for r in fine.collect()}
+    assert got_fine == want_fine
+    want_coarse = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    got_coarse = {r.event_type: r.n_distinct for r in coarse.collect()}
+    assert got_coarse == want_coarse
+    # merge invariant is structural (coarse re-ORs fine chunks), and the
+    # coarse count is NOT the sum of fine counts (users repeat across days)
+    assert sum(want_fine.values()) > sum(want_coarse.values())
+
+
+def test_attribution_last_touch_semantics(spark):
+    import datetime as dt
+
+    from knowledge_model_spark.operators.funnel import attribute_last_touch
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click -> click -> purchase (latest click wins)
+        (1, 1, base, "click", 0.0),
+        (2, 1, base + dt.timedelta(hours=1), "click", 0.0),
+        (3, 1, base + dt.timedelta(hours=2), "purchase", 9.5),
+        # user 2: click 30h before purchase -> outside the 24h window
+        (4, 2, base, "click", 0.0),
+        (5, 2, base + dt.timedelta(hours=30), "purchase", 3.0),
+        # user 3: purchase with no click at all
+        (6, 3, base, "purchase", 1.0),
+        # user 4: click at the EXACT purchase instant is attributable
+        (7, 4, base, "click", 0.0),
+        (8, 4, base, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    for n_parts in (1, 5):
+        out = {
+            r.conv_id: r
+            for r in attribute_last_touch(
+                df.repartition(n_parts), "user_id", "ts", "event_type", "event_id",
+                conv_type="purchase", touch_type="click",
+            ).collect()
+        }
+        assert out[3].touch_id == 2
+        assert out[5].touch_id is None and out[5].lag_us is None
+        assert out[6].touch_id is None
+        assert out[8].touch_id == 7 and out[8].lag_us == 0
