@@ -97,6 +97,12 @@ _GATE_PRIORITY = [
     "cdc_snapshot_diff",
     "events_anomaly_zscore",
     "quality_k_anonymity",
+    "events_gap_fill_hourly",
+    "events_gap_interpolate_hourly",
+    "quality_classifier_score",
+    "stats_chi2_lang_source",
+    "sql_lateral_topk_per_group",
+    "setop_multiset_all",
     # (c) rows-only entries (changed or never-checked) — a driver row
     # here is only a rows-count check; tests carry the real gate
     "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)

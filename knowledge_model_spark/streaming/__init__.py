@@ -8,6 +8,7 @@ watermarked windowed aggregations, stateful dedup, and session windows.
 """
 
 from knowledge_model_spark.streaming.windows import (
+    ohlc_stream,
     sessionized_stream,
     sliding_counts,
     stateful_capped_sessions,
@@ -19,6 +20,7 @@ from knowledge_model_spark.streaming.windows import (
 
 __all__ = [
     "tumbling_counts",
+    "ohlc_stream",
     "sliding_counts",
     "sessionized_stream",
     "stateful_capped_sessions",

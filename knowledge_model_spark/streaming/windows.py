@@ -366,3 +366,49 @@ def windowed_distinct_users(
         .agg(F.approx_count_distinct(user_col, rsd=rsd).alias("n_users"))
         .select(F.col("w.start").alias("window_start"), "n_users")
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.relational.ohlc_bars``: watermarked
+    tumbling OHLC bars.
+
+    min_by/max_by over struct(ts, tiebreak) are algebraic, so the state
+    per open window is ONE partial bar (7 scalars) per group — each
+    micro-batch folds into it and the watermark evicts closed bars.
+    This is why the batch formulation was chosen over a window sort: the
+    same aggregate is incrementally maintainable, giving batch/stream
+    result parity by construction (asserted in tests/test_streaming.py).
+    """
+    group_cols = group_cols or ["event_type"]
+    key = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    v = F.col(value_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.sum(v), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "total_value",
+        )
+    )

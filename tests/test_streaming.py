@@ -372,3 +372,31 @@ def test_windowed_distinct_users_stream_matches_batch(
         .collect()
     }
     assert got == exact  # sub-sparse regime: HLL is exact here
+
+
+def test_ohlc_stream_matches_batch_twin(spark, event_stream_dir, tmp_path):
+    from knowledge_model_spark.operators.relational import ohlc_bars
+    from knowledge_model_spark.streaming.windows import ohlc_stream
+
+    batch, stream = _read_stream(spark, event_stream_dir)
+    q = (
+        ohlc_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in spark.sql("SELECT * FROM ohlc").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc_bars(
+            batch, "ts", "value", ["event_type"], window="1 hour", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want
