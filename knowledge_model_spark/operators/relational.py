@@ -745,22 +745,31 @@ def ohlc_bars(
     """OHLC time-series downsampling: open/high/low/close (+ count, sum)
     per (``group_cols``, tumbling ``window``) bucket.
 
-    open/close are expressed as ``min_by``/``max_by`` over a
-    ``struct(ts, tiebreak)`` ordering key — an ALGEBRAIC aggregate
-    (commutative, associative, map-side-combinable), so the whole bar
-    builds in ONE partial+final hash aggregation with no per-key sort.
-    The naive formulation (two row_number windows per key) shuffles AND
-    sorts every event; at 100 TB of tick data the sort dominates, while
-    this plan's cost is the scan plus one slim shuffle of per-bucket
-    partial bars.  ``tiebreak_col`` makes the ordering key total, so
-    simultaneous events resolve identically on any partitioning (and
+    open/close are expressed as ``min_by``/``max_by`` over a totally
+    ordered key — an ALGEBRAIC aggregate (commutative, associative,
+    map-side-combinable), so the whole bar builds in ONE partial+final
+    HashAggregate with no per-key sort.  The naive formulation (two
+    row_number windows per key) shuffles AND sorts every event; at
+    100 TB of tick data the sort dominates, while this plan's cost is
+    the scan plus one slim shuffle of per-bucket partial bars.
+
+    The (ts, tiebreak) ordering key is packed into ONE DECIMAL(38,0) as
+    ``unix_micros(ts) * 10^12 + tiebreak`` — positional base-10^12
+    encoding preserves the lexicographic order exactly, and matters
+    physically: min_by over a struct key demotes the plan to
+    SortAggregate (struct buffers aren't hash-aggregable), measured as
+    two extra per-partition sorts; the decimal key keeps HashAggregate.
+    Requires ``0 <= tiebreak < 10^12``; the key makes the order total,
+    so simultaneous events resolve identically on any partitioning (and
     identically to the oracle's ORDER BY ts, tiebreak).
     """
-    key = (
-        F.struct(F.col(ts_col), F.col(tiebreak_col))
-        if tiebreak_col
-        else F.struct(F.col(ts_col))
-    )
+    ts_us = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
+    if tiebreak_col:
+        key = ts_us * F.lit(10**12).cast("decimal(38,0)") + F.col(
+            tiebreak_col
+        ).cast("decimal(38,0)")
+    else:
+        key = ts_us
     v = F.col(value_col)
     return (
         df.groupBy(F.window(ts_col, window).alias("w"), *group_cols)

@@ -132,10 +132,15 @@ def bitmap_distinct_rollup(
     """
     chunk = F.expr(f"{id_col} div 64").alias("__chunk")
     bit = F.expr(f"shiftleft(1L, CAST(pmod({id_col}, 64) AS INT))")
+    from pyspark import StorageLevel
+
     bitmaps = (
         df.select(*fine_cols, chunk, bit.alias("__bit"))
         .groupBy(*fine_cols, "__chunk")
         .agg(F.expr("bit_or(__bit)").alias("__bits"))
+        # both output levels fold this one chunk table; persisting it
+        # keeps the raw-event scan + OR shuffle single-pass
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fine = bitmaps.groupBy(*fine_cols).agg(
         F.sum(F.bit_count("__bits")).cast("long").alias("n_distinct")

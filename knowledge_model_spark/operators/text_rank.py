@@ -264,6 +264,13 @@ def bow_cosine_pairs(
             .select("term")
         )
         toks = toks.join(keep, "term")
+    # four consumers (df cut, norms, both join sides) would otherwise
+    # re-run the regex shingling + tf shuffle 4× (measured: 44 Exchanges
+    # in the un-persisted plan); at true corpus scale, write this table
+    # to Parquet once instead (same seam as the minhash sketch_path)
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     norms = toks.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
     a = toks.select(F.col("id").alias("id_a"), F.col("tf").alias("tf_a"), "term")
     b = toks.select(F.col("id").alias("id_b"), F.col("tf").alias("tf_b"), "term")

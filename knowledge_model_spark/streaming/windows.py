@@ -380,15 +380,18 @@ def ohlc_stream(
     """Streaming twin of ``operators.relational.ohlc_bars``: watermarked
     tumbling OHLC bars.
 
-    min_by/max_by over struct(ts, tiebreak) are algebraic, so the state
-    per open window is ONE partial bar (7 scalars) per group — each
-    micro-batch folds into it and the watermark evicts closed bars.
-    This is why the batch formulation was chosen over a window sort: the
-    same aggregate is incrementally maintainable, giving batch/stream
-    result parity by construction (asserted in tests/test_streaming.py).
+    min_by/max_by over the decimal-packed (ts, tiebreak) key are
+    algebraic, so the state per open window is ONE partial bar (7
+    scalars) per group — each micro-batch folds into it and the
+    watermark evicts closed bars.  This is why the batch formulation
+    was chosen over a window sort: the same aggregate is incrementally
+    maintainable, giving batch/stream result parity by construction
+    (asserted in tests/test_streaming.py).
     """
     group_cols = group_cols or ["event_type"]
-    key = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    key = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)") * F.lit(
+        10**12
+    ).cast("decimal(38,0)") + F.col(tiebreak_col).cast("decimal(38,0)")
     v = F.col(value_col)
     return (
         events.withWatermark(ts_col, watermark)
