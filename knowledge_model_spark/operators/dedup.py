@@ -412,6 +412,20 @@ def simhash_pairs(
     # exactly once.  ``persist_sketches`` is kept for API compatibility.
     del persist_sketches
     sigs = simhash(df, id_col, text_col)
+    return hash64_hamming_pairs(sigs, max_distance, max_bucket_size)
+
+
+def hash64_hamming_pairs(
+    sigs: DataFrame,
+    max_distance: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs among arbitrary 63-bit signatures (id, simhash) at
+    Hamming distance ≤ ``max_distance``, via the 4×16-bit block banding
+    of :func:`simhash_pairs` — factored out so ANY 64-bit sketch rides
+    the same candidate machinery (text SimHash, image perceptual hash).
+    Recall guarantee: pigeonhole over 4 blocks means distance ≤ 3 pairs
+    always share at least one exact block."""
     blocks = sigs.select(
         "id",
         "simhash",

@@ -105,6 +105,7 @@ _GATE_PRIORITY = [
     "setop_multiset_all",
     # (c) rows-only entries (changed or never-checked) — a driver row
     # here is only a rows-count check; tests carry the real gate
+    "multimodal_phash_dedup",     # new (r3)
     "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)
     "dedup_simhash",              # same (r3)
     "dedup_semantic_pairs",

@@ -418,3 +418,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_frames"),
         F.sum(F.length("frame_payload")).cast("long").alias("total_bytes"),
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    None,  # sha256/aHash signatures — no SQL equivalent; rows-only
+    doc="image dedup by perceptual hash: binary payloads → 63-bit "
+    "signature (mapInPandas kernel; REAL aHash for numpy-decodable "
+    "formats, sha256-derived otherwise) → the SAME 4x16-bit block-banded "
+    "Hamming pair machinery as text SimHash; synthetic input plants "
+    "payload twins (media_id mod 32) so exact dups surface at distance 0",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.dedup import hash64_hamming_pairs
+    from knowledge_model_spark.sources.multimodal import (
+        make_synthetic_media,
+        perceptual_hash,
+    )
+
+    media = make_synthetic_media(spark, n=64).withColumn(
+        "payload", F.sha2(F.pmod("media_id", F.lit(32)).cast("string"), 256).cast("binary")
+    )
+    sigs = perceptual_hash(media, decode="DETERMINISTIC")
+    return hash64_hamming_pairs(sigs, max_distance=3).orderBy("id_a", "id_b")

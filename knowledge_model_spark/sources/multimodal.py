@@ -393,3 +393,76 @@ def arrow_byte_stats(df, binary_col: str = "payload", id_col: str = "doc_id"):
             )
 
     return df.select(id_col, binary_col).mapInArrow(kernel, out_schema)
+
+
+# ------------------------------------------------- perceptual hashing
+
+
+def _ahash64(img: np.ndarray) -> int:
+    """Average-hash (aHash) of an RGB image: luma → 8×8 average pooling
+    → threshold at the pooled mean → 63-bit signature (top bit masked so
+    the value stays positive in a Spark LongType, matching the SimHash
+    bit domain and its block-banding machinery)."""
+    x = img.astype(np.float64) / 255.0
+    luma = 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
+    h, w = luma.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    pooled = np.array(
+        [
+            [luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean() for j in range(8)]
+            for i in range(8)
+        ]
+    )
+    bits = (pooled > pooled.mean()).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        out |= int(b) << i
+    return out & ((1 << 63) - 1)
+
+
+def perceptual_hash(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFrame:
+    """media(media_id, payload, …) → (id, simhash): 63-bit perceptual
+    signature per image, ready for
+    :func:`operators.dedup.hash64_hamming_pairs`.
+
+    REAL mode computes a genuine aHash over the numpy-decodable formats
+    (P6 PPM / 24-bit BMP — same codec seam rules as
+    :func:`image_features`); DETERMINISTIC derives the signature from
+    sha256 of the payload bytes, which preserves one real property —
+    byte-identical payloads collide at distance 0 — so the downstream
+    dedup plumbing is fully exercisable on arbitrary binaries.
+    """
+    if decode not in ("DETERMINISTIC", "REAL"):
+        raise ValueError("decode must be DETERMINISTIC or REAL")
+
+    def _sig(b: bytes) -> int:
+        if decode == "REAL":
+            img = decode_ppm(b)
+            if img is None:
+                img = decode_bmp(b)
+            if img is None:
+                raise NotImplementedError(
+                    "compressed image formats require Pillow — not in "
+                    "container; REAL aHash supports P6 PPM and 24-bit BMP"
+                )
+            return _ahash64(img)
+        digest = hashlib.sha256(b or b"").digest()
+        return int.from_bytes(digest[:8], "big") & ((1 << 63) - 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["media_id"].astype("int64"),
+                    "simhash": pdf["payload"].map(_sig).astype("int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(kernel, schema)

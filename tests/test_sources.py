@@ -576,3 +576,54 @@ def test_read_csv_deadletter(spark, tmp_path):
         "4\tdelta\t0.1\textra",
         "notanint\teps\t0.2",
     }
+
+
+def test_perceptual_hash_real_ahash_near_dups(spark):
+    import numpy as np
+
+    from knowledge_model_spark.operators.dedup import hash64_hamming_pairs
+    from knowledge_model_spark.sources.multimodal import perceptual_hash
+
+    # 32x32 gradient, a near-identical copy (one pixel nudged), and the
+    # inverted image: aHash must pair the twins, not the opposite
+    g = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+    img_a = np.stack([g, g, g], axis=-1)
+    img_b = img_a.copy()
+    img_b[5, 5] = [255, 255, 255]
+    img_c = 255 - img_a
+    rows = [(1, _make_ppm(img_a)), (2, _make_ppm(img_b)), (3, _make_ppm(img_c))]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    sigs = perceptual_hash(media, decode="REAL")
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in hash64_hamming_pairs(sigs, max_distance=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # determinism across partitionings
+    again = {
+        (r.id_a, r.id_b): r.distance
+        for r in hash64_hamming_pairs(
+            perceptual_hash(media.repartition(5), decode="REAL"), max_distance=3
+        ).collect()
+    }
+    assert again == pairs
+
+
+def test_perceptual_hash_deterministic_mode_exact_dups(spark):
+    from knowledge_model_spark.operators.dedup import hash64_hamming_pairs
+    from knowledge_model_spark.sources.multimodal import (
+        make_synthetic_media,
+        perceptual_hash,
+    )
+    from pyspark.sql import functions as F
+
+    media = make_synthetic_media(spark, n=16).withColumn(
+        "payload", F.sha2(F.pmod("media_id", F.lit(8)).cast("string"), 256).cast("binary")
+    )
+    pairs = hash64_hamming_pairs(
+        perceptual_hash(media, decode="DETERMINISTIC"), max_distance=3
+    ).collect()
+    # 8 payload twins -> 8 distance-0 pairs, nothing else (sha256 spreads)
+    assert len(pairs) == 8
+    assert all(r.distance == 0 and r.id_b == r.id_a + 8 for r in pairs)
