@@ -112,6 +112,8 @@ HEADLINE: dict[str, bool] = {
     "diag_key_skew": True,
     "agg_bitmap_distinct_rollup": True,
     "events_attribution_last_touch": False,
+    "events_ewma_smooth": False,
+    "multimodal_phash_dedup": False,
 }
 
 

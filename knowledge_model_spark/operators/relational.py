@@ -826,3 +826,42 @@ def key_skew_audit(df: DataFrame, key_col: str, label: str | None = None) -> Dat
             F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 4
         ).alias("max_over_avg"),
     )
+
+
+def ewma_trailing(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    n: int = 10,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average over the last ``n``
+    observations per key (ordered by ``ts_col`` then ``tiebreak``).
+
+    The true recursive EWMA (s_t = α·v_t + (1-α)·s_{t-1}) is inherently
+    sequential — a scan no engine parallelizes per key — so this is the
+    standard bounded-window approximation: weights (1-α)^k for lags
+    k = 0..n-1, renormalized over the lags that exist.  The weights are
+    precomputed on the driver and embedded as DOUBLE LITERALS, and the
+    numerator/denominator fold left-to-right in lag order — both choices
+    exist so an oracle stating the identical literals and the identical
+    fold produces bit-identical doubles (pow() can differ in the last
+    ulp between libm implementations; literals can't).
+
+    Plan: ONE shuffle on the key, in-partition sort, n lag reads from
+    the same window frame — no self-join, no per-row subquery.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak])
+    )
+    weights = [(1.0 - alpha) ** k for k in range(n)]
+    lags = [F.lag(F.col(value_col), k).over(w) for k in range(n)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(n):
+        num = num + F.coalesce(F.lit(weights[k]) * lags[k], F.lit(0.0))
+        den = den + F.when(lags[k].isNotNull(), F.lit(weights[k])).otherwise(F.lit(0.0))
+    return df.withColumn("ewma", F.round(num / den, 6))

@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "diag_key_skew",
     "agg_bitmap_distinct_rollup",
     "events_attribution_last_touch",
+    "events_ewma_smooth",
     "dedup_connected_components",
     "dedup_cluster_survivors",
     "embed_seam_parity",

@@ -812,3 +812,44 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         t["events"], "user_id", "ts", "event_type", "event_id",
         conv_type="purchase", touch_type="click",
     )
+
+
+_EWMA_W = [repr((1.0 - 0.3) ** k) for k in range(10)]
+_EWMA_LAGS = ",\n             ".join(
+    f"lag(value, {k}) OVER win AS l{k}" for k in range(10)
+)
+_EWMA_NUM = " + ".join(f"coalesce({_EWMA_W[k]} * l{k}, 0.0)" for k in range(10))
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN l{k} IS NOT NULL THEN {_EWMA_W[k]} ELSE 0.0 END)"
+    for k in range(10)
+)
+
+
+@register(
+    "events_ewma_smooth",
+    f"""
+    WITH lagged AS (
+      SELECT user_id, event_id,
+             {_EWMA_LAGS}
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           round((0.0 + {_EWMA_NUM}) / (0.0 + {_EWMA_DEN}), 6) AS ewma
+    FROM lagged
+    """,
+    doc="trailing-10 EWMA (alpha=0.3) of each user's event values: the "
+    "sequential recursive EWMA re-expressed as a bounded lag window — one "
+    "user-key shuffle; the decay weights are driver-rendered double "
+    "LITERALS shared verbatim with the oracle and both sides fold the "
+    "weighted sum left-to-right in lag order, so no pow()/summation-order "
+    "ulp divergence is possible",
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import ewma_trailing
+
+    t = load_tables(spark, sf_dir)
+    return ewma_trailing(
+        t["events"], ["user_id"], "ts", "value", alpha=0.3, n=10,
+        tiebreak=["event_id"],
+    ).select("user_id", "event_id", "ewma")
