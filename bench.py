@@ -114,6 +114,10 @@ HEADLINE: dict[str, bool] = {
     "events_attribution_last_touch": False,
     "events_ewma_smooth": False,
     "multimodal_phash_dedup": False,
+    "agg_cms_frequency": True,
+    "q13_customer_distribution": True,
+    "q14_promo_revenue_ratio": True,
+    "q18_large_volume_orders": True,
 }
 
 

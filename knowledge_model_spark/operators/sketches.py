@@ -152,3 +152,74 @@ def bitmap_distinct_rollup(
         .agg(F.sum(F.bit_count("__bits")).cast("long").alias("n_distinct"))
     )
     return fine, coarse
+
+
+# ------------------------------------------------------------ count-min
+
+
+def _cms_bucket(depth: Column, key: Column, width: int) -> Column:
+    """Row hash for the count-min sketch: md5 of ``depth:key`` → first 4
+    hex chars → int mod width.  md5-derived (not xxhash64) so DuckDB can
+    compute the IDENTICAL bucket (`CAST('0x'||substring(md5(..),1,4) AS
+    INTEGER) % width`) — the same cross-engine trick every
+    content-addressed sampler in this repo uses."""
+    h = F.md5(F.concat_ws(":", depth.cast("string"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % width).alias(
+        "bucket"
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count–min sketch build: ``depth`` × ``width`` counter cells as a
+    (depth, bucket, n) table.
+
+    CMS (Cormode & Muthukrishnan 2005) answers point frequency queries
+    over an unbounded key space in O(depth·width) memory: est(k) =
+    min_d cells[d][h_d(k)], an overestimate by at most εN (ε≈e/width)
+    with probability 1−e^−depth.  The 100 TB story: the full per-key
+    count table of a web-scale corpus has billions of rows; the CMS is
+    a fixed ≤ depth·width-row table (2048 cells here) built by ONE
+    map-side-combined shuffle on (depth, bucket) — the counter table
+    broadcasts to any downstream probe join, where the exact count
+    table would itself be a fact-sized shuffle.  Mergeable: cell-wise
+    sum of two sketches is the sketch of the union (same monoid
+    contract as hll_rollup above).
+    """
+    rows = df.select(F.col(key_col).cast("string").alias("k"))
+    cells = rows.select(
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth"),
+    )
+    return (
+        cells.select("depth", _cms_bucket(F.col("depth"), F.col("k"), width))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Probe a count-min sketch: min over depth rows of the hashed cell.
+
+    ``probes`` is expected to be small relative to the corpus (the keys
+    under investigation); the sketch itself is ≤ depth·width rows, so
+    Catalyst broadcasts it and the probe never shuffles.
+    """
+    probe_cells = probes.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth"),
+    ).select(
+        key_col, "depth", _cms_bucket(F.col("depth"), F.col(key_col), width)
+    )
+    return (
+        probe_cells.join(F.broadcast(cms), ["depth", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("est_n"))
+    )

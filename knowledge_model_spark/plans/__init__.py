@@ -41,6 +41,10 @@ _GATE_PRIORITY = [
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
+    "agg_cms_frequency",          # new (r3 cont.)
+    "q13_customer_distribution",  # new (r3 cont.)
+    "q14_promo_revenue_ratio",    # new (r3 cont.)
+    "q18_large_volume_orders",    # new (r3 cont.)
     "dedup_bow_cosine",
     "events_ohlc_hourly",
     "sample_group_holdout",

@@ -1102,3 +1102,113 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = key_skew_audit(t["lineitem"], "l_suppkey", "lineitem.l_suppkey")
     b = key_skew_audit(t["orders"], "o_custkey", "orders.o_custkey")
     return a.unionByName(b)
+
+
+# ------------------------------------------------ TPC-H classic shapes
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: distribution of per-customer order counts — a "
+    "LEFT OUTER join (zero-order customers survive as c_count=0) feeding "
+    "a second aggregation OVER the first's result. Scale: both aggs are "
+    "partial-agg friendly; the second one's input is |customers| rows, "
+    "already shrunk 10x from the fact table, and its key space (distinct "
+    "counts) is tiny, so the second shuffle is negligible. Reference "
+    "semantics: corpus histogram reporting (pipeline.py run summaries).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY strftime(l_shipdate, '%Y-%m')
+    """,
+    doc="TPC-H Q14 shape: promo-revenue share per ship month — a "
+    "conditional-sum ratio across a fact-to-dim join. Scale: part is a "
+    "dimension, explicitly broadcast, so the fact table never shuffles "
+    "for the join; the groupBy key (month) is low-cardinality, so the "
+    "agg shuffle moves |months| rows per partition after map-side "
+    "combine. The ratio is computed per-group AFTER both sums (never "
+    "sum-of-ratios).",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice, round(total_qty, 2) AS total_qty
+    FROM big JOIN orders   ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey LIMIT 50
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — a HAVING-filtered "
+    "aggregate over the fact table DRIVES the join back to orders and "
+    "customer, then a global top-50. Scale: the aggregate shrinks "
+    "lineitem to |orders| rows before any join; the HAVING cut shrinks "
+    "further (~20% here), and orders⋈lineitem share the orderkey "
+    "partitioning so AQE can plan the survivors' join without a second "
+    "full-fact shuffle; top-50 is TakeOrderedAndProject (no global sort).",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )

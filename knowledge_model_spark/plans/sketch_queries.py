@@ -171,3 +171,58 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("coarse").alias("level"),
         )
     )
+
+
+@register(
+    "agg_cms_frequency",
+    """
+    WITH rows AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    cells AS (
+      SELECT d.depth,
+             CAST(('0x' || substring(md5(CAST(d.depth AS VARCHAR) || ':' || k),
+                                     1, 4)) AS INTEGER) % 512 AS bucket,
+             count(*) AS n
+      FROM rows CROSS JOIN (SELECT unnest(range(4)) AS depth) d
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k, o_custkey, count(*) AS true_n
+      FROM orders GROUP BY 1, 2
+      ORDER BY true_n DESC, o_custkey LIMIT 20
+    ),
+    probe AS (
+      SELECT t.o_custkey, t.true_n, d.depth,
+             CAST(('0x' || substring(md5(CAST(d.depth AS VARCHAR) || ':' || t.k),
+                                     1, 4)) AS INTEGER) % 512 AS bucket
+      FROM truth t CROSS JOIN (SELECT unnest(range(4)) AS depth) d
+    )
+    SELECT p.o_custkey, CAST(max(p.true_n) AS BIGINT) AS true_n,
+           CAST(min(c.n) AS BIGINT) AS est_n
+    FROM probe p JOIN cells c ON p.depth = c.depth AND p.bucket = c.bucket
+    GROUP BY p.o_custkey
+    """,
+    doc="count-min sketch point-frequency estimates for the 20 hottest "
+    "order keys, vs exact truth (Cormode & Muthukrishnan 2005). The "
+    "sketch is a fixed 4x512 counter table built by ONE map-side-"
+    "combined shuffle — at 100 TB the exact per-key count table is "
+    "itself fact-sized, while the CMS broadcasts to any probe join; "
+    "est >= true always, over by <= eN/512 w.h.p. Buckets are md5-"
+    "derived so the oracle computes the identical cells; the min-over-"
+    "depth estimate is engine-identical integer arithmetic.",
+)
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import cms_build, cms_estimate
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    cms = cms_build(orders, "o_custkey", depth=4, width=512)
+    truth = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    est = cms_estimate(cms, truth.select("o_custkey"), "o_custkey", depth=4, width=512)
+    return truth.join(est, "o_custkey").select(
+        "o_custkey", "true_n", F.col("est_n").cast("long").alias("est_n")
+    )

@@ -445,3 +445,49 @@ def test_attribution_last_touch_semantics(spark):
         assert out[5].touch_id is None and out[5].lag_us is None
         assert out[6].touch_id is None
         assert out[8].touch_id == 7 and out[8].lag_us == 0
+
+
+def test_cms_overestimates_and_bounds_error(spark):
+    """CMS guarantees est >= true for EVERY key, and the min-over-depth
+    estimate is within the eN/width bound for all probes here."""
+    from knowledge_model_spark.operators.sketches import cms_build, cms_estimate
+    import pyspark.sql.functions as F
+
+    # skewed key distribution: key k appears k times, keys 1..60
+    rows = [(k,) for k in range(1, 61) for _ in range(k)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(7)
+    n_total = len(rows)
+    width, depth = 128, 4
+
+    cms = cms_build(df, "key", depth=depth, width=width)
+    truth = df.groupBy("key").agg(F.count("*").alias("true_n"))
+    est = cms_estimate(cms, truth.select("key"), "key", depth=depth, width=width)
+    joined = {r.key: (r.true_n, r.est_n) for r in truth.join(est, "key").collect()}
+
+    assert len(joined) == 60
+    import math
+
+    bound = math.e * n_total / width
+    for key, (true_n, est_n) in joined.items():
+        assert est_n >= true_n, f"key {key}: CMS underestimated"
+        assert est_n - true_n <= bound, f"key {key}: over by {est_n - true_n}"
+
+
+def test_cms_merge_is_sketch_of_union(spark):
+    """Cell-wise sum of two part-sketches == the sketch of the union —
+    the mergeable-monoid contract that lets 100 TB builds proceed
+    per-partition/per-month and combine."""
+    from knowledge_model_spark.operators.sketches import cms_build
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([(k % 17,) for k in range(200)], ["key"])
+    b = spark.createDataFrame([(k % 13,) for k in range(150)], ["key"])
+    merged = (
+        cms_build(a, "key").unionByName(cms_build(b, "key"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = cms_build(a.unionByName(b), "key")
+    m = {(r.depth, r.bucket): r.n for r in merged.collect()}
+    d = {(r.depth, r.bucket): r.n for r in direct.collect()}
+    assert m == d
