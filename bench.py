@@ -118,6 +118,7 @@ HEADLINE: dict[str, bool] = {
     "q13_customer_distribution": True,
     "q14_promo_revenue_ratio": True,
     "q18_large_volume_orders": True,
+    "agg_hll_set_intersection": True,
 }
 
 

@@ -104,15 +104,23 @@ def stream_stream_interval_join(
     right_ts: str = "r_ts",
     watermark: str = "2 hours",
     interval: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right events within
-    ``interval`` AFTER the matching left event, per key.
+    """Watermarked stream-stream join: right events within ``interval``
+    AFTER the matching left event, per key.
 
     The §2.9 category the batch twins can't show: both sides buffer
     state; the watermarks + the two-sided time-range condition bound how
     long each side's rows are retained (without the range condition the
     join state grows without limit on a 100 TB stream).  State is
     partitioned by the join key across executors.
+
+    ``how='left_outer'`` adds the no-match rows: a buffered left row is
+    null-emitted (and its state evicted) only once the watermark has
+    passed its entire candidate window — ts + interval < watermark — so
+    outer results are late by exactly the watermark delay, the price of
+    not holding left state forever.  Spark requires the time-range
+    condition for outer stream-stream joins for this reason.
 
     ``right`` must already expose its event time as ``right_ts`` (alias
     before calling — both inputs may derive from the same source, and
@@ -125,7 +133,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {interval}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def stateful_capped_sessions(

@@ -400,3 +400,64 @@ def test_ohlc_stream_matches_batch_twin(spark, event_stream_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_watermark_eviction(
+    spark, event_stream_dir, tmp_path
+):
+    """Left-outer stream-stream join: matched rows equal the batch inner
+    join; null-emitted rows are exactly the unmatched left rows whose
+    candidate window the final watermark has passed (ts + interval <
+    max event time, with watermark delay 0) — the state-eviction
+    contract that keeps outer-join state bounded on an unbounded
+    stream."""
+    from knowledge_model_spark.streaming import stream_stream_interval_join
+
+    batch, stream = _read_stream(spark, event_stream_dir)
+
+    def split(df):
+        l = df.filter(F.col("event_type") == "click").select("user_id", "ts")
+        r = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts"))
+        )
+        return l, r
+
+    ls, rs = split(stream)
+    joined = stream_stream_interval_join(
+        ls, rs, interval="30 minutes", watermark="0 seconds", how="left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssloj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssloj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssloj")
+    got_matched = got.filter(F.col("r_user_id").isNotNull()).count()
+    got_null = got.filter(F.col("r_user_id").isNull()).count()
+
+    lb, rb = split(batch)
+    cond = (
+        (lb["user_id"] == rb["r_user_id"])
+        & (rb["r_ts"] >= lb["ts"])
+        & (rb["r_ts"] <= lb["ts"] + F.expr("INTERVAL 30 minutes"))
+    )
+    want_matched = lb.join(rb, cond).count()
+    # The operator watermark is the MIN across the two inputs' max event
+    # times (default multipleWatermarkPolicy), tracked at millisecond
+    # precision — the batch-side eviction predicate must mirror both.
+    max_l = lb.agg(F.timestamp_millis(F.unix_millis(F.max("ts")))).collect()[0][0]
+    max_r = rb.agg(F.timestamp_millis(F.unix_millis(F.max("r_ts")))).collect()[0][0]
+    max_ts = min(max_l, max_r)
+    want_null = (
+        lb.join(rb, cond, "left")
+        .filter(F.col("r_user_id").isNull())
+        .filter(F.col("ts") + F.expr("INTERVAL 30 minutes") < F.lit(max_ts))
+        .count()
+    )
+    assert got_matched == want_matched and want_matched > 0
+    assert got_null == want_null and want_null > 0
