@@ -119,6 +119,7 @@ HEADLINE: dict[str, bool] = {
     "q14_promo_revenue_ratio": True,
     "q18_large_volume_orders": True,
     "agg_hll_set_intersection": True,
+    "chunk_content_defined": False,
 }
 
 

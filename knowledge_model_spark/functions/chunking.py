@@ -155,3 +155,84 @@ def explode_passages(
     return exploded.withColumn("char_start", F.col("chunk_index") * step).withColumn(
         "char_end", F.col("char_start") + F.length("chunk_text")
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    k: int = 8,
+    divisor: int = 512,
+) -> DataFrame:
+    """Content-defined chunking: cut where the rolling k-gram hash of the
+    LOCAL text ≡ 0 (mod ``divisor``) — boundaries move with the content,
+    not the offsets.
+
+    Why a 100 TB dedup pipeline wants this over fixed windows
+    (:func:`split_passages`): inserting one sentence into a document
+    shifts EVERY fixed-window chunk after the edit (all their hashes
+    change → the whole doc re-processes as "new"), while content-defined
+    boundaries depend only on each position's k-char neighborhood, so
+    every chunk outside the edited region keeps its identity — the
+    incremental-dedup property rsync/LBFS-style CDC exists for (Muthitacharoen
+    et al., SOSP'01).  Expected chunk length is ``divisor`` chars
+    (geometric gap law); no min/max enforcement here, keeping the rule a
+    pure per-position predicate that both engines express identically
+    (greedy min/max clamps are inherently sequential and belong to a
+    post-pass, not the scale path).
+
+    Plan shape: the hash chain is the same staged HOF pipeline as the
+    winnowing fingerprint (localCheckpoint barriers stop CollapseProject
+    from re-inlining the O(len·k) hash lambda into every consumer);
+    boundary selection, segmentation, and slicing are pure JVM array
+    expressions — zero Python, scan-speed.
+
+    Output: one row per chunk with ordinal, char offsets, length, and an
+    md5 chunk fingerprint (the join key for chunk-level dedup).
+    """
+    from knowledge_model_spark.functions.text_analysis import (
+        rolling_gram_hashes,
+    )
+
+    codes = df.select(
+        *id_cols,
+        F.col(text_col).alias("__t"),
+        F.when(
+            F.length(text_col) > 0,
+            F.transform(F.split(text_col, ""), lambda ch: F.ascii(ch).cast("long")),
+        ).otherwise(F.array().cast("array<long>")).alias("__c"),
+    ).localCheckpoint(eager=True)
+    hashed = codes.select(
+        *id_cols, "__t", rolling_gram_hashes(F.col("__c"), k).alias("__h")
+    ).localCheckpoint(eager=True)
+    # cut offsets (0-based char positions AFTER the triggering gram):
+    # gram starting at 1-based i covers chars [i, i+k-1] → cut at i+k-1
+    cuts = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("__h"), F.lit(1))),
+            lambda i: (i <= F.size("__h"))
+            & (F.element_at(F.col("__h"), i) % divisor == 0),
+        ),
+        lambda i: i + F.lit(k - 1),
+    )
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    ends = F.concat(cuts, F.array(F.length("__t")))
+    segs = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda se: se["e"] > se["s"],
+    )
+    out = hashed.select(
+        *id_cols,
+        "__t",
+        F.posexplode(segs).alias("chunk_index", "__se"),
+    )
+    chunk_text = F.substring(
+        F.col("__t"), F.col("__se.s") + 1, F.col("__se.e") - F.col("__se.s")
+    )
+    return out.select(
+        *id_cols,
+        "chunk_index",
+        F.col("__se.s").alias("char_start"),
+        (F.col("__se.e") - F.col("__se.s")).alias("chunk_len"),
+        F.md5(chunk_text).alias("chunk_fp"),
+    )

@@ -604,3 +604,67 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host(F.col("url")).alias("host"),
         url_registered_domain(F.col("url")).alias("domain"),
     )
+
+
+@register(
+    "chunk_content_defined",
+    f"""
+    WITH codes AS (
+      SELECT doc_id, text AS t,
+             CASE WHEN len(text) = 0 THEN []
+                  ELSE list_transform(generate_series(1, len(text)),
+                                      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))
+             END AS c
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, t,
+             CASE WHEN len(c) >= 8
+                  THEN list_transform(generate_series(1, len(c) - 7),
+                                      i -> {_winnow_horner_sql(k=8)})
+                  ELSE [] END AS h
+      FROM codes
+    ),
+    cuts AS (
+      SELECT doc_id, t,
+             list_transform(
+               list_filter(generate_series(1, greatest(len(h), 1)),
+                           i -> i <= len(h) AND h[i] % 512 = 0),
+               i -> i + 7) AS cut
+      FROM hs
+    ),
+    segs AS (
+      SELECT doc_id, t,
+             list_filter(
+               list_zip(list_concat([0], cut),
+                        list_concat(cut, [CAST(len(t) AS BIGINT)])),
+               se -> se[2] > se[1]) AS seg
+      FROM cuts
+    ),
+    expl AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(seg, 1) - 1 AS INTEGER) AS chunk_index,
+             unnest(seg) AS se, t
+      FROM segs
+    )
+    SELECT doc_id, chunk_index,
+           CAST(se[1] AS INTEGER) AS char_start,
+           CAST(se[2] - se[1] AS INTEGER) AS chunk_len,
+           md5(substring(t, CAST(se[1] AS INTEGER) + 1,
+                         CAST(se[2] - se[1] AS INTEGER))) AS chunk_fp
+    FROM expl
+    """,
+    doc="content-defined chunking (LBFS/rsync-style CDC, Muthitacharoen "
+    "et al. SOSP'01): cut where the rolling 8-gram hash ≡ 0 mod 512 — "
+    "boundaries move WITH the content, so an insertion re-chunks only "
+    "its neighborhood while fixed windows shift every downstream chunk; "
+    "the chunk-fingerprint column is the chunk-level dedup join key. "
+    "Pure JVM array expressions over the staged winnow hash chain.",
+)
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.chunking import content_defined_chunks
+
+    t = load_tables(spark, sf_dir)
+    return content_defined_chunks(
+        t["documents_spread"], "text", ["doc_id"], k=8, divisor=512
+    )

@@ -224,3 +224,61 @@ def test_cdc_diff_apply_roundtrip(spark, old_keys, new_keys, data):
     )
     applied = cdc_apply_latest(log, ["k"], "seq")
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_content_defined_chunks_edit_resilience(spark):
+    """The CDC selling point: prepending an edit re-chunks only the edit
+    neighborhood — every chunk fingerprint beyond the first resync
+    boundary survives (fixed windows would shift and invalidate ALL of
+    them), and boundaries depend only on local k-gram context."""
+    from knowledge_model_spark.functions.chunking import content_defined_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "softly on the rooftops and distant thunder echoes through the "
+        "valley below where the river bends around old stone bridges "
+    ) * 30
+    edited = "INSERTED NEW LEADING SENTENCE ABOUT OTHER THINGS. " + base
+
+    df = spark.createDataFrame([(0, base), (1, edited)], ["doc_id", "text"])
+    out = content_defined_chunks(df, "text", ["doc_id"], k=8, divisor=256)
+    rows = out.collect()
+    fps = {d: [] for d in (0, 1)}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)):
+        fps[r.doc_id].append(r.chunk_fp)
+    assert len(fps[0]) > 5, "fixture should produce several chunks"
+    # all base chunks except the (possibly merged/split) first one
+    # reappear verbatim in the edited doc
+    surviving = set(fps[0][1:]) & set(fps[1])
+    assert surviving == set(fps[0][1:])
+
+    # fixed-window control: every window shifts, nothing survives
+    from knowledge_model_spark.functions.chunking import explode_passages
+
+    fixed = explode_passages(df, "text", ["doc_id"], size=256, overlap=0)
+    fx = {d: set() for d in (0, 1)}
+    for r in fixed.collect():
+        fx[r.doc_id].add(r.chunk_text)
+    assert len(fx[0] & fx[1]) <= 1  # at most an accidental tail match
+
+
+def test_content_defined_chunks_cover_text_exactly(spark):
+    """Chunks partition each document: offsets are contiguous from 0 to
+    len(text), lengths positive, and empty docs emit nothing."""
+    from knowledge_model_spark.functions.chunking import content_defined_chunks
+    import pyspark.sql.functions as F
+
+    rows = [(0, "x" * 1000), (1, ""), (2, "short"), (3, "abc " * 500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = content_defined_chunks(df, "text", ["doc_id"]).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_index)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc
+    for doc_id, chunks in by_doc.items():
+        expect_len = len(rows[doc_id][1])
+        pos = 0
+        for c in chunks:
+            assert c.char_start == pos and c.chunk_len > 0
+            pos += c.chunk_len
+        assert pos == expect_len
