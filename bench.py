@@ -120,6 +120,7 @@ HEADLINE: dict[str, bool] = {
     "q18_large_volume_orders": True,
     "agg_hll_set_intersection": True,
     "chunk_content_defined": False,
+    "dedup_cdc_chunks": False,
 }
 
 

@@ -606,9 +606,10 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "chunk_content_defined",
-    f"""
+def _cdc_chunk_cte() -> str:
+    """The shared DuckDB CTE computing content-defined chunk rows —
+    reused by the chunker and the chunk-level dedup oracle."""
+    return f"""
     WITH codes AS (
       SELECT doc_id, text AS t,
              CASE WHEN len(text) = 0 THEN []
@@ -646,13 +647,22 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(generate_subscripts(seg, 1) - 1 AS INTEGER) AS chunk_index,
              unnest(seg) AS se, t
       FROM segs
-    )
-    SELECT doc_id, chunk_index,
-           CAST(se[1] AS INTEGER) AS char_start,
-           CAST(se[2] - se[1] AS INTEGER) AS chunk_len,
-           md5(substring(t, CAST(se[1] AS INTEGER) + 1,
-                         CAST(se[2] - se[1] AS INTEGER))) AS chunk_fp
-    FROM expl
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_index,
+             CAST(se[1] AS INTEGER) AS char_start,
+             CAST(se[2] - se[1] AS INTEGER) AS chunk_len,
+             md5(substring(t, CAST(se[1] AS INTEGER) + 1,
+                           CAST(se[2] - se[1] AS INTEGER))) AS chunk_fp
+      FROM expl
+    )"""
+
+
+@register(
+    "chunk_content_defined",
+    _cdc_chunk_cte()
+    + """
+    SELECT doc_id, chunk_index, char_start, chunk_len, chunk_fp FROM chunks
     """,
     doc="content-defined chunking (LBFS/rsync-style CDC, Muthitacharoen "
     "et al. SOSP'01): cut where the rolling 8-gram hash ≡ 0 mod 512 — "
@@ -667,4 +677,48 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return content_defined_chunks(
         t["documents_spread"], "text", ["doc_id"], k=8, divisor=512
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    _cdc_chunk_cte()
+    + """
+    SELECT chunk_fp,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(chunk_len) AS INTEGER) AS chunk_len,
+           string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)) AS doc_list
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    doc="chunk-level cross-document dedup over CONTENT-DEFINED boundaries "
+    "— the application CDC chunking exists for: shared passages surface "
+    "as equal chunk fingerprints even when their surrounding documents "
+    "differ and their char offsets shift (the fixed-span variant "
+    "dedup_spans_first_seen misses any shared passage that isn't "
+    "100-char-aligned). One groupBy on the uniform md5 fingerprint — "
+    "no skew, candidates ∝ duplicated content, never corpus²; at 100 TB "
+    "this is the rsync/LBFS storage-dedup shape applied to corpus text.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.chunking import content_defined_chunks
+
+    t = load_tables(spark, sf_dir)
+    chunks = content_defined_chunks(
+        t["documents_spread"], "text", ["doc_id"], k=8, divisor=512
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("chunk_len").alias("chunk_len"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("doc_id").cast("string"))), ","
+            ).alias("doc_list"),
+        )
+        .filter(F.col("n_docs") > 1)
     )
