@@ -121,6 +121,8 @@ HEADLINE: dict[str, bool] = {
     "agg_hll_set_intersection": True,
     "chunk_content_defined": False,
     "dedup_cdc_chunks": False,
+    "events_markov_transitions": True,
+    "text_pmi_cooccurrence": True,
 }
 
 

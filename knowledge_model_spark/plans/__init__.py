@@ -45,6 +45,8 @@ _GATE_PRIORITY = [
     "agg_hll_set_intersection",   # new (r3 cont.)
     "chunk_content_defined",      # new (r3 cont.)
     "dedup_cdc_chunks",           # new (r3 cont.)
+    "events_markov_transitions",  # new (r3 cont.)
+    "text_pmi_cooccurrence",      # new (r3 cont.)
     "q13_customer_distribution",  # new (r3 cont.)
     "q14_promo_revenue_ratio",    # new (r3 cont.)
     "q18_large_volume_orders",    # new (r3 cont.)

@@ -853,3 +853,54 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"], ["user_id"], "ts", "value", alpha=0.3, n=10,
         tiebreak=["event_id"],
     ).select("user_id", "event_id", "ewma")
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+             AS p_transition
+    FROM trans
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences (the product-analytics 'what happens after X' view; "
+    "completes the sequence family beside funnel/retention/attribution/"
+    "sessionize). Scale: ONE user-key shuffle for the lead() window "
+    "(each user's events sort locally within their partition — no "
+    "global sort), then a tiny (from,to) agg; transition probabilities "
+    "normalize per from-state over the |types|² matrix, driver-free. "
+    "Total (ts, event_id) order makes ties partition-invariant.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        t["events"]
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p_transition"),
+    )

@@ -722,3 +722,86 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                w -> len(w) >= 3)) AS term
+      FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    dfs AS (SELECT term, count(*) AS df FROM toks GROUP BY 1 HAVING count(*) >= 50),
+    f AS (SELECT t.doc_id, t.term, d.df FROM toks t JOIN dfs d USING (term)),
+    p AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             max(a.df) AS df_a, max(b.df) AS df_b, count(*) AS c_ab
+      FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT term_a, term_b,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(df_a AS BIGINT) AS df_a,
+           CAST(df_b AS BIGINT) AS df_b,
+           round(ln(c_ab * CAST(n.n_docs AS DOUBLE) / (df_a * CAST(df_b AS DOUBLE))), 6)
+             AS pmi
+    FROM p, n
+    """,
+    doc="pointwise mutual information over document-level term "
+    "co-occurrence (collocation mining / topic-signal analysis): "
+    "PMI(a,b) = ln(P(a,b)/(P(a)P(b))) from EXACT integer counts — "
+    "floats only in the final scalar formula (the repo's exact-moment "
+    "recipe). Scale: the df cut (stop-vocab + rare-term drop) bounds "
+    "the inverted-index self-join exactly like ngram-Jaccard's max_df "
+    "lever — pair candidates ∝ Σ per-doc kept-term², never vocab²; "
+    "the pair agg is map-side-combinable on (term_a, term_b).",
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents_spread"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda w: F.length(w) >= 3,
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfs = toks.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= 50)
+    f = toks.join(F.broadcast(dfs), "term")
+    a = f.select(F.col("doc_id"), F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = f.select(F.col("doc_id"), F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.max("df_a").alias("df_a"),
+            F.max("df_b").alias("df_b"),
+            F.count("*").alias("c_ab"),
+        )
+        .filter(F.col("c_ab") >= 20)
+    )
+    return pairs.join(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "c_ab",
+        "df_a",
+        "df_b",
+        F.round(
+            F.log(
+                F.col("c_ab")
+                * F.col("n_docs").cast("double")
+                / (F.col("df_a") * F.col("df_b").cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
