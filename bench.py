@@ -123,6 +123,7 @@ HEADLINE: dict[str, bool] = {
     "dedup_cdc_chunks": False,
     "events_markov_transitions": True,
     "text_pmi_cooccurrence": True,
+    "sql_group_by_all_revenue": True,
 }
 
 

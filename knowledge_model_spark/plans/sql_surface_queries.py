@@ -129,3 +129,28 @@ _SETOP_ALL_SQL = """
 def setop_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_SETOP_ALL_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all_revenue",
+    _GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL + ORDER BY ALL (the DuckDB-originated SQL "
+    "ergonomics Spark 4 adopted): non-aggregate select items become the "
+    "grouping key implicitly — the IDENTICAL SQL text runs on both "
+    "engines and compiles to the same partial/final hash-agg plan as "
+    "the explicit form (no semantic or plan cost for the sugar).",
+)
+def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
