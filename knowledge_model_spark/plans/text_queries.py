@@ -761,6 +761,10 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # localCheckpoint: the tokenized incidence table feeds THREE plan
+    # branches (n_docs scalar, df table, pair join) — without a barrier
+    # the explode+distinct subtree re-evaluates per consumer (3 corpus
+    # scans at 100 TB); with it, one materialization.
     toks = (
         t["documents_spread"]
         .select(
@@ -773,6 +777,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfs = toks.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= 50)
