@@ -124,6 +124,7 @@ HEADLINE: dict[str, bool] = {
     "events_markov_transitions": True,
     "text_pmi_cooccurrence": True,
     "sql_group_by_all_revenue": True,
+    "stats_bootstrap_ci": True,
 }
 
 

@@ -708,3 +708,116 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumsum of e^-1/k!), shared 12-dp
+# literals so Spark and DuckDB draw IDENTICAL replicate weights from the
+# same md5-derived dyadic-rational uniform.
+_POIS_T = [
+    0.367879441171, 0.735758882343, 0.919698602929,
+    0.981011843124, 0.996340153173, 0.999405815182,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "stats_bootstrap_ci",
+    f"""
+    WITH x AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> len(w) > 0)) AS n_tok
+      FROM documents
+    ),
+    rep AS (
+      SELECT b.b, doc_id, n_tok,
+             CAST(('0x' || substring(md5(CAST(b.b AS VARCHAR) || ':' ||
+                                         CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM x CROSS JOIN (SELECT unnest(range(64)) AS b) b
+    ),
+    w AS (SELECT b, n_tok, {_pois_case_sql('u')} AS w FROM rep),
+    est AS (
+      SELECT b, round(sum(w * n_tok) / CAST(sum(w) AS DOUBLE), 6) AS est
+      FROM w GROUP BY b HAVING sum(w) > 0
+    ),
+    sorted_est AS (SELECT list_sort(list(est)) AS es, count(*) AS nb FROM est),
+    point AS (SELECT round(avg(n_tok), 6) AS point_est FROM x)
+    SELECT point.point_est,
+           CAST(nb AS BIGINT) AS n_replicates,
+           es[2] AS ci_lo, es[nb - 1] AS ci_hi
+    FROM sorted_est, point
+    """,
+    doc="Poisson bootstrap 95% CI for mean tokens/doc (Chamandy et al., "
+    "'Estimating Uncertainty for Massive Data Streams', Google 2012): "
+    "with-replacement resampling is impossible in one pass at 100 TB, "
+    "but replicate weights w ~ Poisson(1) drawn PER ROW are iid across "
+    "rows, so 64 weighted means computed map-side in ONE scan are a "
+    "valid bootstrap. Weights come from md5-derived dyadic-rational "
+    "uniforms through shared 12-dp inverse-CDF literals — every "
+    "replicate integer sum is engine-identical, so the order statistics "
+    "(2nd / 63rd of 64) match exactly. The CI machinery every corpus "
+    "metric here (recall@k, quality rates, drift shares) can wrap.",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    B = 64
+    x = t["documents_spread"].select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0
+            )
+        ).alias("n_tok"),
+    )
+    rep = x.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("b").cast("string"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4503599627370496.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(u < _POIS_T[k], F.lit(k)).otherwise(w)
+    est = (
+        rep.select("b", "n_tok", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_tok")).alias("sw"),
+            F.sum("w").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("b", F.round(F.col("sw") / F.col("n").cast("double"), 6).alias("est"))
+    )
+    summary = est.agg(
+        F.sort_array(F.collect_list("est")).alias("es"),
+        F.count("*").alias("nb"),
+    )
+    point = x.agg(F.round(F.avg("n_tok"), 6).alias("point_est"))
+    return summary.crossJoin(point).select(
+        "point_est",
+        F.col("nb").cast("long").alias("n_replicates"),
+        F.element_at("es", 2).alias("ci_lo"),
+        F.element_at("es", F.col("nb").cast("int") - 1).alias("ci_hi"),
+    )

@@ -282,3 +282,20 @@ def test_content_defined_chunks_cover_text_exactly(spark):
             assert c.char_start == pos and c.chunk_len > 0
             pos += c.chunk_len
         assert pos == expect_len
+
+
+def test_poisson_bootstrap_ci_brackets_point_and_tightens(spark):
+    """The bootstrap CI must bracket the point estimate, and its width
+    must shrink roughly as 1/sqrt(n) when the corpus grows."""
+    from knowledge_model_spark.plans import load_registry
+
+    q = load_registry()["stats_bootstrap_ci"].fn
+    small = q(spark, "/root/testdata/sf0.001").collect()[0]
+    assert small.ci_lo <= small.point_est <= small.ci_hi
+    assert small.n_replicates == 64
+    width_small = small.ci_hi - small.ci_lo
+    assert 0 < width_small < small.point_est  # sane scale
+    big = q(spark, "/root/testdata/sf0.1").collect()[0]
+    width_big = big.ci_hi - big.ci_lo
+    # 10x the docs → ~3.2x tighter; allow slack for bootstrap noise
+    assert width_big < width_small / 1.5
