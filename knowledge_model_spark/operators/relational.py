@@ -64,6 +64,7 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     right_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (backward) or earliest with ``>=``
@@ -72,6 +73,13 @@ def asof_join(
     Implemented as union + window (single shuffle on the key, linear in
     rows) rather than a per-row range probe — the scalable formulation.
     Right value columns come back null when no match exists.
+
+    ``tolerance`` (e.g. ``"30 minutes"``): pandas ``merge_asof``
+    semantics — a carried match further than the tolerance from the left
+    row's time is treated as NO match (right columns null).  Implemented
+    as a post-filter on the carried match time, so it adds zero shuffle
+    cost; it does NOT change which row is carried (the nearest-in-
+    direction row either qualifies or nothing does).
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
@@ -89,6 +97,7 @@ def asof_join(
     r_tag = right.select(
         F.col(on),
         F.col(right_time).alias("__t"),
+        F.col(right_time).alias("__rt"),
         F.lit(0).alias("__src"),
         *[F.col(c) for c in right_cols],
     )
@@ -110,9 +119,22 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     filled = unioned
-    for c in right_cols:
+    for c in [*right_cols, "__rt"]:
         filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return filled.filter(F.col("__src") == 1).select(*lcols, *right_cols)
+    out = filled.filter(F.col("__src") == 1)
+    if tolerance is not None:
+        gap = F.expr(f"INTERVAL {tolerance}")
+        within = (
+            (F.col(left_time) - gap <= F.col("__rt"))
+            if direction == "backward"
+            else (F.col("__rt") <= F.col(left_time) + gap)
+        )
+        out = out.select(
+            *lcols,
+            *[F.when(within, F.col(c)).alias(c) for c in right_cols],
+        )
+        return out
+    return out.select(*lcols, *right_cols)
 
 
 def range_join(

@@ -491,3 +491,48 @@ def test_cms_merge_is_sketch_of_union(spark):
     m = {(r.depth, r.bucket): r.n for r in merged.collect()}
     d = {(r.depth, r.bucket): r.n for r in direct.collect()}
     assert m == d
+
+
+def test_asof_join_tolerance_nulls_distant_matches(spark):
+    """pandas merge_asof tolerance semantics: a carried match further
+    than the tolerance is NO match (nulls), without changing which row
+    would otherwise carry."""
+    import datetime as dt
+
+    from knowledge_model_spark.operators.relational import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(100)), (2, ts(50))], ["k", "lt"]
+    )
+    right = spark.createDataFrame(
+        [(1, ts(-5), "a"), (1, ts(40), "b")], ["k", "rt", "val"]
+    )
+    no_tol = {
+        (r.k, r.lt): r.val
+        for r in asof_join(left, right, "k", "lt", "rt").collect()
+    }
+    assert no_tol == {(1, ts(0)): "a", (1, ts(100)): "b", (2, ts(50)): None}
+
+    tol = {
+        (r.k, r.lt): r.val
+        for r in asof_join(
+            left, right, "k", "lt", "rt", tolerance="30 minutes"
+        ).collect()
+    }
+    # (1, t+100) carried "b" at t+40 — 60 min away → nulled by tolerance
+    assert tol == {(1, ts(0)): "a", (1, ts(100)): None, (2, ts(50)): None}
+
+    fwd = {
+        (r.k, r.lt): r.val
+        for r in asof_join(
+            left, right, "k", "lt", "rt",
+            direction="forward", tolerance="30 minutes",
+        ).collect()
+    }
+    # forward: t0 → rt t+40 is 40 min ahead → nulled; t+100 has nothing ahead
+    assert fwd == {(1, ts(0)): None, (1, ts(100)): None, (2, ts(50)): None}
