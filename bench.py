@@ -125,6 +125,8 @@ HEADLINE: dict[str, bool] = {
     "text_pmi_cooccurrence": True,
     "sql_group_by_all_revenue": True,
     "stats_bootstrap_ci": True,
+    "q4_order_priority_check": True,
+    "q6_forecast_revenue": True,
 }
 
 

@@ -49,6 +49,8 @@ _GATE_PRIORITY = [
     "text_pmi_cooccurrence",      # new (r3 cont.)
     "sql_group_by_all_revenue",   # new (r3 cont.)
     "stats_bootstrap_ci",         # new (r3 cont.)
+    "q4_order_priority_check",    # new (r3 cont.)
+    "q6_forecast_revenue",        # new (r3 cont.)
     "q13_customer_distribution",  # new (r3 cont.)
     "q14_promo_revenue_ratio",    # new (r3 cont.)
     "q18_large_volume_orders",    # new (r3 cont.)

@@ -227,3 +227,19 @@ def test_heavy_hitters_verify_filters_scan(spark):
     plan = _plan(spark, "agg_heavy_hitter_terms")
     before_exchange = plan.split("Exchange")[-1]  # deepest = scan side
     assert "Filter" in before_exchange or "PushedFilters" in before_exchange
+
+
+def test_q6_pushes_all_predicates_and_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the scan"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q4_semi_join_no_cartesian(spark):
+    plan = _plan(spark, "q4_order_priority_check")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
