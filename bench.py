@@ -127,6 +127,7 @@ HEADLINE: dict[str, bool] = {
     "stats_bootstrap_ci": True,
     "q4_order_priority_check": True,
     "q6_forecast_revenue": True,
+    "agg_winsorized_mean": True,
 }
 
 

@@ -1277,3 +1277,53 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH geo AS (
+      SELECT n_name, c_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    bounds AS (
+      SELECT n_name,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM geo GROUP BY n_name
+    )
+    SELECT g.n_name,
+           round(avg(least(greatest(g.c_acctbal, b.lo), b.hi)), 4)
+             AS winsorized_mean,
+           round(avg(g.c_acctbal), 4) AS raw_mean,
+           count(*) AS n_customers
+    FROM geo g JOIN bounds b ON g.n_name = b.n_name
+    GROUP BY g.n_name
+    """,
+    doc="winsorized mean (clamp to [p05, p95] before averaging) — the "
+    "robust-aggregation answer to heavy-tailed metrics a plain mean "
+    "lets a few outliers dominate. Two passes: an exact interpolated-"
+    "percentile agg produces a TINY per-group bounds table that "
+    "broadcasts back onto the fact scan (no second shuffle of raw "
+    "rows); at 100 TB swap the exact percentile for the KLL sketch "
+    "bounds (operators/sketches.py) — same plan, mergeable first pass.",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    geo = t["customer"].join(
+        broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_acctbal")
+    bounds = geo.groupBy("n_name").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return (
+        geo.join(broadcast(bounds), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg("c_acctbal"), 4).alias("raw_mean"),
+            F.count("*").alias("n_customers"),
+        )
+    )
