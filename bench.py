@@ -128,6 +128,7 @@ HEADLINE: dict[str, bool] = {
     "q4_order_priority_check": True,
     "q6_forecast_revenue": True,
     "agg_winsorized_mean": True,
+    "join_hot_key_salted": True,
 }
 
 

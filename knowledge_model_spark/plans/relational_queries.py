@@ -1327,3 +1327,38 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+@register(
+    "join_hot_key_salted",
+    """
+    SELECT e.event_type, n.n_name, count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY e.event_type, n.n_name
+    """,
+    doc="hot-key-adaptive salted join, oracle-proven IDENTICAL to the "
+    "plain join (the whole point: salting redistributes work, never "
+    "changes results). Events map to 25 nation keys — a deliberately "
+    "coarse key; the operator counts left-side key frequencies, "
+    "broadcasts the (tiny) hot set, salts ONLY those keys 8 ways and "
+    "replicates matching right rows 8×, while the tail joins untouched "
+    "— the production skew shape when AQE's sort-merge skew split "
+    "doesn't apply (operators/relational.py::hot_key_salted_join).",
+)
+def join_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import hot_key_salted_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("join_key", (F.col("user_id") % 25).cast("int"))
+    nat = t["nation"].withColumn("join_key", F.col("n_nationkey").cast("int"))
+    # hot_threshold low enough that every key salts at this SF — the
+    # oracle equality then covers the salted path, not the bypass
+    joined = hot_key_salted_join(
+        ev, nat.select("join_key", "n_name"), "join_key",
+        n_salt=8, hot_threshold=100,
+    )
+    return joined.groupBy("event_type", "n_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
