@@ -536,3 +536,41 @@ def test_asof_join_tolerance_nulls_distant_matches(spark):
     }
     # forward: t0 → rt t+40 is 40 min ahead → nulled; t+100 has nothing ahead
     assert fwd == {(1, ts(0)): None, (1, ts(100)): None, (2, ts(50)): None}
+
+
+def test_hll_intersection_error_beyond_exact_regime(spark):
+    """agg_hll_set_intersection leaves HLL's sparse-exact regime on big
+    inputs (its oracle row holds at the driver's sf0.01). Gate the
+    approximate regime: inclusion-exclusion amplifies per-sketch error
+    by ~(|A|+|B|+|A∪B|)/|A∩B|, so bound the intersection estimate
+    relative to that amplification, not the raw 1.6% HLL error."""
+    from knowledge_model_spark.plans import load_registry
+
+    q = load_registry()["agg_hll_set_intersection"].fn
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.1/events.parquet')"
+    )
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            load_registry()["agg_hll_set_intersection"].oracle
+        ).fetchall()
+    }
+    con.close()
+    got = {r.week: r for r in q(spark, "/root/testdata/sf0.1").collect()}
+    assert set(got) == set(exact)
+    for wk, (n_a, n_b, inter) in exact.items():
+        r = got[wk]
+        union = n_a + n_b - inter
+        amp = (n_a + n_b + union) / max(inter, 1)
+        # per-sketch rel error ~1.6% at lgK=12; allow 3x headroom
+        tol = 0.016 * 3 * amp
+        rel = abs(r.est_intersection - inter) / max(inter, 1)
+        assert rel <= tol, f"{wk}: est {r.est_intersection} vs {inter} (rel {rel:.3f} > {tol:.3f})"
+        # the marginals themselves stay within plain HLL error
+        assert abs(r.n_click - n_a) / n_a < 0.05
+        assert abs(r.n_purchase - n_b) / n_b < 0.05
