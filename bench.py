@@ -129,6 +129,7 @@ HEADLINE: dict[str, bool] = {
     "q6_forecast_revenue": True,
     "agg_winsorized_mean": True,
     "join_hot_key_salted": True,
+    "eval_dedup_recall_vs_exact": True,
 }
 
 

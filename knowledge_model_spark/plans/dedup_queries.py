@@ -442,3 +442,57 @@ def dedup_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bow_cosine_pairs(
         t["documents"], "doc_id", "text", k=3, threshold=0.5, max_df=50
     )
+
+
+@register(
+    "eval_dedup_recall_vs_exact",
+    None,  # minhash/simhash are xxhash64-derived — rows-only (the gate VALUE is the artifact)
+    doc="the near-dup quality gate as a first-class query (the dedup "
+    "twin of eval_ann_recall_vs_exact): recall of MinHash-LSH and "
+    "SimHash candidate pairs against EXACT n-gram-Jaccard ≥ 0.8 ground "
+    "truth on the same corpus, plus each method's surplus-pair count — "
+    "one monitorable row per method with a 0.9 pass flag. At 100 TB "
+    "the exact ground truth runs on a sampled stratum while the "
+    "approximate methods run on everything; the gate shape is "
+    "identical.",
+)
+def eval_dedup_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"]
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    out = []
+    for method, pairs in (
+        ("minhash_lsh", minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)),
+        ("simhash", simhash_pairs(docs, "doc_id", "text", max_distance=6)),
+    ):
+        cand = pairs.select("id_a", "id_b")
+        hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        extra = cand.join(truth, ["id_a", "id_b"], "left_anti")
+        out.append(
+            hit.agg(
+                F.lit(method).alias("method"),
+                F.lit(n_truth).cast("long").alias("n_true_pairs"),
+                F.count("*").alias("n_recovered"),
+                F.round(F.count("*") / F.lit(float(max(n_truth, 1))), 6).alias(
+                    "recall"
+                ),
+                (
+                    F.count("*") / F.lit(float(max(n_truth, 1))) >= 0.90
+                ).alias("passes_gate"),
+            ).crossJoin(extra.agg(F.count("*").alias("n_surplus")))
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

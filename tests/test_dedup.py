@@ -353,3 +353,20 @@ def test_semantic_dedup_deterministic(spark, tables):
     a = sorted(map(tuple, semantic_dedup_pairs(e, "vec_id", "embedding", 4, 0.9).collect()))
     b = sorted(map(tuple, semantic_dedup_pairs(e, "vec_id", "embedding", 4, 0.9).collect()))
     assert a == b
+
+
+def test_eval_dedup_recall_gate_passes(spark):
+    """The registered dedup quality gate holds: both approximate methods
+    recover >= 0.9 of exact n-gram-Jaccard >= 0.8 pairs."""
+    from knowledge_model_spark.plans import load_registry
+
+    rows = {
+        r.method: r
+        for r in load_registry()["eval_dedup_recall_vs_exact"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(rows) == {"minhash_lsh", "simhash"}
+    for m, r in rows.items():
+        assert r.passes_gate, f"{m}: recall {r.recall} below gate"
+        assert r.n_true_pairs > 0
