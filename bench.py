@@ -130,6 +130,7 @@ HEADLINE: dict[str, bool] = {
     "agg_winsorized_mean": True,
     "join_hot_key_salted": True,
     "eval_dedup_recall_vs_exact": True,
+    "events_sessionize_dynamic_gap": False,
 }
 
 

@@ -904,3 +904,86 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p_transition"),
     )
+
+
+@register(
+    "events_sessionize_dynamic_gap",
+    """
+    WITH spans AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) AS t_us,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 3600000000 ELSE 900000000 END AS end_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value, t_us,
+             CASE WHEN max(end_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                  OR t_us >= max(end_us) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM spans
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="dynamic-gap sessionization (Spark session_window's per-event "
+    "gapDuration semantics as an exact batch query): each event extends "
+    "its session to ts + gap(event_type) — purchases hold the session "
+    "open 60 min, everything else 15 — and a new session starts when an "
+    "event lands at/after the RUNNING MAX of previous extents (interval "
+    "merge, not mere adjacent-lag: a long-gap event covers short-gap "
+    "followers that lag-based flags would split). One user-key shuffle, "
+    "three windows over the same partitioning (single Sort+Exchange).",
+)
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    gap_us = F.when(
+        F.col("event_type") == "purchase", F.lit(3600 * 1_000_000)
+    ).otherwise(F.lit(900 * 1_000_000))
+    spans = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        (F.unix_micros("ts") + gap_us).alias("end_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_max = F.max("end_us").over(w_prev)
+    flagged = spans.withColumn(
+        "new_session",
+        F.when(run_max.isNull() | (F.col("t_us") >= run_max), 1).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

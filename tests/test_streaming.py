@@ -461,3 +461,65 @@ def test_stream_stream_left_outer_join_watermark_eviction(
     )
     assert got_matched == want_matched and want_matched > 0
     assert got_null == want_null and want_null > 0
+
+
+def test_dynamic_gap_sessionize_matches_native_session_window(
+    spark, event_stream_dir, tmp_path
+):
+    """The batch interval-merge formulation (events_sessionize_dynamic_gap)
+    reproduces Spark's native session_window with a per-event gapDuration
+    — verified in batch AND as an AvailableNow stream."""
+    from knowledge_model_spark.plans import load_registry
+
+    batch, stream = _read_stream(spark, event_stream_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+
+    def native(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_timestamp("sw.start").alias("session_start_s"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    want = {
+        (r.user_id, r.session_start_s): (r.n_events, r.total_value)
+        for r in native(batch).collect()
+    }
+
+    mine = {
+        (r.user_id, r.session_start_s): (r.n_events, r.total_value)
+        for r in load_registry()["events_sessionize_dynamic_gap"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert mine == want
+
+    q = (
+        native(stream.withWatermark("ts", "2 hours"))
+        .writeStream.format("memory")
+        .queryName("dynsess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dynsess"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r.user_id, r.session_start_s): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM dynsess").collect()
+    }
+    # append mode only emits sessions closed by the final watermark; all
+    # emitted sessions must match the batch answer exactly
+    assert len(got_stream) > 0
+    for k, v in got_stream.items():
+        assert want[k] == v
