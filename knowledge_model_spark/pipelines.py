@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knowledge_model_spark.operators.retrieval import build_passage_index, recall_at_k
@@ -150,3 +150,45 @@ def audited(df: DataFrame, name: str, **metrics):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs
+
+
+def expect(
+    df: DataFrame,
+    rules: dict[str, Column],
+    on_violation: str = "drop",
+) -> tuple[DataFrame, DataFrame]:
+    """Declarative row-level expectations (the Delta Live Tables
+    expectations shape as plain DataFrame ops): ``rules`` maps rule name
+    → boolean Column that every GOOD row must satisfy.
+
+    Returns ``(passed, quarantined)``: rows failing ANY rule are routed
+    to the quarantine frame with a ``violated_rules`` array column
+    naming every failed rule (not just the first — triage needs the
+    full set).  ``on_violation='keep'`` instead passes everything
+    through and only annotates, for warn-mode rollouts of new rules.
+
+    Scale: both frames derive from ONE filter expression over the same
+    scan — Spark computes the rule battery per row in whole-stage
+    codegen; there is no join, no second scan, and the two branches
+    prune to their own columns.  Compose with :func:`audited` to count
+    violations in the materializing job itself.
+    """
+    # coalesce(rule, false): a rule evaluating to NULL (e.g. a predicate
+    # over a NULL column) counts as a VIOLATION — SQL's three-valued
+    # logic would otherwise let null rows slip through every filter.
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(rule.cast("boolean"), F.lit(False)), F.lit(name)
+                )
+                for name, rule in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("violated_rules", flags)
+    bad = tagged.filter(F.size("violated_rules") > 0)
+    if on_violation == "keep":
+        return tagged, bad
+    good = tagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
+    return good, bad

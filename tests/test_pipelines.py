@@ -148,3 +148,40 @@ def test_key_skew_audit_flags_hot_key(spark):
     assert r.n_keys == 101 and r.n_rows == 1000 and r.max_cnt == 900
     assert r.top_share_ppm == 900000
     assert r.p50_cnt == 1.0
+
+
+def test_expectations_route_and_annotate(spark):
+    """expect(): failing rows carry EVERY violated rule name; keep-mode
+    annotates without dropping; the split is exhaustive and disjoint."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.pipelines import expect
+
+    df = spark.createDataFrame(
+        [
+            (1, "good text here", "en"),
+            (2, "", "en"),            # empty text
+            (3, "fine", None),        # null lang
+            (4, "", None),            # both violations
+            (5, None, "en"),          # NULL text: rule evaluates NULL -> violation
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rules = {
+        "nonempty_text": F.length("text") > 0,
+        "lang_present": F.col("lang").isNotNull(),
+    }
+    good, bad = expect(df, rules)
+    assert {r.doc_id for r in good.collect()} == {1}
+    viol = {r.doc_id: sorted(r.violated_rules) for r in bad.collect()}
+    assert viol == {
+        2: ["nonempty_text"],
+        3: ["lang_present"],
+        4: ["lang_present", "nonempty_text"],
+        5: ["nonempty_text"],
+    }
+    assert "violated_rules" not in good.columns
+
+    tagged, bad2 = expect(df, rules, on_violation="keep")
+    assert tagged.count() == 5 and bad2.count() == 4
+    assert good.count() + bad.count() == df.count()
