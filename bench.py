@@ -131,6 +131,7 @@ HEADLINE: dict[str, bool] = {
     "join_hot_key_salted": True,
     "eval_dedup_recall_vs_exact": True,
     "events_sessionize_dynamic_gap": False,
+    "events_rolling_7d_distinct": True,
 }
 
 

@@ -54,6 +54,7 @@ _GATE_PRIORITY = [
     "agg_winsorized_mean",        # new (r3 cont.)
     "join_hot_key_salted",        # new (r3 cont.)
     "events_sessionize_dynamic_gap",  # new (r3 cont.)
+    "events_rolling_7d_distinct",     # new (r3 cont.)
     "q13_customer_distribution",  # new (r3 cont.)
     "q14_promo_revenue_ratio",    # new (r3 cont.)
     "q18_large_volume_orders",    # new (r3 cont.)

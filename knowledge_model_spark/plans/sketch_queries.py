@@ -285,3 +285,49 @@ def agg_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_b.alias("n_purchase"),
         (n_a + n_b - n_union).alias("est_intersection"),
     )
+
+
+@register(
+    "events_rolling_7d_distinct",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day, count(DISTINCT e.user_id) AS n_users_7d
+    FROM days d JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    doc="EXACT trailing-7-day distinct users per day — the classic "
+    "'distincts don't window-sum' problem. The naive form re-scans 7 "
+    "days of raw events per output day (the oracle states it); the "
+    "engine instead builds ONE daily 64-bit bitmap-chunk table (rows ∝ "
+    "distinct-users/64 per day), fans each day's chunks out to the ≤7 "
+    "windows it feeds (explode of a 7-int array — no raw-event "
+    "re-shuffle), re-ORs per (target_day, chunk) and popcounts: exact "
+    "answers with work ∝ chunk rows × 7, the Druid/ClickHouse rolling-"
+    "bitmap shape.",
+)
+def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("ts").cast("date").alias("day"),
+        F.expr("user_id div 64").alias("chunk"),
+        F.expr("shiftleft(1L, CAST(pmod(user_id, 64) AS INT))").alias("bit"),
+    )
+    daily = ev.groupBy("day", "chunk").agg(F.expr("bit_or(bit)").alias("bits"))
+    days = daily.select(F.col("day").alias("target_day")).distinct()
+    contrib = daily.select(
+        "bits",
+        "chunk",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        F.date_add("day", F.col("off")).alias("target_day"), "chunk", "bits"
+    )
+    rolled = (
+        contrib.join(F.broadcast(days), "target_day")
+        .groupBy("target_day", "chunk")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("target_day")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_users_7d"))
+    )
+    return rolled.select(F.col("target_day").alias("day"), "n_users_7d")
