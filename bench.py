@@ -132,6 +132,7 @@ HEADLINE: dict[str, bool] = {
     "eval_dedup_recall_vs_exact": True,
     "events_sessionize_dynamic_gap": False,
     "events_rolling_7d_distinct": True,
+    "ann_sq8_topk": True,
 }
 
 

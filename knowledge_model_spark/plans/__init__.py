@@ -124,6 +124,7 @@ _GATE_PRIORITY = [
     # (c) rows-only entries (changed or never-checked) — a driver row
     # here is only a rows-count check; tests carry the real gate
     "eval_dedup_recall_vs_exact", # new (r3 cont., rows-only gate)
+    "ann_sq8_topk",               # new (r3 cont., rows-only)
     "multimodal_phash_dedup",     # new (r3)
     "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)
     "dedup_simhash",              # same (r3)

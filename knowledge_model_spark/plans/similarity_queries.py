@@ -128,7 +128,11 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     )
-    from knowledge_model_spark.operators.quantization import ivfpq_top_k, pq_top_k
+    from knowledge_model_spark.operators.quantization import (
+        ivfpq_top_k,
+        pq_top_k,
+        sq8_top_k,
+    )
 
     exact = brute_force_top_k(t["embeddings"], q, **kw).select("query_id", "vec_id")
     out = []
@@ -137,6 +141,7 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ivf_top_k),
         ("pq", pq_top_k),
         ("ivfpq", ivfpq_top_k),
+        ("sq8", sq8_top_k),
     ):
         approx = fn(t["embeddings"], q, **kw).select("query_id", "vec_id")
         hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
@@ -346,6 +351,34 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return ivfpq_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "ann_sq8_topk",
+    None,  # float shortlist ordering — recall gated vs exact instead
+    doc="scalar-quantized (SQ8, FAISS ScalarQuantizer shape) approximate "
+    "top-10: per-dimension uint8 codes against corpus-trained [min,max] "
+    "(4× compression), asymmetric dequantize-and-dot scoring, exact "
+    "re-rank of the k·8 shortlist. The distinctive property vs PQ: the "
+    "ENTIRE operator — train (posexplode + map-side-combined per-dim "
+    "min/max), encode, score, re-rank — is JVM higher-order functions "
+    "in whole-stage codegen; zero Python anywhere in the plan "
+    "(asserted in tests/test_quantization.py), so the 100 TB scan "
+    "never crosses the Arrow boundary.",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.quantization import sq8_top_k
+
+    t = load_tables(spark, sf_dir)
+    return sq8_top_k(
         t["embeddings"],
         _queries(t),
         corpus_id="vec_id",

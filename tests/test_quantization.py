@@ -118,3 +118,44 @@ def test_all_ann_methods_pass_gate_at_oracle_sf(spark):
     assert set(recalls) == {"lsh", "ivf", "pq", "ivfpq"}
     for method, rec in recalls.items():
         assert rec >= 0.80, f"{method} recall {rec} below gate at oracle SF"
+
+
+def test_sq8_recall_gate_and_determinism(spark, tables):
+    """SQ8 (all-JVM scalar quantization): recall vs exact ≥ 0.9 — an
+    8-bit-per-dim code is far finer than PQ's subspace codes, so the
+    gate is tighter — and partition-invariant determinism."""
+    from knowledge_model_spark.operators.quantization import sq8_top_k
+
+    q = _queries(tables)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(tables["embeddings"], q, **KW).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sq8_top_k(tables["embeddings"], q, **KW).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.90, f"SQ8 recall {recall} below gate"
+
+    a = sorted(tuple(r) for r in sq8_top_k(tables["embeddings"], q, **KW).collect())
+    b = sorted(
+        tuple(r)
+        for r in sq8_top_k(
+            tables["embeddings"].repartition(9), q.repartition(3), **KW
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sq8_no_python_in_scan_plan(spark, tables):
+    """The SQ8 scoring scan must stay in whole-stage codegen — no
+    Arrow/Python eval anywhere in the plan (PQ needs a kernel for
+    encoding; SQ8's selling point is that it doesn't)."""
+    from knowledge_model_spark.operators.quantization import sq8_top_k
+
+    q = _queries(tables)
+    df = sq8_top_k(tables["embeddings"], q, **KW)
+    # final exact re-rank uses JVM dot too — the whole plan is Python-free
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
