@@ -115,7 +115,7 @@ def test_all_ann_methods_pass_gate_at_oracle_sf(spark):
     reg = load_registry()
     rows = reg["eval_ann_recall_vs_exact"].fn(spark, ORACLE_SF_DIR).collect()
     recalls = {r["method"]: r["recall"] for r in rows}
-    assert set(recalls) == {"lsh", "ivf", "pq", "ivfpq"}
+    assert set(recalls) == {"lsh", "ivf", "pq", "ivfpq", "sq8"}
     for method, rec in recalls.items():
         assert rec >= 0.80, f"{method} recall {rec} below gate at oracle SF"
 
