@@ -190,6 +190,81 @@ def pagerank(
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation counts — (node, triangles).
+
+    The classical graph-locality statistic (clustering coefficient's
+    numerator; community-structure diagnostics over citation / co-click
+    graphs).  Algorithm is the degree-ordered orientation of
+    Suri & Vassilvitskii's MapReduce triangle count: orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges only at each edge's SMALLER endpoint, and
+    close them against the oriented edge list.  Orientation bounds
+    every node's out-degree by O(sqrt(m)) regardless of how skewed the
+    raw degree distribution is — the hub that would enumerate
+    |hub-degree|² wedges under naive enumeration instead contributes
+    only wedges at its (low-degree) neighbors.  Three shuffles total:
+    the degree aggregation, the wedge self-join on the shared low
+    endpoint, and the closing equi-join on (v, w).
+
+    Every triangle is counted exactly once (its orientation-minimal
+    vertex enumerates it), then exploded to all three corners for the
+    per-node counts.  Deterministic at any parallelism — counts are
+    exact integers.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low-(deg, id) → high-(deg, id); the degree table is
+    # node-sized (≪ edges), so both enrichment joins broadcast when it
+    # fits and hash-partition on the node key when it doesn't
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select("o.u", "o.v")
+    )
+    w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select(
+        F.col("pivot").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3")
+    )
+    return (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
 def dedup_cluster_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

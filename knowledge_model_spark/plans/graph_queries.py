@@ -155,3 +155,138 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(sym, iterations=3, damping=0.85)
     return ranks.select("node", "rank_e12")
+
+
+# Triangle counting over a deterministic fixture graph with overlapping
+# triangles: per decade d = 10k the edges {(d,d+1), (d,d+2), (d+1,d+2),
+# (d+2,d+3), (d+1,d+3)} form triangles (d,d+1,d+2) and (d+1,d+2,d+3)
+# sharing the edge (d+1,d+2).  Both engines derive the identical edge
+# list from the documents table; the oracle enumerates each triangle
+# once in canonical x<y<z order via a 3-way self-join, while the Spark
+# side runs the degree-oriented wedge-close algorithm — two different
+# enumeration strategies agreeing on exact integer counts.
+_TRI_EDGE_SQL = """
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 2 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1 AS a, doc_id + 2 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2 AS a, doc_id + 3 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1 AS a, doc_id + 3 AS b FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH e0 AS ({_TRI_EDGE_SQL}),
+    e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS triangles FROM corners GROUP BY node
+    """,
+    doc="per-node triangle counts via degree-oriented wedge enumeration "
+    "(Suri-Vassilvitskii orientation bounds per-node wedge fan-out by "
+    "O(sqrt(m)) on any degree distribution — operators/graph.py::"
+    "triangle_count); the oracle 3-way-self-joins canonical x<y<z "
+    "triples — different algorithm, identical exact counts",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.graph import triangle_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    d = F.col("doc_id")
+    parts = [
+        base.select(d.alias("id_a"), (d + 1).alias("id_b")),
+        base.select(d.alias("id_a"), (d + 2).alias("id_b")),
+        base.select((d + 1).alias("id_a"), (d + 2).alias("id_b")),
+        base.select((d + 2).alias("id_a"), (d + 3).alias("id_b")),
+        base.select((d + 1).alias("id_a"), (d + 3).alias("id_b")),
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return triangle_count(edges)
+
+
+# Entity resolution end-to-end: fuzzy-match pairs (edit distance ≤ 2 via
+# the lossless q-gram prefix filter) → connected components → one
+# canonical representative per cluster.  The cluster step runs on
+# md5-derived 52-bit integer node ids (CC's convergence witness needs
+# numeric labels); the REPRESENTATIVE is the lexicographically smallest
+# member name, so the output is pure strings and the oracle — brute-force
+# levenshtein pairs + a recursive label-walk CTE on the names themselves —
+# never needs to reproduce the internal ids.
+_ER_CTE = """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+    pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM n a JOIN n b
+        ON a.p_name < b.p_name
+       AND abs(len(a.p_name) - len(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    sym AS (SELECT na, nb FROM pairs UNION ALL SELECT nb AS na, na AS nb FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT na AS node, na AS label FROM sym
+      UNION
+      SELECT s.nb AS node, w.label FROM walk w JOIN sym s ON s.na = w.node
+    ),
+    cc AS (SELECT node, min(label) AS rep FROM walk GROUP BY node)
+"""
+
+
+@register(
+    "er_name_clusters",
+    _ER_CTE
+    + """
+    SELECT node AS p_name, rep AS cluster_rep,
+           count(*) OVER (PARTITION BY rep) AS cluster_size
+    FROM cc
+    """,
+    doc="entity resolution: q-gram fuzzy pairs (edit dist <= 2, "
+    "operators/fuzzy.py) -> connected components on md5-52-bit node ids "
+    "(operators/graph.py) -> lexicographic-min representative per "
+    "cluster; oracle = brute-force levenshtein pairs + recursive "
+    "label-walk CTE over the names themselves",
+)
+def er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.fuzzy import qgram_fuzzy_pairs
+
+    t = load_tables(spark, sf_dir)
+    names = t["part"].select("p_name").distinct()
+    pairs = qgram_fuzzy_pairs(names, "p_name", "p_name", max_dist=2, q=2)
+
+    def _nid(c: str):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, 13), 16, 10).cast("long")
+
+    id_pairs = pairs.select(
+        _nid("id_a").alias("id_a"), _nid("id_b").alias("id_b")
+    )
+    comp = connected_components(id_pairs)
+    # map hashed node ids back to names (the name->id map is the distinct
+    # name set — broadcastable), then representative = min member name
+    name_ids = names.select(
+        F.col("p_name"), _nid("p_name").alias("node")
+    )
+    from pyspark.sql import Window
+
+    member = comp.join(F.broadcast(name_ids), "node").select("p_name", "component")
+    w = Window.partitionBy("component")
+    return member.select(
+        "p_name",
+        F.min("p_name").over(w).alias("cluster_rep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )

@@ -60,3 +60,56 @@ def test_deterministic_across_repartitionings(spark):
     a = sorted(map(tuple, connected_components(df).collect()))
     b = sorted(map(tuple, connected_components(df.repartition(7)).collect()))
     assert a == b
+
+
+# ---- triangle counting -------------------------------------------------
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in adj for n in e})
+    counts = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from knowledge_model_spark.operators.graph import triangle_count
+
+    # K4 on {0..3} (4 triangles, 3 per node) + a pendant + a separate
+    # wedge with no closing edge + a duplicate/reversed edge
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 9), (20, 21), (21, 22), (1, 0), (2, 1)]
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r.node, r.triangles) for r in triangle_count(df).collect()}
+    assert got == set(_brute_triangles(edges).items())
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    from knowledge_model_spark.operators.graph import triangle_count
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)], ["id_a", "id_b"])
+    assert triangle_count(chain).count() == 0
+    empty = chain.filter("id_a < 0")
+    assert triangle_count(empty).count() == 0
+
+
+def test_triangle_count_partition_invariant_on_skewed_hub(spark):
+    from knowledge_model_spark.operators.graph import triangle_count
+
+    # hub 0 connected to 1..40, plus rim edges (i, i+1) → 39 triangles,
+    # hub participates in all of them; degree orientation keeps the
+    # hub from enumerating its 40*39/2 wedge pairs
+    edges = [(0, i) for i in range(1, 41)] + [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = sorted(map(tuple, triangle_count(df).collect()))
+    b = sorted(map(tuple, triangle_count(df.repartition(13)).collect()))
+    assert a == b
+    assert dict(a)[0] == 39
