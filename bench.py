@@ -133,6 +133,12 @@ HEADLINE: dict[str, bool] = {
     "events_sessionize_dynamic_gap": False,
     "events_rolling_7d_distinct": True,
     "ann_sq8_topk": True,
+    "graph_triangle_count": True,
+    "er_name_clusters": True,
+    "stats_equidepth_histogram": True,
+    "stats_welch_ttest": True,
+    "q15_top_supplier": True,
+    "events_sequence_pattern": False,
 }
 
 

@@ -41,6 +41,12 @@ _GATE_PRIORITY = [
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
+    "graph_triangle_count",       # new (r3 session 2)
+    "er_name_clusters",           # new (r3 session 2)
+    "stats_equidepth_histogram",  # new (r3 session 2)
+    "stats_welch_ttest",          # new (r3 session 2)
+    "q15_top_supplier",           # new (r3 session 2)
+    "events_sequence_pattern",    # new (r3 session 2)
     "agg_cms_frequency",          # new (r3 cont.)
     "agg_hll_set_intersection",   # new (r3 cont.)
     "chunk_content_defined",      # new (r3 cont.)

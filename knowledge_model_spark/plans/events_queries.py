@@ -987,3 +987,55 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_timestamp(F.min("ts")).alias("session_start_s"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "events_sequence_pattern",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST((len(seq) - len(replace(seq, 'vp', ''))) // 2 AS BIGINT)
+             AS n_adjacent_vp,
+           CAST(len(regexp_extract_all(seq, 'v[^vp]*p')) AS BIGINT)
+             AS n_view_then_purchase
+    FROM seqs
+    """,
+    doc="MATCH_RECOGNIZE-style sequence-pattern counts per user: each "
+    "user's event history collapses to an initials string in total "
+    "(ts, event_id) order — one user-key shuffle, state bounded by the "
+    "user's own history — then pattern occurrences are counted with "
+    "engine-safe primitives (replace-difference for the adjacent "
+    "view→purchase bigram; a backtracking-free character-class regex "
+    "for view…purchase with no intervening view/purchase, where Java "
+    "leftmost-first and RE2 leftmost-longest provably agree)",
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    seqs = (
+        t["events"]
+        .select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["c"]), ""
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.expr("(length(seq) - length(replace(seq, 'vp', ''))) div 2")
+        .cast("long")
+        .alias("n_adjacent_vp"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit(r"v[^vp]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_view_then_purchase"),
+    )

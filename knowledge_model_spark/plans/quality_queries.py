@@ -821,3 +821,162 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("es", 2).alias("ci_lo"),
         F.element_at("es", F.col("nb").cast("int") - 1).alias("ci_hi"),
     )
+
+
+@register(
+    "stats_equidepth_histogram",
+    """
+    WITH cells AS (
+      SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v,
+             count(*) AS cnt,
+             count(DISTINCT l_extendedprice) AS ndv
+      FROM lineitem GROUP BY 1
+    ),
+    c2 AS (
+      SELECT v, cnt, ndv,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             sum(cnt) OVER () AS total
+      FROM cells
+    )
+    SELECT CAST(least(7, (cum_before * 8) // total) AS BIGINT) AS bin,
+           min(v) AS lo, max(v) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(ndv) AS BIGINT) AS n_distinct
+    FROM c2 GROUP BY 1
+    """,
+    doc="ANALYZE-style equi-depth (8-bin) column histogram + per-bin NDV "
+    "for l_extendedprice — the optimizer-statistics build.  Two-level "
+    "shape: raw rows collapse to a (grid value, count, ndv) frequency "
+    "table with ONE shuffle on the unit-floor grid key (grid NDV "
+    "bounds the table regardless of row count), then the cumulative "
+    "bin assignment runs a window over that NDV-bounded table only — "
+    "the single-partition sort never sees raw rows.  All arithmetic "
+    "is exact integers (cum*8 div total), so bins are engine- and "
+    "partitioning-identical; at true 100 TB the same frequency table "
+    "feeds the KLL sketch (agg_kll_quantile_merge) when even the grid "
+    "is too fine",
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["lineitem"]
+        .select(
+            F.floor("l_extendedprice").cast("long").alias("v"),
+            F.col("l_extendedprice").alias("raw"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("raw").alias("ndv"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c2 = cells.select(
+        "v",
+        "cnt",
+        "ndv",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        c2.select(
+            F.least(F.lit(7), F.expr("(cum_before * 8) div total"))
+            .cast("long")
+            .alias("bin"),
+            "v",
+            "cnt",
+            "ndv",
+        )
+        .groupBy("bin")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum("ndv").alias("n_distinct"),
+        )
+    )
+
+
+# Welch's two-sample t-test. The A/B assignment is content-addressed
+# (md5 of the order key — the same deterministic-split idiom as every
+# sampler), the metric is l_quantity whose integral values sum EXACTLY
+# as int64, and every float appears only in the final scalar formulas
+# computed from those exact integer moments — so t and the
+# Welch–Satterthwaite df are bit-identical in both engines at any
+# parallelism.  At 100 TB the moments are one map-side-combinable
+# aggregation; swap the int64 sums for decimal(38,0) if the metric
+# magnitude could overflow.
+@register(
+    "stats_welch_ttest",
+    """
+    WITH m AS (
+      SELECT
+        count(*) FILTER (substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '8') AS n_a,
+        count(*) FILTER (substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) >= '8') AS n_b,
+        sum(CAST(l_quantity AS BIGINT))
+          FILTER (substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '8') AS s_a,
+        sum(CAST(l_quantity AS BIGINT))
+          FILTER (substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) >= '8') AS s_b,
+        sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+          FILTER (substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '8') AS ss_a,
+        sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+          FILTER (substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) >= '8') AS ss_b
+      FROM lineitem
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b AS mean_b,
+             (ss_a - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1) AS var_a,
+             (ss_b - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1) AS var_b
+      FROM m
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           round(
+             (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_df
+    FROM d
+    """,
+    doc="Welch's unequal-variance two-sample t-test over a "
+    "content-addressed md5 A/B split of lineitem (metric: l_quantity) "
+    "— the experiment-analysis primitive; exact int64 moment sums in "
+    "ONE map-side-combined aggregation, floats only in the final "
+    "scalar t / Welch-Satterthwaite df formulas, so the statistics "
+    "are engine- and partitioning-identical",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    is_a = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1) < "8"
+    q = F.col("l_quantity").cast("long")
+    m = t["lineitem"].agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(is_a, q)).alias("s_a"),
+        F.sum(F.when(~is_a, q)).alias("s_b"),
+        F.sum(F.when(is_a, q * q)).alias("ss_a"),
+        F.sum(F.when(~is_a, q * q)).alias("ss_b"),
+    )
+    d = m.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(s_a AS DOUBLE) / n_a AS mean_a",
+        "CAST(s_b AS DOUBLE) / n_b AS mean_b",
+        "(ss_a - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1) AS var_a",
+        "(ss_b - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1) AS var_b",
+    )
+    return d.selectExpr(
+        "n_a",
+        "n_b",
+        "round(mean_a, 6) AS mean_a",
+        "round(mean_b, 6) AS mean_b",
+        "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat",
+        "round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)"
+        " / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)"
+        "    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_df",
+    )

@@ -1362,3 +1362,57 @@ def join_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(rev.r AS DOUBLE), 2) AS total_rev
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT max(r) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: per-supplier quarterly revenue view, then the "
+    "supplier(s) achieving the maximum — aggregate-then-argmax with a "
+    "scalar subquery over the aggregate's own result.  Revenue sums in "
+    "EXACT decimal (floats only in the final display cast), so the "
+    "argmax comparison can never flip on float fold order; the revenue "
+    "view is supplier-count-sized, so the max and the supplier join "
+    "both broadcast",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev["r"] == mx["mx"]).select("l_suppkey", "r")
+    return (
+        t["supplier"]
+        .join(F.broadcast(top), F.col("s_suppkey") == top["l_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r").cast("double"), 2).alias("total_rev"),
+        )
+    )
