@@ -139,6 +139,8 @@ HEADLINE: dict[str, bool] = {
     "stats_welch_ttest": True,
     "q15_top_supplier": True,
     "events_sequence_pattern": False,
+    "market_basket_rules": False,
+    "embeddings_standardize": False,
 }
 
 

@@ -42,6 +42,8 @@ _GATE_PRIORITY = [
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
     "graph_triangle_count",       # new (r3 session 2)
+    "market_basket_rules",        # new (r3 session 2)
+    "embeddings_standardize",     # new (r3 session 2)
     "er_name_clusters",           # new (r3 session 2)
     "stats_equidepth_histogram",  # new (r3 session 2)
     "stats_welch_ttest",          # new (r3 session 2)

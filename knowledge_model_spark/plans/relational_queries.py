@@ -1416,3 +1416,75 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r").cast("double"), 2).alias("total_rev"),
         )
     )
+
+
+@register(
+    "market_basket_rules",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_ord AS (SELECT count(DISTINCT ok) AS n FROM basket),
+    item AS (SELECT pk, count(*) AS c FROM basket GROUP BY pk),
+    pair AS (
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+      FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT p1, p2, support,
+           round(CAST(support AS DOUBLE) / i1.c, 6) AS confidence,
+           round(CAST(support AS DOUBLE) * (SELECT n FROM n_ord)
+                 / (CAST(i1.c AS DOUBLE) * i2.c), 6) AS lift
+    FROM pair
+    JOIN item i1 ON i1.pk = p1
+    JOIN item i2 ON i2.pk = p2
+    WHERE support >= 3
+    """,
+    doc="market-basket association rules (support / confidence / lift) "
+    "over parts co-occurring in an order — the classic co-purchase "
+    "mining shape.  Pair enumeration is a basket self-join on the order "
+    "key, so candidate count is bounded by per-basket size squared "
+    "(<= 13 items/order here), never by catalog size; item counts and "
+    "the order total are exact integers, floats only in the final "
+    "confidence/lift ratios; the item-count table is catalog-sized and "
+    "broadcasts onto the pair table.  The support>=3 cut is the "
+    "standard min-support prune (at 100 TB it also bounds the output); "
+    "for ultra-hot items the same max_df stop cut as ngram-Jaccard "
+    "applies before the self-join",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    basket = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_ord = basket.agg(F.countDistinct("ok").alias("n"))
+    item = basket.groupBy("pk").agg(F.count("*").alias("c"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    i1 = item.select(F.col("pk").alias("p1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("pk").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("c1"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )

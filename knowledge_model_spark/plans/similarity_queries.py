@@ -387,3 +387,81 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "embeddings_standardize",
+    """
+    WITH dims AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim,
+             count(*) AS n,
+             sum(CAST(v AS DOUBLE) ORDER BY v, vec_id) AS s,
+             sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY v, vec_id) AS ss
+      FROM dims GROUP BY dim
+    ),
+    ms AS (
+      SELECT dim, s / n AS mean,
+             sqrt((ss - s * (s / n)) / (n - 1)) AS std
+      FROM stats
+    )
+    SELECT d.vec_id, CAST(d.dim AS BIGINT) AS dim,
+           round((CAST(d.v AS DOUBLE) - ms.mean) / ms.std, 6) AS z
+    FROM dims d JOIN ms ON d.dim = ms.dim
+    """,
+    doc="per-dimension z-score standardization of the embedding corpus "
+    "(the feature-scaling pass before distance-based ops): posexplode "
+    "to (vec_id, dim, v), per-dim mean/std, broadcast the 64-row stats "
+    "table back onto the scan.  Determinism: per-dim sums fold in "
+    "SORTED (v, vec_id) order in BOTH engines (Spark "
+    "aggregate(array_sort(...)), DuckDB sum(... ORDER BY ...)), so "
+    "every double is bit-identical before rounding — the sorted-fold "
+    "recipe from eval_ndcg/chi2.  At 100 TB swap the single-group "
+    "collect_list for per-partition sorted partial folds (or exact "
+    "decimal moments as in agg_corr_regression) — the stats table "
+    "stays 64 rows either way",
+)
+def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dims = t["embeddings"].select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "v")
+    ).select("vec_id", (F.col("dim0") + 1).cast("long").alias("dim"), "v")
+    stats = (
+        dims.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("v", "vec_id"))
+            ).alias("sorted_vs"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.expr(
+                "aggregate(sorted_vs, 0D, (a, x) -> a + CAST(x.v AS DOUBLE))"
+            ).alias("s"),
+            F.expr(
+                "aggregate(sorted_vs, 0D,"
+                " (a, x) -> a + CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))"
+            ).alias("ss"),
+        )
+    )
+    ms = stats.select(
+        "dim",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * (F.col("s") / F.col("n")))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return dims.join(F.broadcast(ms), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("v").cast("double") - F.col("mean")) / F.col("std"), 6).alias(
+            "z"
+        ),
+    )
