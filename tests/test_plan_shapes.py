@@ -243,3 +243,37 @@ def test_q4_semi_join_no_cartesian(spark):
     plan = _plan(spark, "q4_order_priority_check")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_cartesian_and_broadcast_degrees(spark):
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_basket_only_scalar_bnlj(spark):
+    plan = _plan(spark, "market_basket_rules")
+    assert "CartesianProduct" not in plan
+    # the single BNLJ is the broadcast 1-row order-count scalar
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_standardize_broadcasts_stats_back(spark):
+    plan = _plan(spark, "embeddings_standardize")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_pushes_date_filter(spark):
+    plan = _plan(spark, "q15_top_supplier")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equidepth_single_partition_only_on_cells(spark):
+    # the SinglePartition exchange must sit above the grid aggregation
+    # (NDV-bounded), not above the raw scan: raw rows reach only a
+    # hashpartitioning exchange
+    plan = _plan(spark, "stats_equidepth_histogram")
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange SinglePartition" in plan
