@@ -305,3 +305,111 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---- durable incremental IVF index ------------------------------------
+#
+# The reference rebuilds its ENTIRE FAISS index from all clean JSONL
+# every month (pipeline.py:215-226 → build_faiss.py:88-141 — O(corpus)
+# per ingest).  The engine's index is a Parquet postings table, so
+# maintenance is incremental by construction: new batches are assigned
+# against the STORED centroid table (tiny, broadcast) and appended —
+# per-month cost ∝ batch size, never corpus size.  Search reads only
+# the probed centroid lists (partition-pruned on cent_id).
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_centroids: int = 16,
+    n_assign: int = 3,
+) -> None:
+    """Create the durable IVF index: ``{path}/centroids`` (the
+    deterministic hash-sampled centroid vectors — the trained, frozen
+    part) and ``{path}/postings`` (multi-assigned normalized corpus
+    vectors, hive-partitioned by ``cent_id`` so a probe prunes to its
+    lists at the file level)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("id"), l2_normalize(F.col(corpus_vec)).alias("vec")
+    )
+    cents = (
+        c.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"))
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    _ivf_assign(c, c.sparkSession.read.parquet(f"{path}/centroids"), n_assign).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(f"{path}/postings")
+
+
+def _ivf_assign(c: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
+    scored = c.crossJoin(broadcast(cents)).withColumn(
+        "__cs", dot(F.col("vec"), F.col("cent_vec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__cs").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n_assign)
+        .select("id", "vec", "cent_id")
+    )
+
+
+def ivf_index_append(
+    new_batch: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_assign: int = 3,
+) -> None:
+    """Assign ONLY the new rows against the stored centroids and append
+    their postings — the incremental-maintenance half.  The centroid
+    table stays frozen (FAISS semantics: training is separate from
+    adds); periodic re-training is a fresh ``ivf_index_build``."""
+    spark = new_batch.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    c = new_batch.select(
+        F.col(corpus_id).alias("id"), l2_normalize(F.col(corpus_vec)).alias("vec")
+    )
+    _ivf_assign(c, cents, n_assign).write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(f"{path}/postings")
+
+
+def ivf_index_search(
+    queries: DataFrame,
+    path: str,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 12,
+    n_probe: int = 6,
+) -> DataFrame:
+    """Top-k over the durable index: queries assign to their ``n_probe``
+    nearest stored centroids, and only those postings lists are scored
+    (cent_id is the hive partition key, so unprobed lists are pruned at
+    file level).  Returns (query_id, vec_id, score, rank)."""
+    spark = queries.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    post = spark.read.parquet(f"{path}/postings")
+    q = queries.select(
+        F.col(query_id).alias("qid"), l2_normalize(F.col(query_vec)).alias("qvec")
+    )
+    scored_c = q.crossJoin(broadcast(cents)).withColumn(
+        "__cs", dot(F.col("qvec"), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("__cs").desc(), F.col("cent_id").asc())
+    probes = (
+        scored_c.withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= n_probe)
+        .select("qid", "qvec", "cent_id")
+    )
+    cand = post.join(broadcast(probes), "cent_id").select(
+        F.col("qid").alias(query_id),
+        F.col("id").alias("vec_id"),
+        F.round(dot(F.col("vec"), F.col("qvec")), 6).alias("score"),
+    ).dropDuplicates([query_id, "vec_id"])
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -116,3 +116,72 @@ def test_hard_negatives_excludes_query_label_and_outranks_postfilter(spark, tabl
     ).collect()
     kept = [r for r in post if labels[r["vec_id"]] != r["query_id"]]
     assert len(kept) < len(negs)  # post-filter loses negatives; mining must not
+
+
+# ---- durable incremental IVF index ------------------------------------
+
+
+def test_ivf_index_build_append_equals_one_shot_assignment(spark, tables, tmp_path):
+    """(build A) + (append B) must equal assigning A∪B against A's
+    frozen centroids — the incremental path changes WHEN rows are
+    assigned, never WHAT the index contains."""
+    from knowledge_model_spark.operators.similarity import (
+        _ivf_assign,
+        ivf_index_append,
+        ivf_index_build,
+    )
+    from knowledge_model_spark.functions.vectors import l2_normalize
+
+    emb = tables["embeddings"]
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    ivf_index_build(a, path, n_centroids=8, n_assign=2)
+    ivf_index_append(b, path, n_assign=2)
+
+    got = {
+        (r["id"], r["cent_id"])
+        for r in spark.read.parquet(f"{path}/postings").collect()
+    }
+    cents = spark.read.parquet(f"{path}/centroids")
+    full = emb.select(
+        F.col("vec_id").alias("id"), l2_normalize(F.col("embedding")).alias("vec")
+    )
+    want = {
+        (r["id"], r["cent_id"]) for r in _ivf_assign(full, cents, 2).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_search_recall_and_empty_append(spark, tables, tmp_path):
+    from knowledge_model_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf2")
+    ivf_index_build(emb, path, n_centroids=8, n_assign=3)
+    # appending an empty batch is a no-op
+    n0 = spark.read.parquet(f"{path}/postings").count()
+    ivf_index_append(emb.filter(F.col("vec_id") < 0), path, n_assign=3)
+    assert spark.read.parquet(f"{path}/postings").count() == n0
+
+    q = (
+        emb.filter(F.col("vec_id") < N_Q)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(
+            emb, q, "vec_id", "embedding", "query_id", "qv", k=K
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_index_search(
+            q, path, "query_id", "qv", k=K, n_probe=5
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.80
