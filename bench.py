@@ -141,6 +141,8 @@ HEADLINE: dict[str, bool] = {
     "events_sequence_pattern": False,
     "market_basket_rules": False,
     "embeddings_standardize": False,
+    "events_twap_user": False,
+    "corpus_overlap_matrix": True,
 }
 
 

@@ -43,6 +43,8 @@ _GATE_PRIORITY = [
     # (newest code first: zero parity history = most valuable row)
     "graph_triangle_count",       # new (r3 session 2)
     "market_basket_rules",        # new (r3 session 2)
+    "events_twap_user",           # new (r3 session 2)
+    "corpus_overlap_matrix",      # new (r3 session 2)
     "embeddings_standardize",     # new (r3 session 2)
     "er_name_clusters",           # new (r3 session 2)
     "stats_equidepth_histogram",  # new (r3 session 2)

@@ -1039,3 +1039,66 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_view_then_purchase"),
     )
+
+
+@register(
+    "events_twap_user",
+    """
+    WITH o AS (
+      SELECT user_id, value, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, value, ts, event_id,
+             epoch_us(nts) - epoch_us(ts) AS dt
+      FROM o WHERE nts IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dt) AS BIGINT) AS span_us,
+           round(sum(value * dt ORDER BY ts, event_id)
+                 / CAST(sum(dt) AS DOUBLE), 6) AS twap
+    FROM d GROUP BY user_id
+    """,
+    doc="time-weighted average value per user over irregular event "
+    "timestamps (TimescaleDB time_weight shape — each observation "
+    "holds until the next one): interval weights are EXACT microsecond "
+    "longs from one lead() over the user-key partitioning, and the "
+    "weighted sum folds in total (ts, event_id) order in both engines "
+    "(sorted-fold recipe), so the float TWAP is engine- and "
+    "partitioning-identical; single user-key shuffle, state bounded "
+    "per user",
+)
+def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t["events"].select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dt"
+        ),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt").alias("span_us"),
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", (F.col("value") * F.col("dt")).alias("wv")))
+            ).alias("sorted_wv"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            F.round(
+                F.expr("aggregate(sorted_wv, 0D, (a, x) -> a + x.wv)")
+                / F.col("span_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+    )

@@ -810,3 +810,79 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     )
+
+
+@register(
+    "corpus_overlap_matrix",
+    """
+    WITH norm AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+               w -> len(w) > 0) AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(words) - 4),
+                                                    i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+             END AS sh
+      FROM norm
+    ),
+    ex AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh),
+    n AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(n_common / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN n na ON na.source = src_a
+    JOIN n nb ON nb.source = src_b
+    """,
+    doc="cross-source n-gram overlap matrix: shared distinct 5-shingle "
+    "count + Jaccard for every source pair — the corpus-composition "
+    "diagnostic behind mixture weighting and decontamination (which "
+    "sources are near-copies of each other?).  The (source, shingle) "
+    "incidence is distinct-deduped BEFORE the self-join, so join cost "
+    "is ∝ Σ df² over sources (df ≤ |sources|, tiny), never document "
+    "count; per-source totals broadcast; the same max_df stop-shingle "
+    "cut as ngram-Jaccard applies for boilerplate-heavy corpora",
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.text_analysis import shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = (
+        docs.select("source", F.explode(shingles(F.col("text"), 5)).alias("s"))
+        .distinct()
+    )
+    n = ex.groupBy("source").agg(F.count("*").alias("n"))
+    a = ex.select(F.col("source").alias("src_a"), "s")
+    b = ex.select(F.col("source").alias("src_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
