@@ -143,6 +143,7 @@ HEADLINE: dict[str, bool] = {
     "embeddings_standardize": False,
     "events_twap_user": False,
     "corpus_overlap_matrix": True,
+    "join_asof_forward_next_event": False,
 }
 
 

@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     "market_basket_rules",        # new (r3 session 2)
     "events_twap_user",           # new (r3 session 2)
     "corpus_overlap_matrix",      # new (r3 session 2)
+    "join_asof_forward_next_event",  # new (r3 session 2)
     "embeddings_standardize",     # new (r3 session 2)
     "er_name_clusters",           # new (r3 session 2)
     "stats_equidepth_histogram",  # new (r3 session 2)

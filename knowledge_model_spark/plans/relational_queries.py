@@ -1488,3 +1488,58 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "join_asof_forward_next_event",
+    """
+    SELECT o.o_orderkey, o.o_custkey, e.event_type AS next_event_type
+    FROM (SELECT o_orderkey, o_custkey, o_custkey % 20 AS uid,
+                 TIMESTAMP '2024-01-01' + to_minutes(o_orderkey % 40000) AS ots
+          FROM orders) o
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_type
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) e
+      ON o.uid = e.user_id AND o.ots <= e.ts
+    """,
+    doc="as-of join (FORWARD): earliest event per key at-or-after a "
+    "synthetic order time — the direction twin of "
+    "join_asof_last_event_before_order (completes merge_asof's "
+    "backward/forward surface as registered oracle queries); same "
+    "union+window formulation, descending time order, single key "
+    "shuffle",
+)
+def join_asof_forward_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.pmod(F.col("o_orderkey"), F.lit(40000)).cast("int"))
+        ).alias("ots"),
+        F.pmod(F.col("o_custkey"), F.lit(20)).alias("uid"),
+    )
+    events = (
+        t["events"]
+        .select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(F.col("user_id").alias("uid"), "ts", F.col("event_type").alias("next_event_type"))
+    )
+    joined = asof_join(
+        orders,
+        events,
+        on="uid",
+        left_time="ots",
+        right_time="ts",
+        direction="forward",
+        right_cols=["next_event_type"],
+    )
+    return joined.select("o_orderkey", "o_custkey", "next_event_type")
