@@ -28,7 +28,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 CORPUS_SCHEMA = StructType(
     [
@@ -132,6 +139,73 @@ def stream_dedup_ingest(
         .json(landing_dir)
         .withColumn("batch_source_file", F.input_file_name())
     )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
+
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def stream_index_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    n_centroids: int = 16,
+    n_assign: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming maintenance of the durable IVF index
+    (operators/similarity.ivf_index_*): each micro-batch of new
+    embedding rows is assigned against the stored centroids and
+    appended to the postings table — the streaming form of the
+    reference's monthly FAISS rebuild (pipeline.py:215-226), at
+    per-batch cost with checkpointed exactly-once file offsets.
+
+    The FIRST batch bootstraps the index (trains the frozen centroid
+    table from itself); every later batch appends.  Returns the number
+    of micro-batches run; a re-run with no new files is a zero-batch
+    no-op, and a crashed run resumes mid-listing from the checkpoint.
+    """
+    from knowledge_model_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch_df.isEmpty():
+            return
+        n_batches += 1
+        try:
+            spark.read.parquet(f"{index_path}/centroids").limit(1).collect()
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            ivf_index_append(batch_df, index_path, n_assign=n_assign)
+        else:
+            ivf_index_build(
+                batch_df, index_path, n_centroids=n_centroids, n_assign=n_assign
+            )
+
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

@@ -523,3 +523,61 @@ def test_dynamic_gap_sessionize_matches_native_session_window(
     assert len(got_stream) > 0
     for k, v in got_stream.items():
         assert want[k] == v
+
+
+def test_stream_index_ingest_bootstrap_append_and_resume(spark, tables, tmp_path):
+    """Two landing files drained one-per-batch: batch 1 bootstraps the
+    index (trains centroids from itself), batch 2 appends against the
+    FROZEN centroids; the final postings equal the one-shot assignment
+    of the full corpus against batch-1 centroids, and a re-run with no
+    new files is a zero-batch no-op."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.functions.vectors import l2_normalize
+    from knowledge_model_spark.operators.similarity import _ivf_assign
+    from knowledge_model_spark.streaming.ingest import stream_index_ingest
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    landing = tmp_path / "landing"
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    a.coalesce(1).write.parquet(str(landing / "f0"))
+    b.coalesce(1).write.parquet(str(landing / "f1"))
+
+    idx = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_index_ingest(
+        spark,
+        str(landing) + "/*/",
+        idx,
+        ckpt,
+        n_centroids=8,
+        n_assign=2,
+        max_files_per_trigger=1,
+    )
+    assert n == 2
+
+    cents = spark.read.parquet(f"{idx}/centroids")
+    # centroids trained from ONE of the two halves (whichever file the
+    # stream listed first)
+    cent_ids = {r["cent_id"] for r in cents.collect()}
+    half_a = {r["vec_id"] for r in a.collect()}
+    half_b = {r["vec_id"] for r in b.collect()}
+    assert cent_ids <= half_a or cent_ids <= half_b
+
+    full = emb.select(
+        F.col("vec_id").alias("id"), l2_normalize(F.col("embedding")).alias("vec")
+    )
+    want = {(r["id"], r["cent_id"]) for r in _ivf_assign(full, cents, 2).collect()}
+    got = {
+        (r["id"], r["cent_id"])
+        for r in spark.read.parquet(f"{idx}/postings").collect()
+    }
+    assert got == want
+
+    # resume with no new files: no-op
+    n2 = stream_index_ingest(
+        spark, str(landing) + "/*/", idx, ckpt, n_centroids=8, n_assign=2
+    )
+    assert n2 == 0
+    assert spark.read.parquet(f"{idx}/postings").count() == len(want)
