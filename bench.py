@@ -144,6 +144,7 @@ HEADLINE: dict[str, bool] = {
     "events_twap_user": False,
     "corpus_overlap_matrix": True,
     "join_asof_forward_next_event": False,
+    "q22_global_sales_opportunity": True,
 }
 
 

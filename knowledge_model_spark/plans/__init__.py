@@ -46,6 +46,7 @@ _GATE_PRIORITY = [
     "events_twap_user",           # new (r3 session 2)
     "corpus_overlap_matrix",      # new (r3 session 2)
     "join_asof_forward_next_event",  # new (r3 session 2)
+    "q22_global_sales_opportunity",  # new (r3 session 2)
     "embeddings_standardize",     # new (r3 session 2)
     "er_name_clusters",           # new (r3 session 2)
     "stats_equidepth_histogram",  # new (r3 session 2)

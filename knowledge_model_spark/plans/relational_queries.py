@@ -1543,3 +1543,65 @@ def join_asof_forward_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["next_event_type"],
     )
     return joined.select("o_orderkey", "o_custkey", "next_event_type")
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey % 5 AS grp,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+    ),
+    thr AS (
+      SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS a
+      FROM pos WHERE bal > 0
+    ),
+    cand AS (
+      SELECT * FROM pos WHERE CAST(bal AS DOUBLE) > (SELECT a FROM thr)
+    )
+    SELECT grp, count(*) AS n_cust,
+           round(CAST(sum(bal) AS DOUBLE), 2) AS total_bal
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY grp
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers (scalar "
+    "subquery threshold) with no RECENT orders (NOT EXISTS over a "
+    "date-filtered orders scan → left anti join), "
+    "grouped — the three-way composition of scalar subquery + anti "
+    "join + aggregate.  The threshold derives from an EXACT decimal "
+    "sum (float only in the final division), so the > comparison is "
+    "fold-order-stable; the 1-row threshold broadcasts; the anti join "
+    "needs only orders' customer keys (2-column scan)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pos = (
+        t["customer"]
+        .filter(F.pmod(F.col("c_nationkey"), F.lit(5)).isin(0, 1, 2))
+        .select(
+            "c_custkey",
+            F.pmod(F.col("c_nationkey"), F.lit(5)).cast("int").alias("grp"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    thr = pos.filter(F.col("bal") > 0).agg(
+        (F.sum("bal").cast("double") / F.count("*")).alias("a")
+    )
+    cand = pos.crossJoin(F.broadcast(thr)).filter(
+        F.col("bal").cast("double") > F.col("a")
+    )
+    noord = cand.join(
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return noord.groupBy("grp").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("bal").cast("double"), 2).alias("total_bal"),
+    )
