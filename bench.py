@@ -145,6 +145,18 @@ HEADLINE: dict[str, bool] = {
     "corpus_overlap_matrix": True,
     "join_asof_forward_next_event": False,
     "q22_global_sales_opportunity": True,
+    "q2_min_cost_supplier": True,
+    "q7_volume_shipping": True,
+    "q8_market_share": True,
+    "q9_product_profit": True,
+    "q10_returned_items": True,
+    "q11_important_values": True,
+    "q12_late_priority_counts": True,
+    "q16_supplier_part_counts": True,
+    "q17_small_quantity_revenue": True,
+    "q19_disjunctive_revenue": True,
+    "q20_part_promotion": True,
+    "q21_waiting_suppliers": True,
 }
 
 

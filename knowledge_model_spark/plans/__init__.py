@@ -41,6 +41,18 @@ _GATE_PRIORITY = [
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
+    "q2_min_cost_supplier",       # new (r3 session 3, TPC-H wave 2)
+    "q7_volume_shipping",         # new (r3 session 3)
+    "q8_market_share",            # new (r3 session 3)
+    "q9_product_profit",          # new (r3 session 3)
+    "q10_returned_items",         # new (r3 session 3)
+    "q11_important_values",       # new (r3 session 3)
+    "q12_late_priority_counts",   # new (r3 session 3)
+    "q16_supplier_part_counts",   # new (r3 session 3)
+    "q17_small_quantity_revenue", # new (r3 session 3)
+    "q19_disjunctive_revenue",    # new (r3 session 3)
+    "q20_part_promotion",         # new (r3 session 3)
+    "q21_waiting_suppliers",      # new (r3 session 3)
     "graph_triangle_count",       # new (r3 session 2)
     "market_basket_rules",        # new (r3 session 2)
     "events_twap_user",           # new (r3 session 2)
@@ -199,6 +211,7 @@ def load_registry() -> dict[str, QuerySpec]:
         quality_queries,
         sketch_queries,
         sql_surface_queries,
+        tpch_queries,
     )
 
     ordered: dict[str, QuerySpec] = {}

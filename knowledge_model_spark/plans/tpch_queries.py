@@ -1,0 +1,746 @@
+"""TPC-H classic shapes, wave 2 — the remaining canonical query patterns,
+adapted to the testdata's slimmed schema (no partsupp / shipmode /
+commitdate columns; see TESTDATA.md).  Each query keeps the *shape* that
+makes its TPC-H original a distinct optimizer exercise — correlated
+scalar subqueries, decorrelated min-join, disjunctive pushdown,
+EXISTS/NOT-EXISTS composition — while drawing only on columns that
+exist.  Substitutions are noted per query.
+
+Determinism contract (the driver hash-compares values cross-engine):
+- integer counts and exact-decimal sums compare raw;
+- double sums surface only through round(x, 2) and order by the ROUNDED
+  value with an integer tiebreak, so partial-agg fold order can't flip
+  the hash;
+- threshold comparisons that gate row membership (Q11's HAVING, Q20's
+  half-share) are computed in exact arithmetic (decimal, or integral
+  doubles < 2^53), never via a fold-order-dependent double sum.
+
+Scale notes: every fact-fact join here shuffles once on its natural key;
+all dimension joins broadcast (nation/region/supplier/part at TPC-H
+proportions stay < the 64 MB threshold even at SF 100k relative to
+lineitem); the per-part / per-order helper aggregates are partial-agg
+friendly so map-side combine cuts each shuffle to |groups|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from knowledge_model_spark.plans import register
+from knowledge_model_spark.session import load_tables
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _rev_dec():
+    """Discounted revenue as an EXACT decimal term.
+
+    l_extendedprice is a full double in the testdata, so a double
+    sum's fold order differs between Spark's partial/final aggregate
+    and DuckDB's sequential fold — a last-ulp difference that flips
+    round(x, 2) whenever a group's true sum sits near a .005 boundary
+    (observed: q9 at 686823.585).  Casting the price to DECIMAL(18,6)
+    (deterministic: a double is never exactly on a half-at-6-dp
+    boundary, so both engines round it identically) and the discount
+    factor to DECIMAL(4,2) (2-dp by construction) makes every term —
+    and therefore the sum, in ANY fold order — exact.
+    """
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+
+
+# SQL twin of _rev_dec for the DuckDB oracles
+_REV_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+)
+
+
+# --------------------------------------------------------------- Q2 shape
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.unit_cost,
+             s.s_name, n.n_name,
+             min(ps.unit_cost) OVER (PARTITION BY ps.l_partkey) AS best
+      FROM ps
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT s_name, n_name, p.p_partkey, p.p_type,
+           round(unit_cost, 2) AS unit_cost
+    FROM eu JOIN part p ON eu.l_partkey = p.p_partkey
+    WHERE p.p_size = 15 AND unit_cost = best
+    ORDER BY p.p_partkey, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part within a region. "
+    "The original's correlated scalar MIN subquery over partsupp is "
+    "decorrelated to a per-part window min — exactly what Catalyst "
+    "produces for the correlated form — over a lineitem-derived "
+    "part-supplier bridge (no partsupp table in the testdata). "
+    "unit_cost = min(extendedprice/quantity) is a single IEEE division "
+    "then MIN, so the equality predicate against the window min is "
+    "bit-deterministic cross-engine. Dimensions broadcast; the only "
+    "shuffle is the (partkey,suppkey) bridge aggregate.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu_sup = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eu = ps.join(broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey")).withColumn(
+        "best", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    )
+    parts = t["part"].filter(F.col("p_size") == 15).select("p_partkey", "p_type")
+    return (
+        eu.filter(F.col("unit_cost") == F.col("best"))
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------- Q7 shape
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping: two-nation trade flow by year. The "
+    "disjunctive nation-pair predicate sits on two broadcast dimension "
+    "joins (both sides of the OR prune to 2 nation rows each before "
+    "the fact scan); orders⋈lineitem is the one fact-fact shuffle and "
+    "the date filter pushes to the lineitem parquet scan.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    li = t["lineitem"].filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------- Q8 shape
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 national market share: one nation's fraction of a "
+    "region's market for a part type, by year. The share is a ratio of "
+    "two sums over the SAME rows, so the relative FP error is ~1e-15 "
+    "and round(.,6) is fold-order-stable. Part/supplier/customer/"
+    "nation/region all broadcast; orders⋈lineitem is the single "
+    "shuffle; the conditional numerator is a map-side CASE, not a "
+    "second scan.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n2 = (
+        t["nation"]
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = t["orders"].filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    joined = (
+        t["lineitem"]
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    vol = _rev()
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------- Q9 shape
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2))
+               - CAST(0.6 AS DECIMAL(2,1))
+                 * CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,0)) AS amount
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 product-type profit by nation and year. The original "
+    "prices cost from partsupp.ps_supplycost; with no partsupp table "
+    "the cost model substitutes 0.6 * p_retailprice (same shape: a "
+    "per-part attribute joined onto the fact row). The LIKE filter "
+    "prunes part BEFORE its broadcast; orders⋈lineitem is the one "
+    "shuffle; profit is a map-side expression so the aggregate is "
+    "partial-agg friendly.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = _rev_dec() - (
+        F.lit(0.6).cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,0)")
+    )
+    return (
+        t["lineitem"]
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+# -------------------------------------------------------------- Q10 shape
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, revenue, n_name, round(c_acctbal, 2) AS c_acctbal
+    FROM (
+      SELECT c.c_custkey, c.c_name,
+             round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                        AS DOUBLE), 2) AS revenue,
+             n.n_name, c.c_acctbal
+      FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    )
+    """,
+    doc="TPC-H Q10 returned-item reporting: top-20 customers by lost "
+    "revenue in a quarter. Orders' quarter filter pushes to its scan "
+    "and prunes the orders⋈lineitem shuffle; the returnflag filter "
+    "pushes to lineitem. Top-20 is ORDER BY the ROUNDED revenue with "
+    "c_custkey tiebreak → TakeOrderedAndProject, and the rounding "
+    "makes the boundary fold-order-stable.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# -------------------------------------------------------------- Q11 shape
+
+@register(
+    "q11_important_values",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_quantity AS DECIMAL(12,0))
+                 * CAST(p.p_retailprice AS DECIMAL(12,2))) AS part_value
+      FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(CAST(part_value AS DOUBLE), 2) AS part_value
+    FROM val
+    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 important stock: parts whose held value exceeds a "
+    "fraction of the regional total (HAVING vs a scalar subquery over "
+    "the same aggregate). Value = quantity × retailprice in EXACT "
+    "decimal (quantity is integral, retailprice 2-dp), so both the "
+    "per-part sums and the 0.1% threshold comparison are fold-order-"
+    "free — a double sum here could flip boundary parts between "
+    "engines. The val aggregate computes once; Spark reuses it for "
+    "both the threshold (1-row broadcast) and the filter.",
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    asia_sup = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    val = (
+        t["lineitem"]
+        .join(broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            broadcast(t["part"].select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity").cast("decimal(12,0)")
+                * F.col("p_retailprice").cast("decimal(12,2)")
+            ).alias("part_value")
+        )
+    )
+    thr = val.agg(
+        (F.sum("part_value") * F.lit(0.001).cast("decimal(6,3)")).alias("thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# -------------------------------------------------------------- Q12 shape
+
+@register(
+    "q12_late_priority_counts",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shipping-mode priority counts. The testdata has no "
+    "l_shipmode/commitdate/receiptdate, so 'late' becomes shipdate > "
+    "orderdate + 90d (a theta condition evaluated after the equi-join, "
+    "not a pushed filter — same as the original's receipt/commit "
+    "comparison) and l_linestatus stands in as the mode grouping. "
+    "Conditional counts are exact integers; one fact-fact shuffle.",
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q16 shape
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship: distinct-supplier counts "
+    "per (brand, type, size) bucket, excluding a supplier denylist. "
+    "The original's comment-LIKE complaint filter becomes s_acctbal<0 "
+    "(same NOT IN → broadcast anti-join shape); partsupp is replaced "
+    "by the lineitem part-supplier bridge. The part filters prune the "
+    "broadcast BEFORE the join; count(DISTINCT) shuffles once on the "
+    "group key with the supplier id as the dedup unit.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        t["lineitem"]
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(bad_sup), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# -------------------------------------------------------------- Q17 shape
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+      JOIN part p  ON p.p_partkey = l.l_partkey
+      JOIN pavg    ON pavg.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < pavg.qty_thr
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue: lines below 20% of "
+    "their part's average order quantity. The correlated AVG subquery "
+    "decorrelates to a per-part aggregate joined back (what Catalyst "
+    "emits for the correlated form). l_quantity is integral, so "
+    "avg = exact-integer-sum / count and 0.2*avg are bit-identical "
+    "cross-engine — the < boundary can't flip. The per-part aggregate "
+    "is supplier-dim-sized and broadcasts back onto the scan.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pavg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr"))
+    )
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(pavg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# -------------------------------------------------------------- Q19 shape
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 discounted revenue under a 3-arm OR-of-ANDs "
+    "predicate (brand × size band × quantity band; the original's "
+    "container/shipmode arms map to size since those columns don't "
+    "exist). The part-side disjunction (brand ∈ {12,23,34}) is "
+    "implied-filter-extractable so the broadcast build prunes to 3 "
+    "brands; the residual mixed predicate evaluates on the joined "
+    "row — the shape that exercises disjunction pushdown.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+    )
+
+
+# -------------------------------------------------------------- Q20 shape
+
+@register(
+    "q20_part_promotion",
+    """
+    WITH pq AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM pq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM pq
+      JOIN tot      ON pq.l_partkey = tot.l_partkey
+      JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 3 AND pq.qty > 0.5 * tot.total_qty
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 potential part promotion: suppliers holding a "
+    "dominant share (here: shipped > 50% of total quantity) of some "
+    "'small%' part, in one region. The original's nested IN over "
+    "partsupp availqty becomes the lineitem-derived share test — the "
+    "same two-level aggregate + semi-join-then-DISTINCT shape. "
+    "Quantities are integral doubles (< 2^53), so sums and the 0.5× "
+    "comparison are exact in any fold order. tot is per-part (part-"
+    "dim-sized) and joins pq on its own grouping key — AQE turns it "
+    "into a broadcast at dimension scale.",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    small = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    pq = (
+        t["lineitem"]
+        .join(broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    sup = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_regionkey") == 3)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        pq.join(tot, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+# -------------------------------------------------------------- Q21 shape
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH ostat AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT l.l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                                 THEN l.l_suppkey END) AS n_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+      JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN ostat      ON ostat.l_orderkey = l1.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND ostat.n_supp > 1 AND ostat.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting: for finished "
+    "multi-supplier orders, the supplier who was the ONLY late one. "
+    "The original's EXISTS (another supplier on the order) + NOT "
+    "EXISTS (another LATE supplier) pair decorrelates to one per-order "
+    "aggregate — n_supp>1 encodes the EXISTS, n_late=1 the NOT EXISTS "
+    "— replacing two correlated probes with a single orderkey shuffle. "
+    "'Late' = shipdate > orderdate + 60d (no receipt/commit dates in "
+    "the testdata). Counts are exact integers.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    ostat = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.filter(late)
+        .join(
+            ostat.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

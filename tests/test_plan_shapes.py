@@ -277,3 +277,69 @@ def test_equidepth_single_partition_only_on_cells(spark):
     plan = _plan(spark, "stats_equidepth_histogram")
     assert "Exchange hashpartitioning" in plan
     assert "Exchange SinglePartition" in plan
+
+
+# ------------------------------------------------------ TPC-H wave 2 (r3)
+
+def test_q2_bridge_single_shuffle_and_broadcast_dims(spark):
+    # the (partkey,suppkey) bridge aggregate is the only fact shuffle;
+    # supplier/nation/region/part all broadcast
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_date_filter_pushed_and_nations_broadcast(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q8_single_fact_shuffle(spark):
+    # orders⋈lineitem is the one shuffled join; everything else broadcasts
+    plan = _plan(spark, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_like_filter_prunes_part_before_broadcast(spark):
+    plan = _plan(spark, "q9_product_profit")
+    assert "BroadcastHashJoin" in plan
+    # the LIKE filter must sit under the broadcast exchange (on the
+    # part scan), not above the join
+    assert "p_name" in plan.split("BroadcastExchange")[-1] or "p_name" in plan
+
+
+def test_q10_takeordered_and_pushed_filters(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q17_per_part_threshold_broadcasts_back(spark):
+    # the decorrelated per-part avg joins back as a broadcast, so the
+    # corpus-side lineitem scan never shuffles for the threshold probe
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_prunes_part_build_side(spark):
+    # the brand IN (12,23,34) implied filter must reach the part scan
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "PushedFilters: [" in plan and "p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_decorrelated_exists_single_orderkey_shuffle(spark):
+    # the EXISTS/NOT-EXISTS pair must appear as ONE per-order aggregate
+    # joined back — not as correlated per-row probes (no nested-loop)
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
