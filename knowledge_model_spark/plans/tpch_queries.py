@@ -8,9 +8,10 @@ exist.  Substitutions are noted per query.
 
 Determinism contract (the driver hash-compares values cross-engine):
 - integer counts and exact-decimal sums compare raw;
-- double sums surface only through round(x, 2) and order by the ROUNDED
-  value with an integer tiebreak, so partial-agg fold order can't flip
-  the hash;
+- money sums are EXACT decimals surfaced via CAST(sum AS DOUBLE) —
+  never round(double, 2), which Spark evaluates on the shortest decimal
+  repr and DuckDB on the binary value, so they disagree near .xx5
+  boundaries (observed on q9 then q10 before the fix);
 - threshold comparisons that gate row membership (Q11's HAVING, Q20's
   half-share) are computed in exact arithmetic (decimal, or integral
   doubles < 2^53), never via a fold-order-dependent double sum.
@@ -136,7 +137,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -183,9 +184,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
     )
 
 
@@ -249,7 +250,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _rev()
     return (
-        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
@@ -265,7 +266,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
              CAST(l.l_extendedprice AS DECIMAL(18,6))
@@ -307,9 +308,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
-            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+            F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
 
 
@@ -318,12 +319,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     """
-    SELECT c_custkey, c_name, revenue, n_name, round(c_acctbal, 2) AS c_acctbal
+    SELECT c_custkey, c_name, revenue, n_name, c_acctbal
     FROM (
       SELECT c.c_custkey, c.c_name,
-             round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                            * CAST(1 - l.l_discount AS DECIMAL(4,2)))
-                        AS DOUBLE), 2) AS revenue,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
              n.n_name, c.c_acctbal
       FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -340,9 +341,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q10 returned-item reporting: top-20 customers by lost "
     "revenue in a quarter. Orders' quarter filter pushes to its scan "
     "and prunes the orders⋈lineitem shuffle; the returnflag filter "
-    "pushes to lineitem. Top-20 is ORDER BY the ROUNDED revenue with "
-    "c_custkey tiebreak → TakeOrderedAndProject, and the rounding "
-    "makes the boundary fold-order-stable.",
+    "pushes to lineitem. Top-20 is ORDER BY the exact-decimal revenue "
+    "(cast to double bit-identically in both engines) with c_custkey "
+    "tiebreak → TakeOrderedAndProject; no round-on-double anywhere "
+    "(Spark rounds the shortest decimal repr, DuckDB the binary value "
+    "— they disagree near .xx5).",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -356,13 +359,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
             "revenue",
             "n_name",
-            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "c_acctbal",
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -444,10 +447,10 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_priority_counts",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
     GROUP BY l.l_linestatus
@@ -528,8 +531,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-                 / 7.0, 2) AS avg_yearly
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
     FROM lineitem l
       JOIN part p  ON p.p_partkey = l.l_partkey
       JOIN pavg    ON pavg.l_partkey = l.l_partkey
@@ -557,10 +560,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(pavg), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
-            F.round(
+            (
                 F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
-                / 7.0,
-                2,
+                / 7.0
             ).alias("avg_yearly")
         )
     )
@@ -571,9 +573,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     """
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                          * CAST(1 - l.l_discount AS DECIMAL(4,2)))
-                      AS DOUBLE), 2) AS revenue
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -618,7 +619,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm)
-        .agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
     )
 
 
