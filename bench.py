@@ -157,6 +157,9 @@ HEADLINE: dict[str, bool] = {
     "q19_disjunctive_revenue": True,
     "q20_part_promotion": True,
     "q21_waiting_suppliers": True,
+    "embeddings_jl_project": False,
+    "text_keyword_tag": False,
+    "corpus_kl_divergence": True,
 }
 
 

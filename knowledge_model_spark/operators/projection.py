@@ -1,0 +1,107 @@
+"""Johnson-Lindenstrauss random projection for embedding columns.
+
+Reference parity: the reference embeds to a fixed 1536-dim space and
+pays FAISS index cost linear in dimension (build_faiss.py:69-85,
+faiss_query.py:33-41).  A JL sign projection is the standard public
+technique (Achlioptas 2003, "Database-friendly random projections") for
+shrinking that cost: k = O(log n / eps^2) sign-combined dimensions
+preserve pairwise distances within (1 +/- eps), so ANN shortlists can be
+built on the projected vectors and re-ranked exactly on the originals.
+
+Spark-first design: the projection matrix is CONTENT-ADDRESSED, not
+random state — sign(d, j) = +1 iff the first hex nibble of
+md5("jl:<d>:<j>") is even.  The matrix is materialized ONCE at plan
+construction (driver side, pure hashlib) and inlined as literal
+coefficients, so the whole operator compiles to whole-stage-codegen
+arithmetic: proj_j = (sum_d sign(d,j) * v[d]) / sqrt(k).  Zero shuffle,
+zero Python at execution time, identical output for any partitioning —
+and the SAME literals parameterize the DuckDB oracle, so the arithmetic
+(an explicit left-to-right addition chain in both engines) is
+bit-identical cross-engine.
+
+At 100 TB: a scan-speed map over the corpus; the downstream win is that
+every distance computation (brute-force scoring, IVF assignment, pair
+verification) runs on k doubles instead of d floats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jl_sign(d: int, j: int) -> int:
+    """Content-addressed Rademacher sign: +/-1 from md5("jl:d:j")."""
+    nibble = int(hashlib.md5(f"jl:{d}:{j}".encode()).hexdigest()[0], 16)
+    return 1 if nibble % 2 == 0 else -1
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
+    """out_dim rows of in_dim signs — row j projects output dimension j."""
+    return [[jl_sign(d, j) for d in range(in_dim)] for j in range(out_dim)]
+
+
+def _proj_col(vec: Column, signs: list[int], scale: float) -> Column:
+    """Explicit left-to-right sign-combination of vector elements.
+
+    Built as ((v0*s0 + v1*s1) + v2*s2) + ... so the fold order is the
+    textual order in BOTH engines — a tree or reordered sum would give
+    a different last ulp.  getItem is 0-based here; the SQL twin uses
+    1-based indexing (DuckDB arrays).
+    """
+    acc: Column | None = None
+    for d, s in enumerate(signs):
+        term = vec.getItem(d).cast("double")
+        term = term if s > 0 else -term
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc * F.lit(scale)
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    prefix: str = "proj_",
+) -> DataFrame:
+    """Append out_dim JL-projected double columns to df.
+
+    Flat columns (not an array) keep the result canon-safe for
+    value-hash comparison and let downstream plans prune to the
+    projected dims they use.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    vec = F.col(vec_col)
+    cols = [
+        _proj_col(vec, signs[j], scale).alias(f"{prefix}{j}") for j in range(out_dim)
+    ]
+    return df.select("*", *cols)
+
+
+def jl_project_sql(
+    vec_expr: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    prefix: str = "proj_",
+) -> str:
+    """The DuckDB twin: same literals, same textual fold order.
+
+    DuckDB list indexing is 1-based; elements cast to DOUBLE before the
+    chain so float32 widening happens at the same point as Spark's.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    outs = []
+    for j in range(out_dim):
+        terms = []
+        for d, s in enumerate(signs[j]):
+            t = f"CAST({vec_expr}[{d + 1}] AS DOUBLE)"
+            terms.append(t if s > 0 else f"-{t}")
+        chain = " + ".join(terms)
+        outs.append(f"({chain}) * {scale} AS {prefix}{j}")
+    return ",\n           ".join(outs)

@@ -41,6 +41,9 @@ _GATE_PRIORITY = [
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
+    "embeddings_jl_project",      # new (r3 session 3)
+    "text_keyword_tag",           # new (r3 session 3)
+    "corpus_kl_divergence",       # new (r3 session 3)
     "q2_min_cost_supplier",       # new (r3 session 3, TPC-H wave 2)
     "q7_volume_shipping",         # new (r3 session 3)
     "q8_market_share",            # new (r3 session 3)

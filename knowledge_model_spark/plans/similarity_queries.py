@@ -465,3 +465,36 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+# ------------------------------------------------- JL random projection
+
+from knowledge_model_spark.operators.projection import jl_project, jl_project_sql  # noqa: E402
+
+
+@register(
+    "embeddings_jl_project",
+    f"""
+    SELECT vec_id,
+           {jl_project_sql("embedding", 64, 8)}
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    """,
+    doc="Johnson-Lindenstrauss sign projection 64→8 dims (Achlioptas "
+    "2003): content-addressed Rademacher matrix — sign(d,j) from "
+    "md5('jl:d:j'), materialized ONCE driver-side and inlined as "
+    "literal coefficients, so the operator is pure whole-stage-codegen "
+    "arithmetic: zero shuffle, zero Python, partition-invariant. The "
+    "SAME literals parameterize the oracle and both engines evaluate "
+    "the identical left-to-right addition chain → bit-identical "
+    "doubles. Scale path: distance work downstream (ANN shortlists, "
+    "pair verification) runs on 8 doubles instead of 64 floats, "
+    "re-ranked exactly on the originals. Mirrors shrinking the "
+    "reference's fixed 1536-dim FAISS space (build_faiss.py:69-85).",
+)
+def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    return jl_project(emb, "embedding", in_dim=64, out_dim=8).select(
+        "vec_id", *[f"proj_{j}" for j in range(8)]
+    )

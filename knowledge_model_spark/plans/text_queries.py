@@ -886,3 +886,118 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------- gazetteer keyword tagging
+
+# The broadcastable dictionary — in production a domain gazetteer
+# (drug names, gene symbols, MeSH terms; the reference filters NIH
+# abstracts by exactly such keyword lists server-side in its ESearch
+# term, SURVEY.md §3.2).  Literal here so the oracle shares it.
+_GAZETTEER = ["spark", "join", "window", "stream", "filter", "merge", "hash"]
+
+
+@register(
+    "text_keyword_tag",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter({_GAZETTEER!r}, t -> list_contains(tk, t)), ';'), '') AS tags,
+           len(list_filter({_GAZETTEER!r}, t -> list_contains(tk, t))) AS n_tags
+    FROM toks
+    """,
+    doc="Dictionary/gazetteer tagging: which dictionary terms appear in "
+    "each document. The dictionary is a broadcast-free LITERAL array "
+    "filtered by token-set containment — filter(dict, t -> "
+    "array_contains(tokens, t)) — so the whole operator is one "
+    "codegen projection at scan speed: no explode, no join, no "
+    "shuffle, and tag order is dictionary order in both engines "
+    "(dedup for free since the dictionary is distinct). At 100 TB a "
+    "large gazetteer swaps the literal for a broadcast join against "
+    "exploded tokens; this is the hot path for dictionaries that fit "
+    "in the plan.",
+)
+def text_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    gaz = F.array(*[F.lit(w) for w in _GAZETTEER])
+    tags = F.filter(gaz, lambda w: F.array_contains(toks, w))
+    return t["documents"].select(
+        "doc_id",
+        F.array_join(tags, ";").alias("tags"),
+        F.size(tags).cast("long").alias("n_tags"),
+    )
+
+
+# ------------------------------------------- per-source KL divergence
+
+@register(
+    "corpus_kl_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ')) AS tk
+      FROM documents
+    ),
+    sc AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY source, tk),
+    st AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+    gc AS (SELECT tk, sum(c) AS g FROM sc GROUP BY tk),
+    gt AS (SELECT sum(c) AS m FROM sc)
+    SELECT sc.source,
+           round(sum((CAST(sc.c AS DOUBLE) / st.n)
+                     * ln((CAST(sc.c AS DOUBLE) / st.n)
+                          / (CAST(gc.g AS DOUBLE) / gt.m))), 6) AS kl,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM sc JOIN st USING (source) JOIN gc USING (tk) CROSS JOIN gt
+    GROUP BY sc.source
+    ORDER BY sc.source
+    """,
+    doc="Corpus-composition drift: KL(source-slice token distribution ‖ "
+    "corpus distribution) per source — the mixture diagnostic a "
+    "training pipeline watches when re-weighting domains (same family "
+    "as sample_mixture_temperature / quality_dsir_weights). Exact "
+    "integer counts feed ln() of identical doubles (the divergent "
+    "term is a per-(source,token) ratio, not a fold-ordered sum); the "
+    "final per-source sum is doubles, surfaced through round(.,6) "
+    "with ~1e-13 worst-case fold spread. Shape: token counts shuffle "
+    "once on (source,token); the global term table joins on token "
+    "(vocab-sized, ∝ distinct terms, never documents); totals are "
+    "1-row/source-row broadcasts.",
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            )
+        ).alias("tk"),
+    )
+    sc = tok.groupBy("source", "tk").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("tk").agg(F.sum("c").alias("g"))
+    gt = sc.agg(F.sum("c").alias("m"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("m")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "tk")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy("source")
+    )
