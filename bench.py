@@ -160,6 +160,9 @@ HEADLINE: dict[str, bool] = {
     "embeddings_jl_project": False,
     "text_keyword_tag": False,
     "corpus_kl_divergence": True,
+    "sample_target_mixture": False,
+    "training_length_batching": True,
+    "training_span_corruption": False,
 }
 
 

@@ -41,6 +41,9 @@ _GATE_PRIORITY = [
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
+    "sample_target_mixture",      # new (r3 session 3)
+    "training_length_batching",   # new (r3 session 3)
+    "training_span_corruption",   # new (r3 session 3)
     "embeddings_jl_project",      # new (r3 session 3)
     "text_keyword_tag",           # new (r3 session 3)
     "corpus_kl_divergence",       # new (r3 session 3)

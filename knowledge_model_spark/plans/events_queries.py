@@ -272,7 +272,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(ts) AS valid_from, count(*) AS n_events
       FROM islands GROUP BY user_id, ver, event_type
     )
-    SELECT user_id, version, event_type,
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
            CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
            CAST(epoch_us(lead(valid_from) OVER w2) AS BIGINT) AS valid_to_us,
            n_events,

@@ -342,3 +342,264 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# -------------------------------------------- target-mixture quota sample
+
+# Target domain weights for the mixing quota — in production the output
+# of a mixture-optimization run (DoReMi-style weights); literal here so
+# the oracle shares it.  Sources absent from the map get weight 0.
+_MIX_TARGET = {"src0": 0.30, "src1": 0.25, "src2": 0.20, "src3": 0.15, "src4": 0.10}
+_MIX_BUDGET = 120  # total documents to draw
+
+
+@register(
+    "sample_target_mixture",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+      WHERE source IN {tuple(_MIX_TARGET)}
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= CASE source
+      {' '.join(f"WHEN '{s}' THEN {int(_MIX_BUDGET * w)}" for s, w in _MIX_TARGET.items())}
+      ELSE 0 END
+    """,
+    doc="Exact target-mixture sampling: draw floor(budget·w_s) documents "
+    "per source to hit prescribed domain weights (the deterministic "
+    "quota complement to sample_mixture_temperature's rate-based "
+    "re-weighting — use quotas when the recipe fixes proportions, "
+    "rates when it fixes acceptance probabilities). Priority inside "
+    "each source is md5(doc_id) — content-addressed, so the drawn set "
+    "is stable across runs, partitionings, and corpus growth (a new "
+    "doc displaces at most one other). ONE source-key shuffle for the "
+    "row_number window; quotas are a literal CASE, no join.",
+)
+def sample_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    quota = F.create_map(
+        *[
+            x
+            for s, w in _MIX_TARGET.items()
+            for x in (F.lit(s), F.lit(int(_MIX_BUDGET * w)))
+        ]
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t["documents"]
+        .filter(F.col("source").isin(*_MIX_TARGET))
+        .select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= F.coalesce(F.element_at(quota, F.col("source")), F.lit(0)))
+    )
+
+
+# ---------------------------------------- length-bucketed batch packing
+
+_BATCH_DOCS = 16  # sequences per inference/training batch
+
+
+@register(
+    "training_length_batching",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+               AS n_tok
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                        / {_BATCH_DOCS}) AS BIGINT) AS batch_id
+      FROM lens
+    )
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+           round(sum(n_tok) / CAST(count(*) * max(n_tok) AS DOUBLE), 6)
+             AS efficiency
+    FROM ordered GROUP BY batch_id
+    """,
+    doc="Length-bucketed batch assignment (the padding-minimizing "
+    "batching every padded-tensor training/inference stack needs — "
+    "sorting by length before batching is what dynamic batching / "
+    "vLLM-style bucketing formalize): docs ordered by token count "
+    "descending, fixed-size batches of 16, per-batch padding waste "
+    "= n·max − Σlen and efficiency = Σlen / (n·max). The global sort "
+    "is a range-partitioned Exchange (sort-based, no single-node "
+    "funnel); the per-batch aggregate reuses the sort order. The "
+    "efficiency win vs unsorted batching is asserted in tests.",
+)
+def training_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n_tok = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+            " ",
+        )
+    )
+    lens = t["documents"].select("doc_id", n_tok.alias("n_tok"))
+    w = Window.orderBy(F.col("n_tok").desc(), "doc_id")
+    ordered = lens.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.row_number().over(w) - 1) / _BATCH_DOCS)
+        .cast("long")
+        .alias("batch_id"),
+    )
+    return ordered.groupBy("batch_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_waste"),
+        F.round(
+            F.sum("n_tok") / (F.count("*") * F.max("n_tok")).cast("double"), 6
+        ).alias("efficiency"),
+    )
+
+
+# ------------------------------------------------ span-corruption pairs
+
+@register(
+    "training_span_corruption",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS pos
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+            FROM documents WHERE doc_id % 5 = 0) d
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(floor(pos / 5) AS BIGINT) AS blk,
+             string_agg(tok, ' ' ORDER BY pos) AS btext,
+             count(*) AS nt
+      FROM tok GROUP BY doc_id, CAST(floor(pos / 5) AS BIGINT)
+    ),
+    marked AS (
+      SELECT doc_id, blk, btext, nt,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS sel
+      FROM blocks
+    ),
+    numbered AS (
+      SELECT doc_id, blk, btext, nt, sel,
+             sum(CASE WHEN sel THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY blk
+                     ROWS UNBOUNDED PRECEDING) - 1 AS k
+      FROM marked
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN sel THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                           ELSE btext END, ' ' ORDER BY blk) AS input_text,
+           coalesce(string_agg(CASE WHEN sel THEN
+                      '<extra_id_' || CAST(k AS VARCHAR) || '> ' || btext END,
+                      ' ' ORDER BY blk) FILTER (WHERE sel), '') AS target_text,
+           CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           round(sum(CASE WHEN sel THEN nt ELSE 0 END)
+                 / CAST(sum(nt) AS DOUBLE), 6) AS corruption_ratio
+    FROM numbered
+    GROUP BY doc_id
+    """,
+    doc="T5/UL2-style span corruption pair generation (Raffel et al. "
+    "2020 §3.1.4): 5-token blocks, ~19% selected by a content-"
+    "addressed coin (first md5(doc_id:block) nibble < 3), selected "
+    "spans replaced by numbered sentinels in the input and emitted "
+    "after their sentinel in the target. Content-addressing makes the "
+    "corruption pattern a pure function of the data — reproducible "
+    "across runs, partitionings, and epochs without RNG state, and "
+    "the oracle derives the identical pattern. Shape: posexplode → "
+    "ONE (doc,block) shuffle → per-doc ordered re-assembly via "
+    "sort_array(collect_list(struct)) (the engine-safe ordered-agg "
+    "idiom); all string work is codegen expressions.",
+)
+def training_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            )
+        ).alias("pos", "tok"),
+    )
+    blocks = (
+        tok.groupBy("doc_id", F.floor(F.col("pos") / 5).cast("long").alias("blk"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("btext"),
+            F.count("*").alias("nt"),
+        )
+    )
+    sel = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("blk").cast("string")
+            )
+        ),
+        1,
+        1,
+    ).isin("0", "1", "2")
+    w = Window.partitionBy("doc_id").orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = blocks.withColumn("sel", sel).withColumn(
+        "k", F.sum(F.when(F.col("sel"), 1).otherwise(0)).over(w) - 1
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    piece = F.when(F.col("sel"), sentinel).otherwise(F.col("btext"))
+    tpiece = F.when(F.col("sel"), F.concat(sentinel, F.lit(" "), F.col("btext")))
+    return (
+        numbered.select(
+            "doc_id", "blk", "nt", "sel", piece.alias("piece"), tpiece.alias("tpiece")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("blk", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                " ",
+            ).alias("input_text"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("sel"), F.struct("blk", "tpiece"))
+                        )
+                    ),
+                    lambda x: x["tpiece"],
+                ),
+                " ",
+            ).alias("target_text"),
+            F.sum(F.when(F.col("sel"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.round(
+                F.sum(F.when(F.col("sel"), F.col("nt")).otherwise(0))
+                / F.sum("nt").cast("double"),
+                6,
+            ).alias("corruption_ratio"),
+        )
+    )

@@ -123,3 +123,98 @@ def test_jl_scale_factor_matches_definition(projected):
     m = jl_sign_matrix(64, 16)
     expect = sum(s * float(v) for s, v in zip(m[0], row["embedding"])) / math.sqrt(16)
     assert abs(row["proj_0"] - expect) < 1e-9
+
+
+# ----------------------------------------- training-pipeline additions
+
+def test_length_batching_beats_unsorted_on_padding(spark):
+    """Sorting by length before batching is the whole point: total
+    padding waste must be far below batching in doc_id order."""
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.plans.training_queries import _BATCH_DOCS
+
+    sorted_out = (
+        load_registry()["training_length_batching"].fn(spark, SF_DIR).collect()
+    )
+    sorted_waste = sum(r["pad_waste"] for r in sorted_out)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_tok = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    unsorted_waste = (
+        docs.select("doc_id", n_tok.alias("n_tok"))
+        .select(
+            "n_tok",
+            F.floor((F.row_number().over(w) - 1) / _BATCH_DOCS).alias("batch_id"),
+        )
+        .groupBy("batch_id")
+        .agg((F.count("*") * F.max("n_tok") - F.sum("n_tok")).alias("waste"))
+        .agg(F.sum("waste"))
+        .first()[0]
+    )
+    assert sorted_waste < 0.5 * unsorted_waste, (sorted_waste, unsorted_waste)
+    # every full batch's efficiency is Σlen/(n·max) ∈ (0, 1]
+    assert all(0 < r["efficiency"] <= 1 for r in sorted_out)
+
+
+def test_target_mixture_hits_quotas_and_is_stable(spark):
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.plans.training_queries import (
+        _MIX_BUDGET,
+        _MIX_TARGET,
+    )
+
+    fn = load_registry()["sample_target_mixture"].fn
+    out = fn(spark, SF_DIR).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    for s, w in _MIX_TARGET.items():
+        quota = int(_MIX_BUDGET * w)
+        # quota met exactly when the source has enough docs
+        assert len(by_src.get(s, set())) <= quota
+    # content-addressed: a second run draws the identical set
+    out2 = fn(spark, SF_DIR).collect()
+    assert {(r["source"], r["doc_id"]) for r in out} == {
+        (r["source"], r["doc_id"]) for r in out2
+    }
+
+
+def test_span_corruption_round_trips_tokens(spark):
+    """Input with sentinels spliced back from the target must reproduce
+    the normalized document — nothing lost, nothing duplicated."""
+    import re
+
+    from knowledge_model_spark.plans import load_registry
+
+    out = load_registry()["training_span_corruption"].fn(spark, SF_DIR).collect()
+    assert out
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.pmod("doc_id", F.lit(5)) == 0)
+        .collect()
+    }
+    for r in out[:50]:
+        # parse target into {sentinel: span}
+        parts = re.split(r"(<extra_id_\d+>)", r["target_text"])
+        spans = {}
+        for i in range(1, len(parts) - 1, 2):
+            spans[parts[i]] = parts[i + 1].strip()
+        if parts and parts[-1].startswith("<extra_id_"):
+            spans[parts[-1]] = ""
+        rebuilt = re.sub(
+            r"<extra_id_\d+>", lambda m: spans.get(m.group(0), "?"), r["input_text"]
+        )
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        norm = re.sub(r"[^a-z0-9]+", " ", docs[r["doc_id"]].lower()).strip()
+        norm = re.sub(r"\s+", " ", norm)
+        assert rebuilt == norm, r["doc_id"]
+        assert 0 <= r["corruption_ratio"] <= 1
+        assert r["n_spans"] == len(spans)
