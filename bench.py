@@ -163,6 +163,7 @@ HEADLINE: dict[str, bool] = {
     "sample_target_mixture": False,
     "training_length_batching": True,
     "training_span_corruption": False,
+    "quality_char_entropy": False,
 }
 
 

@@ -627,3 +627,66 @@ def test_perceptual_hash_deterministic_mode_exact_dups(spark):
     # 8 payload twins -> 8 distance-0 pairs, nothing else (sha256 spreads)
     assert len(pairs) == 8
     assert all(r.distance == 0 and r.id_b == r.id_a + 8 for r in pairs)
+
+
+# ------------------------------------------------- versioned snapshots
+
+def test_versioned_snapshot_time_travel_and_rollback(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.sources.versioned import (
+        diff_versions,
+        list_versions,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "vtab")
+    v1_df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    assert write_snapshot(v1_df, base, note="initial") == 1
+    # v2: update k=1, delete k=4, insert k=9
+    v2_df = spark.createDataFrame(
+        [(0, 0), (1, 999), (2, 20), (3, 30), (9, 90)], "k long, v long"
+    )
+    assert write_snapshot(v2_df, base, note="march ingest") == 2
+
+    # time travel: both versions readable, latest is v2
+    assert read_snapshot(spark, base, 1).count() == 5
+    latest = {(r["k"], r["v"]) for r in read_snapshot(spark, base).collect()}
+    assert (1, 999) in latest and (4, 40) not in latest
+
+    # CDC composition: the minimal changelog between versions
+    ops = {
+        (r["k"], r["op"])
+        for r in diff_versions(spark, base, 1, 2, ["k"]).collect()
+    }
+    assert ops == {(1, "U"), (4, "D"), (9, "I")}
+
+    # rollback restores v1 content as a NEW version (append-only history)
+    v3 = rollback(spark, base, to_version=1)
+    assert v3 == 3
+    restored = {(r["k"], r["v"]) for r in read_snapshot(spark, base).collect()}
+    assert restored == {(r["k"], r["v"]) for r in v1_df.collect()}
+    m = list_versions(base)
+    assert m["latest"] == 3 and m["versions"]["3"]["note"] == "rollback to v1"
+
+
+def test_versioned_snapshot_crash_before_manifest_is_invisible(spark, tmp_path):
+    import os
+
+    from knowledge_model_spark.sources.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "vtab2")
+    write_snapshot(spark.range(3), base)
+    # simulate a crashed writer: staging dir exists, manifest unchanged
+    os.makedirs(os.path.join(base, "_staging_v2"))
+    assert read_snapshot(spark, base).count() == 3  # still v1
+    # the next writer cleans the leftover staging and succeeds
+    v = write_snapshot(spark.range(7), base)
+    assert v == 2 and read_snapshot(spark, base).count() == 7
