@@ -164,6 +164,7 @@ HEADLINE: dict[str, bool] = {
     "training_length_batching": True,
     "training_span_corruption": False,
     "quality_char_entropy": False,
+    "sample_quality_budget": True,
 }
 
 

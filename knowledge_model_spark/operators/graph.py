@@ -282,3 +282,37 @@ def dedup_cluster_survivors(
         .select(F.col("node").alias(id_col))
     )
     return df.join(doomed, id_col, "left_anti")
+
+
+def connected_components_incremental(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Fold a NEW batch of dup-pair edges into an existing clustering.
+
+    The monthly reality of a dedup pipeline: the pair graph grows with
+    every ingest, and recomputing components over ALL historical edges
+    is an O(corpus) job (the same trap as the reference's monthly
+    full FAISS rebuild, pipeline.py:215-226).  Instead, the previous
+    clustering is itself a spanning structure: every old component is
+    exactly reconstructible from its (node → component) labels.  So
+    components over (old labels AS edges) ∪ (new edges) equal
+    components over (all old edges) ∪ (new edges) — proven in tests —
+    while reading only |nodes| label rows instead of |edges| history.
+
+    Cost ∝ new batch + label table; convergence is fast because the
+    label "edges" are stars (depth 1): only chains created by NEW
+    merges need pointer jumping.  Labels stay min-node-id, so ids are
+    stable under incremental growth unless a merge discovers a smaller
+    root (the same stability contract as the batch operator).
+    """
+    label_edges = old_labels.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    e = new_edges.select(src, dst)
+    return connected_components(
+        label_edges.unionByName(e), src=src, dst=dst, max_iter=max_iter
+    )

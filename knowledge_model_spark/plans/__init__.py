@@ -42,6 +42,7 @@ _GATE_PRIORITY = [
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
     "quality_char_entropy",       # new (r3 session 3)
+    "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)
     "training_length_batching",   # new (r3 session 3)
     "training_span_corruption",   # new (r3 session 3)

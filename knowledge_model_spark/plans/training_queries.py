@@ -603,3 +603,74 @@ def training_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corruption_ratio"),
         )
     )
+
+
+# ------------------------------------------- budget-constrained selection
+
+_SELECT_TOKEN_BUDGET = 4000
+
+
+@register(
+    "sample_quality_budget",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(tk) AS n_tok,
+             len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) AS density
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+            FROM documents) d
+      WHERE len(tk) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok, density,
+             sum(n_tok) OVER (ORDER BY density DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(density, 6) AS density, CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM ranked WHERE cum_tok <= {_SELECT_TOKEN_BUDGET}
+    """,
+    doc="Budget-constrained data selection (the DsDm/QuRating-family "
+    "shape: spend a fixed token budget on the highest-value docs): "
+    "rank by lexical-diversity density (distinct/total tokens — an "
+    "exact rational, so the ordering can't flip cross-engine), take "
+    "greedily until the cumulative token budget is spent. One global "
+    "sort (range-partitioned Exchange) + a running-sum window over "
+    "exact integers; the budget cut is a post-window filter, no "
+    "driver loop. Swap the density expression for any model-based "
+    "quality score (quality_classifier_score / quality_unigram_logppl "
+    "are drop-in) — the selection machinery is score-agnostic.",
+)
+def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tk = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    scored = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(tk).alias("n_tok"),
+            (F.size(F.array_distinct(tk)) / F.size(tk).cast("double")).alias(
+                "density"
+            ),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    w = (
+        Window.orderBy(F.col("density").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= _SELECT_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round("density", 6).alias("density"),
+            F.col("cum_tok").cast("long").alias("cum_tok"),
+        )
+    )

@@ -113,3 +113,48 @@ def test_triangle_count_partition_invariant_on_skewed_hub(spark):
     b = sorted(map(tuple, triangle_count(df.repartition(13)).collect()))
     assert a == b
     assert dict(a)[0] == 39
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    from knowledge_model_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    # new batch: merges two old components (3-10), extends one (21-22),
+    # and adds a brand-new component (40-41)
+    new_edges = spark.createDataFrame(
+        [(3, 10), (21, 22), (40, 41)], "id_a long, id_b long"
+    )
+    old_labels = connected_components(old_edges)
+    inc = {
+        (r["node"], r["component"])
+        for r in connected_components_incremental(old_labels, new_edges).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(old_edges.unionByName(new_edges)).collect()
+    }
+    assert inc == full
+    # the merged component took the global min root
+    comp = dict(inc)
+    assert comp[11] == 1 and comp[22] == 20 and comp[41] == 40
+
+
+def test_incremental_cc_empty_batch_is_identity(spark):
+    from knowledge_model_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_edges = spark.createDataFrame([(5, 6), (6, 7)], "id_a long, id_b long")
+    old_labels = connected_components(old_edges)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    inc = {
+        (r["node"], r["component"])
+        for r in connected_components_incremental(old_labels, empty).collect()
+    }
+    assert inc == {(r["node"], r["component"]) for r in old_labels.collect()}
