@@ -41,6 +41,8 @@ _GATE_PRIORITY = [
     # (b) never driver-checked, oracle-checked — the ~50-query sample
     # window should be spent here: an oracle row is the strong signal
     # (newest code first: zero parity history = most valuable row)
+    "text_vocab_build",           # new (r3 session 4)
+    "quality_bigram_backoff",     # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1058,3 +1058,61 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("entropy"),
         (F.round(ent, 6) < 2.0).alias("low_entropy"),
     )
+
+
+@register(
+    "quality_bigram_backoff",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1) AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w1, toks[i+1] AS w2
+      FROM toks, unnest(range(1, len(toks))) AS t(i)
+    ),
+    lm_toks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, count(*) AS c_uni
+      FROM (SELECT unnest(toks) AS w FROM lm_toks) GROUP BY w
+    ),
+    tot AS (SELECT sum(c_uni) AS n FROM uni),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS c_bi
+      FROM lm_toks, unnest(range(1, len(toks))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT bg.doc_id, bg.pos,
+             CASE WHEN bi.c_bi IS NOT NULL
+                  THEN ln(bi.c_bi / u1.c_uni)
+                  ELSE ln(0.4) + ln(u2.c_uni / t.n) END AS contrib
+      FROM bg
+      LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+      JOIN uni u1 ON bg.w1 = u1.w
+      JOIN uni u2 ON bg.w2 = u2.w
+      CROSS JOIN tot t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(contrib ORDER BY pos) / count(*), 6) AS sb_logscore
+    FROM scored GROUP BY doc_id
+    """,
+    doc="per-document bigram log-score under stupid backoff (Brants et "
+    "al., EMNLP'07 — the smoothing built for MapReduce-scale count "
+    "tables: raw counts only, no discount renormalization); LM counts "
+    "come from the even-doc_id train slice so held-out documents "
+    "genuinely exercise the 0.4-weighted unigram backoff branch; "
+    "position-ordered fold + round-6 absorbs ln() libm ulp "
+    "(operators/ngram_lm.py::stupid_backoff_scores)",
+)
+def quality_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.ngram_lm import stupid_backoff_scores
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"]
+    out = stupid_backoff_scores(
+        docs, "doc_id", "text", lm_df=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "sb_logscore")

@@ -1001,3 +1001,37 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_vocab_build",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(*) AS c, count(DISTINCT doc_id) AS df_docs
+      FROM toks GROUP BY term
+    )
+    SELECT term, CAST(c AS BIGINT) AS c, CAST(df_docs AS BIGINT) AS df_docs,
+           CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT)
+             AS term_id
+    FROM stats WHERE c >= 2
+    """,
+    doc="frequency-cutoff vocabulary with dense (count desc, term asc) "
+    "ids — the tokenizer-training precursor; the global id window runs "
+    "over the VOCAB table (|V| ~ corpus^0.5 by Heaps' law), never the "
+    "corpus (operators/ngram_lm.py::build_vocab)",
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.ngram_lm import build_vocab
+
+    t = load_tables(spark, sf_dir)
+    out = build_vocab(t["documents_spread"], "doc_id", "text", min_count=2)
+    return out.select(
+        "term", F.col("c").cast("long").alias("c"),
+        F.col("df_docs").cast("long").alias("df_docs"), "term_id",
+    )
