@@ -52,3 +52,85 @@ def truncate_keep_last(col: Column, max_words: int = MAX_INPUT_WORDS) -> Column:
     return F.when(n <= max_words, col).otherwise(
         F.array_join(F.slice(words, n - max_words + 1, max_words), " ")
     )
+
+
+def render_chat_with_spans(
+    df,
+    conv_col: str,
+    order_col: str,
+    user_col: str,
+    asst_col: str,
+    system_msg: str = "You are a helpful assistant.",
+):
+    """Render multi-turn conversations to a chat-template string and
+    compute the char-offset spans of every assistant turn — the
+    loss-mask metadata an SFT trainer needs (only assistant tokens get
+    loss; the spans are what the collator masks by).
+
+    Returns one row per conversation: (conv, n_turns, rendered,
+    asst_spans) where ``asst_spans`` is ``start:end;start:end`` in turn
+    order (0-based char offsets into ``rendered``, end exclusive) — a
+    scalar string, not an array, so it survives any result
+    canonicalizer.
+
+    Shape: ONE shuffle on the conversation key; the offset window and
+    the final groupBy share that partitioning (Exchange reuse), and the
+    offsets are pure length arithmetic — no UDF, no second pass over
+    the text.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    sys_seg = f"<|system|>\n{system_msg}\n"
+    turn_txt = F.concat(
+        F.lit("<|user|>\n"),
+        F.col(user_col),
+        F.lit("\n<|assistant|>\n"),
+        F.col(asst_col),
+        F.lit("\n"),
+    )
+    user_seg_len = (
+        F.lit(len("<|user|>\n"))
+        + F.length(user_col)
+        + F.lit(len("\n<|assistant|>\n"))
+    )
+    w = (
+        Window.partitionBy("conv")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    turns = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("ord"),
+        turn_txt.alias("turn_txt"),
+        user_seg_len.alias("user_seg_len"),
+        F.length(asst_col).alias("asst_len"),
+    ).withColumn(
+        "start",
+        F.lit(len(sys_seg))
+        + F.coalesce(F.sum(F.length("turn_txt")).over(w), F.lit(0))
+        + F.col("user_seg_len"),
+    )
+    spans = F.concat(
+        F.col("start").cast("string"),
+        F.lit(":"),
+        (F.col("start") + F.col("asst_len")).cast("string"),
+    )
+    per_turn = turns.select(
+        "conv", F.struct("ord", "turn_txt", spans.alias("span")).alias("t")
+    )
+    sorted_turns = F.array_sort(F.collect_list("t"))
+    return (
+        per_turn.groupBy("conv")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.concat(
+                F.lit(sys_seg),
+                F.array_join(
+                    F.transform(sorted_turns, lambda x: x["turn_txt"]), ""
+                ),
+            ).alias("rendered"),
+            F.array_join(
+                F.transform(sorted_turns, lambda x: x["span"]), ";"
+            ).alias("asst_spans"),
+        )
+    )

@@ -290,3 +290,61 @@ def bow_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    min_len: int = 2,
+) -> DataFrame:
+    """Exact phrase matching over a positional inverted index.
+
+    Returns (id, n_matches, first_pos) for documents containing the
+    tokenized ``phrase`` as consecutive tokens, ranked by match count.
+    This is the positional-index phrase query every search engine runs
+    (reference analog: the retrieval layer only has vector search,
+    ``vector_store.py:129-162``; phrase lookup is its lexical
+    complement alongside BM25).
+
+    Scale shape: the position stream is filtered to the phrase's terms
+    AT THE SCAN (an IN-list predicate that pushes into the parquet
+    reader via the tokenizer projection), so the k-1 adjacency
+    self-joins run over the phrase terms' posting lists — cost ∝ the
+    posting-list sizes (Zipf-bounded), never the corpus.  Each join is
+    an equi-join on (id, pos±i): co-partitioned after the first
+    shuffle, so AQE collapses the chain into one exchange per side.
+    """
+    words = [
+        w
+        for w in __import__("re").split(r"[^a-z0-9]+", phrase.lower())
+        if len(w) >= min_len
+    ]
+    if not words:
+        raise ValueError("phrase has no tokens after normalization")
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= min_len,
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(words))
+
+    anchor = pos.filter(F.col("term") == words[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        probe = pos.filter(F.col("term") == w).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(probe, ["id", "p0"])
+    return (
+        anchor.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min("p0").cast("long").alias("first_pos"),
+        )
+    )

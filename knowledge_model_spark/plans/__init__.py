@@ -43,6 +43,9 @@ _GATE_PRIORITY = [
     # (newest code first: zero parity history = most valuable row)
     "text_vocab_build",           # new (r3 session 4)
     "quality_bigram_backoff",     # new (r3 session 4)
+    "text_phrase_search",         # new (r3 session 4)
+    "training_chat_render",       # new (r3 session 4)
+    "training_preference_pairs",  # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

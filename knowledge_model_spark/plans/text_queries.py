@@ -1035,3 +1035,40 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", F.col("c").cast("long").alias("c"),
         F.col("df_docs").cast("long").alias("df_docs"), "term_id",
     )
+
+
+@register(
+    "text_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1) AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
+      FROM toks, unnest(range(1, len(toks) + 1)) AS t(i)
+      WHERE toks[i] IN ('table', 'value', 'row')
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM pos a
+    JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'value'
+    JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'row'
+    WHERE a.term = 'table'
+    GROUP BY a.doc_id
+    """,
+    doc="positional-inverted-index exact phrase query ('table value "
+    "row'): the scan filters the position stream to the phrase's own "
+    "terms, so the k-1 adjacency self-joins cost ∝ posting-list sizes "
+    "(Zipf-bounded), never the corpus; the lexical complement of "
+    "text_bm25_rank (operators/text_rank.py::phrase_search)",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.text_rank import phrase_search
+
+    t = load_tables(spark, sf_dir)
+    out = phrase_search(t["documents_spread"], "doc_id", "text", "table value row")
+    return out.select(F.col("id").alias("doc_id"), "n_matches", "first_pos")

@@ -674,3 +674,117 @@ def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tok").cast("long").alias("cum_tok"),
         )
     )
+
+
+@register(
+    "training_chat_render",
+    """
+    WITH turns AS (
+      SELECT CAST(doc_id // 2 AS BIGINT) AS conv, doc_id AS ord,
+             '<|user|>' || chr(10) || 'Describe document ' ||
+               CAST(doc_id AS VARCHAR) || ' from ' || source || '.' ||
+               chr(10) || '<|assistant|>' || chr(10) || text || chr(10)
+               AS turn_txt,
+             len('<|user|>' || chr(10)) +
+               len('Describe document ' || CAST(doc_id AS VARCHAR) ||
+                   ' from ' || source || '.') +
+               len(chr(10) || '<|assistant|>' || chr(10)) AS user_seg_len,
+             len(text) AS asst_len
+      FROM documents
+    ),
+    off AS (
+      SELECT conv, ord, turn_txt, asst_len,
+             len('<|system|>' || chr(10) || 'You are a helpful assistant.'
+                 || chr(10))
+             + coalesce(sum(len(turn_txt)) OVER (
+                 PARTITION BY conv ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + user_seg_len AS s
+      FROM turns
+    )
+    SELECT conv, CAST(count(*) AS BIGINT) AS n_turns,
+           '<|system|>' || chr(10) || 'You are a helpful assistant.' ||
+             chr(10) || string_agg(turn_txt, '' ORDER BY ord) AS rendered,
+           string_agg(CAST(s AS VARCHAR) || ':' ||
+                      CAST(s + asst_len AS VARCHAR), ';' ORDER BY ord)
+             AS asst_spans
+    FROM off GROUP BY conv
+    """,
+    doc="SFT chat-template rendering with assistant loss-mask spans: "
+    "pairs of consecutive documents become 2-turn conversations; "
+    "offsets are pure length arithmetic riding the SAME conv-key "
+    "Exchange as the final assembly (no UDF, no second text pass); "
+    "spans emit as 'start:end;start:end' scalars — canonicalizer-safe "
+    "(functions/prompting.py::render_chat_with_spans)",
+)
+def training_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.prompting import render_chat_with_spans
+
+    t = load_tables(spark, sf_dir)
+    turns = t["documents_spread"].select(
+        F.expr("doc_id div 2").cast("long").alias("conv_id"),
+        F.col("doc_id").alias("ord"),
+        F.concat(
+            F.lit("Describe document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" from "),
+            F.col("source"),
+            F.lit("."),
+        ).alias("user_msg"),
+        F.col("text").alias("asst_msg"),
+    )
+    out = render_chat_with_spans(turns, "conv_id", "ord", "user_msg", "asst_msg")
+    return out.select(
+        F.col("conv").alias("conv"), "n_turns", "rendered", "asst_spans"
+    )
+
+
+@register(
+    "training_preference_pairs",
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             (max({'s': n_chars, 'i': doc_id})).i AS chosen_id,
+             (max({'s': n_chars, 'i': doc_id})).s AS chosen_chars,
+             (min({'s': n_chars, 'i': doc_id})).i AS rejected_id,
+             (min({'s': n_chars, 'i': doc_id})).s AS rejected_chars
+      FROM documents GROUP BY lang, source HAVING count(*) >= 2
+    )
+    SELECT lang, source, n_docs,
+           'Write a ' || lang || ' document for ' || source || '.' AS prompt,
+           chosen_id, rejected_id,
+           CAST(chosen_chars - rejected_chars AS BIGINT) AS len_margin
+    FROM g
+    """,
+    doc="DPO/RLHF preference-pair construction: per (lang, source) "
+    "stratum the longest document is 'chosen' and the shortest "
+    "'rejected' (the deterministic stand-in for a reward score — the "
+    "struct ordering key (score, id) is the drop-in seam); ONE "
+    "map-side-combinable hash agg via struct min/max — no window, no "
+    "join, no second shuffle",
+)
+def training_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    key = F.struct(F.col("n_chars").alias("s"), F.col("doc_id").alias("i"))
+    g = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max(key).alias("b"),
+            F.min(key).alias("w"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.concat(
+            F.lit("Write a "), F.col("lang"), F.lit(" document for "),
+            F.col("source"), F.lit("."),
+        ).alias("prompt"),
+        F.col("b.i").alias("chosen_id"),
+        F.col("w.i").alias("rejected_id"),
+        (F.col("b.s") - F.col("w.s")).cast("long").alias("len_margin"),
+    )
