@@ -316,3 +316,102 @@ def connected_components_incremental(
     return connected_components(
         label_edges.unionByName(e), src=src, dst=dst, max_iter=max_iter
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition: the maximal subgraph where every node has
+    degree >= k (within the subgraph).  Returns (node, core_degree) for
+    surviving nodes.
+
+    The classic iterative peel: drop nodes with degree < k, recompute
+    degrees, repeat to fixpoint — the dup-graph hygiene pass that
+    strips weakly-connected tendrils before clustering, and the
+    standard "dense interaction core" cut on citation/link graphs.
+
+    Scale shape per round: one map-side-combined degree aggregate +
+    one broadcast-able semi join of the edge list against the
+    surviving-node set (node-sized, ≪ edges); localCheckpoint
+    truncates the per-round lineage exactly like connected_components.
+    Rounds needed = longest peel cascade (a chain of m tendril nodes
+    peels in m rounds) — data-bounded, convergence-witnessed by the
+    exact surviving-node count.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("node"))
+        n = keep.count()  # exact driver scalar — the convergence witness
+        if n == prev_n:
+            return (
+                sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+                .groupBy("a")
+                .agg(F.count("*").cast("long").alias("core_degree"))
+                .select(F.col("a").alias("node"), "core_degree")
+            )
+        prev_n = n
+        sym = (
+            sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Minimum hop count from any source node, by synchronous frontier
+    expansion (the BSP BFS every distributed graph engine runs).
+
+    Returns (node, hops) for every node REACHABLE from ``sources``
+    (sources themselves at 0); unreachable nodes are absent.
+
+    Scale shape per round: frontier ⋈ edges (frontier is the small
+    side — broadcasts while it fits) + one anti join against the
+    visited set; O(diameter) rounds, lineage truncated each round.
+    Convergence = empty frontier, an exact driver scalar.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            sym.join(
+                frontier.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth).cast("long"))
+        )
+        if nxt.isEmpty():
+            return visited
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(f"bfs_hops did not converge in {max_iter} rounds")

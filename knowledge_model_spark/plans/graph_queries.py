@@ -290,3 +290,116 @@ def er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_name").over(w).alias("cluster_rep"),
         F.count("*").over(w).cast("long").alias("cluster_size"),
     )
+
+
+# k-core fixture: per decade d = 10k a 4-clique {d..d+3} with a 3-node
+# tendril d+3—d+4—d+5—d+6.  Peeling at k=2 removes the tendril in a
+# 3-round cascade (d+6 first, then d+5, then d+4) — a real iteration
+# test — leaving the clique as the 2-core with within-core degree 3.
+_KCORE_EDGE_SQL = """
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 2 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 3 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1 AS a, doc_id + 2 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1 AS a, doc_id + 3 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2 AS a, doc_id + 3 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 3 AS a, doc_id + 4 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 4 AS a, doc_id + 5 AS b FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 5 AS a, doc_id + 6 AS b FROM documents WHERE doc_id % 10 = 0
+"""
+
+# one peel round: survivors of s{p} with >= 2 surviving neighbors
+_KCORE_PEEL = """,
+    s{i} AS (
+      SELECT s.a AS node FROM sym s
+      WHERE s.a IN (SELECT node FROM s{p}) AND s.b IN (SELECT node FROM s{p})
+      GROUP BY s.a HAVING count(*) >= 2
+    )"""
+
+_KCORE_SQL = (
+    f"""
+    WITH edges AS ({_KCORE_EDGE_SQL}),
+    sym AS (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges)
+            WHERE a <> b),
+    s0 AS (SELECT DISTINCT a AS node FROM sym)"""
+    + "".join(_KCORE_PEEL.format(i=i, p=i - 1) for i in range(1, 7))
+    + """
+    SELECT s.a AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym s
+    WHERE s.a IN (SELECT node FROM s6) AND s.b IN (SELECT node FROM s6)
+    GROUP BY s.a
+    """
+)
+
+
+@register(
+    "graph_kcore_decomposition",
+    _KCORE_SQL,
+    doc="2-core decomposition by iterative peel (degree agg + semi join "
+    "per round, localCheckpoint lineage truncation, exact shrinking "
+    "node-count witness — operators/graph.py::kcore); the tendril "
+    "fixture forces a 3-round peel cascade; oracle unrolls 6 peel "
+    "rounds in chained CTEs (fixpoint by round 4, house pagerank style)",
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.graph import kcore
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    parts = []
+    for (da, db) in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)]:
+        parts.append(
+            d.select(
+                (F.col("doc_id") + da).alias("id_a"),
+                (F.col("doc_id") + db).alias("id_b"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return kcore(edges, k=2)
+
+
+_BFS_SQL = f"""
+    WITH RECURSIVE
+    edges AS ({_EDGE_SQL}),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    src AS (SELECT doc_id AS node FROM documents WHERE doc_id % 100 = 0),
+    walk(node, d) AS (
+      SELECT node, 0 FROM src
+      UNION
+      SELECT s.b AS node, w.d + 1 FROM walk w JOIN sym s ON s.a = w.node
+      WHERE w.d < 40
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+@register(
+    "graph_bfs_hops",
+    _BFS_SQL,
+    doc="minimum hop count from the century-head source set over the "
+    "chain graph, by synchronous frontier BFS (frontier ⋈ edges + "
+    "anti join vs visited per round, O(diameter) rounds — "
+    "operators/graph.py::bfs_hops); oracle is a recursive min-distance "
+    "walk CTE; unreachable nodes absent from both engines",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.graph import bfs_hops
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    edges = _edges(docs)
+    sources = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(edges, sources)

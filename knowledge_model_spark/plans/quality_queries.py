@@ -1116,3 +1116,87 @@ def quality_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", lm_df=docs.filter(F.col("doc_id") % 2 == 0)
     )
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "sb_logscore")
+
+
+@register(
+    "stats_mannwhitney_u",
+    """
+    WITH pooled AS (
+      SELECT value, CAST(event_type = 'click' AS INTEGER) AS is_x
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    vg AS (
+      SELECT value, count(*) AS cnt, sum(is_x) AS cnt_x
+      FROM pooled GROUP BY value
+    ),
+    ranked AS (
+      SELECT value, cnt, cnt_x,
+             coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vg
+    ),
+    agg AS (
+      SELECT sum(cnt_x) AS n_x, sum(cnt - cnt_x) AS n_y,
+             sum(cnt_x * avg_rank) AS r_x,
+             sum(cnt * cnt * cnt - cnt) AS ties
+      FROM ranked
+    )
+    SELECT CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+           round(r_x - n_x * (n_x + 1) / 2.0, 6) AS u_stat,
+           round((r_x - n_x * (n_x + 1) / 2.0 - n_x * n_y / 2.0)
+                 / sqrt(n_x * n_y / 12.0 *
+                        ((n_x + n_y + 1) - ties /
+                         CAST((n_x + n_y) * (n_x + n_y - 1) AS DOUBLE))), 6)
+             AS z_score
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test (click vs purchase event values) "
+    "with tie-corrected normal approximation — the nonparametric "
+    "complement of stats_welch_ttest for skewed metrics; average ranks "
+    "come from a window over the VALUE-level aggregate (distinct "
+    "values), and every rank term is an exact dyadic double (halves), "
+    "so the sums are order-independent and engine-identical; at 100 TB "
+    "grid the values first (the equidepth-histogram note) or swap in "
+    "the KLL sketch",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pooled = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value", (F.col("event_type") == "click").cast("int").alias("is_x")
+        )
+    )
+    vg = pooled.groupBy("value").agg(
+        F.count("*").alias("cnt"), F.sum("is_x").alias("cnt_x")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vg.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("cnt_x").alias("n_x"),
+        F.sum(F.col("cnt") - F.col("cnt_x")).alias("n_y"),
+        F.sum(F.col("cnt_x") * F.col("avg_rank")).alias("r_x"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "ties"
+        ),
+    )
+    n_x, n_y, r_x, ties = F.col("n_x"), F.col("n_y"), F.col("r_x"), F.col("ties")
+    u = r_x - n_x * (n_x + 1) / 2.0
+    mu = n_x * n_y / 2.0
+    sigma = F.sqrt(
+        n_x * n_y / 12.0
+        * ((n_x + n_y + 1) - ties / ((n_x + n_y) * (n_x + n_y - 1)).cast("double"))
+    )
+    return agg.select(
+        n_x.cast("long").alias("n_x"),
+        n_y.cast("long").alias("n_y"),
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"),
+    )

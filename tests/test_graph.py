@@ -158,3 +158,65 @@ def test_incremental_cc_empty_batch_is_identity(spark):
         for r in connected_components_incremental(old_labels, empty).collect()
     }
     assert inc == {(r["node"], r["component"]) for r in old_labels.collect()}
+
+
+def test_kcore_peels_tendril_cascade(spark):
+    from knowledge_model_spark.operators.graph import kcore
+
+    # 4-clique {0,1,2,3} + tendril 3-4-5-6: k=2 must cascade 3 peel
+    # rounds (6, then 5, then 4) and keep the clique at degree 3.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_k3_keeps_only_clique(spark):
+    from knowledge_model_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above max degree: empty core
+    assert kcore(edges, k=5).count() == 0
+
+
+def test_kcore_duplicate_and_self_edges_ignored(spark):
+    from knowledge_model_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 1), (0, 0), (1, 2), (2, 0)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    # triangle 0-1-2 after dedup/self-loop removal
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_bfs_hops_min_distance_and_unreachable(spark):
+    from knowledge_model_spark.operators.graph import bfs_hops
+
+    # two chains: 0-1-2-3 (reachable from 0) and 10-11 (unreachable);
+    # plus a shortcut 0-3 making hops(3) = 1, not 3.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (10, 11)], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, src).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from knowledge_model_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(0,), (4,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, src).collect()}
+    assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}

@@ -1,0 +1,67 @@
+"""Mann-Whitney U: hand-computed fixtures through the registered oracle.
+
+The Spark and DuckDB sides of `stats_mannwhitney_u` share the same
+formula by construction, so oracle parity alone can't catch a formula
+error.  These fixtures pin U and z against hand-derived values
+(cross-checked with the standard normal-approximation definition,
+tie-corrected), by pointing the registered oracle SQL at tiny tables.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from knowledge_model_spark.plans import load_registry
+
+
+@pytest.fixture(scope="module")
+def mwu_sql() -> str:
+    return load_registry()["stats_mannwhitney_u"].oracle
+
+
+def _run(sql: str, rows: list[tuple[str, float]]):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    return con.sql(sql).fetchone()
+
+
+def test_no_ties_hand_computed(mwu_sql):
+    # x(click) = [1,2], y(purchase) = [3,4]: ranks 1..4, R_x = 3,
+    # U = 3 - 2*3/2 = 0; sigma = sqrt(4*5/12) = 1.290994; z = -1.549193
+    rows = [("click", 1.0), ("click", 2.0), ("purchase", 3.0), ("purchase", 4.0)]
+    n_x, n_y, u, z = _run(mwu_sql, rows)
+    assert (n_x, n_y) == (2, 2)
+    assert u == 0.0
+    assert abs(z - (-1.549193)) < 1e-6
+
+
+def test_tie_correction_hand_computed(mwu_sql):
+    # x = [1,2,2], y = [2,3]: the three 2s share avg rank 3, so
+    # R_x = 1 + 3 + 3 = 7, U = 7 - 3*4/2 = 1; ties term = 3^3-3 = 24;
+    # sigma^2 = (6/12)*(6 - 24/20) = 2.4 -> sigma = 1.549193;
+    # z = (1 - 3)/1.549193 = -1.290994
+    rows = [
+        ("click", 1.0),
+        ("click", 2.0),
+        ("click", 2.0),
+        ("purchase", 2.0),
+        ("purchase", 3.0),
+    ]
+    n_x, n_y, u, z = _run(mwu_sql, rows)
+    assert (n_x, n_y) == (3, 2)
+    assert u == 1.0
+    assert abs(z - (-1.290994)) < 1e-6
+
+
+def test_other_event_types_excluded(mwu_sql):
+    rows = [
+        ("click", 1.0),
+        ("purchase", 2.0),
+        ("view", 100.0),
+        ("error", -5.0),
+    ]
+    n_x, n_y, u, _z = _run(mwu_sql, rows)
+    assert (n_x, n_y) == (1, 1)
+    assert u == 0.0
