@@ -66,22 +66,44 @@ def read_jsonl(
 
 
 def write_partitioned(
-    df: DataFrame, path: str, year_col: str = "year", month_col: str = "month"
+    df: DataFrame,
+    path: str,
+    year_col: str = "year",
+    month_col: str = "month",
+    fmt: str = "parquet",
 ) -> None:
-    """Hive-partitioned Parquet sink — the engine's canonical layout.
+    """Hive-partitioned columnar sink — the engine's canonical layout.
 
     ``partitionBy(year, month)`` replaces the reference's hand-built
     ``data/clean/YYYY/MM/`` tree (pipeline.py:75-76) and S3 key layout
     (upload_s3.py:125-131); Catalyst prunes partitions on read for free.
     Dynamic overwrite keeps month reruns idempotent (the reference's
     skip-if-exists, pipeline.py:78-81).
+
+    ``fmt``: "parquet" (canonical) or "orc" — both are splittable
+    columnar formats with predicate pushdown and per-file statistics;
+    ORC is the interchange path for Hive/Trino estates.
     """
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(year_col, month_col)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
+
+
+def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a partitioned table whose schema GREW across ingest months.
+
+    ``mergeSchema`` unions the per-file schemas (new columns arrive as
+    NULL for old files) — the monthly-ingest reality the reference
+    handles by hand with ``rec.get(field)`` tolerant readers
+    (build_faiss.py:118-122).  Merging footers costs one extra
+    metadata pass at planning time, so it's an explicit opt-in reader,
+    not the default scan.
+    """
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
 
 
 def upsert_partitioned(

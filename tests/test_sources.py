@@ -690,3 +690,49 @@ def test_versioned_snapshot_crash_before_manifest_is_invisible(spark, tmp_path):
     # the next writer cleans the leftover staging and succeeds
     v = write_snapshot(spark.range(7), base)
     assert v == 2 and read_snapshot(spark, base).count() == 7
+
+
+def test_write_partitioned_orc_roundtrip_and_pruning(spark, tmp_path):
+    from knowledge_model_spark.sources.corpus import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a", 2024, 1), (2, "b", 2024, 2), (3, "c", 2024, 2)],
+        "id long, payload string, year int, month int",
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_partitioned(df, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert sorted((r["id"], r["payload"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # partition pruning: the month filter must reach the scan as a
+    # partition filter, not a post-scan filter
+    plan = back.filter("month = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan
+    assert back.filter("month = 2").count() == 2
+    # dynamic overwrite rewrites only the touched partition
+    upd = spark.createDataFrame(
+        [(9, "z", 2024, 2)], "id long, payload string, year int, month int"
+    )
+    write_partitioned(upd, path, fmt="orc")
+    assert sorted(r["id"] for r in spark.read.orc(path).collect()) == [1, 9]
+
+
+def test_read_evolved_merges_grown_schema(spark, tmp_path):
+    from knowledge_model_spark.sources.corpus import read_evolved, write_partitioned
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a", 2024, 1)], "id long, payload string, year int, month int"
+    )
+    write_partitioned(v1, path)
+    # month 2 arrives with a NEW column; dynamic overwrite leaves month 1 alone
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.9, 2024, 2)],
+        "id long, payload string, quality double, year int, month int",
+    )
+    write_partitioned(v2, path)
+    merged = read_evolved(spark, path)
+    assert "quality" in merged.columns
+    rows = {r["id"]: r["quality"] for r in merged.collect()}
+    assert rows[2] == 0.9 and rows[1] is None
