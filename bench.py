@@ -165,6 +165,15 @@ HEADLINE: dict[str, bool] = {
     "training_span_corruption": False,
     "quality_char_entropy": False,
     "sample_quality_budget": True,
+    "text_vocab_build": True,
+    "quality_bigram_backoff": False,
+    "text_phrase_search": True,
+    "training_chat_render": False,
+    "training_preference_pairs": True,
+    "graph_kcore_decomposition": False,
+    "graph_bfs_hops": True,
+    "stats_mannwhitney_u": True,
+    "quality_luhn_audit": False,
 }
 
 

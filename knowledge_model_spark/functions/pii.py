@@ -68,3 +68,39 @@ def oracle_sql_redact(expr: str) -> str:
         sql_pat = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
     return out
+
+
+def luhn_valid(col: Column) -> Column:
+    """True when the digit string passes the Luhn mod-10 checksum (ISO/IEC
+    7812) — the precision upgrade for card-number detection: a bare
+    ``\\d{13,16}`` match is usually an id or a timestamp; only
+    checksum-valid candidates deserve redaction at corpus scale (every
+    false positive deletes real signal forever).
+
+    Pure integer expression arithmetic (aggregate over a position
+    sequence, doubling every second digit from the RIGHT, folding >9 by
+    −9) — whole-stage codegen, no UDF; the DuckDB twin lives in
+    :func:`oracle_sql_luhn` so the two can never drift.
+    """
+    digit = lambda i: F.substr(col, i, F.lit(1)).cast("int")  # noqa: E731
+    doubled = lambda i: F.when(  # noqa: E731
+        digit(i) * 2 > 9, digit(i) * 2 - 9
+    ).otherwise(digit(i) * 2)
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(col)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when((F.length(col) - i) % 2 == 0, digit(i)).otherwise(doubled(i)),
+    )
+    return (F.length(col) >= 13) & (total % 10 == 0)
+
+
+def oracle_sql_luhn(expr: str) -> str:
+    """DuckDB twin of :func:`luhn_valid` over SQL expression ``expr``."""
+    d = f"CAST(substr({expr}, i, 1) AS INTEGER)"
+    fold = f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END"
+    term = f"CASE WHEN (len({expr}) - i) % 2 = 0 THEN {d} ELSE {fold} END"
+    return (
+        f"len({expr}) >= 13 AND "
+        f"list_sum(list_transform(range(1, len({expr}) + 1), i -> {term})) % 10 = 0"
+    )

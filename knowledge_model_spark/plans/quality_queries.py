@@ -1200,3 +1200,42 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 6).alias("u_stat"),
         F.round((u - mu) / sigma, 6).alias("z_score"),
     )
+
+
+def _luhn_imports():
+    from knowledge_model_spark.functions.pii import luhn_valid, oracle_sql_luhn
+
+    return luhn_valid, oracle_sql_luhn
+
+
+@register(
+    "quality_luhn_audit",
+    # oracle twin generated from the SAME pattern builder as the engine
+    # expression (functions/pii.py::oracle_sql_luhn) — candidates are
+    # 16-digit zero-padded order keys, a deterministic mixed pool of
+    # checksum-valid and -invalid numbers
+    """
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS cand,
+           {valid} AS luhn_ok
+    FROM orders
+    """.format(
+        valid=__import__(
+            "knowledge_model_spark.functions.pii", fromlist=["oracle_sql_luhn"]
+        ).oracle_sql_luhn("lpad(CAST(o_orderkey AS VARCHAR), 16, '0')")
+    ),
+    doc="Luhn mod-10 checksum validation (ISO/IEC 7812) as a scan-speed "
+    "integer expression — the precision gate card-number redaction "
+    "needs (bare \\d{13,16} matches are mostly ids/timestamps; only "
+    "checksum-valid candidates get redacted, because a false positive "
+    "deletes corpus signal forever); engine and oracle expressions are "
+    "generated from the same builder so they cannot drift "
+    "(functions/pii.py::luhn_valid)",
+)
+def quality_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    luhn_valid, _ = _luhn_imports()
+    t = load_tables(spark, sf_dir)
+    cand = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
+    return t["orders"].select(
+        "o_orderkey", cand.alias("cand"), luhn_valid(cand).alias("luhn_ok")
+    )

@@ -194,3 +194,48 @@ def test_fixed_sample_per_group_deterministic_and_capped(spark, tables):
     sizes = dict(docs.groupBy("lang").count().collect())
     for lang, c in per.items():
         assert c == min(3, sizes[lang])
+
+
+def test_luhn_known_numbers(spark):
+    from knowledge_model_spark.functions.pii import luhn_valid
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("4111111111111111", True),   # canonical valid test PAN
+        ("4111111111111112", False),  # checksum off by one
+        ("5500005555555559", True),   # valid 16-digit
+        ("1234567890123456", False),
+        ("79927398713", False),       # Luhn-valid digits but < 13 chars
+        ("0000000000000", True),      # 13 zeros: sum 0 -> valid
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "cand string")
+    got = {
+        r["cand"]: r["ok"]
+        for r in df.select("cand", luhn_valid(F.col("cand")).alias("ok")).collect()
+    }
+    assert got == dict(rows)
+
+
+def test_luhn_oracle_twin_agrees(spark):
+    import duckdb
+
+    from knowledge_model_spark.functions.pii import luhn_valid, oracle_sql_luhn
+    from pyspark.sql import functions as F
+
+    cands = [
+        "4111111111111111", "4111111111111112", "5500005555555559",
+        "1234567890123456", "79927398713", "0000000000000",
+        "9999999999999999", "1000000000000009",
+    ]
+    df = spark.createDataFrame([(s,) for s in cands], "cand string")
+    spark_out = {
+        r["cand"]: r["ok"]
+        for r in df.select("cand", luhn_valid(F.col("cand")).alias("ok")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (cand VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?)", [(s,) for s in cands])
+    duck_out = dict(
+        con.sql(f"SELECT cand, {oracle_sql_luhn('cand')} FROM c").fetchall()
+    )
+    assert spark_out == duck_out
