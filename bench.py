@@ -174,6 +174,7 @@ HEADLINE: dict[str, bool] = {
     "graph_bfs_hops": True,
     "stats_mannwhitney_u": True,
     "quality_luhn_audit": False,
+    "stats_bh_fdr": True,
 }
 
 

@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "graph_bfs_hops",             # new (r3 session 4)
     "stats_mannwhitney_u",        # new (r3 session 4)
     "quality_luhn_audit",         # new (r3 session 4)
+    "stats_bh_fdr",               # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1239,3 +1239,89 @@ def quality_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].select(
         "o_orderkey", cand.alias("cand"), luhn_valid(cand).alias("luhn_ok")
     )
+
+
+def bh_adjust(p_df: DataFrame, id_col: str, p_col: str, alpha: float = 0.25) -> DataFrame:
+    """Benjamini-Hochberg step-up q-values over a (id, p_value) table:
+    q_i = min_{j>=i} p_j * n / j, capped at 1.  Runs on the per-group
+    TEST table (segments, not rows), so the two global windows are over
+    a handful of rows at any corpus scale."""
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(p_col, id_col)
+    ranked = p_df.select(
+        F.col(id_col),
+        F.col(p_col),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    wmin = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = F.least(
+        F.min(F.col(p_col) * F.col("n") / F.col("rnk")).over(wmin), F.lit(1.0)
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.round(p_col, 9).alias(p_col),
+        "rnk",
+        F.round(q, 9).alias("q_value"),
+        (q <= alpha).alias("significant"),
+    )
+
+
+@register(
+    "stats_bh_fdr",
+    """
+    WITH p AS (
+      SELECT source,
+             (CAST(('0x' || substring(md5(source), 1, 13)) AS BIGINT) + 1)
+               / 4503599627370496.0 AS p_value
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    ranked AS (
+      SELECT source, p_value,
+             CAST(row_number() OVER (ORDER BY p_value, source) AS BIGINT) AS rnk,
+             count(*) OVER () AS n
+      FROM p
+    )
+    SELECT source, round(p_value, 9) AS p_value, rnk,
+           round(least(min(p_value * n / rnk) OVER (
+                   ORDER BY rnk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 9)
+             AS q_value,
+           least(min(p_value * n / rnk) OVER (
+                   ORDER BY rnk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) <= 0.25
+             AS significant
+    FROM ranked
+    """,
+    doc="Benjamini-Hochberg FDR adjustment (step-up q-values, the "
+    "multiple-testing control an experimentation pipeline applies over "
+    "per-segment tests before acting on them): q_i = min_{j>=i} p_j·n/j "
+    "as a reverse-cumulative-min window; runs entirely on the GROUP "
+    "table (20 sources), never the corpus — the md5-uniform p_value "
+    "column is the seam where real per-group p-values (welch/chi2 per "
+    "source) plug in; every term exact-dyadic × integer ratio → "
+    "engine-identical before the display rounding",
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = (
+        t["documents"]
+        .select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (
+                    F.conv(F.substring(F.md5("source"), 1, 13), 16, 10).cast(
+                        "long"
+                    )
+                    + 1
+                )
+                / F.lit(4503599627370496.0)
+            ).alias("p_value"),
+        )
+    )
+    return bh_adjust(p, "source", "p_value")

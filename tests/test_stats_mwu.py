@@ -65,3 +65,30 @@ def test_other_event_types_excluded(mwu_sql):
     n_x, n_y, u, _z = _run(mwu_sql, rows)
     assert (n_x, n_y) == (1, 1)
     assert u == 0.0
+
+
+def test_bh_fdr_hand_computed(spark):
+    # Classic BH example: sorted p = [.005, .01, .03, .04], n = 4 ->
+    # raw n·p/i = [.02, .02, .04, .04]; reverse cummin leaves
+    # q = [.02, .02, .04, .04].
+    from knowledge_model_spark.plans.quality_queries import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        "seg string, p_value double",
+    )
+    out = {r["seg"]: (r["rnk"], r["q_value"]) for r in
+           bh_adjust(df, "seg", "p_value").collect()}
+    assert out == {"d": (1, 0.02), "a": (2, 0.02), "c": (3, 0.04), "b": (4, 0.04)}
+
+
+def test_bh_fdr_cap_at_one(spark):
+    from knowledge_model_spark.plans.quality_queries import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.99)], "seg string, p_value double"
+    )
+    out = {r["seg"]: r["q_value"] for r in bh_adjust(df, "seg", "p_value").collect()}
+    # raw n·p/i: a = 1.8 (capped to 1), b = 0.99; step-up takes
+    # q_a = min(raw_a, q_b) = 0.99, and nothing exceeds 1
+    assert out == {"a": 0.99, "b": 0.99}
