@@ -175,6 +175,9 @@ HEADLINE: dict[str, bool] = {
     "stats_mannwhitney_u": True,
     "quality_luhn_audit": False,
     "stats_bh_fdr": True,
+    "join_null_safe_counts": True,
+    "text_explode_outer_longtoks": False,
+    "sql_array_hof_battery": False,
 }
 
 

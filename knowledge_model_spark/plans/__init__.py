@@ -51,6 +51,9 @@ _GATE_PRIORITY = [
     "stats_mannwhitney_u",        # new (r3 session 4)
     "quality_luhn_audit",         # new (r3 session 4)
     "stats_bh_fdr",               # new (r3 session 4)
+    "join_null_safe_counts",      # new (r3 session 4)
+    "text_explode_outer_longtoks",  # new (r3 session 4)
+    "sql_array_hof_battery",      # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1605,3 +1605,51 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.round(F.sum("bal").cast("double"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "join_null_safe_counts",
+    """
+    WITH f AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 10 END AS k
+      FROM orders
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                           ELSE n_nationkey % 10 END AS k,
+             'bucket' AS tag
+      FROM nation
+    )
+    SELECT f.k AS k, CAST(count(*) AS BIGINT) AS n
+    FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
+    GROUP BY f.k
+    """,
+    doc="null-safe equi join (Spark eqNullSafe <=> / SQL IS NOT DISTINCT "
+    "FROM): NULL keys MATCH each other instead of vanishing — the join "
+    "semantics a late-arriving-dimension pipeline needs when 'unknown' "
+    "is itself a bucket; still hash-joinable (null-safe equality is an "
+    "equi condition, not a theta residual), so the plan stays "
+    "broadcast/shuffled-hash, never nested-loop",
+)
+def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    f = t["orders"].select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey") % 10)
+        .alias("k")
+    )
+    dim = (
+        t["nation"]
+        .select(
+            F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("n_nationkey") % 10)
+            .alias("k"),
+            F.lit("bucket").alias("tag"),
+        )
+        .distinct()
+    )
+    joined = f.join(dim, f["k"].eqNullSafe(dim["k"]))
+    return joined.groupBy(f["k"].alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )

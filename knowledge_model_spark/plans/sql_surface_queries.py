@@ -16,6 +16,7 @@ one runs the IDENTICAL SQL text on both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from knowledge_model_spark.plans import register
 from knowledge_model_spark.session import load_tables
@@ -154,3 +155,56 @@ _GROUP_BY_ALL_SQL = """
 def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "sql_array_hof_battery",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1) AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+           array_to_string(list_sort(list_distinct(tk))[1:3], ' ')
+             AS first3_sorted,
+           len(list_filter(tk, t -> len(t) > 6)) > 0 AS has_long,
+           CAST(len(list_intersect(list_distinct(tk),
+                    ['table', 'value', 'row', 'data'])) AS BIGINT) AS n_common,
+           CAST(len(flatten([tk[1:2], tk[3:4]])) AS BIGINT) AS n_flat
+    FROM toks
+    """,
+    doc="higher-order array-function surface in one oracle-checked "
+    "query: filter / distinct / sort / slice / join / exists-shape / "
+    "intersect / flatten — all whole-stage-codegen JVM lambdas at scan "
+    "speed (the API family every chunker/dedup operator in the engine "
+    "composes; registered so the surface itself is contract-tested); "
+    "array outputs stringify (canonicalizer-safe)",
+)
+def sql_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents_spread"].select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: F.length(w) > 1,
+        ).alias("tk"),
+    )
+    uniq = F.array_distinct("tk")
+    return toks.select(
+        "doc_id",
+        F.size(uniq).cast("long").alias("n_uniq"),
+        F.array_join(F.slice(F.array_sort(uniq), 1, 3), " ").alias(
+            "first3_sorted"
+        ),
+        F.exists("tk", lambda t_: F.length(t_) > 6).alias("has_long"),
+        F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(w) for w in
+                ["table", "value", "row", "data"]]))
+        ).cast("long").alias("n_common"),
+        F.size(
+            F.flatten(F.array(F.slice("tk", 1, 2), F.slice("tk", 3, 2)))
+        ).cast("long").alias("n_flat"),
+    )

@@ -1072,3 +1072,35 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = phrase_search(t["documents_spread"], "doc_id", "text", "table value row")
     return out.select(F.col("id").alias("doc_id"), "n_matches", "first_pos")
+
+
+@register(
+    "text_explode_outer_longtoks",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 6) AS lt
+      FROM documents
+    )
+    SELECT doc_id, unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END)
+             AS long_tok
+    FROM toks
+    """,
+    doc="explode_outer (LATERAL VIEW OUTER): documents with NO >6-char "
+    "token survive as a NULL row instead of silently dropping — the "
+    "1-to-N unnest that must not lose parents (the reference's chunk "
+    "explode pipeline.py:203-205 has the inner-only behavior; outer is "
+    "what an audit join needs); oracle models it as unnest of a "
+    "[NULL]-defaulted list",
+)
+def text_explode_outer_longtoks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents_spread"].select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: F.length(w) > 6,
+        ).alias("lt"),
+    )
+    return toks.select("doc_id", F.explode_outer("lt").alias("long_tok"))

@@ -343,3 +343,19 @@ def test_q21_decorrelated_exists_single_orderkey_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    # eqNullSafe is an equi condition: the plan must be a broadcast or
+    # shuffled HASH join — a fallback to BroadcastNestedLoopJoin would
+    # be quadratic at scale.
+    plan = _plan(spark, "join_null_safe_counts")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_explode_outer_is_generate_outer(spark):
+    plan = _plan(spark, "text_explode_outer_longtoks")
+    # Generate's third argument is the outer flag: `Generate explode(lt),
+    # [doc_id], true, [long_tok]`
+    assert "Generate explode" in plan and ", true, [" in plan
