@@ -10,6 +10,8 @@ flows/continuous.py:34-36) as batch DataFrame jobs:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -102,6 +104,39 @@ def stats_model_udf():
             n = math.sqrt(sum(x * x for x in v))
             out.append([x / n for x in v])
         return pd.Series(out)
+
+    return model
+
+
+def stats_model_iter_udf():
+    """SCALAR_ITER twin of :func:`stats_model_udf` — the canonical
+    per-partition model-loading form (SPARK-26412): the UDF receives an
+    ITERATOR of Arrow batches, so expensive init (loading SentenceTransformer
+    weights onto the device, reference build_faiss.py:69-78) runs exactly
+    once per task before the batch loop, not once per batch and not once
+    per row.  Same contract as the SCALAR form — embed() accepts either —
+    and parity between the two is gated in tests/test_retrieval.py."""
+    @F.pandas_udf("array<double>")
+    def model(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import math
+        import re
+
+        # expensive-init site: ONCE per task, before any batch
+        vowel_re = re.compile(r"[aeiou]")
+        ws_re = re.compile(r"\s+")
+        for texts in batches:
+            out = []
+            for t in texts:
+                t = t or ""
+                v = [
+                    float(len(t)),
+                    float(len([w for w in ws_re.split(t) if w])),
+                    float(len(vowel_re.findall(t.lower()))),
+                    1.0,
+                ]
+                n = math.sqrt(sum(x * x for x in v))
+                out.append([x / n for x in v])
+            yield pd.Series(out)
 
     return model
 

@@ -359,3 +359,21 @@ def test_explode_outer_is_generate_outer(spark):
     # Generate's third argument is the outer flag: `Generate explode(lt),
     # [doc_id], true, [long_tok]`
     assert "Generate explode" in plan and ", true, [" in plan
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """Evidence that the session's AQE config actually re-plans at
+    runtime: after executing a small groupBy, the final adaptive plan
+    reads the shuffle through AQEShuffleRead with fewer partitions than
+    spark.sql.shuffle.partitions — the mechanism that replaces
+    hand-tuned partition counts at any scale."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .groupBy((F.col("id") % 5).alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan

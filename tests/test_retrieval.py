@@ -97,3 +97,20 @@ def test_mmr_rerank_k_exceeds_candidates(spark):
     df = spark.createDataFrame(rows, ["qid", "cid", "score", "vec"])
     got = mmr_rerank(df, "qid", "cid", "score", "vec", k=10).collect()
     assert sorted(r["mmr_rank"] for r in got) == [1, 2]
+
+
+def test_scalar_iter_model_udf_matches_scalar_form(spark, tables):
+    """The SCALAR_ITER embed seam (per-task init before the batch loop)
+    must produce exactly the vectors of the SCALAR form."""
+    from knowledge_model_spark.operators.retrieval import (
+        embed,
+        stats_model_iter_udf,
+        stats_model_udf,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(100)
+    a = embed(docs, "text", model_udf=stats_model_udf()).collect()
+    b = embed(docs, "text", model_udf=stats_model_iter_udf()).collect()
+    am = {r["doc_id"]: r["vector"] for r in a}
+    bm = {r["doc_id"]: r["vector"] for r in b}
+    assert am == bm
