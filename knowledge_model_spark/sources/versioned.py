@@ -108,3 +108,32 @@ def rollback(spark: SparkSession, base: str, to_version: int) -> int:
     """
     df = read_snapshot(spark, base, to_version)
     return write_snapshot(df, base, note=f"rollback to v{to_version}")
+
+
+def vacuum(base: str, keep_last: int = 2) -> list[int]:
+    """Delete snapshot directories older than the newest ``keep_last``
+    versions — the retention pass every versioned table needs once time
+    travel exists (storage is 1 copy per version until vacuumed).
+
+    Returns the removed version ids.  The manifest is rewritten FIRST
+    (dropping the vacuumed entries) and directories deleted after: a
+    crash between the two leaves unreferenced dirs (harmless garbage, a
+    later vacuum re-deletes them) rather than referenced-but-missing
+    versions.  Time travel to a vacuumed version fails with the same
+    manifest error as a never-written one; rollback targets must
+    therefore be within the retention window — rollback() itself copies
+    data forward, so a completed rollback never depends on old dirs.
+    """
+    manifest = _read_manifest(base)
+    cutoff = manifest["latest"] - keep_last
+    doomed = sorted(int(v) for v in manifest["versions"] if int(v) <= cutoff)
+    if not doomed:
+        return []
+    for v in doomed:
+        del manifest["versions"][str(v)]
+    _write_manifest(base, manifest)
+    for v in doomed:
+        path = os.path.join(base, f"v={v}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+    return doomed

@@ -736,3 +736,29 @@ def test_read_evolved_merges_grown_schema(spark, tmp_path):
     assert "quality" in merged.columns
     rows = {r["id"]: r["quality"] for r in merged.collect()}
     assert rows[2] == 0.9 and rows[1] is None
+
+
+def test_versioned_vacuum_retention(spark, tmp_path):
+    from knowledge_model_spark.sources.versioned import (
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "vtbl")
+    for i in range(1, 5):
+        df = spark.createDataFrame([(i, f"v{i}")], "id long, payload string")
+        write_snapshot(df, base, note=f"batch {i}")
+    removed = vacuum(base, keep_last=2)
+    assert removed == [1, 2]
+    import os
+    assert not os.path.exists(f"{base}/v=1") and not os.path.exists(f"{base}/v=2")
+    # retained versions still read, latest unchanged
+    assert read_snapshot(spark, base, 3).collect()[0]["payload"] == "v3"
+    assert read_snapshot(spark, base).collect()[0]["payload"] == "v4"
+    # vacuumed version errors like a never-written one
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, base, 1)
+    # idempotent
+    assert vacuum(base, keep_last=2) == []
