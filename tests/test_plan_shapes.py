@@ -377,3 +377,31 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
     df.collect()  # materialize so AQE finalizes the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_join_strategy_hints_are_honored(spark, tables):
+    """Physical-strategy control surface: hints must override the
+    planner's default choice — the manual lever when statistics mislead
+    (e.g. a filter-reduced build side the optimizer sizes at scan
+    width)."""
+    fact = tables["orders"].select("o_orderkey", "o_custkey")
+    dim = tables["customer"].select("c_custkey", "c_nationkey")
+    cond = fact["o_custkey"] == dim["c_custkey"]
+
+    merge_plan = (
+        fact.join(dim.hint("merge"), cond)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in merge_plan
+
+    bcast_plan = (
+        fact.join(dim.hint("broadcast"), cond)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bcast_plan
+
+    shj_plan = (
+        fact.join(dim.hint("shuffle_hash"), cond)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in shj_plan
