@@ -299,3 +299,113 @@ def test_poisson_bootstrap_ci_brackets_point_and_tightens(spark):
     width_big = big.ci_hi - big.ci_lo
     # 10x the docs → ~3.2x tighter; allow slack for bootstrap noise
     assert width_big < width_small / 1.5
+
+
+# ---- session-4 operators: graph + phrase search vs pure-Python refs ----
+
+_GRAPH_SETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def _py_bfs(edges: list[tuple[int, int]], sources: list[int]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = list(dict.fromkeys(sources))
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    return dist
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    ),
+    k=st.integers(1, 3),
+)
+@settings(**_GRAPH_SETTINGS)
+def test_kcore_matches_python_reference(spark, edges, k):
+    from knowledge_model_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()}
+    assert got == _py_kcore(edges, k)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    ),
+    sources=st.lists(st.integers(0, 12), min_size=1, max_size=3),
+)
+@settings(**_GRAPH_SETTINGS)
+def test_bfs_matches_python_reference(spark, edges, sources):
+    from knowledge_model_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(int(s),) for s in sources], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, src).collect()}
+    # reference counts only nodes present in the edge list or sources
+    assert got == _py_bfs(edges, sources)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_GRAPH_SETTINGS)
+def test_phrase_search_matches_python_scan(spark, docs):
+    from knowledge_model_spark.operators.text_rank import phrase_search
+
+    phrase = ["aa", "bb"]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "doc_id", "text", "aa bb").collect()
+    }
+    expect = {}
+    for i, toks in enumerate(docs):
+        hits = [p for p in range(len(toks) - 1) if toks[p : p + 2] == phrase]
+        if hits:
+            expect[i] = (len(hits), hits[0])
+    assert got == expect
