@@ -178,6 +178,8 @@ HEADLINE: dict[str, bool] = {
     "join_null_safe_counts": True,
     "text_explode_outer_longtoks": False,
     "sql_array_hof_battery": False,
+    "text_light_stem": True,
+    "events_robust_zscore_mad": False,
 }
 
 

@@ -54,6 +54,8 @@ _GATE_PRIORITY = [
     "join_null_safe_counts",      # new (r3 session 4)
     "text_explode_outer_longtoks",  # new (r3 session 4)
     "sql_array_hof_battery",      # new (r3 session 4)
+    "text_light_stem",            # new (r3 session 4)
+    "events_robust_zscore_mad",   # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

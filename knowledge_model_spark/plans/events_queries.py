@@ -1102,3 +1102,52 @@ def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "events_robust_zscore_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - m.med) / (1.4826 * m.mad), 6) AS robust_z,
+           abs((e.value - m.med) / (1.4826 * m.mad)) > 3.5 AS is_outlier
+    FROM events e JOIN mad m USING (event_type)
+    """,
+    doc="median/MAD robust z-score (Iglewicz-Hoberg outlier rule, "
+    "|z| > 3.5 at the 1.4826 normal-consistency constant) — the "
+    "outlier gate that, unlike the mean/stddev z-score "
+    "(events_anomaly_zscore), cannot be dragged by the outliers it "
+    "hunts; two type-keyed aggregates (exact interpolated medians, "
+    "Spark percentile ≡ DuckDB quantile_cont) broadcast back onto one "
+    "events scan",
+)
+def events_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(z) > 3.5).alias("is_outlier"),
+        )
+    )

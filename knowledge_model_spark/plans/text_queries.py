@@ -1104,3 +1104,42 @@ def text_explode_outer_longtoks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lt"),
     )
     return toks.select("doc_id", F.explode_outer("lt").alias("long_tok"))
+
+
+from knowledge_model_spark.functions.stemmer import oracle_sql_stem as _stem_sql
+
+
+@register(
+    "text_light_stem",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS tok
+      FROM documents
+    )
+    SELECT {stemmed} AS stem, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1
+    """.format(stemmed=_stem_sql("tok")),
+    doc="light stemmer (Porter step-1 rule subset) folding plural / "
+    "participle inflections before indexing — BM25/phrase-search "
+    "normalization; the anchored-regex rule chain is generated for "
+    "BOTH engines from one rule table (functions/stemmer.py) so they "
+    "cannot drift; scan-speed codegen, classic Porter fixtures pinned "
+    "in tests",
+)
+def text_light_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.stemmer import light_stem
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents_spread"].select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: F.length(w) > 1,
+            )
+        ).alias("tok")
+    )
+    return toks.groupBy(light_stem(F.col("tok")).alias("stem")).agg(
+        F.count("*").cast("long").alias("c")
+    )

@@ -239,3 +239,53 @@ def test_luhn_oracle_twin_agrees(spark):
         con.sql(f"SELECT cand, {oracle_sql_luhn('cand')} FROM c").fetchall()
     )
     assert spark_out == duck_out
+
+
+def test_light_stemmer_fixtures(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.functions.stemmer import light_stem
+
+    cases = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "values": "value",
+        "hashing": "hash",
+        "merged": "merg",
+        "sing": "sing",       # no vowel-bearing 3+ stem before ing
+        "ring": "ring",
+        "speed": "speed",     # no vowel-stem before ed
+        "class": "class",     # ss ending preserved
+        "virus": "virus",     # us ending preserved
+        "tables": "table",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "tok string")
+    got = {
+        r["tok"]: r["stem"]
+        for r in df.select("tok", light_stem(F.col("tok")).alias("stem")).collect()
+    }
+    assert got == cases
+
+
+def test_light_stemmer_oracle_twin_agrees(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.functions.stemmer import light_stem, oracle_sql_stem
+
+    words = [
+        "caresses", "ponies", "values", "hashing", "merged", "sing",
+        "speed", "class", "virus", "tables", "kisses", "flies", "tuning",
+        "sorted", "bus", "miss", "agreed", "using",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {
+        r["tok"]: r["stem"]
+        for r in df.select("tok", light_stem(F.col("tok")).alias("stem")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (tok VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    duck = dict(con.sql(f"SELECT tok, {oracle_sql_stem('tok')} FROM w").fetchall())
+    assert got == duck
