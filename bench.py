@@ -180,6 +180,7 @@ HEADLINE: dict[str, bool] = {
     "sql_array_hof_battery": False,
     "text_light_stem": True,
     "events_robust_zscore_mad": False,
+    "graph_ppr_customer_seeds": False,
 }
 
 

@@ -190,6 +190,102 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport mass returns to
+    the ``seeds`` set instead of the uniform distribution (Haveliwala,
+    WWW'02) — ranks become "importance AS SEEN FROM the seed topic",
+    the graph-side relevance signal a retrieval stack combines with
+    lexical/vector scores (seed = the query's matched documents).
+
+    Same exact fixed-point int64 machinery as :func:`pagerank` (scale
+    1e12, rational damping p/q, integer sums — bit-deterministic at any
+    parallelism, oracle-matched by an unrolled integer recurrence); the
+    two differences are the initial vector (mass SCALE split over
+    seeds) and the per-node teleport term (0 for non-seeds).  Non-seed
+    nodes unreachable from the seed set therefore converge to rank 0 —
+    asserted in tests.
+
+    ``seeds``: DataFrame with a ``node`` column; intersected with the
+    graph's node set, deduplicated.  Plan shape per round is unchanged:
+    one contribution join + one integer aggregate, both on node id.
+    """
+    SCALE = 10**12
+    p = int(round(damping * 100))
+    q = 100
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    from pyspark.sql import Window
+
+    ed = e.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("s"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_set = (
+        seeds.select("node").distinct().join(nodes, "node", "left_semi")
+    ).localCheckpoint(eager=True)
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_e12"),
+            F.lit(0.0).alias("rank"),
+        ).limit(0)
+    teleport_fp = (SCALE * (q - p)) // (q * n_seeds)
+    init_fp = SCALE // n_seeds
+    # base table carries each node's personal teleport term (0 off-seed);
+    # checkpointed once, reused every round
+    base = (
+        nodes.join(seed_set.withColumn("__s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(teleport_fp))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tp_fp"),
+            F.when(F.col("__s").isNotNull(), F.lit(init_fp))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("init_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    bcast = (lambda d: F.broadcast(d)) if n <= 5_000_000 else (lambda d: d)
+    ranks = base.select("node", F.col("init_fp").alias("rank_fp"))
+    for i in range(iterations):
+        contribs = ed.join(bcast(ranks), ed["s"] == ranks["node"]).select(
+            F.col("d").alias("node"),
+            F.expr("rank_fp div outdeg").alias("c"),
+        )
+        recv = contribs.groupBy("node").agg(F.sum("c").alias("recv"))
+        ranks = base.join(bcast(recv), "node", "left").select(
+            "node",
+            (
+                F.col("tp_fp")
+                + F.expr(f"(coalesce(recv, 0L) * {p}) div {q}")
+            ).cast("long").alias("rank_fp"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.col("rank_fp").alias("rank_e12"),
+        (F.col("rank_fp") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "id_a",

@@ -403,3 +403,80 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node")
     )
     return bfs_hops(edges, sources)
+
+
+# Personalized PageRank: teleport returns to the CUSTOMER side (even
+# node ids) of the same trade graph — topic-sensitive importance as
+# seen from customers (Haveliwala WWW'02).  Identical fixed-point
+# integer recurrence, unrolled; the only differences from _PR_SQL are
+# the seeded r0 and the per-node CASE teleport term.
+_PPR_ITER = """,
+    c{i} AS (
+      SELECT e.dst AS node, CAST(sum(r.rank_fp // deg.outdeg) AS BIGINT) AS recv
+      FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             CAST(CASE WHEN nodes.node % 2 = 0 THEN (SELECT t FROM tp)
+                       ELSE 0 END
+                  + (coalesce(c{i}.recv, 0) * 17) // 20
+                  AS BIGINT) AS rank_fp
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )"""
+
+_PPR_SQL = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+    ns AS (SELECT count(*) AS s FROM nodes WHERE node % 2 = 0),
+    tp AS (SELECT (1000000000000 * 15) // (100 * s) AS t FROM ns),
+    ini AS (SELECT 1000000000000 // s AS v FROM ns),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST(CASE WHEN node % 2 = 0 THEN (SELECT v FROM ini)
+                            ELSE 0 END AS BIGINT) AS rank_fp
+           FROM nodes)"""
+    + "".join(_PPR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, rank_fp AS rank_e12 FROM r3
+    """
+)
+
+
+@register(
+    "graph_ppr_customer_seeds",
+    _PPR_SQL,
+    doc="personalized PageRank (Haveliwala WWW'02 topic-sensitive "
+    "teleport) seeded at the customer side of the trade graph — the "
+    "graph-relevance signal a retrieval stack mixes with BM25/vector "
+    "scores; same bit-deterministic fixed-point int64 machinery as "
+    "graph_pagerank_trade (operators/graph.py::personalized_pagerank), "
+    "oracle unrolls the identical seeded integer recurrence",
+)
+def graph_ppr_customer_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.graph import personalized_pagerank
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = t["customer"].select(
+        (F.col("c_custkey") * 2).cast("long").alias("node")
+    )
+    ranks = personalized_pagerank(sym, seeds, iterations=3, damping=0.85)
+    return ranks.select("node", "rank_e12")

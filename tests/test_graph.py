@@ -220,3 +220,43 @@ def test_bfs_multi_source_takes_nearest(spark):
     src = spark.createDataFrame([(0,), (4,)], "node long")
     out = {r["node"]: r["hops"] for r in bfs_hops(edges, src).collect()}
     assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_personalized_pagerank_unreachable_gets_zero(spark):
+    from knowledge_model_spark.operators.graph import personalized_pagerank
+
+    # two directed components: 1->2->3 (seeded at 1) and 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank_e12"] for r in
+           personalized_pagerank(edges, seeds, iterations=3).collect()}
+    # unreachable component holds zero mass; seed side holds positive
+    assert out[10] == 0 and out[11] == 0
+    assert out[1] > 0 and out[2] > 0 and out[3] > 0
+
+
+def test_personalized_pagerank_seed_concentration(spark):
+    from knowledge_model_spark.operators.graph import personalized_pagerank, pagerank
+
+    # star: center 0 <-> leaves 1..4; seeding at leaf 1 must rank 1
+    # above the other leaves (uniform pagerank ties all leaves)
+    edges = []
+    for leaf in (1, 2, 3, 4):
+        edges += [(0, leaf), (leaf, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ppr = {r["node"]: r["rank_e12"] for r in
+           personalized_pagerank(e, seeds, iterations=4).collect()}
+    assert ppr[1] > ppr[2] == ppr[3] == ppr[4]
+    uni = {r["node"]: r["rank_e12"] for r in pagerank(e, iterations=4).collect()}
+    assert uni[1] == uni[2] == uni[3] == uni[4]
+
+
+def test_personalized_pagerank_empty_seeds(spark):
+    from knowledge_model_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")  # not in graph
+    assert personalized_pagerank(edges, seeds).count() == 0
