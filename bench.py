@@ -181,6 +181,7 @@ HEADLINE: dict[str, bool] = {
     "text_light_stem": True,
     "events_robust_zscore_mad": False,
     "graph_ppr_customer_seeds": False,
+    "eval_recall_at_k_sweep": True,
 }
 
 

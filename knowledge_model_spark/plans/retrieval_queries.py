@@ -642,3 +642,79 @@ def eval_ndcg_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr_at_10"),
     )
+
+
+@register(
+    "eval_recall_at_k_sweep",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_EVAL_QUERIES}),
+    scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                      round(list_cosine_similarity(q.qv, e.embedding), 6) AS s
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.qid),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY s DESC, vec_id) AS r
+               FROM scored),
+    best AS (SELECT qid, min(r) AS best_r
+             FROM ranked WHERE label = qlabel GROUP BY qid),
+    ks(k) AS (VALUES (1), (5), (10), (20)),
+    nq AS (SELECT count(*) AS n FROM q)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(b.qid) FILTER (b.best_r <= ks.k) AS BIGINT) AS n_hit,
+           round(count(b.qid) FILTER (b.best_r <= ks.k)
+                 / (SELECT n FROM nq)::double, 6) AS recall
+    FROM ks LEFT JOIN best b ON true
+    GROUP BY ks.k
+    """,
+    doc="recall@K sweep (K = 1/5/10/20) in ONE ranking pass: per-query "
+    "best relevant rank, then each K thresholds the same tiny "
+    "(query, best_rank) table — the operating-curve view behind the "
+    "reference's single recall@10 gate (eval_snapshot.py:91-100); no "
+    "re-scoring per K",
+)
+def eval_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        l2_normalize(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    n_q = q.count()  # driver scalar: eval-set size (tiny by construction)
+    scored = (
+        e.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
+        .crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("cv"), F.col("qv")), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    best = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("r").alias("best_r"))
+    )
+    ks = best.sparkSession.createDataFrame(
+        [(1,), (5,), (10,), (20,)], "k long"
+    )
+    return (
+        ks.join(best, F.lit(True), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("best_r") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        .select(
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(n_q)), 6).alias("recall"),
+        )
+    )
