@@ -182,6 +182,7 @@ HEADLINE: dict[str, bool] = {
     "events_robust_zscore_mad": False,
     "graph_ppr_customer_seeds": False,
     "eval_recall_at_k_sweep": True,
+    "embeddings_single_link_clusters": False,
 }
 
 

@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "events_robust_zscore_mad",   # new (r3 session 4)
     "graph_ppr_customer_seeds",   # new (r3 session 4)
     "eval_recall_at_k_sweep",     # new (r3 session 4)
+    "embeddings_single_link_clusters",  # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -480,3 +480,50 @@ def graph_ppr_customer_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = personalized_pagerank(sym, seeds, iterations=3, damping=0.85)
     return ranks.select("node", "rank_e12")
+
+
+@register(
+    "embeddings_single_link_clusters",
+    """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT a AS node, a AS label FROM sym
+      UNION
+      SELECT s.b AS node, w.label FROM walk w JOIN sym s ON s.a = w.node
+    ),
+    cc AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+    SELECT e.vec_id, coalesce(cc.component, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
+    """,
+    doc="single-link semantic clustering: hyperplane-LSH cosine pairs "
+    "(>= 0.95, the dedup_embedding_cosine generator) fed through "
+    "distributed connected components — SLINK's 'friends-of-friends' "
+    "merge rule IS transitive closure, so clusters = components; "
+    "singletons keep their own id; the composition SemDeDup-style "
+    "semantic dedup runs before choosing per-cluster survivors",
+)
+def embeddings_single_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.dedup import embedding_near_dup_pairs_lsh
+    from knowledge_model_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.95, dim=64
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(cc, emb["vec_id"] == cc["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
