@@ -183,6 +183,9 @@ HEADLINE: dict[str, bool] = {
     "graph_ppr_customer_seeds": False,
     "eval_recall_at_k_sweep": True,
     "embeddings_single_link_clusters": False,
+    "quality_readability_fk": False,
+    "events_attribution_linear": False,
+    "corpus_zipf_slope": True,
 }
 
 

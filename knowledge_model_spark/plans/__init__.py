@@ -59,6 +59,9 @@ _GATE_PRIORITY = [
     "graph_ppr_customer_seeds",   # new (r3 session 4)
     "eval_recall_at_k_sweep",     # new (r3 session 4)
     "embeddings_single_link_clusters",  # new (r3 session 4)
+    "quality_readability_fk",     # new (r3 session 4)
+    "events_attribution_linear",  # new (r3 session 4)
+    "corpus_zipf_slope",          # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1151,3 +1151,76 @@ def events_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.5).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "events_attribution_linear",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS cts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, event_id AS touch_id, ts AS tts
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.value, t.touch_id,
+             count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+      FROM conv c JOIN tch t
+        ON t.user_id = c.user_id AND t.tts <= c.cts
+       AND epoch_us(c.cts) - epoch_us(t.tts) <= 86400000000
+    )
+    SELECT conv_id, touch_id, CAST(n_touches AS BIGINT) AS n_touches,
+           round(value / n_touches, 6) AS credit
+    FROM pairs
+    """,
+    doc="linear multi-touch attribution: each purchase's value split "
+    "equally across ALL clicks in its 24h lookback — the fairness twin "
+    "of events_attribution_last_touch; the engine generates candidates "
+    "via day-bucketed equi join + residual (the join_interval_overlap "
+    "pattern: cost ∝ per-user-day activity, never user history), while "
+    "the oracle keeps the plain quadratic range join; credit = exact "
+    "double value/n identical in both engines",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    DAY = 86_400_000_000
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("cus"),
+        "value",
+    )
+    tch = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.unix_micros("ts").alias("tus"),
+        (F.unix_micros("ts") / F.lit(DAY)).cast("long").alias("t_day"),
+    )
+    probes = conv.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("cus") / F.lit(DAY)).cast("long"),
+                (F.col("cus") / F.lit(DAY)).cast("long") - 1,
+            )
+        ).alias("p_day"),
+    )
+    pairs = probes.join(
+        tch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_day") == F.col("p_day"))
+        & (F.col("tus") <= F.col("cus"))
+        & (F.col("cus") - F.col("tus") <= DAY),
+    )
+    w = Window.partitionBy("conv_id")
+    return pairs.select(
+        "conv_id",
+        "touch_id",
+        F.count("*").over(w).cast("long").alias("n_touches"),
+        F.round(F.col("value") / F.count("*").over(w), 6).alias("credit"),
+    )

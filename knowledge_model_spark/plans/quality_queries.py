@@ -1325,3 +1325,55 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bh_adjust(p, "source", "p_value")
+
+
+@register(
+    "quality_readability_fk",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                w -> len(w) > 0)) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+             AS n_sentences,
+           round(0.39 * (len(list_filter(regexp_split_to_array(lower(text),
+                          '[^a-z0-9]+'), w -> len(w) > 0))
+                  / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         AS DOUBLE))
+                 + 11.8 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  / CAST(greatest(len(list_filter(regexp_split_to_array(
+                          lower(text), '[^a-z0-9]+'), w -> len(w) > 0)), 1)
+                         AS DOUBLE))
+                 - 15.59, 6) AS fk_grade
+    FROM documents
+    """,
+    doc="Flesch-Kincaid grade-level readability (0.39·words/sentences + "
+    "11.8·syllables/words − 15.59, syllables ≈ vowel-group count — the "
+    "standard corpus-curation heuristic): three regex counts per row, "
+    "scan-speed codegen, zero shuffle; ratios are int/int divisions so "
+    "both engines compute identical doubles before the display rounding",
+)
+def quality_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    n_words = F.size(
+        F.filter(F.split(low, "[^a-z0-9]+"), lambda w: F.length(w) > 0)
+    )
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    fk = (
+        0.39 * (n_words / n_sent.cast("double"))
+        + 11.8 * (n_syll / F.greatest(n_words, F.lit(1)).cast("double"))
+        - 15.59
+    )
+    return t["documents"].select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(fk, 6).alias("fk_grade"),
+    )

@@ -1143,3 +1143,69 @@ def text_light_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy(light_stem(F.col("tok")).alias("stem")).agg(
         F.count("*").cast("long").alias("c")
     )
+
+
+@register(
+    "corpus_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, count(*) AS c,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+      FROM toks GROUP BY term
+    ),
+    pts AS (SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y FROM vocab),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x ORDER BY rnk) AS sx, sum(y ORDER BY rnk) AS sy,
+             sum(x * x ORDER BY rnk) AS sxx, sum(x * y ORDER BY rnk) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+    doc="Zipf-law fit diagnostic: OLS slope of ln(freq) vs ln(rank) "
+    "over the vocabulary — natural text sits near −1; a flat slope "
+    "flags template/machine-generated corpora and a cliff flags "
+    "boilerplate floods (the corpus-composition health check next to "
+    "corpus_kl_divergence); sums fold in rank order on BOTH engines "
+    "over the |V|-sized vocab table, round-6 absorbs ln ulp",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.ngram_lm import build_vocab
+
+    t = load_tables(spark, sf_dir)
+    vocab = build_vocab(t["documents_spread"], "doc_id", "text", min_count=1)
+    pts = vocab.select(
+        F.col("term_id").alias("rnk"),
+        F.log(F.col("term_id").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("rnk", "x", "y"))
+        ).alias("ps"),
+    ).select(
+        "n",
+        F.aggregate("ps", F.lit(0.0), lambda a, p: a + p["x"]).alias("sx"),
+        F.aggregate("ps", F.lit(0.0), lambda a, p: a + p["y"]).alias("sy"),
+        F.aggregate("ps", F.lit(0.0), lambda a, p: a + p["x"] * p["x"]).alias("sxx"),
+        F.aggregate("ps", F.lit(0.0), lambda a, p: a + p["x"] * p["y"]).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
