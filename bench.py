@@ -186,6 +186,7 @@ HEADLINE: dict[str, bool] = {
     "quality_readability_fk": False,
     "events_attribution_linear": False,
     "corpus_zipf_slope": True,
+    "window_cume_dist_nth": False,
 }
 
 

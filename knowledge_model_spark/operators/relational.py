@@ -887,3 +887,23 @@ def ewma_trailing(
         num = num + F.coalesce(F.lit(weights[k]) * lags[k], F.lit(0.0))
         den = den + F.when(lags[k].isNotNull(), F.lit(weights[k])).otherwise(F.lit(0.0))
     return df.withColumn("ewma", F.round(num / den, 6))
+
+
+def partition_balance(df, id_expr=None):
+    """Per-partition row-count report — the pre-flight a pipeline runs
+    before a heavy stage to confirm its partitioning is balanced
+    (complement of diag_key_skew, which audits KEY distribution; this
+    audits the PHYSICAL layout after repartition/bucketing choices).
+
+    Returns (partition_id, n_rows) plus a summary is left to the
+    caller; uses spark_partition_id() so it reflects the DataFrame's
+    CURRENT partitioning.  One map-side-combined aggregate — cost of a
+    count().
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )

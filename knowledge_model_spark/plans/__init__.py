@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     "quality_readability_fk",     # new (r3 session 4)
     "events_attribution_linear",  # new (r3 session 4)
     "corpus_zipf_slope",          # new (r3 session 4)
+    "window_cume_dist_nth",       # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1653,3 +1653,37 @@ def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(f["k"].alias("k")).agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+@register(
+    "window_cume_dist_nth",
+    """
+    SELECT c_custkey, c_nationkey,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(c_custkey, 3) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_richest,
+           first_value(c_custkey) OVER w AS richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="cume_dist / nth_value / first_value — completes the window "
+    "ranking-function family (row_number, rank, dense_rank, ntile, "
+    "percent_rank, lead/lag already registered); nth_value takes the "
+    "full-partition frame so every row sees the 3rd-richest customer "
+    "of its nation; one nation-key Exchange serves all three functions",
+)
+def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_custkey", 3).over(wfull).alias("third_richest"),
+        F.first_value("c_custkey").over(w).alias("richest"),
+    )

@@ -218,3 +218,15 @@ def test_span_corruption_round_trips_tokens(spark):
         assert rebuilt == norm, r["doc_id"]
         assert 0 <= r["corruption_ratio"] <= 1
         assert r["n_spans"] == len(spans)
+
+
+def test_partition_balance_reports_current_layout(spark):
+    from knowledge_model_spark.operators.relational import partition_balance
+
+    df = spark.range(1000).repartition(8)
+    rep = partition_balance(df).collect()
+    assert len(rep) == 8
+    assert sum(r["n_rows"] for r in rep) == 1000
+    # round-robin repartition must be near-uniform
+    counts = [r["n_rows"] for r in rep]
+    assert max(counts) - min(counts) <= 2
