@@ -348,3 +348,52 @@ def phrase_search(
             F.min("p0").cast("long").alias("first_pos"),
         )
     )
+
+
+def build_positional_index(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 2
+) -> DataFrame:
+    """(id, pos, term) positional postings — the materialized inverted
+    index :func:`phrase_search` probes.
+
+    ``phrase_search`` derives this stream inline (re-scanning the corpus
+    once per phrase term); at scale you build THIS table once, write it
+    partitioned/bucketed by term, and run every phrase query against the
+    postings — cost per query ∝ the phrase terms' posting lists, with
+    term-partition pruning skipping the rest of the index on disk.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= min_len,
+            )
+        ).alias("pos", "term"),
+    )
+
+
+def phrase_search_indexed(index: DataFrame, phrase: str, min_len: int = 2) -> DataFrame:
+    """Phrase query against a prebuilt :func:`build_positional_index`
+    table — same adjacency-join semantics as :func:`phrase_search`,
+    zero corpus scans."""
+    words = [
+        w
+        for w in __import__("re").split(r"[^a-z0-9]+", phrase.lower())
+        if len(w) >= min_len
+    ]
+    if not words:
+        raise ValueError("phrase has no tokens after normalization")
+    pos = index.filter(F.col("term").isin(words))
+    anchor = pos.filter(F.col("term") == words[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        probe = pos.filter(F.col("term") == w).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(probe, ["id", "p0"])
+    return anchor.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )

@@ -76,3 +76,23 @@ def test_phrase_search_single_term(spark):
         for r in phrase_search(df, "doc_id", "text", "alpha").collect()
     }
     assert out == {1: 2}
+
+
+def test_indexed_phrase_search_matches_inline(spark, tmp_path):
+    from knowledge_model_spark.operators.text_rank import (
+        build_positional_index,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "big table value row end"), (2, "table value table value row")],
+        "doc_id long, text string",
+    )
+    inline = sorted(map(tuple, phrase_search(df, "doc_id", "text", "table value row").collect()))
+    # index materialized to parquet, read back — the scale path
+    idx_path = str(tmp_path / "postings")
+    build_positional_index(df, "doc_id", "text").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    indexed = sorted(map(tuple, phrase_search_indexed(idx, "table value row").collect()))
+    assert inline == indexed
