@@ -497,6 +497,9 @@ def bfs_hops(
     )
     frontier = visited
     for depth in range(1, max_iter + 1):
+        # materialize the frontier BEFORE the emptiness probe so the
+        # joins run once per round, not once for the probe and again
+        # for the next round's lineage
         nxt = (
             sym.join(
                 frontier.select(F.col("node").alias("a")), "a", "left_semi"
@@ -505,9 +508,10 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             return visited
-        frontier = nxt.localCheckpoint(eager=True)
+        frontier = nxt
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     raise RuntimeError(f"bfs_hops did not converge in {max_iter} rounds")
