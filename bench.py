@@ -187,6 +187,7 @@ HEADLINE: dict[str, bool] = {
     "events_attribution_linear": False,
     "corpus_zipf_slope": True,
     "window_cume_dist_nth": False,
+    "dedup_cluster_best_survivors": False,
 }
 
 

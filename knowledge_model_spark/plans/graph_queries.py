@@ -527,3 +527,49 @@ def embeddings_single_link_clusters(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
         )
     )
+
+
+@register(
+    "dedup_cluster_best_survivors",
+    _CC_CTE
+    + """
+    , members AS (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT cluster_id,
+           (max({'s': n_chars, 'i': doc_id})).i AS survivor_id,
+           (max({'s': n_chars, 'i': doc_id})).s AS survivor_chars,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM members GROUP BY cluster_id
+    """,
+    doc="quality-aware survivor per near-dup cluster: instead of "
+    "first-seen-wins (dedup_cluster_survivors — the reference's rule, "
+    "main.py:283-291), keep the cluster member with the BEST score "
+    "(longest here; the struct ordering key is the quality-model "
+    "seam) — the curation-grade dedup rule that keeps the fullest "
+    "copy of a duplicated article; clusters via pointer-jumping CC, "
+    "survivor via ONE struct-extrema hash agg",
+)
+def dedup_cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cc = connected_components(_edges(docs))
+    members = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            "doc_id",
+            "n_chars",
+        )
+    )
+    key = F.struct(F.col("n_chars").alias("s"), F.col("doc_id").alias("i"))
+    return members.groupBy("cluster_id").agg(
+        F.max(key)["i"].alias("survivor_id"),
+        F.max(key)["s"].alias("survivor_chars"),
+        F.count("*").cast("long").alias("cluster_size"),
+    )
