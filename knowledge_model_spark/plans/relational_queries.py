@@ -1659,7 +1659,7 @@ def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cume_dist_nth",
     """
     SELECT c_custkey, c_nationkey,
-           round(cume_dist() OVER w, 6) AS cd,
+           cume_dist() OVER w AS cd,
            nth_value(c_custkey, 3) OVER (
              PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -1683,7 +1683,11 @@ def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["customer"].select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        # no rounding: cd = k/n is ONE integer division, bit-identical
+        # cross-engine; round() would REINTRODUCE divergence (at n=640,
+        # k/640 has exact 7-decimal halves — Spark rounds half-up,
+        # DuckDB half-to-even; found by the sf0.1 sweep)
+        F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_custkey", 3).over(wfull).alias("third_richest"),
         F.first_value("c_custkey").over(w).alias("richest"),
     )
