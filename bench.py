@@ -188,6 +188,7 @@ HEADLINE: dict[str, bool] = {
     "corpus_zipf_slope": True,
     "window_cume_dist_nth": False,
     "dedup_cluster_best_survivors": False,
+    "retrieval_hybrid_weighted": True,
 }
 
 

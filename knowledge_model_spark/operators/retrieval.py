@@ -411,3 +411,55 @@ def mmr_rerank(
         )
 
     return cands.groupBy(query_id).applyInPandas(kernel, out_schema)
+
+
+def weighted_fuse(
+    scored_a: DataFrame,
+    scored_b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    w_a: float = 0.6,
+    w_b: float = 0.4,
+    k: int = 10,
+) -> DataFrame:
+    """Min-max-normalized weighted score fusion of two candidate lists —
+    the score-level complement of :func:`rrf_fuse` (rank-level): each
+    list's scores normalize to [0, 1] over ITS OWN candidates, then
+    combine as w_a·norm_a + w_b·norm_b (absent side contributes 0).
+
+    Cross-engine determinism: inputs are the retrievers' round-6
+    scores, so min/max/normalize/combine are identical double
+    arithmetic in both engines (the ln() ulp hazard was already
+    absorbed upstream); final ordering ties break on id.  A
+    degenerate all-equal list normalizes to 1.0 (max==min guard).
+
+    Scale: two global min/max windows over k-row candidate lists plus
+    one full-outer join — nothing corpus-sized.
+    """
+    wall = Window.partitionBy()
+
+    def norm(df, sc):
+        mn, mx = F.min(sc).over(wall), F.max(sc).over(wall)
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.when(mx == mn, F.lit(1.0))
+            .otherwise((F.col(sc) - mn) / (mx - mn))
+            .alias("n"),
+        )
+
+    a = norm(scored_a, score_a).withColumnRenamed("n", "na")
+    b = norm(scored_b, score_b).withColumnRenamed("n", "nb")
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        (
+            F.lit(w_a) * F.coalesce("na", F.lit(0.0))
+            + F.lit(w_b) * F.coalesce("nb", F.lit(0.0))
+        ).alias("fused"),
+    )
+    w = Window.orderBy(F.round("fused", 6).desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", F.round("fused", 6).alias("fused"), "rnk")
+    )

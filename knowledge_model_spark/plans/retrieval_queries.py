@@ -718,3 +718,101 @@ def eval_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.lit(float(n_q)), 6).alias("recall"),
         )
     )
+
+
+def _weighted_oracle() -> str:
+    """Oracle for retrieval_hybrid_weighted, built by reusing the RRF
+    oracle's BM25/centroid CTE prefix verbatim (single source for the
+    shared scoring pipeline) and swapping the fusion tail: ranked lists
+    carry their round-6 scores, each list min-max normalizes over its
+    own candidates, and the combined score is 0.6·lex + 0.4·vec."""
+    from knowledge_model_spark.plans import REGISTRY
+
+    rrf = REGISTRY["retrieval_hybrid_rrf"].oracle
+    prefix, rest = rrf.split("    lex AS (", 1)
+    cent_block = rest.split("    cent AS (", 1)[1].split("    vec AS (", 1)[0]
+    return (
+        prefix
+        + """    lex AS (
+      SELECT doc_id AS id, s6 AS sa
+      FROM (SELECT doc_id, round(score, 6) AS s6,
+                   row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+            FROM bscored)
+      WHERE rnk <= 20
+    ),
+    cent AS (
+"""
+        + cent_block
+        + """    vec AS (
+      SELECT vec_id AS id, s6 AS sb
+      FROM (SELECT e.vec_id,
+                   round(list_cosine_similarity(c.qv, e.embedding), 6) AS s6,
+                   row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(c.qv, e.embedding), 6)
+                       DESC, e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN cent c)
+      WHERE rnk <= 20
+    ),
+    na AS (
+      SELECT id, CASE WHEN max(sa) OVER () = min(sa) OVER () THEN 1.0
+                      ELSE (sa - min(sa) OVER ())
+                           / (max(sa) OVER () - min(sa) OVER ()) END AS n
+      FROM lex
+    ),
+    nb AS (
+      SELECT id, CASE WHEN max(sb) OVER () = min(sb) OVER () THEN 1.0
+                      ELSE (sb - min(sb) OVER ())
+                           / (max(sb) OVER () - min(sb) OVER ()) END AS n
+      FROM vec
+    ),
+    fused AS (
+      SELECT coalesce(na.id, nb.id) AS doc_id,
+             0.6 * coalesce(na.n, 0.0) + 0.4 * coalesce(nb.n, 0.0) AS fs
+      FROM na FULL OUTER JOIN nb ON na.id = nb.id
+    )
+    SELECT doc_id, round(fs, 6) AS fused, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, fs,
+                 row_number() OVER (ORDER BY round(fs, 6) DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= 10
+    """
+    )
+
+
+@register(
+    "retrieval_hybrid_weighted",
+    None,  # oracle attached below once the RRF spec exists
+    doc="hybrid retrieval via min-max-normalized weighted score fusion "
+    "(0.6·BM25 + 0.4·cosine over each list's own top-20) — the "
+    "score-level complement of retrieval_hybrid_rrf; retriever scores "
+    "are round-6 before fusion, so normalize/combine is identical "
+    "double arithmetic cross-engine "
+    "(operators/retrieval.py::weighted_fuse)",
+)
+def retrieval_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.retrieval import weighted_fuse
+    from knowledge_model_spark.operators.text_rank import bm25_rank
+
+    t = load_tables(spark, sf_dir)
+    lex = bm25_rank(
+        t["documents_spread"], "doc_id", "text", ["join", "vector", "slow"], k=20
+    ).select("id", F.col("bm25").alias("sa"))
+    cent = _centroid_queries(t).filter(F.col("query_id") == 0)
+    vec = brute_force_top_k(
+        t["embeddings"], cent, "vec_id", "embedding", "query_id", "qv", k=20
+    ).select(F.col("vec_id").alias("id"), F.col("score").alias("sb"))
+    fused = weighted_fuse(lex, vec, "id", "sa", "sb", w_a=0.6, w_b=0.4, k=10)
+    return fused.select(
+        F.col("id").alias("doc_id"), "fused", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# attach the derived oracle now that both specs are registered
+from knowledge_model_spark.plans import REGISTRY as _REG, QuerySpec  # noqa: E402
+
+_REG["retrieval_hybrid_weighted"] = QuerySpec(
+    name="retrieval_hybrid_weighted",
+    fn=_REG["retrieval_hybrid_weighted"].fn,
+    oracle=_weighted_oracle(),
+    doc=_REG["retrieval_hybrid_weighted"].doc,
+)
