@@ -114,3 +114,30 @@ def test_scalar_iter_model_udf_matches_scalar_form(spark, tables):
     am = {r["doc_id"]: r["vector"] for r in a}
     bm = {r["doc_id"]: r["vector"] for r in b}
     assert am == bm
+
+
+def test_weighted_fuse_normalization_and_absent_side(spark):
+    from knowledge_model_spark.operators.retrieval import weighted_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "id long, sa double"
+    )
+    vec = spark.createDataFrame([(2, 0.9), (4, 0.1)], "id long, sb double")
+    out = {r["id"]: r["fused"] for r in
+           weighted_fuse(lex, vec, "id", "sa", "sb", w_a=0.6, w_b=0.4, k=10).collect()}
+    # lex norms: 1 -> 1.0, 2 -> 0.5, 3 -> 0.0 ; vec norms: 2 -> 1.0, 4 -> 0.0
+    assert out[1] == 0.6          # lex only
+    assert out[2] == 0.7          # 0.6*0.5 + 0.4*1.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0          # vec-only, normalized to 0
+
+
+def test_weighted_fuse_degenerate_equal_scores(spark):
+    from knowledge_model_spark.operators.retrieval import weighted_fuse
+
+    lex = spark.createDataFrame([(1, 3.0), (2, 3.0)], "id long, sa double")
+    vec = spark.createDataFrame([(1, 0.5)], "id long, sb double")
+    out = {r["id"]: r["fused"] for r in
+           weighted_fuse(lex, vec, "id", "sa", "sb").collect()}
+    # all-equal lex list normalizes to 1.0 (max==min guard), vec too
+    assert out[1] == 1.0 and out[2] == 0.6
