@@ -86,3 +86,35 @@ def test_pipeline_single_lineage_no_hidden_collects(spark, tables):
     # cartesian product anywhere in the composition
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_extends_to_sft_ready_output(spark, tables):
+    """The curation waterfall continues to SFT-ready artifacts: the
+    train split renders into chat-template conversations with loss-mask
+    spans, and the spans index exactly the assistant text — documents
+    in, collator-ready rows out, one composition."""
+    from knowledge_model_spark.functions.prompting import render_chat_with_spans
+
+    docs = tables["documents"]
+    train = _run_pipeline(spark, docs).filter(F.col("split") == "train")
+    turns = train.select(
+        F.expr("doc_id div 2").cast("long").alias("conv"),
+        F.col("doc_id").alias("ord"),
+        F.concat(F.lit("Summarize document "), F.col("doc_id").cast("string")).alias("u"),
+        F.col("text").alias("a"),
+    )
+    rendered = render_chat_with_spans(turns, "conv", "ord", "u", "a").collect()
+    assert rendered  # train split is non-empty on the synthetic corpus
+    for r in rendered[:20]:
+        spans = r["asst_spans"].split(";")
+        assert len(spans) == r["n_turns"]
+        for span in spans:
+            s, t = map(int, span.split(":"))
+            seg = r["rendered"][s:t]
+            # every span lands exactly on assistant payload: it is
+            # followed by the turn terminator and preceded by the tag
+            assert r["rendered"][s - len("<|assistant|>\n") : s].endswith(
+                "<|assistant|>\n"
+            )
+            assert r["rendered"][t : t + 1] == "\n"
+            assert seg  # non-empty assistant text survived curation
