@@ -189,6 +189,7 @@ HEADLINE: dict[str, bool] = {
     "window_cume_dist_nth": False,
     "dedup_cluster_best_survivors": False,
     "retrieval_hybrid_weighted": True,
+    "stats_ks_test": True,
 }
 
 

@@ -65,6 +65,7 @@ _GATE_PRIORITY = [
     "window_cume_dist_nth",       # new (r3 session 4)
     "dedup_cluster_best_survivors",  # new (r3 session 4)
     "retrieval_hybrid_weighted",  # new (r3 session 4)
+    "stats_ks_test",              # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

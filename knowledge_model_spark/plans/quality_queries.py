@@ -1377,3 +1377,75 @@ def quality_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sent.cast("long").alias("n_sentences"),
         F.round(fk, 6).alias("fk_grade"),
     )
+
+
+@register(
+    "stats_ks_test",
+    """
+    WITH pooled AS (
+      SELECT value, CAST(event_type = 'click' AS INTEGER) AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    vg AS (
+      SELECT value, count(*) AS cnt, sum(is_a) AS cnt_a
+      FROM pooled GROUP BY value
+    ),
+    tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt - cnt_a) AS n_b FROM vg),
+    cum AS (
+      SELECT value,
+             sum(cnt_a) OVER (ORDER BY value) AS ca,
+             sum(cnt - cnt_a) OVER (ORDER BY value) AS cb
+      FROM vg
+    ),
+    d AS (
+      SELECT max(abs(ca * (SELECT n_b FROM tot) - cb * (SELECT n_a FROM tot)))
+               AS d_num
+      FROM cum
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           round(d.d_num / CAST(t.n_a * t.n_b AS DOUBLE), 6) AS d_stat,
+           d.d_num / CAST(t.n_a * t.n_b AS DOUBLE) >
+             1.358 * sqrt((t.n_a + t.n_b) / CAST(t.n_a * t.n_b AS DOUBLE))
+             AS reject_05
+    FROM d, tot t
+    """,
+    doc="two-sample Kolmogorov-Smirnov test (click vs view event "
+    "values): D = max |ECDF_a − ECDF_b| computed EXACTLY as an integer "
+    "cross-product max (ca·n_b − cb·n_a over the value-level "
+    "aggregate — no float ECDFs, so the max cannot flip on rounding); "
+    "reject at α=0.05 via the 1.358·sqrt((n_a+n_b)/(n_a·n_b)) "
+    "asymptotic critical value; completes the nonparametric trio with "
+    "stats_mannwhitney_u and stats_chi2_lang_source",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pooled = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("value", (F.col("event_type") == "click").cast("int").alias("is_a"))
+    )
+    vg = pooled.groupBy("value").agg(
+        F.count("*").alias("cnt"), F.sum("is_a").alias("cnt_a")
+    )
+    tot = vg.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
+    ).collect()[0]
+    n_a, n_b = int(tot["n_a"]), int(tot["n_b"])
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vg.select(
+        F.sum("cnt_a").over(w).alias("ca"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).over(w).alias("cb"),
+    )
+    d_num = cum.agg(
+        F.max(F.abs(F.col("ca") * n_b - F.col("cb") * n_a)).alias("d")
+    )
+    crit = 1.358 * float((n_a + n_b) / (n_a * n_b)) ** 0.5
+    return d_num.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.round(F.col("d") / F.lit(float(n_a * n_b)), 6).alias("d_stat"),
+        (F.col("d") / F.lit(float(n_a * n_b)) > crit).alias("reject_05"),
+    )

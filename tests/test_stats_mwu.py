@@ -92,3 +92,37 @@ def test_bh_fdr_cap_at_one(spark):
     # raw n·p/i: a = 1.8 (capped to 1), b = 0.99; step-up takes
     # q_a = min(raw_a, q_b) = 0.99, and nothing exceeds 1
     assert out == {"a": 0.99, "b": 0.99}
+
+
+def test_ks_hand_computed():
+    # x = [1,2], y = [3,4]: ECDFs never overlap mid-range; at value 2,
+    # F_a = 1.0, F_b = 0.0 -> D = 1.0 (max separation)
+    import duckdb
+
+    sql = load_registry()["stats_ks_test"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [("click", 1.0), ("click", 2.0), ("view", 3.0), ("view", 4.0)],
+    )
+    n_a, n_b, d, rej = con.sql(sql).fetchone()
+    assert (n_a, n_b, d) == (2, 2, 1.0)
+    # D=1 with n=2+2: crit = 1.358*sqrt(4/4) = 1.358 -> not rejected
+    assert rej == False  # noqa: E712
+
+
+def test_ks_interleaved_small_d():
+    import duckdb
+
+    sql = load_registry()["stats_ks_test"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    rows = []
+    for i in range(50):
+        rows += [("click", float(i)), ("view", float(i) + 0.5)]
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    n_a, n_b, d, rej = con.sql(sql).fetchone()
+    # shifted-interleave ECDFs stay within 1/50 of each other
+    assert (n_a, n_b) == (50, 50)
+    assert abs(d - 0.02) < 1e-9 and rej == False  # noqa: E712
