@@ -1433,6 +1433,14 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt_a").alias("n_a"),
         F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
     ).collect()[0]
+    if tot["n_a"] is None or not tot["n_a"] or not tot["n_b"]:
+        # empty (or one-sided) input: schema-correct empty result
+        return vg.select(
+            F.lit(0).cast("long").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+            F.lit(0.0).alias("d_stat"),
+            F.lit(False).alias("reject_05"),
+        ).limit(0)
     n_a, n_b = int(tot["n_a"]), int(tot["n_b"])
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     cum = vg.select(

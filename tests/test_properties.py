@@ -409,3 +409,94 @@ def test_phrase_search_matches_python_scan(spark, docs):
         if hits:
             expect[i] = (len(hits), hits[0])
     assert got == expect
+
+
+def _py_stupid_backoff(lm_docs, score_docs, alpha=0.4):
+    import math
+
+    def toks(t):
+        import re
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if len(w) >= 2]
+
+    uni, bi = {}, {}
+    for _, t in lm_docs:
+        ws = toks(t)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = sum(uni.values())
+    out = {}
+    for i, t in score_docs:
+        ws = toks(t)
+        contribs = []
+        for a, b in zip(ws, ws[1:]):
+            if a not in uni or b not in uni:
+                continue  # OOV positions excluded
+            if (a, b) in bi:
+                contribs.append(math.log(bi[(a, b)] / uni[a]))
+            else:
+                contribs.append(math.log(alpha) + math.log(uni[b] / n))
+        if contribs:
+            out[i] = (len(contribs), round(sum(contribs) / len(contribs), 6))
+    return out
+
+
+@given(
+    lm=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=2, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    score=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "zz"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**_GRAPH_SETTINGS)
+def test_stupid_backoff_matches_python_reference(spark, lm, score):
+    from knowledge_model_spark.operators.ngram_lm import stupid_backoff_scores
+
+    lm_rows = [(i, " ".join(ws)) for i, ws in enumerate(lm)]
+    sc_rows = [(100 + i, " ".join(ws)) for i, ws in enumerate(score)]
+    lm_df = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    sc_df = spark.createDataFrame(sc_rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["sb_logscore"])
+        for r in stupid_backoff_scores(sc_df, "doc_id", "text", lm_df=lm_df).collect()
+    }
+    expect = _py_stupid_backoff(lm_rows, sc_rows)
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 2e-6
+
+
+@given(
+    turns=st.lists(
+        st.tuples(
+            st.integers(0, 3),                          # conversation
+            st.text(alphabet="ab c", min_size=0, max_size=12),  # user
+            st.text(alphabet="xy z", min_size=0, max_size=12),  # assistant
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_GRAPH_SETTINGS)
+def test_chat_render_spans_always_slice_to_assistant(spark, turns):
+    from knowledge_model_spark.functions.prompting import render_chat_with_spans
+
+    rows = [(c, i, u, a) for i, (c, u, a) in enumerate(turns)]
+    df = spark.createDataFrame(rows, "conv long, ord long, u string, a string")
+    by_conv = {}
+    for c, i, u, a in rows:
+        by_conv.setdefault(c, []).append((i, a))
+    for r in render_chat_with_spans(df, "conv", "ord", "u", "a").collect():
+        answers = [a for _, a in sorted(by_conv[r["conv"]])]
+        spans = r["asst_spans"].split(";")
+        assert len(spans) == len(answers) == r["n_turns"]
+        for span, a in zip(spans, answers):
+            s, t = map(int, span.split(":"))
+            assert r["rendered"][s:t] == a
