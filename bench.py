@@ -190,6 +190,8 @@ HEADLINE: dict[str, bool] = {
     "dedup_cluster_best_survivors": False,
     "retrieval_hybrid_weighted": True,
     "stats_ks_test": True,
+    "corpus_js_divergence": True,
+    "stats_permutation_test": True,
 }
 
 

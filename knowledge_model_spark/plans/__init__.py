@@ -66,6 +66,8 @@ _GATE_PRIORITY = [
     "dedup_cluster_best_survivors",  # new (r3 session 4)
     "retrieval_hybrid_weighted",  # new (r3 session 4)
     "stats_ks_test",              # new (r3 session 4)
+    "corpus_js_divergence",       # new (r3 session 4)
+    "stats_permutation_test",     # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

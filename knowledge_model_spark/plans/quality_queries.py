@@ -1457,3 +1457,142 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d") / F.lit(float(n_a * n_b)), 6).alias("d_stat"),
         (F.col("d") / F.lit(float(n_a * n_b)) > crit).alias("reject_05"),
     )
+
+
+@register(
+    "stats_permutation_test",
+    """
+    WITH x AS (
+      SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS v_fp,
+             CAST(event_type = 'click' AS INTEGER) AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    obs AS (
+      SELECT sum(v_fp * is_a) / CAST(sum(is_a) AS DOUBLE)
+             - sum(v_fp * (1 - is_a)) / CAST(sum(1 - is_a) AS DOUBLE) AS d_obs,
+             sum(is_a) AS n_a, sum(1 - is_a) AS n_b
+      FROM x
+    ),
+    rep AS (
+      SELECT b.b, v_fp,
+             CAST((CAST(('0x' || substring(md5(CAST(b.b AS VARCHAR) || ':' ||
+                         CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                   / 4503599627370496.0)
+                  < (SELECT n_a / CAST(n_a + n_b AS DOUBLE) FROM obs)
+                  AS INTEGER) AS pa
+      FROM x CROSS JOIN (SELECT unnest(range(64)) AS b) b
+    ),
+    reps AS (
+      SELECT b,
+             sum(v_fp * pa) / CAST(sum(pa) AS DOUBLE)
+             - sum(v_fp * (1 - pa)) / CAST(sum(1 - pa) AS DOUBLE) AS d
+      FROM rep GROUP BY b
+      HAVING sum(pa) > 0 AND sum(1 - pa) > 0
+    )
+    SELECT CAST(o.n_a AS BIGINT) AS n_a, CAST(o.n_b AS BIGINT) AS n_b,
+           round(o.d_obs / 1000000.0, 6) AS diff_obs,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round((1.0 + count(*) FILTER (abs(r.d) >= abs(o.d_obs)))
+                 / (count(*) + 1.0), 6) AS p_value
+    FROM reps r CROSS JOIN obs o
+    GROUP BY o.n_a, o.n_b, o.d_obs
+    """,
+    doc="one-pass permutation test for the click-vs-view mean gap "
+    "(random-relabel variant: per (replicate, row) md5 coin at the "
+    "observed group proportion — the label permutation a single scan "
+    "CAN do at 100 TB, where a true shuffle cannot; 64 replicates as "
+    "map-side conditional integer sums, the bootstrap-CI machinery "
+    "pointed at hypothesis testing); values fixed-point floored at "
+    "1e-6 so every replicate sum is an EXACT int64 and the |d_r| >= "
+    "|d_obs| comparisons are engine-identical; add-one p-value",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    B = 64
+    x = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+            (F.col("event_type") == "click").cast("int").alias("is_a"),
+        )
+    )
+    obs = x.agg(
+        F.sum(F.col("v_fp") * F.col("is_a")).alias("sa"),
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.col("v_fp") * (1 - F.col("is_a"))).alias("sb"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    ).collect()[0]
+    n_a, n_b = int(obs["n_a"] or 0), int(obs["n_b"] or 0)
+    if not n_a or not n_b:
+        return x.select(
+            F.lit(0).cast("long").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+            F.lit(0.0).alias("diff_obs"),
+            F.lit(0).cast("long").alias("n_replicates"),
+            F.lit(0.0).alias("p_value"),
+        ).limit(0)
+    d_obs = int(obs["sa"]) / float(n_a) - int(obs["sb"]) / float(n_b)
+    thresh = n_a / float(n_a + n_b)
+    rep = x.select(
+        "event_id",
+        "v_fp",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    ).select(
+        "b",
+        "v_fp",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("b").cast("string"),
+                                F.col("event_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(4503599627370496.0)
+            )
+            < F.lit(thresh)
+        )
+        .cast("int")
+        .alias("pa"),
+    )
+    reps = (
+        rep.groupBy("b")
+        .agg(
+            F.sum(F.col("v_fp") * F.col("pa")).alias("s1"),
+            F.sum("pa").alias("c1"),
+            F.sum(F.col("v_fp") * (1 - F.col("pa"))).alias("s0"),
+            F.sum(1 - F.col("pa")).alias("c0"),
+        )
+        .filter((F.col("c1") > 0) & (F.col("c0") > 0))
+        .select(
+            (
+                F.col("s1") / F.col("c1").cast("double")
+                - F.col("s0") / F.col("c0").cast("double")
+            ).alias("d")
+        )
+    )
+    return reps.agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.round(F.lit(d_obs) / 1_000_000.0, 6).alias("diff_obs"),
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(
+            (
+                F.lit(1.0)
+                + F.sum((F.abs(F.col("d")) >= F.lit(abs(d_obs))).cast("int"))
+            )
+            / (F.count("*") + F.lit(1.0)),
+            6,
+        ).alias("p_value"),
+    )

@@ -1209,3 +1209,87 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "corpus_js_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ')) AS tk
+      FROM documents
+    ),
+    sc AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY source, tk),
+    st AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+    gc AS (SELECT tk, sum(c) AS g FROM sc GROUP BY tk),
+    gt AS (SELECT sum(c) AS m FROM sc),
+    grid AS (
+      SELECT st.source, st.n, gc.tk, gc.g, coalesce(sc.c, 0) AS c
+      FROM st CROSS JOIN gc
+      LEFT JOIN sc ON sc.source = st.source AND sc.tk = gc.tk
+    )
+    SELECT source,
+           round(sum(
+             CASE WHEN c > 0 THEN 0.5 * (CAST(c AS DOUBLE) / n)
+                  * ln((CAST(c AS DOUBLE) / n)
+                       / ((CAST(c AS DOUBLE) / n
+                           + CAST(g AS DOUBLE) / (SELECT m FROM gt)) / 2))
+                  ELSE 0.0 END
+             + 0.5 * (CAST(g AS DOUBLE) / (SELECT m FROM gt))
+               * ln((CAST(g AS DOUBLE) / (SELECT m FROM gt))
+                    / ((CAST(c AS DOUBLE) / n
+                        + CAST(g AS DOUBLE) / (SELECT m FROM gt)) / 2))
+           ), 6) AS js,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM grid GROUP BY source ORDER BY source
+    """,
+    doc="Jensen-Shannon divergence per source vs the corpus token "
+    "distribution — the SYMMETRIC, bounded (≤ ln 2) twin of "
+    "corpus_kl_divergence (KL explodes when a source merely lacks a "
+    "corpus term; JS stays finite, so it's the robust drift alarm). "
+    "The (source × vocab) grid handles absent terms explicitly and is "
+    "dimension-sized (sources·|V|), never corpus-sized; identical "
+    "double ratios feed ln() in both engines, round-6 absorbs the "
+    "per-source fold spread",
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            )
+        ).alias("tk"),
+    )
+    sc = tok.groupBy("source", "tk").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("tk").agg(F.sum("c").alias("g"))
+    m_tot = sc.agg(F.sum("c")).collect()[0][0]
+    if not m_tot:
+        return sc.select(
+            "source", F.lit(0.0).alias("js"), F.lit(0).cast("long").alias("n_terms")
+        ).limit(0)
+    grid = (
+        st.crossJoin(gc)
+        .join(sc, ["source", "tk"], "left")
+        .select("source", "n", "tk", "g", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.lit(float(m_tot))
+    mid = (p + q) / 2
+    contrib = (
+        F.when(F.col("c") > 0, 0.5 * p * F.log(p / mid)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / mid)
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("js"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .orderBy("source")
+    )
