@@ -192,6 +192,7 @@ HEADLINE: dict[str, bool] = {
     "stats_ks_test": True,
     "corpus_js_divergence": True,
     "stats_permutation_test": True,
+    "quality_classifier_calibration": True,
 }
 
 

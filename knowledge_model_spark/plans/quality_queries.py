@@ -1596,3 +1596,75 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+@register(
+    "quality_classifier_calibration",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, term,
+             (('0x' || substring(md5(term), 1, 4))::BIGINT % 4096) AS idx
+      FROM toks
+    ),
+    w AS (SELECT doc_id, term, idx / 4096.0 - 0.5 AS w FROM feat),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(sum(w ORDER BY term) / count(*)))), 6)
+               AS score
+      FROM w GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT s.doc_id,
+             CAST(round(s.score * 1000000) AS BIGINT) AS s_fp,
+             least(CAST(floor(s.score * 10) AS BIGINT), 9) AS bin,
+             CAST(d.lang = 'en' AS INTEGER) AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    tot AS (SELECT count(*) AS n FROM labeled)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(sum(s_fp) / (count(*) * 1000000.0), 6) AS mean_score,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+           round(abs(sum(s_fp) / (count(*) * 1000000.0)
+                     - sum(y) / CAST(count(*) AS DOUBLE))
+                 * count(*) / (SELECT n FROM tot), 6) AS ece_contrib
+    FROM labeled GROUP BY bin
+    """,
+    doc="reliability diagram + per-bin ECE contribution for the hashed "
+    "quality classifier against the lang='en' pseudo-label — the "
+    "calibration audit run before a classifier's scores become "
+    "sampling weights (an over-confident filter silently starves "
+    "domains); per-bin means use fixed-point integer sums of the "
+    "round-6 scores, so NO corpus-sized sorted fold is needed — exact "
+    "int64 arithmetic at any group size (the scalable form of the "
+    "sorted-fold determinism pattern)",
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.importance import hashed_linear_score
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"]
+    scored = hashed_linear_score(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.round(F.col("score") * 1_000_000).cast("long").alias("s_fp"),
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    n_tot = labeled.count()
+    mean_score = F.sum("s_fp") / (F.count("*") * 1_000_000.0)
+    pos_rate = F.sum("y") / F.count("*").cast("double")
+    return labeled.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(
+            F.abs(mean_score - pos_rate) * F.count("*") / F.lit(float(n_tot)), 6
+        ).alias("ece_contrib"),
+    )
