@@ -193,6 +193,7 @@ HEADLINE: dict[str, bool] = {
     "corpus_js_divergence": True,
     "stats_permutation_test": True,
     "quality_classifier_calibration": True,
+    "events_seasonal_profile": True,
 }
 
 

@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "corpus_js_divergence",       # new (r3 session 4)
     "stats_permutation_test",     # new (r3 session 4)
     "quality_classifier_calibration",  # new (r3 session 4)
+    "events_seasonal_profile",    # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1224,3 +1224,54 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_touches"),
         F.round(F.col("value") / F.count("*").over(w), 6).alias("credit"),
     )
+
+
+@register(
+    "events_seasonal_profile",
+    """
+    WITH e AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,  -- Monday=0, both engines
+             CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_fp
+      FROM events
+    ),
+    g AS (SELECT sum(v_fp) AS s, count(*) AS n FROM e),
+    prof AS (
+      SELECT dow, hr, count(*) AS n_cell, sum(v_fp) AS s_cell
+      FROM e GROUP BY dow, hr
+    )
+    SELECT dow, hr, CAST(n_cell AS BIGINT) AS n,
+           round(s_cell / (n_cell * 1000000.0), 6) AS cell_mean,
+           round(s_cell / (n_cell * 1000000.0)
+                 - g.s / (g.n * 1000000.0), 6) AS seasonal_component
+    FROM prof CROSS JOIN g
+    """,
+    doc="weekly seasonality profile (STL-lite additive decomposition: "
+    "per (day-of-week, hour) mean minus the grand mean = the seasonal "
+    "component a monitoring pipeline subtracts before anomaly scoring "
+    "— events_anomaly_zscore's trailing window assumes de-seasonalized "
+    "input); fixed-point integer sums → exact cell means at any "
+    "volume, ONE map-side-combined aggregate over a 7×24-bounded grid",
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        F.weekday("ts").cast("long").alias("dow"),  # Monday=0, both engines
+        F.hour("ts").cast("long").alias("hr"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+    )
+    g = e.agg(F.sum("v_fp").alias("s"), F.count("*").alias("n")).collect()[0]
+    if not g["n"]:
+        return e.select(
+            "dow", "hr",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("cell_mean"),
+            F.lit(0.0).alias("seasonal_component"),
+        ).limit(0)
+    grand = int(g["s"]) / (int(g["n"]) * 1_000_000.0)
+    cell_mean = F.sum("v_fp") / (F.count("*") * 1_000_000.0)
+    return e.groupBy("dow", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(cell_mean, 6).alias("cell_mean"),
+        F.round(cell_mean - F.lit(grand), 6).alias("seasonal_component"),
+    )
