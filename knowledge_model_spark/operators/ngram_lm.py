@@ -186,3 +186,45 @@ def stupid_backoff_scores(
             ).alias("sb_logscore"),
         )
     )
+
+
+def merge_vocab_counts(
+    old_counts: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    min_len: int = 2,
+) -> DataFrame:
+    """Fold a NEW document batch into an existing vocabulary count table
+    — the monthly-growth form of :func:`build_vocab` (same shape as
+    connected_components_incremental / minhash_incremental_pairs: cost
+    ∝ batch + |V|, never the historical corpus).
+
+    ``old_counts``: a prior (term, c, df_docs, ...) table (extra
+    columns like term_id are ignored — ids are REASSIGNED, since counts
+    change global order).  Token counts are additive and doc-frequency
+    counts are additive when batches are disjoint by document, so the
+    merge is one vocab-sized unionByName + groupBy; the min_count
+    cutoff re-applies AFTER merging (a term sub-threshold in every
+    batch can clear it cumulatively).  Equivalence with a full rebuild
+    is asserted in tests.
+    """
+    batch = (
+        _tokens(new_docs, id_col, text_col, min_len)
+        .select("id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"), F.countDistinct("id").alias("df_docs"))
+    )
+    merged = (
+        old_counts.select("term", "c", "df_docs")
+        .unionByName(batch)
+        .groupBy("term")
+        .agg(F.sum("c").alias("c"), F.sum("df_docs").alias("df_docs"))
+    )
+    kept = merged.filter(F.col("c") >= min_count)
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    return kept.select(
+        "term", "c", "df_docs",
+        F.row_number().over(w).cast("long").alias("term_id"),
+    )

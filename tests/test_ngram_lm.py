@@ -83,3 +83,38 @@ def test_in_corpus_self_scoring_matches_manual(spark):
     expect = (math.log(2 / 2) + math.log(1 / 2) + math.log(2 / 2)) / 3
     assert r["n_bigrams"] == 3
     assert abs(r["sb_logscore"] - round(expect, 6)) < 1e-9
+
+
+def test_incremental_vocab_equals_full_rebuild(spark):
+    from knowledge_model_spark.operators.ngram_lm import (
+        build_vocab,
+        merge_vocab_counts,
+    )
+
+    month1 = _docs(spark, [(i, "alpha beta beta gamma") for i in range(4)])
+    month2 = _docs(
+        spark, [(10 + i, "beta gamma gamma delta rare") for i in range(3)]
+    )
+    # full-history vocab counts feed the merge WITHOUT the cutoff so
+    # cumulative sub-threshold terms can clear min_count later
+    v1_all = build_vocab(month1, "doc_id", "text", min_count=1)
+    inc = merge_vocab_counts(v1_all, month2, "doc_id", "text", min_count=2)
+    full = build_vocab(
+        month1.unionByName(month2), "doc_id", "text", min_count=2
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_vocab_empty_batch_reranks_only(spark):
+    from knowledge_model_spark.operators.ngram_lm import (
+        build_vocab,
+        merge_vocab_counts,
+    )
+
+    month1 = _docs(spark, [(1, "aa aa bb bb cc")])
+    v1 = build_vocab(month1, "doc_id", "text", min_count=1)
+    empty = _docs(spark, []).limit(0)
+    inc = merge_vocab_counts(v1, empty, "doc_id", "text", min_count=2)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, build_vocab(month1, "doc_id", "text", min_count=2).collect())
+    )
