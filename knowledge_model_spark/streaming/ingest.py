@@ -214,3 +214,69 @@ def stream_index_ingest(
     )
     q.awaitTermination()
     return n_batches
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def stream_vocab_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    vocab_path: str,
+    checkpoint_dir: str,
+    min_count: int = 2,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming maintenance of the vocabulary count table
+    (operators/ngram_lm.merge_vocab_counts): each micro-batch of new
+    documents folds its token/doc-frequency counts into the standing
+    vocab — per-batch cost ∝ batch + |V|, exactly-once via checkpointed
+    file offsets; the corpus history is never re-read.
+
+    The durable table stores UNCUT counts (min_count=1) so cumulative
+    sub-threshold terms can clear the cutoff across batches; readers
+    apply ``min_count`` on load (mirrors the batch-side contract proven
+    in tests/test_ngram_lm.py).  Returns micro-batches run.
+    """
+    from knowledge_model_spark.operators.ngram_lm import merge_vocab_counts
+
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch_df.isEmpty():
+            return
+        n_batches += 1
+        try:
+            old = spark.read.parquet(vocab_path)
+            old.limit(1).collect()
+        except Exception:
+            old = batch_df.sparkSession.createDataFrame(
+                [], "term string, c long, df_docs long"
+            )
+        merged = merge_vocab_counts(
+            old, batch_df, "doc_id", "text", min_count=1
+        ).select("term", "c", "df_docs")
+        # write-then-swap: stage the new table, then atomic rename, so a
+        # crash mid-write leaves the old vocab readable
+        staging = vocab_path + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import os
+        import shutil
+
+        if os.path.exists(vocab_path):
+            shutil.rmtree(vocab_path)
+        os.replace(staging, vocab_path)
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

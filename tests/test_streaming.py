@@ -581,3 +581,44 @@ def test_stream_index_ingest_bootstrap_append_and_resume(spark, tables, tmp_path
     )
     assert n2 == 0
     assert spark.read.parquet(f"{idx}/postings").count() == len(want)
+
+
+def test_stream_vocab_ingest_matches_batch_rebuild(spark, tmp_path):
+    from knowledge_model_spark.operators.ngram_lm import build_vocab
+    from knowledge_model_spark.streaming.ingest import stream_vocab_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+    ckpt = str(tmp_path / "ckpt")
+
+    m1 = spark.createDataFrame(
+        [(i, "alpha beta beta gamma") for i in range(4)], "doc_id long, text string"
+    )
+    m1.write.parquet(str(landing / "m1"))
+    n1 = stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    assert n1 >= 1
+
+    m2 = spark.createDataFrame(
+        [(10 + i, "beta gamma gamma delta rare") for i in range(3)],
+        "doc_id long, text string",
+    )
+    m2.write.parquet(str(landing / "m2"))
+    n2 = stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    assert n2 >= 1
+
+    # durable table (uncut) equals a full-history rebuild
+    stored = {
+        r["term"]: (r["c"], r["df_docs"])
+        for r in spark.read.parquet(vocab_path).collect()
+    }
+    full = {
+        r["term"]: (r["c"], r["df_docs"])
+        for r in build_vocab(
+            m1.unionByName(m2), "doc_id", "text", min_count=1
+        ).collect()
+    }
+    assert stored == full
+
+    # re-run with no new files: zero batches, table untouched
+    assert stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt) == 0
