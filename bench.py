@@ -194,6 +194,7 @@ HEADLINE: dict[str, bool] = {
     "stats_permutation_test": True,
     "quality_classifier_calibration": True,
     "events_seasonal_profile": True,
+    "events_cusum_changepoint": True,
 }
 
 

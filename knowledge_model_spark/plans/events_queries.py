@@ -1275,3 +1275,100 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cell_mean, 6).alias("cell_mean"),
         F.round(cell_mean - F.lit(grand), 6).alias("seasonal_component"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_fp
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, sum(v_fp) AS s_tot, count(*) AS n
+      FROM x GROUP BY event_type
+    ),
+    cum AS (
+      SELECT x.event_type, x.ts, x.event_id, t.n, t.s_tot,
+             sum(x.v_fp) OVER (PARTITION BY x.event_type
+                               ORDER BY x.ts, x.event_id) AS s_cum,
+             row_number() OVER (PARTITION BY x.event_type
+                                ORDER BY x.ts, x.event_id) AS i
+      FROM x JOIN tot t USING (event_type)
+    ),
+    dev AS (
+      SELECT event_type, ts, event_id, n,
+             n * s_cum - i * s_tot AS t_stat
+      FROM cum
+    ),
+    best AS (
+      SELECT event_type,
+             (max({'a': abs(t_stat), 'ts': ts, 'i': event_id})).ts AS cp_ts,
+             (max({'a': abs(t_stat), 'ts': ts, 'i': event_id})).a AS t_max,
+             any_value(n) AS n
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_type, CAST(epoch_us(cp_ts) AS BIGINT) AS cp_us,
+           round(t_max / (CAST(n AS DOUBLE) * n * 1000000.0), 6)
+             AS cusum_stat
+    FROM best
+    """,
+    doc="CUSUM changepoint per event type: the time where the "
+    "cumulative deviation from the series mean peaks — computed in "
+    "EXACT int64 throughout by multiplying the mean out "
+    "(T_i = n·S_i − i·S_total, so no float cumsum can drift and the "
+    "argmax cannot flip); struct-max argmax with (ts, id) tiebreak; "
+    "one event_type-keyed window Exchange reused by the cumsum and "
+    "row_number; the level-shift monitor feeding drift alerts "
+    "(normalized statistic = T_max/(n²·1e6) ≈ max |mean gap|); "
+    "int64 headroom: |T| ≤ n·|S_tot| — safe to ~3e9 fixed-point row "
+    "mass per type, cast the products to decimal(38,0) beyond",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    x = t["events"].select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+    )
+    tot = x.groupBy("event_type").agg(
+        F.sum("v_fp").alias("s_tot"), F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum = (
+        x.join(F.broadcast(tot), "event_type")
+        .withColumn("s_cum", F.sum("v_fp").over(w))
+        .withColumn("i", F.row_number().over(w))
+    )
+    dev = cum.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        (F.col("n") * F.col("s_cum") - F.col("i") * F.col("s_tot")).alias(
+            "t_stat"
+        ),
+    )
+    key = F.struct(
+        F.abs(F.col("t_stat")).alias("a"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("i"),
+    )
+    best = dev.groupBy("event_type").agg(
+        F.max(key)["ts"].alias("cp_ts"),
+        F.max(key)["a"].alias("t_max"),
+        F.first("n").alias("n"),
+    )
+    return best.select(
+        "event_type",
+        F.unix_micros("cp_ts").alias("cp_us"),
+        F.round(
+            F.col("t_max")
+            / (F.col("n").cast("double") * F.col("n") * 1_000_000.0),
+            6,
+        ).alias("cusum_stat"),
+    )
