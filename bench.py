@@ -195,6 +195,7 @@ HEADLINE: dict[str, bool] = {
     "quality_classifier_calibration": True,
     "events_seasonal_profile": True,
     "events_cusum_changepoint": True,
+    "sample_time_split": True,
 }
 
 

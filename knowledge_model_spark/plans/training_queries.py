@@ -788,3 +788,51 @@ def training_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.i").alias("rejected_id"),
         (F.col("b.s") - F.col("w.s")).cast("long").alias("len_margin"),
     )
+
+
+@register(
+    "sample_time_split",
+    """
+    WITH x AS (
+      SELECT event_id, ts,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    labeled AS (
+      SELECT event_id, ts,
+             CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT)
+                  THEN 'train' ELSE 'test' END AS split
+      FROM x
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+    FROM labeled GROUP BY split
+    """,
+    doc="temporal 80/20 split (train strictly precedes test in event "
+    "time — the leakage-safe split for anything with temporal "
+    "structure, where the md5 content-addressed splits of "
+    "sample_train_split would let the future leak into training); "
+    "the boundary is the exact 80th order statistic under the total "
+    "(ts, id) order, so the cut is partition-invariant; at 100 TB "
+    "swap the global row_number for an approx-percentile cutover "
+    "(noted) — the per-split min/max audit proves train.max <= "
+    "test.min",
+)
+def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    x = t["events"].select("event_id", "ts")
+    n = x.count()
+    cut = int(n * 0.8)
+    w = Window.orderBy("ts", "event_id")
+    labeled = x.withColumn("rn", F.row_number().over(w)).select(
+        "event_id",
+        "ts",
+        F.when(F.col("rn") <= cut, "train").otherwise("test").alias("split"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    )
