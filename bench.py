@@ -196,6 +196,7 @@ HEADLINE: dict[str, bool] = {
     "events_seasonal_profile": True,
     "events_cusum_changepoint": True,
     "sample_time_split": True,
+    "graph_degree_powerlaw": True,
 }
 
 

@@ -72,6 +72,7 @@ _GATE_PRIORITY = [
     "events_seasonal_profile",    # new (r3 session 4)
     "events_cusum_changepoint",   # new (r3 session 4)
     "sample_time_split",          # new (r3 session 4)
+    "graph_degree_powerlaw",      # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

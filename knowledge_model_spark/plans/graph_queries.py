@@ -573,3 +573,70 @@ def dedup_cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key)["s"].alias("survivor_chars"),
         F.count("*").cast("long").alias("cluster_size"),
     )
+
+
+@register(
+    "graph_degree_powerlaw",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    dist AS (SELECT d, count(*) AS n_nodes FROM deg GROUP BY d),
+    hill AS (
+      SELECT count(*) AS n_tail,
+             sum(ln(CAST(d AS DOUBLE) / 2.0) ORDER BY node) AS s
+      FROM deg WHERE d >= 2
+    )
+    SELECT CAST(dist.d AS BIGINT) AS degree,
+           CAST(dist.n_nodes AS BIGINT) AS n_nodes,
+           round(CASE WHEN h.s > 0 THEN 1.0 + h.n_tail / h.s END, 6)
+             AS hill_alpha
+    FROM dist CROSS JOIN hill h
+    """,
+    doc="degree distribution + Hill power-law exponent (alpha = 1 + "
+    "n/Σ ln(d/d_min), d_min = 2) over the trade graph — the skew "
+    "pre-flight for graph algorithms: alpha near 2 means hub nodes "
+    "will dominate any per-node fan-out (triangle counting's "
+    "degree-orientation and the salted joins exist exactly for this); "
+    "the Hill sum folds in node order on BOTH engines over the "
+    "node-level degree table; distribution rows are degree-level "
+    "(tiny); the alpha column is a broadcast 1-row cross join",
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    dist = deg.groupBy("d").agg(F.count("*").alias("n_nodes"))
+    tail = deg.filter(F.col("d") >= 2).select(
+        "node", F.log(F.col("d").cast("double") / 2.0).alias("l")
+    )
+    hill = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("node", "l"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["l"],
+        ).alias("s"),
+    )
+    return dist.crossJoin(F.broadcast(hill)).select(
+        F.col("d").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round(
+            F.when(F.col("s") > 0, 1.0 + F.col("n_tail") / F.col("s")), 6
+        ).alias("hill_alpha"),
+    )

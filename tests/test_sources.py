@@ -762,3 +762,18 @@ def test_versioned_vacuum_retention(spark, tmp_path):
         read_snapshot(spark, base, 1)
     # idempotent
     assert vacuum(base, keep_last=2) == []
+
+
+def test_write_partitioned_zstd_compression(spark, tmp_path):
+    from knowledge_model_spark.sources.corpus import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "payload " * 20, 2024, 1) for i in range(200)],
+        "id long, payload string, year int, month int",
+    )
+    p_zstd = str(tmp_path / "zstd_tbl")
+    write_partitioned(df, p_zstd, compression="zstd")
+    import glob
+    files = glob.glob(f"{p_zstd}/year=2024/month=1/*.parquet")
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(p_zstd).count() == 200
