@@ -197,6 +197,7 @@ HEADLINE: dict[str, bool] = {
     "events_cusum_changepoint": True,
     "sample_time_split": True,
     "graph_degree_powerlaw": True,
+    "dedup_cluster_size_histogram": True,
 }
 
 

@@ -640,3 +640,42 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("s") > 0, 1.0 + F.col("n_tail") / F.col("s")), 6
         ).alias("hill_alpha"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _CC_CTE
+    + """
+    , members AS (
+      SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM members GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+    doc="duplicate-cluster size histogram — the dedup-rate report a "
+    "pipeline publishes after the ladder runs (how much of the corpus "
+    "is singletons vs small clusters vs boilerplate floods; the "
+    "n_docs column decomposes corpus mass by redundancy level); two "
+    "tiny aggregates on top of the connected-components output, "
+    "singletons counted via the same left-join-coalesce as the "
+    "survivor queries",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cc = connected_components(_edges(docs))
+    members = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"))
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
