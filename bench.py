@@ -198,6 +198,7 @@ HEADLINE: dict[str, bool] = {
     "sample_time_split": True,
     "graph_degree_powerlaw": True,
     "dedup_cluster_size_histogram": True,
+    "agg_mode_quantity": True,
 }
 
 

@@ -1691,3 +1691,34 @@ def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_custkey", 3).over(wfull).alias("third_richest"),
         F.first_value("c_custkey").over(w).alias("richest"),
     )
+
+
+@register(
+    "agg_mode_quantity",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity
+    )
+    SELECT l_returnflag, l_linestatus,
+           (min({'nc': -n, 'v': l_quantity})).v AS modal_quantity,
+           CAST(-((min({'nc': -n, 'v': l_quantity})).nc) AS BIGINT) AS modal_n
+    FROM c GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="deterministic MODE aggregation (most frequent value per group, "
+    "ties broken toward the smallest value via a (−count, value) "
+    "struct-min — unlike the built-in mode(), whose tie choice is "
+    "unspecified): one (group, value) count aggregate + one "
+    "struct-extrema hash agg, both map-side-combinable; the SQL "
+    "surface completion for §2.4",
+)
+def agg_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["lineitem"].groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    key = F.struct((-F.col("n")).alias("nc"), F.col("l_quantity").alias("v"))
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.min(key)["v"].alias("modal_quantity"),
+        (-F.min(key)["nc"]).cast("long").alias("modal_n"),
+    )
