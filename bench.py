@@ -199,6 +199,7 @@ HEADLINE: dict[str, bool] = {
     "graph_degree_powerlaw": True,
     "dedup_cluster_size_histogram": True,
     "agg_mode_quantity": True,
+    "join_asof_nearest_event": False,
 }
 
 

@@ -907,3 +907,72 @@ def partition_balance(df, id_expr=None):
         .groupBy("partition_id")
         .agg(F.count("*").cast("long").alias("n_rows"))
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof``
+    ``direction='nearest'``): per left row, whichever of the latest
+    at-or-before / earliest at-or-after right rows is closer in time
+    (exact microsecond distance; ties go BACKWARD — the documented
+    rule, so results are partition-invariant).
+
+    Composed from two :func:`asof_join` passes (backward + forward,
+    each one key shuffle) re-joined on ``left_id`` (a UNIQUE left key —
+    required, because the nearest pick needs both candidates for the
+    same row).  Output: all left columns + ``right_cols`` (nearest
+    match, null when neither direction matched) + ``asof_dt_us``
+    (signed distance, negative = matched backward).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_time)]
+
+    def pass_(direction: str, tag: str):
+        r = right.select(
+            F.col(on),
+            F.col(right_time),
+            F.col(right_time).alias(f"__{tag}_t"),
+            *[F.col(c).alias(f"__{tag}_{c}") for c in right_cols],
+        )
+        return asof_join(
+            left,
+            r,
+            on=on,
+            left_time=left_time,
+            right_time=right_time,
+            direction=direction,
+            right_cols=[f"__{tag}_t"] + [f"__{tag}_{c}" for c in right_cols],
+        )
+
+    back = pass_("backward", "b")
+    fwd = pass_("forward", "f").select(
+        F.col(left_id),
+        F.col("__f_t"),
+        *[F.col(f"__f_{c}") for c in right_cols],
+    )
+    both = back.join(fwd, left_id)
+    lt_us = F.unix_micros(F.col(left_time))
+    b_dt = lt_us - F.unix_micros(F.col("__b_t"))
+    f_dt = F.unix_micros(F.col("__f_t")) - lt_us
+    use_b = F.col("__b_t").isNotNull() & (
+        F.col("__f_t").isNull() | (b_dt <= f_dt)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    for c in right_cols:
+        out_cols.append(
+            F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+        )
+    out_cols.append(
+        F.when(use_b, -b_dt)
+        .otherwise(F.when(F.col("__f_t").isNotNull(), f_dt))
+        .cast("long")
+        .alias("asof_dt_us")
+    )
+    return both.select(*out_cols)

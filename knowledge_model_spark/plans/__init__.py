@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     "graph_degree_powerlaw",      # new (r3 session 4)
     "dedup_cluster_size_histogram",  # new (r3 session 4)
     "agg_mode_quantity",          # new (r3 session 4)
+    "join_asof_nearest_event",    # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -1722,3 +1722,88 @@ def agg_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key)["v"].alias("modal_quantity"),
         (-F.min(key)["nc"]).cast("long").alias("modal_n"),
     )
+
+
+@register(
+    "join_asof_nearest_event",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_custkey % 20 AS uid,
+             TIMESTAMP '2024-01-01' + to_minutes(o_orderkey % 40000) AS ots
+      FROM orders
+    ),
+    e AS (
+      SELECT user_id, ts, event_type
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ),
+    b AS (
+      SELECT o.o_orderkey, e.ts AS bt, e.event_type AS btype
+      FROM o ASOF LEFT JOIN e ON o.uid = e.user_id AND o.ots >= e.ts
+    ),
+    f AS (
+      SELECT o.o_orderkey, e.ts AS ft, e.event_type AS ftype
+      FROM o ASOF LEFT JOIN e ON o.uid = e.user_id AND o.ots <= e.ts
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL OR
+                     epoch_us(o.ots) - epoch_us(b.bt)
+                     <= epoch_us(f.ft) - epoch_us(o.ots))
+                THEN b.btype ELSE f.ftype END AS nearest_event_type,
+           CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL OR
+                     epoch_us(o.ots) - epoch_us(b.bt)
+                     <= epoch_us(f.ft) - epoch_us(o.ots))
+                THEN -(epoch_us(o.ots) - epoch_us(b.bt))
+                ELSE CASE WHEN f.ft IS NOT NULL
+                          THEN epoch_us(f.ft) - epoch_us(o.ots) END
+           END AS asof_dt_us
+    FROM o JOIN b USING (o_orderkey) JOIN f USING (o_orderkey)
+    """,
+    doc="nearest-direction as-of join (pandas merge_asof "
+    "direction='nearest'; ties go backward — documented, "
+    "partition-invariant): two union+window passes re-joined on the "
+    "unique left key — completes the backward/forward/tolerance/"
+    "nearest as-of surface; oracle composes DuckDB's >= and <= ASOF "
+    "JOINs with the identical exact-microsecond pick",
+)
+def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import asof_join_nearest
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.pmod(F.col("o_orderkey"), F.lit(40000)).cast("int"))
+        ).alias("ots"),
+        F.pmod(F.col("o_custkey"), F.lit(20)).alias("uid"),
+    )
+    events = (
+        t["events"]
+        .select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(F.col("user_id").alias("uid"), "ts", "event_type")
+    )
+    out = asof_join_nearest(
+        orders,
+        events,
+        on="uid",
+        left_time="ots",
+        right_time="ts",
+        left_id="o_orderkey",
+        right_cols=["event_type"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_type").alias("nearest_event_type"),
+        "asof_dt_us",
+    )

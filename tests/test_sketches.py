@@ -574,3 +574,50 @@ def test_hll_intersection_error_beyond_exact_regime(spark):
         # the marginals themselves stay within plain HLL error
         assert abs(r.n_click - n_a) / n_a < 0.05
         assert abs(r.n_purchase - n_b) / n_b < 0.05
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    from knowledge_model_spark.operators.relational import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00")], "lid long, k long, lt string"
+    ).select("lid", "k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", "before"),   # 5 min back
+            (1, "2024-01-01 00:15:00", "after"),    # 5 min forward (tie)
+            (1, "2024-01-01 00:30:00", "far"),
+        ],
+        "k long, rt string, tag string",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+    out = asof_join_nearest(
+        left, right, on="k", left_time="lt", right_time="rt",
+        left_id="lid", right_cols=["tag"],
+    ).collect()[0]
+    assert out["tag"] == "before" and out["asof_dt_us"] == -300_000_000
+
+
+def test_asof_nearest_prefers_closer_forward(spark):
+    from knowledge_model_spark.operators.relational import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00"), (2, 2, "2024-01-01 00:10:00")],
+        "lid long, k long, lt string",
+    ).select("lid", "k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "b"),   # 10 min back
+            (1, "2024-01-01 00:12:00", "f"),   # 2 min forward -> wins
+            (2, "2024-01-01 00:20:00", "only_fwd"),
+        ],
+        "k long, rt string, tag string",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+    out = {
+        r["lid"]: (r["tag"], r["asof_dt_us"])
+        for r in asof_join_nearest(
+            left, right, on="k", left_time="lt", right_time="rt",
+            left_id="lid", right_cols=["tag"],
+        ).collect()
+    }
+    assert out[1] == ("f", 120_000_000)
+    assert out[2] == ("only_fwd", 600_000_000)  # backward absent -> forward
