@@ -200,6 +200,7 @@ HEADLINE: dict[str, bool] = {
     "dedup_cluster_size_histogram": True,
     "agg_mode_quantity": True,
     "join_asof_nearest_event": False,
+    "sql_star_except_projection": False,
 }
 
 

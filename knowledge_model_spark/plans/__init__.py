@@ -76,6 +76,7 @@ _GATE_PRIORITY = [
     "dedup_cluster_size_histogram",  # new (r3 session 4)
     "agg_mode_quantity",          # new (r3 session 4)
     "join_asof_nearest_event",    # new (r3 session 4)
+    "sql_star_except_projection",  # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

@@ -208,3 +208,23 @@ def sql_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.array(F.slice("tk", 1, 2), F.slice("tk", 3, 2)))
         ).cast("long").alias("n_flat"),
     )
+
+
+@register(
+    "sql_star_except_projection",
+    """
+    SELECT * EXCLUDE (l_tax, l_discount, l_extendedprice)
+    FROM lineitem WHERE l_orderkey % 1000 = 0
+    """,
+    doc="SELECT * EXCEPT projection (Spark 4) / DuckDB EXCLUDE — the "
+    "wide-table ergonomics for dropping a few columns without "
+    "enumerating hundreds; column pruning still reaches the scan "
+    "(ReadSchema excludes the dropped columns, same as an explicit "
+    "projection — asserted in plan tests)",
+)
+def sql_star_except_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (l_tax, l_discount, l_extendedprice) "
+        "FROM lineitem WHERE l_orderkey % 1000 = 0"
+    )

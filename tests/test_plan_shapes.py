@@ -405,3 +405,9 @@ def test_join_strategy_hints_are_honored(spark, tables):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ShuffledHashJoin" in shj_plan
+
+
+def test_star_except_prunes_scan_columns(spark):
+    plan = _plan(spark, "sql_star_except_projection")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_tax" not in read_schema and "l_quantity" in read_schema
