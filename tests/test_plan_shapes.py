@@ -411,3 +411,43 @@ def test_star_except_prunes_scan_columns(spark):
     plan = _plan(spark, "sql_star_except_projection")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_tax" not in read_schema and "l_quantity" in read_schema
+
+
+def test_phrase_search_no_cartesian(spark):
+    plan = _plan(spark, "text_phrase_search")
+    assert "CartesianProduct" not in plan
+    # adjacency joins are equi on (id, pos-i): hash-joinable
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_chat_render_single_conv_exchange(spark):
+    """The loss-mask offset window and the final assembly both cluster
+    on the conversation key: one hashpartitioning Exchange total."""
+    plan = _plan(spark, "training_chat_render")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_preference_pairs_single_agg_no_window(spark):
+    """struct-extrema form: one partial+final hash agg, no window sort,
+    no join."""
+    plan = _plan(spark, "training_preference_pairs")
+    assert "Window" not in plan and "Join" not in plan
+    # struct extrema compile to SortAggregate (structs aren't
+    # hash-aggregable) — what matters is the MAP-SIDE partial before
+    # the single exchange
+    assert "partial_max" in plan and plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mwu_window_runs_on_value_level_aggregate(spark):
+    """The global rank sort must consume the VALUE-level aggregate, not
+    raw events: a partial aggregate appears below the single-partition
+    sort Exchange."""
+    plan = _plan(spark, "stats_mannwhitney_u")
+    below_sort = plan.split("Exchange SinglePartition")[-1]
+    assert "HashAggregate" in below_sort
+
+
+def test_seasonal_profile_single_agg_scan(spark):
+    plan = _plan(spark, "events_seasonal_profile")
+    assert "Join" not in plan  # grand mean is a driver literal
+    assert plan.count("Exchange hashpartitioning") == 1
