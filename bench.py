@@ -201,6 +201,8 @@ HEADLINE: dict[str, bool] = {
     "agg_mode_quantity": True,
     "join_asof_nearest_event": False,
     "sql_star_except_projection": False,
+    "events_funnel_latency": True,
+    "corpus_crossdup_matrix": True,
 }
 
 

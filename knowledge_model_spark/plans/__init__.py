@@ -77,6 +77,8 @@ _GATE_PRIORITY = [
     "agg_mode_quantity",          # new (r3 session 4)
     "join_asof_nearest_event",    # new (r3 session 4)
     "sql_star_except_projection",  # new (r3 session 4)
+    "events_funnel_latency",      # new (r3 session 4)
+    "corpus_crossdup_matrix",     # new (r3 session 4)
     "quality_char_entropy",       # new (r3 session 3)
     "sample_quality_budget",      # new (r3 session 3)
     "sample_target_mixture",      # new (r3 session 3)

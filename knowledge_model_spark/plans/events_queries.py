@@ -1372,3 +1372,72 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum_stat"),
     )
+
+
+@register(
+    "events_funnel_latency",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS t2
+      FROM events e JOIN s1 s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s.t1
+        AND e.ts <= s.t1 + INTERVAL 2 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t2
+        AND e.ts <= s.t1 + INTERVAL 2 DAY
+      GROUP BY e.user_id
+    ),
+    l12 AS (SELECT epoch_us(t2) - epoch_us(t1) AS lag_us FROM s2),
+    l23 AS (SELECT epoch_us(s3.t3) - epoch_us(s2.t2) AS lag_us
+            FROM s3 JOIN s2 USING (user_id))
+    SELECT 'view->click' AS step_pair, CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(lag_us, 0.5), 4) AS p50_us,
+           round(quantile_cont(lag_us, 0.9), 4) AS p90_us
+    FROM l12
+    UNION ALL
+    SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+           round(quantile_cont(lag_us, 0.5), 4),
+           round(quantile_cont(lag_us, 0.9), 4)
+    FROM l23
+    """,
+    doc="step-to-step funnel latency percentiles (p50/p90 of the "
+    "view→click and click→purchase conversion lags) — the time-to-"
+    "convert report next to events_funnel_steps' count report; exact "
+    "interpolated percentiles over integer microsecond lags (Spark "
+    "percentile ≡ DuckDB quantile_cont); reuses funnel_times, so the "
+    "lags ride the same user-keyed min-time aggregates",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.funnel import funnel_times
+
+    t = load_tables(spark, sf_dir)
+    times = funnel_times(
+        t["events"], "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within="2 DAY",
+    )
+    l12 = times.filter(F.col("t2").isNotNull()).select(
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("lag_us")
+    )
+    l23 = times.filter(F.col("t3").isNotNull()).select(
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("lag_us")
+    )
+
+    def summarize(df, label):
+        return df.agg(
+            F.lit(label).alias("step_pair"),
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.expr("percentile(lag_us, 0.5)"), 4).alias("p50_us"),
+            F.round(F.expr("percentile(lag_us, 0.9)"), 4).alias("p90_us"),
+        )
+
+    return summarize(l12, "view->click").unionByName(
+        summarize(l23, "click->purchase")
+    )

@@ -1293,3 +1293,45 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_crossdup_matrix",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+             ' ', 'g'))) AS f, source
+      FROM documents
+    )
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="cross-source exact-duplicate matrix (normalized-fingerprint "
+    "pairs bucketed by unordered source pair) — the provenance/"
+    "licensing diagnostic that shows WHICH feeds mirror each other "
+    "(mirrored feeds inflate a source's apparent weight before "
+    "mixture balancing); the self-join keys on the uniform md5 "
+    "fingerprint, so candidates ∝ duplicated content only — at "
+    "testdata scale the planted twins appear from sf0.1 up (8 "
+    "cross-source pairs), and the empty small-SF result is itself "
+    "the correct answer",
+)
+def corpus_crossdup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    fp = t["documents"].select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("f"),
+    )
+    a = fp.select(F.col("f"), F.col("doc_id").alias("ida"), F.col("source").alias("sa"))
+    b = fp.select(F.col("f"), F.col("doc_id").alias("idb"), F.col("source").alias("sb"))
+    pairs = a.join(b, "f").filter(F.col("ida") < F.col("idb"))
+    return pairs.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count("*").cast("long").alias("n_dup_pairs"))
