@@ -242,31 +242,50 @@ def stream_vocab_ingest(
 
     n_batches = 0
 
+    def _read_current(sparkSession):
+        # current table, falling back to the __old copy a crashed swap
+        # may have left behind (see swap protocol below)
+        import os
+
+        for path in (vocab_path, vocab_path + "__old"):
+            if os.path.exists(path):
+                try:
+                    df = spark.read.parquet(path)
+                    df.limit(1).collect()
+                    return df
+                except Exception:
+                    continue
+        return sparkSession.createDataFrame(
+            [], "term string, c long, df_docs long"
+        )
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         if batch_df.isEmpty():
             return
         n_batches += 1
-        try:
-            old = spark.read.parquet(vocab_path)
-            old.limit(1).collect()
-        except Exception:
-            old = batch_df.sparkSession.createDataFrame(
-                [], "term string, c long, df_docs long"
-            )
+        old = _read_current(batch_df.sparkSession)
         merged = merge_vocab_counts(
             old, batch_df, "doc_id", "text", min_count=1
         ).select("term", "c", "df_docs")
-        # write-then-swap: stage the new table, then atomic rename, so a
-        # crash mid-write leaves the old vocab readable
+        # swap protocol: stage new table → retire current to __old →
+        # rename staging into place → drop __old.  Every crash window
+        # leaves a COMPLETE copy readable (either the live path or
+        # __old, which _read_current falls back to) — an rmtree-first
+        # swap would have a window with no vocab at all.
         staging = vocab_path + "__staging"
+        retired = vocab_path + "__old"
         merged.write.mode("overwrite").parquet(staging)
         import os
         import shutil
 
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
         if os.path.exists(vocab_path):
-            shutil.rmtree(vocab_path)
+            os.replace(vocab_path, retired)
         os.replace(staging, vocab_path)
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
 
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:

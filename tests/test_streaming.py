@@ -622,3 +622,33 @@ def test_stream_vocab_ingest_matches_batch_rebuild(spark, tmp_path):
 
     # re-run with no new files: zero batches, table untouched
     assert stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt) == 0
+
+
+def test_stream_vocab_crash_window_leaves_readable_copy(spark, tmp_path):
+    """Simulate the worst crash window (live path retired to __old, new
+    table not yet renamed in): the next run must recover the counts
+    from __old instead of silently resetting to empty."""
+    import os
+
+    from knowledge_model_spark.streaming.ingest import stream_vocab_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = spark.createDataFrame(
+        [(1, "alpha beta beta")], "doc_id long, text string"
+    )
+    m1.write.parquet(str(landing / "m1"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    # crash simulation: live copy retired, nothing renamed in
+    os.replace(vocab_path, vocab_path + "__old")
+    m2 = spark.createDataFrame(
+        [(2, "beta gamma")], "doc_id long, text string"
+    )
+    m2.write.parquet(str(landing / "m2"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    got = {r["term"]: r["c"] for r in spark.read.parquet(vocab_path).collect()}
+    # month-1 counts survived via the __old fallback
+    assert got == {"alpha": 1, "beta": 3, "gamma": 1}
+    assert not os.path.exists(vocab_path + "__old")
