@@ -98,15 +98,24 @@ def luhn_valid(col: Column) -> Column:
         ),
     )
     total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
-    return (F.length(col) >= 13) & (total % 10 == 0)
+    # all-digit guard FIRST: a non-digit char would cast to NULL and
+    # poison the aggregate into NULL (not False) — and the DuckDB twin
+    # would raise on the same cast. Guarding both sides identically
+    # (rlike here, TRY_CAST there) keeps the twins convergent on ANY
+    # input, not just pre-filtered candidates (r3 ADVICE).
+    return col.rlike("^[0-9]+$") & (F.length(col) >= 13) & (total % 10 == 0)
 
 
 def oracle_sql_luhn(expr: str) -> str:
     """DuckDB twin of :func:`luhn_valid` over SQL expression ``expr``."""
-    d = f"CAST(substr({expr}, i, 1) AS INTEGER)"
+    d = f"TRY_CAST(substr({expr}, i, 1) AS INTEGER)"
     fold = f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END"
     term = f"CASE WHEN (len({expr}) - i) % 2 = 0 THEN {d} ELSE {fold} END"
     return (
+        f"coalesce(regexp_matches({expr}, '^[0-9]+$'), FALSE) AND "
         f"len({expr}) >= 13 AND "
-        f"list_sum(list_transform(range(1, len({expr}) + 1), i -> {term})) % 10 = 0"
+        f"coalesce(list_sum(list_transform(range(1, len({expr}) + 1), "
+        f"i -> {term})) % 10 = 0, FALSE)"
     )
+
+

@@ -1,0 +1,116 @@
+"""Grid-decomposed exact global ordering (no single-partition windows).
+
+A global ``row_number()`` / running-sum window with an empty
+``partitionBy`` funnels EVERY row through one task — the classic scale
+killer at 10^9+ rows. These helpers compute the SAME exact results with
+the two-phase decomposition external-sort engines use:
+
+1. collapse rows onto a *grid* key that is (a) monotone in the sort
+   order and (b) bounded in cardinality regardless of corpus size — an
+   integer measure, a quantized score, a time bucket. One map-side-
+   combinable aggregate, one uniform-key shuffle.
+2. cumulative offsets over the grid-level table ONLY. The single-
+   partition window here sees at most |grid| rows (dimension-sized, the
+   same argument as ``stats_equidepth_histogram``'s cell table), never
+   the corpus.
+3. a hash-partitioned window *within* each grid cell finishes the exact
+   global number as ``offset + local rank`` (or ``offset_sum + local
+   running sum``). Cells process in parallel; skew is bounded by the
+   largest single cell, not the corpus.
+
+Reference parity: the reference sorts whole corpora in one process
+(e.g. ``sorted(src.rglob(...))`` over every record,
+knowledge_model/ingestion/build_faiss.py:60); this is the distributed
+form with identical output.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_GRID = "__kms_grid"
+_VAL = "__kms_val"
+_CNT = "__kms_cnt"
+_OFF = "__kms_off"
+
+
+def _offsets(per_grid: DataFrame, agg_col: str, grid_asc: bool) -> DataFrame:
+    """Exclusive prefix totals over the grid-level table (bounded rows).
+
+    The ``Window.orderBy`` here is intentionally unpartitioned: its input
+    is the per-grid aggregate, whose row count is bounded by grid
+    cardinality (|distinct token counts|, |score buckets|, |days|) — not
+    by corpus size.
+    """
+    order = F.col(_GRID).asc() if grid_asc else F.col(_GRID).desc()
+    w = (
+        Window.orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_grid.select(
+        _GRID,
+        F.coalesce(F.sum(agg_col).over(w), F.lit(0).cast("long")).alias(_OFF),
+    )
+
+
+def grid_global_row_number(
+    df: DataFrame,
+    grid: Column,
+    order_cols: Sequence[Column | str],
+    *,
+    grid_asc: bool = True,
+    out: str = "rn",
+) -> DataFrame:
+    """Exact global ``row_number()`` under a total order, grid-decomposed.
+
+    ``grid`` must be monotone in the order: if row a precedes row b in
+    ``order_cols`` order, then grid(a) <= grid(b) when ``grid_asc`` else
+    grid(a) >= grid(b). Ties in grid are resolved exactly by the
+    within-cell window over ``order_cols``.
+    """
+    g = df.withColumn(_GRID, grid)
+    counts = g.groupBy(_GRID).agg(F.count("*").cast("long").alias(_CNT))
+    offs = _offsets(counts, _CNT, grid_asc)
+    local = Window.partitionBy(_GRID).orderBy(*order_cols)
+    return (
+        g.join(F.broadcast(offs), _GRID)
+        .withColumn(
+            out,
+            (F.col(_OFF) + F.row_number().over(local)).cast("long"),
+        )
+        .drop(_GRID, _OFF)
+    )
+
+
+def grid_global_running_sum(
+    df: DataFrame,
+    grid: Column,
+    order_cols: Sequence[Column | str],
+    val: Column,
+    *,
+    grid_asc: bool = True,
+    out: str = "cum",
+) -> DataFrame:
+    """Exact inclusive global running sum of ``val`` under a total order.
+
+    Same monotone-grid contract as :func:`grid_global_row_number`. Keep
+    ``val`` integral (counts, token lengths, micros) so the decomposed
+    sum is bit-identical to the single-window form regardless of fold
+    order.
+    """
+    g = df.withColumn(_GRID, grid).withColumn(_VAL, val)
+    totals = g.groupBy(_GRID).agg(F.sum(_VAL).cast("long").alias(_CNT))
+    offs = _offsets(totals, _CNT, grid_asc)
+    local = (
+        Window.partitionBy(_GRID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.join(F.broadcast(offs), _GRID)
+        .withColumn(out, (F.col(_OFF) + F.sum(_VAL).over(local)).cast("long"))
+        .drop(_GRID, _VAL, _OFF)
+    )

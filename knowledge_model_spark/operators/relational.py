@@ -917,6 +917,7 @@ def asof_join_nearest(
     right_time: str,
     left_id: str,
     right_cols: Sequence[str] | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Nearest-direction as-of join (pandas ``merge_asof``
     ``direction='nearest'``): per left row, whichever of the latest
@@ -927,10 +928,30 @@ def asof_join_nearest(
     Composed from two :func:`asof_join` passes (backward + forward,
     each one key shuffle) re-joined on ``left_id`` (a UNIQUE left key —
     required, because the nearest pick needs both candidates for the
-    same row).  Output: all left columns + ``right_cols`` (nearest
-    match, null when neither direction matched) + ``asof_dt_us``
-    (signed distance, negative = matched backward).
+    same row; a duplicated ``left_id`` would turn the re-join into a
+    many-to-many cross product of backward × forward candidates).
+    Pass ``validate_unique=True`` to enforce the contract with one
+    early-aborting aggregate job (use in tests / first runs against a
+    new source) instead of relying on the caller's schema knowledge.
+    Output: all left columns + ``right_cols`` (nearest match, null when
+    neither direction matched) + ``asof_dt_us`` (signed distance,
+    negative = matched backward).
     """
+    if validate_unique:
+        dup = (
+            left.groupBy(left_id)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join_nearest: left_id {left_id!r} is not unique "
+                f"(e.g. {dup[0][0]!r} appears {dup[0][1]} times); a "
+                "duplicated key would cross-product backward × forward "
+                "candidates"
+            )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 

@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from knowledge_model_spark.operators.ordering import (
+    grid_global_row_number,
+    grid_global_running_sum,
+)
 from knowledge_model_spark.plans import register
 from knowledge_model_spark.session import load_tables
 
@@ -434,9 +438,11 @@ _BATCH_DOCS = 16  # sequences per inference/training batch
     "sorting by length before batching is what dynamic batching / "
     "vLLM-style bucketing formalize): docs ordered by token count "
     "descending, fixed-size batches of 16, per-batch padding waste "
-    "= n·max − Σlen and efficiency = Σlen / (n·max). The global sort "
-    "is a range-partitioned Exchange (sort-based, no single-node "
-    "funnel); the per-batch aggregate reuses the sort order. The "
+    "= n·max − Σlen and efficiency = Σlen / (n·max). The global "
+    "numbering is grid-decomposed (operators/ordering.py): n_tok is "
+    "its own monotone grid, offsets come from a token-count-bounded "
+    "table, and raw rows only ever see a hash-partitioned window — "
+    "no corpus-sized single-partition funnel (plan-guarded). The "
     "efficiency win vs unsorted batching is asserted in tests.",
 )
 def training_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,11 +454,20 @@ def training_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lens = t["documents"].select("doc_id", n_tok.alias("n_tok"))
-    w = Window.orderBy(F.col("n_tok").desc(), "doc_id")
-    ordered = lens.select(
+    # grid-decomposed global numbering: n_tok itself is the monotone
+    # grid (bounded by distinct token counts), so no corpus-sized
+    # single-partition window exists anywhere in this plan
+    numbered = grid_global_row_number(
+        lens,
+        F.col("n_tok"),
+        [F.col("n_tok").desc(), "doc_id"],
+        grid_asc=False,
+        out="_rn",
+    )
+    ordered = numbered.select(
         "doc_id",
         "n_tok",
-        F.floor((F.row_number().over(w) - 1) / _BATCH_DOCS)
+        F.floor((F.col("_rn") - 1) / _BATCH_DOCS)
         .cast("long")
         .alias("batch_id"),
     )
@@ -637,10 +652,14 @@ _SELECT_TOKEN_BUDGET = 4000
     "shape: spend a fixed token budget on the highest-value docs): "
     "rank by lexical-diversity density (distinct/total tokens — an "
     "exact rational, so the ordering can't flip cross-engine), take "
-    "greedily until the cumulative token budget is spent. One global "
-    "sort (range-partitioned Exchange) + a running-sum window over "
-    "exact integers; the budget cut is a post-window filter, no "
-    "driver loop. Swap the density expression for any model-based "
+    "greedily until the cumulative token budget is spent. The running "
+    "sum is grid-decomposed (operators/ordering.py): density "
+    "quantized to 4096 buckets forms the monotone grid, per-bucket "
+    "token totals give exclusive offsets over a ≤4097-row table, and "
+    "raw rows only see a hash-partitioned within-bucket window — no "
+    "corpus-sized single-partition funnel (plan-guarded); the budget "
+    "cut is a post-window filter, no driver loop. Swap the density "
+    "expression for any model-based "
     "quality score (quality_classifier_score / quality_unigram_logppl "
     "are drop-in) — the selection machinery is score-agnostic.",
 )
@@ -660,13 +679,19 @@ def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tok") > 0)
     )
-    w = (
-        Window.orderBy(F.col("density").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # density ∈ (0, 1]: floor(density·4096) is monotone in the sort
+    # order and bounded at 4097 buckets, so the only unpartitioned
+    # window in this plan runs over the bucket-level totals table
+    cum = grid_global_running_sum(
+        scored,
+        F.floor(F.col("density") * 4096).cast("long"),
+        [F.col("density").desc(), "doc_id"],
+        F.col("n_tok").cast("long"),
+        grid_asc=False,
+        out="cum_tok",
     )
     return (
-        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .filter(F.col("cum_tok") <= _SELECT_TOKEN_BUDGET)
+        cum.filter(F.col("cum_tok") <= _SELECT_TOKEN_BUDGET)
         .select(
             "doc_id",
             F.col("n_tok").cast("long").alias("n_tok"),
@@ -815,18 +840,25 @@ def training_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "structure, where the md5 content-addressed splits of "
     "sample_train_split would let the future leak into training); "
     "the boundary is the exact 80th order statistic under the total "
-    "(ts, id) order, so the cut is partition-invariant; at 100 TB "
-    "swap the global row_number for an approx-percentile cutover "
-    "(noted) — the per-split min/max audit proves train.max <= "
-    "test.min",
+    "(ts, id) order, so the cut is partition-invariant; the order "
+    "statistic is grid-decomposed (operators/ordering.py): per-day "
+    "event counts give exclusive offsets over a days-bounded table, "
+    "raw events only see a hash-partitioned within-day window — the "
+    "exact-at-scale form of the approx-percentile cutover — and the "
+    "per-split min/max audit proves train.max <= test.min",
 )
 def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     x = t["events"].select("event_id", "ts")
     n = x.count()
     cut = int(n * 0.8)
-    w = Window.orderBy("ts", "event_id")
-    labeled = x.withColumn("rn", F.row_number().over(w)).select(
+    numbered = grid_global_row_number(
+        x,
+        F.date_trunc("day", F.col("ts")),
+        ["ts", "event_id"],
+        out="rn",
+    )
+    labeled = numbered.select(
         "event_id",
         "ts",
         F.when(F.col("rn") <= cut, "train").otherwise("test").alias("split"),

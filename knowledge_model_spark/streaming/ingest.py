@@ -230,8 +230,14 @@ def stream_vocab_ingest(
     """Streaming maintenance of the vocabulary count table
     (operators/ngram_lm.merge_vocab_counts): each micro-batch of new
     documents folds its token/doc-frequency counts into the standing
-    vocab — per-batch cost ∝ batch + |V|, exactly-once via checkpointed
-    file offsets; the corpus history is never re-read.
+    vocab — per-batch cost ∝ batch + |V|; the corpus history is never
+    re-read.  foreachBatch is at-least-once (a crash between the table
+    swap and the streaming-checkpoint commit replays the batch), so the
+    sink is made idempotent per batch_id: the last-applied batch_id is
+    staged WITH the table (a ``_last_batch_id`` marker inside the
+    table directory, written before the atomic swap) and replayed
+    batches with batch_id <= last applied are skipped instead of
+    double-counted.
 
     The durable table stores UNCUT counts (min_count=1) so cumulative
     sub-threshold terms can clear the cutoff across batches; readers
@@ -242,43 +248,62 @@ def stream_vocab_ingest(
 
     n_batches = 0
 
+    _MARKER = "_last_batch_id"  # Spark ignores _-prefixed files in dirs
+
     def _read_current(sparkSession):
-        # current table, falling back to the __old copy a crashed swap
-        # may have left behind (see swap protocol below)
+        # current table + its last-applied batch_id marker, falling back
+        # to the __old copy a crashed swap may have left behind (see
+        # swap protocol below); marker and data always come from the
+        # SAME copy so they cannot disagree
         import os
 
         for path in (vocab_path, vocab_path + "__old"):
             if os.path.exists(path):
                 try:
-                    df = spark.read.parquet(path)
+                    df = sparkSession.read.parquet(path)
                     df.limit(1).collect()
-                    return df
                 except Exception:
                     continue
-        return sparkSession.createDataFrame(
+                last = -1
+                marker = os.path.join(path, _MARKER)
+                if os.path.exists(marker):
+                    with open(marker, encoding="ascii") as fh:
+                        last = int(fh.read().strip())
+                return df, last
+        empty = sparkSession.createDataFrame(
             [], "term string, c long, df_docs long"
         )
+        return empty, -1
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         if batch_df.isEmpty():
             return
+        old, last_applied = _read_current(batch_df.sparkSession)
+        if batch_id <= last_applied:
+            # at-least-once replay of an already-merged batch (crash
+            # landed between swap and checkpoint commit): skip, the
+            # counts are already in the table
+            return
         n_batches += 1
-        old = _read_current(batch_df.sparkSession)
         merged = merge_vocab_counts(
             old, batch_df, "doc_id", "text", min_count=1
         ).select("term", "c", "df_docs")
-        # swap protocol: stage new table → retire current to __old →
-        # rename staging into place → drop __old.  Every crash window
-        # leaves a COMPLETE copy readable (either the live path or
-        # __old, which _read_current falls back to) — an rmtree-first
-        # swap would have a window with no vocab at all.
+        # swap protocol: stage new table (+ batch_id marker) → retire
+        # current to __old → rename staging into place → drop __old.
+        # Every crash window leaves a COMPLETE copy readable (either the
+        # live path or __old, which _read_current falls back to) — an
+        # rmtree-first swap would have a window with no vocab at all.
         staging = vocab_path + "__staging"
         retired = vocab_path + "__old"
         merged.write.mode("overwrite").parquet(staging)
         import os
         import shutil
 
+        with open(
+            os.path.join(staging, _MARKER), "w", encoding="ascii"
+        ) as fh:
+            fh.write(str(batch_id))
         if os.path.exists(retired):
             shutil.rmtree(retired)
         if os.path.exists(vocab_path):

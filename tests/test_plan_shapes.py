@@ -451,3 +451,25 @@ def test_seasonal_profile_single_agg_scan(spark):
     plan = _plan(spark, "events_seasonal_profile")
     assert "Join" not in plan  # grand mean is a driver literal
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------- grid-decomposed ordering (r4)
+
+@pytest.mark.parametrize(
+    "name",
+    ["training_length_batching", "sample_quality_budget", "sample_time_split"],
+)
+def test_grid_ordering_no_raw_single_partition_window(spark, name):
+    """r3 verdict fix: the global numbering / running sum must be
+    grid-decomposed. Every Exchange SinglePartition in these plans must
+    consume a grid-level HashAggregate (bounded rows), never the raw
+    scan; raw rows reach only hash-partitioned exchanges and
+    grid-partitioned windows."""
+    plan = _plan(spark, name)
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert hits, "expected the bounded offsets table funnel to exist"
+    for i in hits:
+        assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
+    # the corpus-side window is partitioned on the grid key
+    assert "Exchange hashpartitioning(__kms_grid" in plan

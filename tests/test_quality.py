@@ -226,6 +226,9 @@ def test_luhn_oracle_twin_agrees(spark):
         "4111111111111111", "4111111111111112", "5500005555555559",
         "1234567890123456", "79927398713", "0000000000000",
         "9999999999999999", "1000000000000009",
+        # r3 ADVICE: non-digit candidates of qualifying length must be
+        # FALSE (not NULL here / cast-error there) in BOTH engines
+        "4111-1111-1111-1111", "abcdefghijklmnop", "411111111111111x",
     ]
     df = spark.createDataFrame([(s,) for s in cands], "cand string")
     spark_out = {
@@ -239,6 +242,7 @@ def test_luhn_oracle_twin_agrees(spark):
         con.sql(f"SELECT cand, {oracle_sql_luhn('cand')} FROM c").fetchall()
     )
     assert spark_out == duck_out
+    assert spark_out["4111-1111-1111-1111"] is False  # not None
 
 
 def test_light_stemmer_fixtures(spark):

@@ -621,3 +621,30 @@ def test_asof_nearest_prefers_closer_forward(spark):
     }
     assert out[1] == ("f", 120_000_000)
     assert out[2] == ("only_fwd", 600_000_000)  # backward absent -> forward
+
+
+def test_asof_nearest_validate_unique_rejects_duplicate_left_id(spark):
+    """r3 ADVICE: a duplicated left_id silently cross-products backward
+    × forward candidates; validate_unique=True must refuse it."""
+    import pytest as _pytest
+
+    from knowledge_model_spark.operators.relational import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00"), (1, 1, "2024-01-01 00:20:00")],
+        "lid long, k long, lt string",
+    ).select("lid", "k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", "x")], "k long, rt string, tag string"
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+    with _pytest.raises(ValueError, match="not unique"):
+        asof_join_nearest(
+            left, right, on="k", left_time="lt", right_time="rt",
+            left_id="lid", right_cols=["tag"], validate_unique=True,
+        )
+    # unique key passes the guard and still returns the match
+    ok = asof_join_nearest(
+        left.limit(1), right, on="k", left_time="lt", right_time="rt",
+        left_id="lid", right_cols=["tag"], validate_unique=True,
+    ).collect()
+    assert ok[0]["tag"] == "x"

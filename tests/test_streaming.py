@@ -652,3 +652,52 @@ def test_stream_vocab_crash_window_leaves_readable_copy(spark, tmp_path):
     # month-1 counts survived via the __old fallback
     assert got == {"alpha": 1, "beta": 3, "gamma": 1}
     assert not os.path.exists(vocab_path + "__old")
+
+
+def test_stream_vocab_replayed_batch_not_double_counted(spark, tmp_path):
+    """foreachBatch is at-least-once: if the process crashes after the
+    table swap but before the streaming checkpoint commits, the batch
+    replays with the SAME batch_id. The _last_batch_id marker staged
+    with the table must make the replay a no-op instead of folding the
+    same counts in twice (r3 ADVICE, streaming/ingest.py)."""
+    import shutil
+
+    from knowledge_model_spark.operators.ngram_lm import build_vocab
+    from knowledge_model_spark.streaming.ingest import stream_vocab_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+    ckpt = str(tmp_path / "ckpt")
+
+    m1 = spark.createDataFrame(
+        [(1, "alpha beta beta")], "doc_id long, text string"
+    )
+    m1.write.parquet(str(landing / "m1"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+
+    # save the checkpoint as of batch 0, then apply batch 1
+    shutil.copytree(ckpt, str(tmp_path / "ckpt_saved"))
+    m2 = spark.createDataFrame(
+        [(2, "beta gamma")], "doc_id long, text string"
+    )
+    m2.write.parquet(str(landing / "m2"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+
+    # crash simulation: swap committed, checkpoint commit lost →
+    # restore the pre-batch-1 checkpoint and re-run; batch 1 replays
+    shutil.rmtree(ckpt)
+    shutil.move(str(tmp_path / "ckpt_saved"), ckpt)
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+
+    stored = {
+        r["term"]: (r["c"], r["df_docs"])
+        for r in spark.read.parquet(vocab_path).collect()
+    }
+    full = {
+        r["term"]: (r["c"], r["df_docs"])
+        for r in build_vocab(
+            m1.unionByName(m2), "doc_id", "text", min_count=1
+        ).collect()
+    }
+    assert stored == full  # beta == 3, not 4: replay was skipped
