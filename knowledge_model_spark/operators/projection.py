@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -61,19 +62,36 @@ def _proj_col(vec: Column, signs: list[int], scale: float) -> Column:
     return acc * F.lit(scale)
 
 
+MAX_CODEGEN_TERMS = 4096  # add-chain terms before Janino method limits loom
+
+
 def jl_project(
     df: DataFrame,
     vec_col: str = "embedding",
     in_dim: int = 64,
     out_dim: int = 16,
     prefix: str = "proj_",
+    max_codegen_terms: int = MAX_CODEGEN_TERMS,
 ) -> DataFrame:
     """Append out_dim JL-projected double columns to df.
 
     Flat columns (not an array) keep the result canon-safe for
     value-hash comparison and let downstream plans prune to the
     projected dims they use.
+
+    The inlined-literal form generates ``in_dim × out_dim`` addition
+    terms in ONE projection — past a few thousand terms the generated
+    Java method brushes Janino/JVM limits (64 KB bytecode per method)
+    and compilation either falls back to interpreted expressions or
+    fails outright.  Above ``max_codegen_terms`` the operator therefore
+    switches to an Arrow-batched pandas kernel that applies the SAME
+    content-addressed matrix with the SAME left-to-right float64 fold
+    (sequential accumulation over d, vectorized over rows), so both
+    paths are bit-identical — parity + boundary gated in
+    tests/test_projection.py.
     """
+    if in_dim * out_dim > max_codegen_terms:
+        return _jl_project_pandas(df, vec_col, in_dim, out_dim, prefix)
     signs = jl_sign_matrix(in_dim, out_dim)
     scale = 1.0 / math.sqrt(out_dim)
     vec = F.col(vec_col)
@@ -81,6 +99,46 @@ def jl_project(
         _proj_col(vec, signs[j], scale).alias(f"{prefix}{j}") for j in range(out_dim)
     ]
     return df.select("*", *cols)
+
+
+def _jl_project_pandas(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    prefix: str,
+) -> DataFrame:
+    """Arrow-batched twin of the codegen path for large dim products.
+
+    Accumulates sequentially over input dims (NOT numpy pairwise ``dot``
+    — pairwise summation reorders the fold and drifts in the last ulp),
+    so output is bit-identical to the literal add-chain.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+
+    @F.pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((X.shape[0], out_dim), dtype=np.float64)
+        for j in range(out_dim):
+            row = signs[j]
+            acc = X[:, 0] if row[0] > 0 else -X[:, 0]
+            for d in range(1, in_dim):
+                acc = acc + (X[:, d] if row[d] > 0 else -X[:, d])
+            out[:, j] = acc * scale
+        return pd.Series(list(out))
+
+    tmp = "__jl_proj"
+    projected = df.withColumn(tmp, proj(F.col(vec_col)))
+    cols = [F.col(tmp)[j].alias(f"{prefix}{j}") for j in range(out_dim)]
+    return projected.select(*df.columns, *cols)
 
 
 def jl_project_sql(

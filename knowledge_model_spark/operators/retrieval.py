@@ -463,3 +463,79 @@ def weighted_fuse(
         .filter(F.col("rnk") <= k)
         .select("id", F.round("fused", 6).alias("fused"), "rnk")
     )
+
+
+# --------------------------------------------------- real-model UDF builders
+
+def sentence_transformer_udf(
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+    batch_size: int = 64,
+):
+    """Real-model pandas UDF for the :func:`embed` seam (reference:
+    embeddings/build_faiss.py:69-85 — SentenceTransformer.encode with
+    batch_size=64, normalize_embeddings=True).
+
+    SCALAR_ITER shape: the model loads ONCE per task before the batch
+    loop (the distributed analog of the reference's module-level model
+    singleton), then encodes Arrow batches.  Raises ImportError at
+    BUILD time when sentence-transformers is absent so a misconfigured
+    cluster fails on the driver, not task-by-task on executors; the
+    deterministic :func:`stats_model_udf` / :func:`hash_embed` remain
+    the model-free twins (parity gated by embed_seam_parity).
+    """
+    import importlib.util
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence-transformers is not installed; use "
+            "stats_model_udf()/hash_embed for the deterministic seam"
+        )
+
+    @F.pandas_udf("array<float>")
+    def model(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from sentence_transformers import SentenceTransformer
+
+        m = SentenceTransformer(model_name)  # once per task
+        for texts in batches:
+            vecs = m.encode(
+                texts.fillna("").tolist(),
+                batch_size=batch_size,
+                normalize_embeddings=True,
+                show_progress_bar=False,
+            )
+            yield pd.Series([[float(x) for x in v] for v in vecs])
+
+    return model
+
+
+def cross_encoder_udf(
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    batch_size: int = 64,
+):
+    """Real cross-encoder scorer for :func:`rerank_top_k` (reference:
+    embeddings/re_rank.py:28-51 — CrossEncoder.predict over
+    (query, passage) pairs, lazy-cached model re_rank.py:20-24).
+
+    Same contract as :func:`lexical_overlap_scorer`:
+    ``(query_text, doc_text) -> double``; same build-time import guard
+    as :func:`sentence_transformer_udf`.
+    """
+    import importlib.util
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence-transformers is not installed; use "
+            "lexical_overlap_scorer() for the deterministic seam"
+        )
+
+    @F.pandas_udf("double")
+    def scorer(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        from sentence_transformers import CrossEncoder
+
+        m = CrossEncoder(model_name)  # once per task
+        for q, d in batches:
+            pairs = list(zip(q.fillna(""), d.fillna("")))
+            scores = m.predict(pairs, batch_size=batch_size)
+            yield pd.Series([float(s) for s in scores])
+
+    return scorer

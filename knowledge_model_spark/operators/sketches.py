@@ -223,3 +223,93 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("n").alias("est_n"))
     )
+
+
+def ks_d_kll(
+    df: DataFrame,
+    is_a: Column,
+    value_col: str,
+    k: int = 2048,
+    n_probe: int = 256,
+) -> DataFrame:
+    """Approximate two-sample KS statistic via KLL sketches — the
+    documented 100 TB path for ``stats_ks_test``.
+
+    The exact query aggregates to the VALUE level and runs a cumulative
+    window over it; for a genuinely continuous metric distinct-count ≈
+    row-count and that value table is corpus-sized. This form never
+    builds it: ONE scan folds each sample into a KLL(k) sketch
+    (map-side-combinable partials, a single 1-row reduce), then
+    D = max |CDF_a − CDF_b| is estimated over the union of both
+    sketches' ``n_probe``-point quantile grids using
+    ``kll_sketch_get_rank``. The rank function needs FOLDABLE probe
+    values, so the two KB-sized sketches + probe grid round-trip
+    through the driver (a bounded scalar fetch, like the exact query's
+    ``tot`` row) and a second one-row job evaluates the rank arrays —
+    no value-level shuffle, no window, the corpus is scanned once.
+
+    Error bound (gated in tests/test_sketches.py at sf0.01 AND sf0.1):
+    each sketch CDF carries the published KLL rank error ε(k)≈1.65/√k,
+    and probing each sample at its own 1/n_probe quantile grid bounds
+    the between-probe CDF increment, so
+    |D_kll − D_exact| ≤ 2·ε(k) + 2/n_probe.
+
+    Output: one row ``(n_a, n_b, d_stat, reject_05)`` — the same shape
+    as the exact query (d_stat unrounded; compare with the bound, not
+    for equality).
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    grid = ", ".join(f"{i / n_probe!r}D" for i in range(n_probe + 1))
+    # ONE corpus scan: two sketch aggregates + counts + each sample's
+    # quantile grid, collected to the driver — a BOUNDED fetch (two
+    # KB-sized sketches + 2·(n_probe+1) doubles), the same annotated
+    # driver-scalar shape as stats_ks_test's tot row.
+    row = (
+        df.select(
+            F.when(is_a, v).alias("__va"), F.when(~is_a, v).alias("__vb")
+        )
+        .agg(
+            F.expr(f"kll_sketch_agg_double(__va, {k})").alias("ska"),
+            F.expr(f"kll_sketch_agg_double(__vb, {k})").alias("skb"),
+            F.count("__va").cast("long").alias("n_a"),
+            F.count("__vb").cast("long").alias("n_b"),
+        )
+        .select(
+            "ska",
+            "skb",
+            "n_a",
+            "n_b",
+            F.expr(f"kll_sketch_get_quantile_double(ska, array({grid}))").alias("qa"),
+            F.expr(f"kll_sketch_get_quantile_double(skb, array({grid}))").alias("qb"),
+        )
+        .collect()[0]
+    )
+    if not row["n_a"] or not row["n_b"]:
+        return spark.createDataFrame(
+            [],
+            "n_a long, n_b long, d_stat double, reject_05 boolean",
+        )
+    # rank functions require FOLDABLE probe values, so the merged probe
+    # grid round-trips through the driver as a literal array; the
+    # second job touches one row (the two sketches), not the corpus.
+    probes = sorted(set(row["qa"]) | set(row["qb"]))
+    one = spark.createDataFrame(
+        [(bytearray(row["ska"]), bytearray(row["skb"]))],
+        "ska binary, skb binary",
+    )
+    lit_probes = ", ".join(f"{p!r}D" for p in probes)
+    d_expr = F.expr(
+        f"""array_max(zip_with(
+              kll_sketch_get_rank_double(ska, array({lit_probes})),
+              kll_sketch_get_rank_double(skb, array({lit_probes})),
+              (ra, rb) -> abs(ra - rb)))"""
+    )
+    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    crit = 1.358 * ((n_a + n_b) / (n_a * n_b)) ** 0.5
+    return one.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        d_expr.alias("d_stat"),
+        (d_expr > F.lit(crit)).alias("reject_05"),
+    )

@@ -441,3 +441,87 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = perceptual_hash(media, decode="DETERMINISTIC")
     return hash64_hamming_pairs(sigs, max_distance=3).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------- landing-page PDF link scrape
+
+from knowledge_model_spark.functions.html import (  # noqa: E402
+    oracle_sql_anchors,
+    oracle_sql_first_pdf_link,
+)
+
+_PAGE_SQL = """
+    SELECT doc_id,
+           '<html><body><p>Article ' || CAST(doc_id AS VARCHAR) || '</p>' ||
+           CASE WHEN doc_id % 4 = 0 THEN
+                  '<a href="/files/' || CAST(doc_id AS VARCHAR)
+                    || '.pdf">download</a>'
+                WHEN doc_id % 4 = 1 THEN
+                  '<a href="https://pub.example.org/view/'
+                    || CAST(doc_id AS VARCHAR) || '">Get PDF here</a>'
+                WHEN doc_id % 4 = 2 THEN
+                  '<a href="https://pub.example.org/about">About</a>'
+                ELSE
+                  '<a href="https://pub.example.org/home">home</a>'
+                    || '<a href="https://cdn.example.org/'
+                    || CAST(doc_id AS VARCHAR) || '.PDF">file</a>'
+           END || '</body></html>' AS html
+    FROM documents
+"""
+
+
+@register(
+    "text_pdf_link_extract",
+    f"""
+    WITH pages AS ({_PAGE_SQL})
+    SELECT doc_id,
+           CAST(len({oracle_sql_anchors('html')}) AS BIGINT) AS n_anchors,
+           {oracle_sql_first_pdf_link('html')} AS pdf_link
+    FROM pages
+    """,
+    doc="landing-page PDF-link scrape as a scan-speed column op "
+    "(reference: knowledge_model/ingestion/download_pdf.py:83-105 — "
+    "BeautifulSoup over all anchors, first whose text contains 'pdf' "
+    "or href ends '.pdf', https: prefix for root-relative links): "
+    "landing pages synthesized deterministically from doc_id cover "
+    "href-match / text-match / no-match / second-anchor-uppercase "
+    "cases; extraction is regexp_extract_all + array HOFs sharing "
+    "patterns with the DuckDB twin (functions/html.py), zero Python, "
+    "no shuffle before the final projection",
+)
+def text_pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.html import anchors, first_pdf_link
+
+    t = load_tables(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    page = F.concat(
+        F.lit('<html><body><p>Article '), did, F.lit("</p>"),
+        F.when(
+            m == 0,
+            F.concat(F.lit('<a href="/files/'), did, F.lit('.pdf">download</a>')),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<a href="https://pub.example.org/view/'),
+                did,
+                F.lit('">Get PDF here</a>'),
+            ),
+        )
+        .when(m == 2, F.lit('<a href="https://pub.example.org/about">About</a>'))
+        .otherwise(
+            F.concat(
+                F.lit('<a href="https://pub.example.org/home">home</a>'),
+                F.lit('<a href="https://cdn.example.org/'),
+                did,
+                F.lit('.PDF">file</a>'),
+            )
+        ),
+        F.lit("</body></html>"),
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(anchors(page)).cast("long").alias("n_anchors"),
+        first_pdf_link(page).alias("pdf_link"),
+    )

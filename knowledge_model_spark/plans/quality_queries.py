@@ -1415,7 +1415,10 @@ def quality_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate — no float ECDFs, so the max cannot flip on rounding); "
     "reject at α=0.05 via the 1.358·sqrt((n_a+n_b)/(n_a·n_b)) "
     "asymptotic critical value; completes the nonparametric trio with "
-    "stats_mannwhitney_u and stats_chi2_lang_source",
+    "stats_mannwhitney_u and stats_chi2_lang_source. For a continuous "
+    "metric the value-level table ≈ row count, so the 100 TB path is "
+    "operators/sketches.ks_d_kll (one-scan KLL CDFs, error-bound-gated "
+    "against this exact form in tests/test_sketches.py)",
 )
 def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -18,6 +18,7 @@ from knowledge_model_spark.operators.projection import (
     jl_sign,
     jl_sign_matrix,
 )
+from knowledge_model_spark.session import load_tables
 from tests.conftest import SF_DIR
 
 
@@ -230,3 +231,42 @@ def test_partition_balance_reports_current_layout(spark):
     # round-robin repartition must be near-uniform
     counts = [r["n_rows"] for r in rep]
     assert max(counts) - min(counts) <= 2
+
+
+def test_jl_pandas_fallback_bit_identical_to_codegen(spark):
+    """The two jl_project paths (literal add-chain vs Arrow kernel) use
+    the same content-addressed matrix and the same left-to-right float64
+    fold — outputs must be BIT-identical, not just close."""
+    from knowledge_model_spark.operators.projection import jl_project
+
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"].select("vec_id", "embedding").limit(200)
+    a = jl_project(emb, in_dim=64, out_dim=16)  # codegen (1024 terms)
+    b = jl_project(emb, in_dim=64, out_dim=16, max_codegen_terms=1)  # pandas
+    rows_a = {r["vec_id"]: [r[f"proj_{j}"] for j in range(16)] for r in a.collect()}
+    rows_b = {r["vec_id"]: [r[f"proj_{j}"] for j in range(16)] for r in b.collect()}
+    assert rows_a == rows_b  # exact equality, no tolerance
+
+
+def test_jl_large_dims_auto_fall_back_past_codegen_limit(spark):
+    """r3 verdict item: scaling dims past the term threshold must not
+    hand Janino a 64KB+ method — the plan switches to ArrowEvalPython
+    and still runs green."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.projection import jl_project
+
+    t = load_tables(spark, SF_DIR)
+    # synthesize a 128-dim input by concatenating the 64-dim embedding
+    wide = t["embeddings"].select(
+        "vec_id", F.concat("embedding", "embedding").alias("embedding")
+    ).limit(50)
+    out = jl_project(wide, in_dim=128, out_dim=64)  # 8192 terms > 4096
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["proj_63"] is not None for r in rows)
+    # under the threshold the codegen path is kept
+    small = jl_project(t["embeddings"].limit(1), in_dim=64, out_dim=16)
+    assert "EvalPython" not in small._jdf.queryExecution().executedPlan().toString()

@@ -648,3 +648,30 @@ def test_asof_nearest_validate_unique_rejects_duplicate_left_id(spark):
         left_id="lid", right_cols=["tag"], validate_unique=True,
     ).collect()
     assert ok[0]["tag"] == "x"
+
+
+def test_ks_d_kll_within_rank_error_bound_vs_exact(spark):
+    """The KLL-backed KS variant (the 100 TB path: one scan, no
+    value-level window) must land within its published error bound of
+    the exact registered query at BOTH sf0.01 and sf0.1."""
+    from knowledge_model_spark.operators.sketches import ks_d_kll
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.session import load_tables
+
+    R = load_registry()
+    k, n_probe = 2048, 256
+    bound = 2 * 1.65 / k**0.5 + 2 / n_probe
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        exact = R["stats_ks_test"].fn(spark, sf).collect()[0]
+        pooled = load_tables(spark, sf)["events"].filter(
+            F.col("event_type").isin("click", "view")
+        )
+        approx = ks_d_kll(
+            pooled, F.col("event_type") == "click", "value", k=k, n_probe=n_probe
+        ).collect()[0]
+        assert approx["n_a"] == exact["n_a"]
+        assert approx["n_b"] == exact["n_b"]
+        assert 0.0 <= approx["d_stat"] <= 1.0
+        assert abs(approx["d_stat"] - exact["d_stat"]) <= bound, (
+            sf, approx["d_stat"], exact["d_stat"], bound,
+        )

@@ -777,3 +777,98 @@ def test_write_partitioned_zstd_compression(spark, tmp_path):
     files = glob.glob(f"{p_zstd}/year=2024/month=1/*.parquet")
     assert files and all(".zstd." in f for f in files)
     assert spark.read.parquet(p_zstd).count() == 200
+
+
+def test_first_pdf_link_mirrors_reference_scrape_rule(spark):
+    """Fixture sweep of the landing-page scrape rule (reference
+    download_pdf.py:83-105): first anchor in document order wins; match
+    on anchor text containing 'pdf' OR href ending '.pdf', both
+    case-insensitive; root-relative links get the https: prefix; no
+    qualifying anchor -> NULL."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.functions.html import anchors, first_pdf_link
+
+    rows = [
+        # href-suffix match
+        ('<a href="https://x.org/p.pdf">x</a>', "https://x.org/p.pdf"),
+        # anchor-text match even when href is not a .pdf
+        ('<a href="https://x.org/view/9">Download PDF</a>',
+         "https://x.org/view/9"),
+        # FIRST qualifying anchor wins over a later .pdf href
+        ('<a href="https://x.org/v">get pdf</a>'
+         '<a href="https://x.org/real.pdf">f</a>', "https://x.org/v"),
+        # non-matching anchors are skipped, later match found
+        ('<a href="https://x.org/home">home</a>'
+         '<a href="https://x.org/P.PDF">f</a>', "https://x.org/P.PDF"),
+        # root-relative link gets the https: prefix (reference literal)
+        ('<a href="/files/1.pdf">d</a>', "https:/files/1.pdf"),
+        # no qualifying anchor
+        ('<a href="https://x.org/about">About</a>', None),
+        # no anchors at all
+        ("<p>plain page</p>", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
+    got = [
+        r["link"]
+        for r in df.select(
+            first_pdf_link(F.col("html")).alias("link")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
+    n = df.select(F.size(anchors(F.col("html"))).alias("n")).collect()
+    assert [r["n"] for r in n] == [1, 1, 2, 2, 1, 1, 0]
+
+
+def test_s3a_path_layout_and_validation():
+    from knowledge_model_spark.sources.objectstore import s3a_path
+
+    import pytest as _pytest
+
+    # the reference's {prefix}/YYYY/MM/{name} key layout (upload_s3.py)
+    assert (
+        s3a_path("corpus", "clean", 2026, "08", "part.parquet")
+        == "s3a://corpus/clean/2026/08/part.parquet"
+    )
+    assert s3a_path("b", "/lead/", "trail/") == "s3a://b/lead/trail"
+    with _pytest.raises(ValueError):
+        s3a_path("s3a://bucket", "x")
+    with _pytest.raises(ValueError):
+        s3a_path("bucket/with/path")
+    with _pytest.raises(ValueError):
+        s3a_path("b", "")
+
+
+def test_s3a_session_confs_commit_protocol():
+    from knowledge_model_spark.sources.objectstore import s3a_session_confs
+
+    import pytest as _pytest
+
+    c = s3a_session_confs()
+    # the three keys that turn off rename-based commit — missing any one
+    # silently degrades to O(data) copy-commit on an object store
+    assert c["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert c["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
+    assert (
+        "S3ACommitterFactory"
+        in c["spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a"]
+    )
+    # staging committers carry their conflict mode; magic must not
+    assert "spark.hadoop.fs.s3a.committer.staging.conflict-mode" not in c
+    d = s3a_session_confs(committer="partitioned")
+    assert (
+        d["spark.hadoop.fs.s3a.committer.staging.conflict-mode"] == "append"
+    )
+    e = s3a_session_confs(
+        committer="directory", endpoint="https://minio.local:9000",
+        path_style_access=True, upload_part_mb=16,
+    )
+    assert e["spark.hadoop.fs.s3a.endpoint"] == "https://minio.local:9000"
+    assert e["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert e["spark.hadoop.fs.s3a.multipart.size"] == "16M"
+    with _pytest.raises(ValueError):
+        s3a_session_confs(committer="rename")
+    with _pytest.raises(ValueError):
+        s3a_session_confs(upload_part_mb=1)
