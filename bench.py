@@ -203,6 +203,70 @@ HEADLINE: dict[str, bool] = {
     "sql_star_except_projection": False,
     "events_funnel_latency": True,
     "corpus_crossdup_matrix": True,
+    # r4: the previously-unbenched tail — bench now covers the FULL
+    # registry so the cross-round regression net has no blind spots
+    "dedup_ngram_jaccard": True,
+    "dedup_exact_groups": True,
+    "dedup_cluster_survivors": False,
+    "decontam_survivors": False,
+    "sample_stratified_lang": False,
+    "window_range_frame_revenue": False,
+    "corpus_token_drift": True,
+    "sample_weighted_priority": False,
+    "udtf_sentence_split": False,
+    "dedup_simhash": True,
+    "eval_ann_recall_vs_exact": True,
+    "date_functions_orders": False,
+    "month_sequence_gap_scan": True,
+    "case_when_price_tiers": True,
+    "text_lang_id": False,
+    "text_quality_score": False,
+    "text_fingerprint": False,
+    "text_length_histogram": True,
+    "text_source_lang_matrix": True,
+    "text_accent_fold": False,
+    "text_xml_extract": False,
+    "events_tumbling_1h": False,
+    "events_sliding_1h_30m": False,
+    "events_json_props": False,
+    "events_type_pivot": True,
+    "events_time_rollup": False,
+    "join_interval_overlap": False,
+    "ann_ivf_topk": True,
+    "multimodal_image_features": False,
+    "multimodal_frame_sample": False,
+    "multimodal_audio_features": False,
+    "agg_distinct_counts": True,
+    "agg_rollup": True,
+    "agg_grouping_sets": True,
+    "join_left_outer_order_counts": False,
+    "join_full_outer_nation_activity": True,
+    "join_theta_price_above_retail": False,
+    "join_range_acctbal_band": False,
+    "window_lead_lag_order_gap": False,
+    "window_ntile_percent_rank": False,
+    "window_dense_rank_parts": False,
+    "setop_nations_with_both": True,
+    "setop_customer_only_nations": True,
+    "setop_union_all_keys": False,
+    "dedup_first_order_per_customer": False,
+    "embeddings_label_centroids": True,
+    "udaf_label_centroid": True,
+    "retrieval_pack_context": True,
+    "corpus_dual_variant": False,
+    "corpus_weighted_merge": False,
+    "chunk_word_budget": False,
+    "agg_percentiles": True,
+    "unpivot_flag_metrics": True,
+    "subquery_scalar_above_avg": False,
+    "map_event_type_shares": True,
+    "text_pdf_link_extract": False,
+    "text_page_furniture": False,
+    "postprocess_unhelpful_flag": False,
+    "retrieval_build_prompt": True,
+    "sample_train_split": False,
+    "pack_training_sequences": False,
+    "text_top_terms": True,
 }
 
 
