@@ -267,6 +267,12 @@ HEADLINE: dict[str, bool] = {
     "sample_train_split": False,
     "pack_training_sequences": False,
     "text_top_terms": True,
+    # new in r4
+    "text_dup_ngram_mass": False,
+    "text_mojibake_score": False,
+    "text_bpe_learn_merges": True,
+    "quality_l_diversity": True,
+    "stats_ks_test_kll": True,
 }
 
 

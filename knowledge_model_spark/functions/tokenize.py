@@ -5,7 +5,8 @@ The reference tokenizes with a HF tokenizer inside training/inference
 corpus scan speed long before a model sees anything.  Two pieces:
 
 - ``learn_bpe_merges``: the greedy BPE training loop as Spark jobs —
-  each round counts adjacent symbol pairs corpus-wide (explode +
+  ONE corpus scan reduces to a weighted word table, then each round
+  counts adjacent symbol pairs over that vocab-sized table (explode +
   groupBy, map-side combined) and promotes the most frequent pair; the
   driver holds only the merge table (one pair per round, like the PQ /
   Lloyd precedent).  Deterministic: ties break lexicographically.
@@ -83,37 +84,48 @@ def bpe_sql(col: str, merges: list[tuple[str, str]]) -> str:
 def learn_bpe_merges(
     df: DataFrame, text_col: str, n_merges: int = 20
 ) -> list[tuple[str, str]]:
-    """Greedy BPE merge learning over the corpus.
+    """Greedy BPE merge learning: ONE corpus scan, then vocab-sized work.
 
-    Each round: one corpus scan counting adjacent symbol pairs
-    (posexplode of per-word symbol arrays → slide → groupBy pair), take
-    the max-count pair (ties broken lexicographically so the table is
-    deterministic), fold it into the running replace chain.  The corpus
-    never leaves the cluster; the driver sees one (pair, count) row per
-    round.
+    The corpus is scanned exactly once, into a weighted word table
+    (distinct word → occurrence count — the classic tokenizer-training
+    reduction: pair counts over occurrences equal pair counts over
+    distinct words weighted by frequency).  Every merge round then runs
+    on that vocab-sized table: count adjacent symbol pairs weighted by
+    word frequency, promote the max-count pair (ties lexicographic, so
+    the table is deterministic), and apply THAT ONE merge to the table
+    — sequential composition, so the incremental state is identical to
+    re-running the full replace chain from scratch (each round of the
+    previous formulation), at 1/n_merges the scan cost.  At 100 TB:
+    one corpus shuffle + n_merges vocab-table aggregates; the driver
+    sees one (pair, count) row per round.
     """
+    # the ONE corpus pass: word → weight (vocab-sized, materialized so
+    # no round re-reads the corpus)
+    words = (
+        df.select(F.explode(F.expr(_spaced_words(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        s = _merge_chain(merges, "w")
-        words = (
-            df.select(
-                F.explode(F.expr(_spaced_words(text_col))).alias("w")
-            )
-            .select(F.split(F.expr(s), " ").alias("syms"))
+    for rnd in range(n_merges):
+        pairs = (
+            words.select(F.split("w", " ").alias("syms"), "n")
             .filter(F.size("syms") >= 2)
-        )
-        pairs = words.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(syms) - 2), "
-                    "i -> struct(syms[i] AS a, syms[i+1] AS b))"
-                )
-            ).alias("p")
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS a, syms[i+1] AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
         )
         top = (
             pairs.groupBy("p")
-            .count()
-            .orderBy(F.col("count").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
             .limit(1)
             .collect()
         )
@@ -121,4 +133,11 @@ def learn_bpe_merges(
             break
         p = top[0]["p"]
         merges.append((p["a"], p["b"]))
+        # fold the ONE new merge into the standing table (same
+        # boundary-safe double-pass replace as the apply chain);
+        # checkpoint keeps lineage flat across rounds
+        one = _merge_chain(merges[-1:], "w")
+        words = words.select(
+            F.expr(one).alias("w"), "n"
+        ).localCheckpoint(eager=True)
     return merges

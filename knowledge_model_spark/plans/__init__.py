@@ -33,101 +33,58 @@ REGISTRY: dict[str, QuerySpec] = {}
 # the r02 sample skipped (all r01-green, code unchanged), then (d)
 # everything r02-green, whose rows are on record in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
-    # (a) changed since their last driver-green row, oracle-checked
-    "postprocess_battery",        # r02 RED (array canon) — citations now scalar
-    "dedup_embedding_cosine",     # rewritten cross-join→LSH after its r01 green
-    "dedup_ngram_jaccard",        # max_df stop-shingle pruning added (r3)
-    "dedup_exact_groups",         # dup_ids array<bigint> → comma string (canon-safe)
-    # (b) never driver-checked, oracle-checked — the ~50-query sample
-    # window should be spent here: an oracle row is the strong signal
-    # (newest code first: zero parity history = most valuable row)
-    "text_vocab_build",           # new (r3 session 4)
-    "quality_bigram_backoff",     # new (r3 session 4)
-    "text_phrase_search",         # new (r3 session 4)
-    "training_chat_render",       # new (r3 session 4)
-    "training_preference_pairs",  # new (r3 session 4)
-    "graph_kcore_decomposition",  # new (r3 session 4)
-    "graph_bfs_hops",             # new (r3 session 4)
-    "stats_mannwhitney_u",        # new (r3 session 4)
-    "quality_luhn_audit",         # new (r3 session 4)
-    "stats_bh_fdr",               # new (r3 session 4)
-    "join_null_safe_counts",      # new (r3 session 4)
-    "text_explode_outer_longtoks",  # new (r3 session 4)
-    "sql_array_hof_battery",      # new (r3 session 4)
-    "text_light_stem",            # new (r3 session 4)
-    "events_robust_zscore_mad",   # new (r3 session 4)
-    "graph_ppr_customer_seeds",   # new (r3 session 4)
-    "eval_recall_at_k_sweep",     # new (r3 session 4)
-    "embeddings_single_link_clusters",  # new (r3 session 4)
-    "quality_readability_fk",     # new (r3 session 4)
-    "events_attribution_linear",  # new (r3 session 4)
-    "corpus_zipf_slope",          # new (r3 session 4)
-    "window_cume_dist_nth",       # new (r3 session 4)
-    "dedup_cluster_best_survivors",  # new (r3 session 4)
-    "retrieval_hybrid_weighted",  # new (r3 session 4)
-    "stats_ks_test",              # new (r3 session 4)
-    "corpus_js_divergence",       # new (r3 session 4)
-    "stats_permutation_test",     # new (r3 session 4)
-    "quality_classifier_calibration",  # new (r3 session 4)
-    "events_seasonal_profile",    # new (r3 session 4)
-    "events_cusum_changepoint",   # new (r3 session 4)
-    "sample_time_split",          # new (r3 session 4)
-    "graph_degree_powerlaw",      # new (r3 session 4)
-    "dedup_cluster_size_histogram",  # new (r3 session 4)
-    "agg_mode_quantity",          # new (r3 session 4)
-    "join_asof_nearest_event",    # new (r3 session 4)
-    "sql_star_except_projection",  # new (r3 session 4)
-    "events_funnel_latency",      # new (r3 session 4)
-    "corpus_crossdup_matrix",     # new (r3 session 4)
-    "quality_char_entropy",       # new (r3 session 3)
-    "sample_quality_budget",      # new (r3 session 3)
-    "sample_target_mixture",      # new (r3 session 3)
-    "training_length_batching",   # new (r3 session 3)
-    "training_span_corruption",   # new (r3 session 3)
-    "embeddings_jl_project",      # new (r3 session 3)
-    "text_keyword_tag",           # new (r3 session 3)
-    "corpus_kl_divergence",       # new (r3 session 3)
-    "q2_min_cost_supplier",       # new (r3 session 3, TPC-H wave 2)
-    "q7_volume_shipping",         # new (r3 session 3)
-    "q8_market_share",            # new (r3 session 3)
-    "q9_product_profit",          # new (r3 session 3)
-    "q10_returned_items",         # new (r3 session 3)
-    "q11_important_values",       # new (r3 session 3)
-    "q12_late_priority_counts",   # new (r3 session 3)
-    "q16_supplier_part_counts",   # new (r3 session 3)
-    "q17_small_quantity_revenue", # new (r3 session 3)
-    "q19_disjunctive_revenue",    # new (r3 session 3)
-    "q20_part_promotion",         # new (r3 session 3)
-    "q21_waiting_suppliers",      # new (r3 session 3)
-    "graph_triangle_count",       # new (r3 session 2)
-    "market_basket_rules",        # new (r3 session 2)
-    "events_twap_user",           # new (r3 session 2)
-    "corpus_overlap_matrix",      # new (r3 session 2)
-    "join_asof_forward_next_event",  # new (r3 session 2)
-    "q22_global_sales_opportunity",  # new (r3 session 2)
-    "embeddings_standardize",     # new (r3 session 2)
-    "er_name_clusters",           # new (r3 session 2)
-    "stats_equidepth_histogram",  # new (r3 session 2)
-    "stats_welch_ttest",          # new (r3 session 2)
-    "q15_top_supplier",           # new (r3 session 2)
-    "events_sequence_pattern",    # new (r3 session 2)
-    "agg_cms_frequency",          # new (r3 cont.)
-    "agg_hll_set_intersection",   # new (r3 cont.)
-    "chunk_content_defined",      # new (r3 cont.)
-    "dedup_cdc_chunks",           # new (r3 cont.)
-    "events_markov_transitions",  # new (r3 cont.)
-    "text_pmi_cooccurrence",      # new (r3 cont.)
-    "sql_group_by_all_revenue",   # new (r3 cont.)
-    "stats_bootstrap_ci",         # new (r3 cont.)
-    "q4_order_priority_check",    # new (r3 cont.)
-    "q6_forecast_revenue",        # new (r3 cont.)
-    "agg_winsorized_mean",        # new (r3 cont.)
-    "join_hot_key_salted",        # new (r3 cont.)
-    "events_sessionize_dynamic_gap",  # new (r3 cont.)
-    "events_rolling_7d_distinct",     # new (r3 cont.)
-    "q13_customer_distribution",  # new (r3 cont.)
-    "q14_promo_revenue_ratio",    # new (r3 cont.)
-    "q18_large_volume_orders",    # new (r3 cont.)
+    # (a) new/changed this round, oracle-checked — zero driver history
+    "text_pdf_link_extract",
+    "text_dup_ngram_mass",
+    "text_mojibake_score",
+    "quality_l_diversity",
+    # (b) never driver-sampled, oracle-checked — the ~50-query sample
+    # window should land entirely in this backlog (r3 verdict item 2);
+    # heavily-engineered ones the judge named go first, then TPC-H
+    "text_bpe_tokenize",
+    "er_name_clusters",
+    "graph_pagerank_trade",
+    "stats_equidepth_histogram",
+    "layout_zorder_keys",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q15_top_supplier",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_orders",
+    "graph_triangle_count",
+    "market_basket_rules",
+    "events_twap_user",
+    "corpus_overlap_matrix",
+    "join_asof_forward_next_event",
+    "embeddings_standardize",
+    "stats_welch_ttest",
+    "events_sequence_pattern",
+    "agg_cms_frequency",
+    "agg_hll_set_intersection",
+    "chunk_content_defined",
+    "dedup_cdc_chunks",
+    "events_markov_transitions",
+    "text_pmi_cooccurrence",
+    "sql_group_by_all_revenue",
+    "stats_bootstrap_ci",
+    "agg_winsorized_mean",
+    "join_hot_key_salted",
+    "events_sessionize_dynamic_gap",
+    "events_rolling_7d_distinct",
     "dedup_bow_cosine",
     "events_ohlc_hourly",
     "sample_group_holdout",
@@ -159,15 +116,12 @@ _GATE_PRIORITY = [
     "sample_hard_negatives",
     "sample_weighted_priority",
     "udtf_sentence_split",
-    "graph_pagerank_trade",
     "events_scd2_user_type",
     "agg_hll_region_rollup",
     "agg_kll_quantile_merge",
     "join_asof_cogrouped",
     "agg_incremental_state",
-    "layout_zorder_keys",
     "eval_ndcg_mrr_at_10",
-    "text_bpe_tokenize",
     "sample_kfold_assign",
     "events_variant_props",
     "sql_recursive_chain_walk",
@@ -191,19 +145,70 @@ _GATE_PRIORITY = [
     "stats_chi2_lang_source",
     "sql_lateral_topk_per_group",
     "setop_multiset_all",
-    # (c) rows-only entries (changed or never-checked) — a driver row
-    # here is only a rows-count check; tests carry the real gate
-    "eval_dedup_recall_vs_exact", # new (r3 cont., rows-only gate)
-    "ann_sq8_topk",               # new (r3 cont., rows-only)
-    "multimodal_phash_dedup",     # new (r3)
-    "dedup_minhash_lsh",          # default bucket cap + self-pair filter (r3)
-    "dedup_simhash",              # same (r3)
+    # (c) rows-only: new/changed this round, then never-sampled
+    "text_bpe_learn_merges",
+    "stats_ks_test_kll",
+    "eval_dedup_recall_vs_exact",
+    "eval_ann_recall_vs_exact",
+    "ann_sq8_topk",
+    "multimodal_phash_dedup",
     "dedup_semantic_pairs",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "ann_lsh_topk",               # multiprobe retuned
-    "eval_ann_recall_vs_exact",   # recall gate for lsh/ivf/pq/ivfpq
-    # (d) r02-unsampled, r01-green, unchanged
+    # (d) driver-green on record (r1-r3), code unchanged
+    "postprocess_battery",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_exact_groups",
+    "text_vocab_build",
+    "quality_bigram_backoff",
+    "text_phrase_search",
+    "training_chat_render",
+    "training_preference_pairs",
+    "graph_kcore_decomposition",
+    "graph_bfs_hops",
+    "stats_mannwhitney_u",
+    "quality_luhn_audit",
+    "stats_bh_fdr",
+    "join_null_safe_counts",
+    "text_explode_outer_longtoks",
+    "sql_array_hof_battery",
+    "text_light_stem",
+    "events_robust_zscore_mad",
+    "graph_ppr_customer_seeds",
+    "eval_recall_at_k_sweep",
+    "embeddings_single_link_clusters",
+    "quality_readability_fk",
+    "events_attribution_linear",
+    "corpus_zipf_slope",
+    "window_cume_dist_nth",
+    "dedup_cluster_best_survivors",
+    "retrieval_hybrid_weighted",
+    "stats_ks_test",
+    "corpus_js_divergence",
+    "stats_permutation_test",
+    "quality_classifier_calibration",
+    "events_seasonal_profile",
+    "events_cusum_changepoint",
+    "sample_time_split",
+    "graph_degree_powerlaw",
+    "dedup_cluster_size_histogram",
+    "agg_mode_quantity",
+    "join_asof_nearest_event",
+    "sql_star_except_projection",
+    "events_funnel_latency",
+    "corpus_crossdup_matrix",
+    "quality_char_entropy",
+    "sample_quality_budget",
+    "sample_target_mixture",
+    "training_length_batching",
+    "training_span_corruption",
+    "embeddings_jl_project",
+    "text_keyword_tag",
+    "corpus_kl_divergence",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
     "date_functions_orders",
     "month_sequence_gap_scan",
     "case_when_price_tiers",
@@ -230,6 +235,49 @@ _GATE_PRIORITY = [
     "multimodal_image_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "agg_distinct_counts",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "join_semi_orders_with_big_items",
+    "join_anti_customers_without_orders",
+    "join_left_outer_order_counts",
+    "join_full_outer_nation_activity",
+    "join_theta_price_above_retail",
+    "join_range_acctbal_band",
+    "join_asof_last_event_before_order",
+    "window_top3_orders_per_customer",
+    "window_lead_lag_order_gap",
+    "window_running_revenue",
+    "window_ntile_percent_rank",
+    "window_dense_rank_parts",
+    "setop_nations_with_both",
+    "setop_customer_only_nations",
+    "setop_union_all_keys",
+    "dedup_first_order_per_customer",
+    "embeddings_label_centroids",
+    "udaf_label_centroid",
+    "retrieval_threshold_cascade",
+    "retrieval_pack_context",
+    "retrieval_rerank_topk",
+    "eval_recall_label_at_10",
+    "corpus_dual_variant",
+    "corpus_weighted_merge",
+    "chunk_word_budget",
+    "chunk_sentence_budget",
+    "agg_percentiles",
+    "unpivot_flag_metrics",
+    "subquery_scalar_above_avg",
+    "map_event_type_shares",
+    "text_page_furniture",
+    "postprocess_unhelpful_flag",
+    "retrieval_build_prompt",
+    "sample_train_split",
+    "pack_training_sequences",
+    "text_top_terms",
 ]
 
 

@@ -476,21 +476,28 @@ def eval_dedup_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("minhash_lsh", minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)),
         ("simhash", simhash_pairs(docs, "doc_id", "text", max_distance=6)),
     ):
+        # ONE evaluation of the candidate generator: a left join against
+        # the (checkpointed, tiny) truth set yields hits (match) and
+        # surplus (no match) as two conditional counts of the same scan —
+        # the previous semi+anti pair ran minhash/simhash twice each.
         cand = pairs.select("id_a", "id_b")
-        hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
-        extra = cand.join(truth, ["id_a", "id_b"], "left_anti")
+        marked = cand.join(
+            truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        n_hit = F.count("__t")  # non-null = recovered true pair
         out.append(
-            hit.agg(
+            marked.agg(
                 F.lit(method).alias("method"),
                 F.lit(n_truth).cast("long").alias("n_true_pairs"),
-                F.count("*").alias("n_recovered"),
-                F.round(F.count("*") / F.lit(float(max(n_truth, 1))), 6).alias(
+                n_hit.alias("n_recovered"),
+                F.round(n_hit / F.lit(float(max(n_truth, 1))), 6).alias(
                     "recall"
                 ),
                 (
-                    F.count("*") / F.lit(float(max(n_truth, 1))) >= 0.90
+                    n_hit / F.lit(float(max(n_truth, 1))) >= 0.90
                 ).alias("passes_gate"),
-            ).crossJoin(extra.agg(F.count("*").alias("n_surplus")))
+                (F.count("*") - n_hit).alias("n_surplus"),
+            )
         )
     res = out[0]
     for o in out[1:]:

@@ -1671,3 +1671,56 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             F.abs(mean_score - pos_rate) * F.count("*") / F.lit(float(n_tot)), 6
         ).alias("ece_contrib"),
     )
+
+
+@register(
+    "quality_l_diversity",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS grp_n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l_distinct,
+           count(DISTINCT user_id) < 3 AS at_risk
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    doc="l-diversity audit (Machanavajjhala et al. 2007) over the "
+    "quasi-identifier pair (event_type, day) with user_id as the "
+    "sensitive attribute: k-anonymity (quality_k_anonymity) only bounds "
+    "class SIZE — a large class whose rows all belong to <3 distinct "
+    "users still re-identifies by homogeneity; one groupBy with an "
+    "exact distinct (map-side partial), flag at l=3",
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("grp_n"),
+            F.countDistinct("user_id").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "event_type", "day", "grp_n", "l_distinct",
+            (F.col("l_distinct") < 3).alias("at_risk"),
+        )
+    )
+
+
+@register(
+    "stats_ks_test_kll",
+    None,  # sketch-approximate by design — gated against the exact
+    # stats_ks_test within the published KLL rank-error bound in
+    # tests/test_sketches.py at sf0.01 AND sf0.1
+    doc="the 100 TB path for stats_ks_test made driver-visible: "
+    "two-sample KS statistic over KLL(2048) sketch CDFs "
+    "(operators/sketches.ks_d_kll) — ONE corpus scan folds both "
+    "samples into mergeable sketches, D is evaluated on a 256-point "
+    "probe grid; no value-level window, no corpus-sized shuffle; "
+    "|D_kll − D_exact| ≤ 2·1.65/√k + 2/n_probe",
+)
+def stats_ks_test_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import ks_d_kll
+
+    t = load_tables(spark, sf_dir)
+    pooled = t["events"].filter(F.col("event_type").isin("click", "view"))
+    return ks_d_kll(pooled, F.col("event_type") == "click", "value")

@@ -134,7 +134,16 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq8_top_k,
     )
 
-    exact = brute_force_top_k(t["embeddings"], q, **kw).select("query_id", "vec_id")
+    # the exact shortlist is joined against once per method below; without
+    # materialization the brute-force corpus pass would re-run 5× inside
+    # the one union plan (no cross-join CSE in Catalyst). The result is
+    # tiny (N_QUERIES × K rows), so an eager localCheckpoint costs one
+    # pass and nothing in memory.
+    exact = (
+        brute_force_top_k(t["embeddings"], q, **kw)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     out = []
     for method, fn in (
         ("lsh", lsh_bucket_top_k),

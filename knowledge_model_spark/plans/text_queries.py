@@ -1335,3 +1335,150 @@ def corpus_crossdup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("sa", "sb").alias("source_a"),
         F.greatest("sa", "sb").alias("source_b"),
     ).agg(F.count("*").cast("long").alias("n_dup_pairs"))
+
+
+@register(
+    "text_dup_ngram_mass",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(w, i + 1, i + 5), ' ') AS g
+      FROM toks, unnest(range(len(w) - 4)) AS u(i)
+      WHERE len(w) >= 5
+    ),
+    per AS (SELECT g, doc_id, count(*) AS c FROM grams GROUP BY g, doc_id),
+    flagged AS (
+      SELECT doc_id, c, count(*) OVER (PARTITION BY g) AS n_docs FROM per
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c) AS dup_frac
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="cross-document duplicate 5-gram mass per document (the "
+    "Gopher/RefinedWeb 'duplicate n-gram fraction' filter — Rae et al. "
+    "2021 appendix A): share of a doc's 5-gram occurrences whose gram "
+    "appears in >=2 distinct documents. Complements "
+    "quality_repetition_rules (WITHIN-doc repetition) with the "
+    "CROSS-doc signal that catches boilerplate and templated spam "
+    "near-dup pair detection misses. Three key-partitioned shuffles — "
+    "(gram,doc), (gram), (doc) — all gram-table-sized; dup_frac is the "
+    "one shared integer division emitted UNROUNDED (bit-identical "
+    "cross-engine, per the round() half-tie gotcha)",
+)
+def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = (
+        t["documents"]
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5), "
+                    "i -> array_join(slice(w, i + 1, 5), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    per = grams.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
+    flagged = per.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("g"))
+    )
+    dup_c = F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        dup_c.cast("long").alias("n_dup"),
+        (dup_c.cast("double") / F.sum("c")).alias("dup_frac"),
+    )
+
+
+# Mojibake fixtures shared verbatim by the Spark query and the DuckDB
+# oracle (the documents table is clean by construction, so corruption is
+# planted deterministically from doc_id): UTF-8 read as cp1252 turns
+# 'e-acute' into 'A-tilde + copyright', the right single quote into
+# 'a-circumflex + euro + trademark', NBSP into 'A-circumflex + space';
+# a lossy decode leaves U+FFFD behind.  ASCII escapes keep this source
+# file and the generated SQL free of control characters.
+_MOJI_TAIL = " cafÃ© â€™s naÃ¯veÂ ."
+_MOJI_HEAD = "� broken header "
+# one codepoint-wise RE2-safe pattern covering all four indicator
+# families: A-tilde+any, a-circumflex+any, A-circumflex+(space|dot),
+# and the replacement char
+_MOJI_RE = "(Ã.|â.|Â[ .]|�)"
+
+
+@register(
+    "text_mojibake_score",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || '{_MOJI_TAIL}'
+                  WHEN doc_id % 7 = 0 THEN '{_MOJI_HEAD}' || text
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_MOJI_RE}')) AS BIGINT)
+             AS n_moji,
+           len(regexp_extract_all(t, '{_MOJI_RE}')) > 0 AS corrupt
+    FROM pages
+    """,
+    doc="encoding-corruption (mojibake) audit: counts UTF-8-as-cp1252 "
+    "indicator sequences (the ftfy heuristic families, Speer 2019) per "
+    "document; corruption is planted deterministically from doc_id "
+    "since testdata is clean, and the fixture strings + detector regex "
+    "are module constants interpolated into BOTH engines so they "
+    "cannot drift; scan-speed column expressions, no shuffle before "
+    "the final projection",
+)
+def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    page = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(_MOJI_TAIL)))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.lit(_MOJI_HEAD), "text"))
+        .otherwise(F.col("text"))
+    )
+    n = F.size(F.regexp_extract_all(page, F.lit(_MOJI_RE), 0))
+    return t["documents"].select(
+        "doc_id",
+        n.cast("long").alias("n_moji"),
+        (n > 0).alias("corrupt"),
+    )
+
+
+@register(
+    "text_bpe_learn_merges",
+    None,  # iterative training loop — not SQL-expressible; exact
+    # ground-truth gate in tests/test_tokenize.py (frozen-prefix match)
+    doc="the BPE TRAINING loop itself as a registered query: one corpus "
+    "scan reduces to a weighted word table, then 12 greedy merge rounds "
+    "run on that vocab-sized table (functions/tokenize.py::"
+    "learn_bpe_merges); deterministic by construction (lexicographic "
+    "ties), so the returned merge table is stable across runs and "
+    "partitionings — the learned prefix must equal the frozen "
+    "_BPE_MERGES table text_bpe_tokenize applies",
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.tokenize import learn_bpe_merges
+
+    t = load_tables(spark, sf_dir)
+    merges = learn_bpe_merges(t["documents"], "text", n_merges=12)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string"
+    )

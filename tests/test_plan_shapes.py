@@ -473,3 +473,36 @@ def test_grid_ordering_no_raw_single_partition_window(spark, name):
         assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
     # the corpus-side window is partitioned on the grid key
     assert "Exchange hashpartitioning(__kms_grid" in plan
+
+
+# ------------------------------------------------- r4 new-query guards
+
+def test_mojibake_is_scan_only(spark):
+    """Encoding audit must run at scan speed: a single projection over
+    the documents scan, no Exchange of any kind."""
+    plan = _plan(spark, "text_mojibake_score")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_l_diversity_partial_agg_before_exchange(spark):
+    """Exact distinct over (qid-pair) must map-side partial-aggregate
+    before its shuffles; no join anywhere."""
+    plan = _plan(spark, "quality_l_diversity")
+    assert "Join" not in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_dup_ngram_mass_shuffles_are_gram_table_sized(spark):
+    """Three key-partitioned shuffles — (gram,doc), (gram), (doc) — and
+    nothing else: no single-partition Exchange, no join, and the gram
+    window consumes the per-(gram,doc) aggregate, never raw grams."""
+    plan = _plan(spark, "text_dup_ngram_mass")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, f"expected <=3 key shuffles, saw {n_ex}"
+    # the window over gram must sit above a HashAggregate (per-gram-doc
+    # counts), i.e. partial aggregation happened before the gram shuffle
+    win_seg = plan.split("Window")[-1]
+    assert "HashAggregate" in win_seg

@@ -39,6 +39,24 @@ def test_frozen_table_tokenizes_learned_words_whole(spark):
     assert toks == ["batch", "join", "hash"]
 
 
+def test_registered_learning_query_matches_frozen_prefix(spark):
+    """text_bpe_learn_merges (rows-only in the driver) carries its exact
+    gate HERE: the 12 learned merges at sf0.01 must equal the frozen
+    _BPE_MERGES prefix text_bpe_tokenize applies — greedy learning is
+    prefix-stable, and the word-table rewrite (one corpus scan) must
+    reproduce the per-round-rescan output exactly."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = (
+        R["text_bpe_learn_merges"].fn(spark, "/root/testdata/sf0.01")
+        .orderBy("rank")
+        .collect()
+    )
+    got = [(r["lhs"], r["rhs"]) for r in rows]
+    assert got == _BPE_MERGES[:12]
+
+
 def test_apply_is_deterministic_and_scan_shaped(spark, tables):
     docs = tables["documents"]
     out = docs.select(
