@@ -76,22 +76,42 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     max_df: int | None = None,
+    algorithm: str = "prefix",
 ) -> DataFrame:
-    """Candidate near-dup pairs by exact word-k-shingle Jaccard ≥ threshold.
+    """Exact word-k-shingle Jaccard ≥ threshold near-dup pairs.
 
-    Inverted-index formulation: explode shingles → self-join on shingle →
-    count common shingles per pair → Jaccard = common / (|A|+|B|-common).
-    Only pairs sharing ≥1 shingle are ever materialized, so cost is driven
-    by shingle document frequency, not n².
+    ``algorithm="prefix"`` (default) is the LOSSLESS prefix filter of
+    AllPairs / PPJoin (Bayardo WWW'07, Xiao WWW'08, Vernica SIGMOD'10):
+    under a shared global total order, any two sets with J ≥ t must
+    share a shingle inside their first ``|x| − ⌈t·|x|⌉ + 1`` elements,
+    so ONLY that ~(1−t) prefix slice is indexed for the self-join.  The
+    canonical order is (xxhash64(s), s) — the theorem holds for ANY
+    total order, and a hash order is computable per row at scan speed,
+    so unlike the textbook df-ascending order it costs ZERO extra
+    shuffles (df ordering needs a corpus-sized groupBy + join back,
+    which measured SLOWER than the whole naive join on a flat-df
+    corpus; on boilerplate-heavy corpora pass rarest-first ordering via
+    ``max_df`` pruning instead).  Candidates then pass an integer-exact
+    size filter (den·|B| ≥ num·|A| both ways) and an exact
+    ``array_intersect`` verify, so the result set is IDENTICAL to the
+    naive inverted-index join (equality asserted in tests/test_dedup.py
+    and by the unchanged DuckDB oracle).  ⌈t·n⌉ is computed in exact
+    integer arithmetic (t as a rational num/den) — a float ceil would
+    make 0.8·5 round to 4.0000000000000007 and silently shorten the
+    prefix, turning a lossless filter lossy.
+
+    ``algorithm="allpairs"`` keeps the original full inverted-index
+    self-join (every shingle indexed, pair counts from the join itself)
+    as the equality baseline.
 
     ``max_df`` is the 100 TB stop-shingle lever: a shingle appearing in
     more than ``max_df`` documents (boilerplate like "the patient was
-    treated with") makes the inverted-index self-join quadratic in its
+    treated with") makes any inverted-index self-join quadratic in its
     document frequency, so such shingles are dropped from the shingle
-    SETS before the join (one extra groupBy(s).count() pass) and Jaccard
-    is computed over the pruned universe — both |A∩B| and |A|,|B| exclude
-    stop-shingles, keeping it a true set similarity.  Default None keeps
-    exact semantics (and oracle parity for the registered query).
+    SETS up front and Jaccard is computed over the pruned universe —
+    both |A∩B| and |A|,|B| exclude stop-shingles, keeping it a true set
+    similarity.  Default None keeps exact semantics (and oracle parity
+    for the registered query).
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
@@ -110,6 +130,19 @@ def ngram_jaccard_pairs(
             exploded.join(keep, "s")
             .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
         )
+    if algorithm == "prefix":
+        if max_df is None:
+            sets = sh.select("id", "sh", F.col("n_sh").alias("n"))
+        else:
+            # re-form the pruned sets (one id shuffle — the allpairs
+            # branch pays the same shuffle for its window recount)
+            sets = (
+                exploded.drop("n_sh")
+                .groupBy("id")
+                .agg(F.collect_list("s").alias("sh"))
+                .select("id", "sh", F.size("sh").alias("n"))
+            )
+        return _ngram_jaccard_prefix(sets, threshold)
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
     )
@@ -129,6 +162,63 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return pairs
+
+
+def _ngram_jaccard_prefix(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact Jaccard join over an (id, sh, n) set table."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    # global total order (xxhash64, shingle) — strict (the string breaks
+    # hash-collision ties), deterministic, identical on every executor,
+    # and computed per row: no shuffle precedes the prefix index
+    ordered = sets.select(
+        "id",
+        F.expr(
+            "transform(array_sort(transform(sh, "
+            "x -> struct(xxhash64(x) AS h, x AS s))), e -> e.s)"
+        ).alias("sh"),
+        "n",
+    # three consumers (prefix index + both verify sides): materialize the
+    # sorted sets ONCE so the regex-heavy shingling never recomputes —
+    # this is the index-build pass a 100 TB run would spill to local disk
+    ).localCheckpoint(eager=True)
+    # ⌈t·n⌉ = (num·n + den − 1) DIV den — exact integers end to end
+    p = F.expr(f"n - (({num} * n + {den} - 1) DIV {den}) + 1")
+    pref = ordered.select(
+        "id", "n", F.explode(F.slice("sh", F.lit(1), p)).alias("s")
+    )
+    cand = (
+        pref.selectExpr("id AS id_a", "n AS n_a", "s")
+        .join(pref.selectExpr("id AS id_b", "n AS n_b", "s"), "s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # lossless size filter: J ≥ t ⟹ t·|A| ≤ |B| and t·|B| ≤ |A|
+            & (F.col("n_b") * den >= F.col("n_a") * num)
+            & (F.col("n_a") * den >= F.col("n_b") * num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify over the full (ordered) sets — candidates only
+    va = ordered.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    vb = ordered.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # --------------------------------------------------------- MinHash + LSH

@@ -370,3 +370,45 @@ def test_eval_dedup_recall_gate_passes(spark):
     for m, r in rows.items():
         assert r.passes_gate, f"{m}: recall {r.recall} below gate"
         assert r.n_true_pairs > 0
+
+
+def test_prefix_filter_equals_allpairs(spark, tables):
+    """The AllPairs/PPJoin prefix filter must be LOSSLESS: identical
+    result set (pairs AND jaccard values) to the full inverted-index
+    join, across thresholds that exercise the exact-⌈t·n⌉ boundary
+    (0.8·5 = 4 exactly — a float ceil would shorten the prefix here)."""
+    docs = tables["documents"]
+    for t in (0.5, 0.8):
+        fast = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=5, threshold=t
+            ).collect()
+        }
+        base = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=5, threshold=t, algorithm="allpairs"
+            ).collect()
+        }
+        assert fast == base, f"threshold {t}: prefix filter dropped pairs"
+
+
+def test_prefix_filter_equals_allpairs_with_max_df(spark, tables):
+    """Prefix filtering composes with the stop-shingle cut: both paths
+    prune the SAME universe, so results stay identical."""
+    docs = tables["documents"]
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=5, threshold=0.5, max_df=50
+        ).collect()
+    }
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=5, threshold=0.5, max_df=50,
+            algorithm="allpairs",
+        ).collect()
+    }
+    assert fast == base
