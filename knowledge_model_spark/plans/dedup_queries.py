@@ -105,7 +105,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", k=5, threshold=0.8)
+    return ngram_jaccard_pairs(t["documents_spread"], "doc_id", "text", k=5, threshold=0.8)
 
 
 @register(
@@ -116,7 +116,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return minhash_lsh_pairs(t["documents"], "doc_id", "text", threshold=0.8)
+    return minhash_lsh_pairs(t["documents_spread"], "doc_id", "text", threshold=0.8)
 
 
 @register(
@@ -127,7 +127,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return simhash_pairs(t["documents"], "doc_id", "text", max_distance=3)
+    return simhash_pairs(t["documents_spread"], "doc_id", "text", max_distance=3)
 
 
 @register(
@@ -147,7 +147,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return embedding_near_dup_pairs_lsh(
-        t["embeddings"], "vec_id", "embedding", threshold=0.95, dim=64
+        t["embeddings_spread"], "vec_id", "embedding", threshold=0.95, dim=64
     ).select("id_a", "id_b")
 
 
@@ -440,7 +440,7 @@ def dedup_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return bow_cosine_pairs(
-        t["documents"], "doc_id", "text", k=3, threshold=0.5, max_df=50
+        t["documents_spread"], "doc_id", "text", k=3, threshold=0.5, max_df=50
     )
 
 

@@ -514,7 +514,7 @@ def embeddings_single_link_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     from knowledge_model_spark.operators.graph import connected_components
 
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = t["embeddings_spread"]
     pairs = embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.95, dim=64
     ).select("id_a", "id_b")

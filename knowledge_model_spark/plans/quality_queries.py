@@ -216,7 +216,7 @@ _DECONTAM_CTE = f"""
 )
 def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = t["documents_spread"]
     return contamination_pairs(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
@@ -240,7 +240,7 @@ def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = t["documents_spread"]
     return decontaminate(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),

@@ -856,7 +856,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.text_analysis import shingles
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = load_tables(spark, sf_dir)["documents_spread"]
     ex = (
         docs.select("source", F.explode(shingles(F.col("text"), 5)).alias("s"))
         .distinct()
@@ -1382,7 +1382,7 @@ def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
     )
     grams = (
-        t["documents"]
+        t["documents_spread"]
         .select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 5)
         .select(
@@ -1477,7 +1477,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.tokenize import learn_bpe_merges
 
     t = load_tables(spark, sf_dir)
-    merges = learn_bpe_merges(t["documents"], "text", n_merges=12)
+    merges = learn_bpe_merges(t["documents_spread"], "text", n_merges=12)
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, merged string"

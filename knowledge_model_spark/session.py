@@ -129,5 +129,12 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         # sketch UDFs): a single local parquet split would otherwise run
         # them on one core.  Computed once per (session, sf_dir).
         tables["documents_spread"] = ensure_min_partitions(tables["documents"])
+    if "embeddings" in tables:
+        # same for vector-HOF-heavy plans (dot products, LSH projections):
+        # the sf0.1 parquet is one row group = one split, which serializes
+        # the whole scoring stage on a single core (measured 4.4x on the
+        # shingle scan).  At cluster scale the scan already has thousands
+        # of splits and ensure_min_partitions is a no-op.
+        tables["embeddings_spread"] = ensure_min_partitions(tables["embeddings"])
     _TABLE_CACHE[key] = tables
     return tables
