@@ -273,6 +273,9 @@ HEADLINE: dict[str, bool] = {
     "text_bpe_learn_merges": True,
     "quality_l_diversity": True,
     "stats_ks_test_kll": True,
+    "ann_range_search": True,
+    "stats_anova_oneway": True,
+    "corpus_health_report": True,
 }
 
 

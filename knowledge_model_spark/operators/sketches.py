@@ -280,8 +280,16 @@ def ks_d_kll(
             "skb",
             "n_a",
             "n_b",
-            F.expr(f"kll_sketch_get_quantile_double(ska, array({grid}))").alias("qa"),
-            F.expr(f"kll_sketch_get_quantile_double(skb, array({grid}))").alias("qb"),
+            # CASE guards: the quantile UDF throws on the null sketch an
+            # all-empty sample leaves behind (empty partitions happen)
+            F.expr(
+                "CASE WHEN n_a > 0 THEN "
+                f"kll_sketch_get_quantile_double(ska, array({grid})) END"
+            ).alias("qa"),
+            F.expr(
+                "CASE WHEN n_b > 0 THEN "
+                f"kll_sketch_get_quantile_double(skb, array({grid})) END"
+            ).alias("qb"),
         )
         .collect()[0]
     )

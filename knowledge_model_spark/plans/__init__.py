@@ -35,6 +35,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 _GATE_PRIORITY = [
     # (a) new/changed this round, oracle-checked — zero driver history
     "text_pdf_link_extract",
+    "ann_range_search",
+    "stats_anova_oneway",
+    "corpus_health_report",
     "text_dup_ngram_mass",
     "text_mojibake_score",
     "quality_l_diversity",

@@ -1724,3 +1724,57 @@ def stats_ks_test_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pooled = t["events"].filter(F.col("event_type").isin("click", "view"))
     return ks_d_kll(pooled, F.col("event_type") == "click", "value")
+
+
+@register(
+    "stats_anova_oneway",
+    """
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS s_g,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+      FROM documents GROUP BY lang
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k_groups,
+           CAST(sum(n_g) AS BIGINT) AS n_total,
+           round(sum(CAST(s_g AS DOUBLE) * s_g / n_g)
+                 - CAST(sum(s_g) AS DOUBLE) * sum(s_g) / sum(n_g), 6)
+             AS ss_between,
+           round(sum(q_g) - sum(CAST(s_g AS DOUBLE) * s_g / n_g), 6)
+             AS ss_within,
+           round(((sum(CAST(s_g AS DOUBLE) * s_g / n_g)
+                   - CAST(sum(s_g) AS DOUBLE) * sum(s_g) / sum(n_g))
+                  / (count(*) - 1))
+                 / ((sum(q_g) - sum(CAST(s_g AS DOUBLE) * s_g / n_g))
+                    / (sum(n_g) - count(*))), 6) AS f_stat
+    FROM g
+    """,
+    doc="one-way ANOVA F test of doc length across language groups — "
+    "completes the experiment-analysis family (welch = 2 groups, this = "
+    "k groups): per-group exact int64 moments (n, Σx, Σx²) in ONE "
+    "map-side-combined agg, SSB/SSW from the k-row group table via the "
+    "computational formula SSB = Σs_g²/n_g − s²/n; floats appear only "
+    "in the final k-term fold (round-6 absorbs the group fold spread, "
+    "the corpus_kl precedent); one tiny shuffle, never a second scan",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    g = t["documents"].groupBy("lang").agg(
+        F.count("*").alias("n_g"),
+        F.sum("n_chars").alias("s_g"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q_g"),
+    )
+    sb_part = F.sum(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"))
+    s2_over_n = F.sum("s_g").cast("double") * F.sum("s_g") / F.sum("n_g")
+    ssb = sb_part - s2_over_n
+    ssw = F.sum("q_g") - sb_part
+    k = F.count("*")
+    n = F.sum("n_g")
+    return g.agg(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n_total"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+    )

@@ -507,3 +507,36 @@ def embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(emb, "embedding", in_dim=64, out_dim=8).select(
         "vec_id", *[f"proj_{j}" for j in range(8)]
     )
+
+
+RANGE_TAU = 0.4
+
+
+@register(
+    "ann_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES})
+    SELECT q.query_id, e.vec_id
+    FROM embeddings e CROSS JOIN q
+    WHERE list_cosine_similarity(q.qv, e.embedding) >= {RANGE_TAU}
+    """,
+    doc="range similarity search (the FAISS range_search twin of the "
+    "top-k surface): ALL corpus vectors with cosine >= 0.4 of each "
+    "query — the dedup/decontam-shaped retrieval where the result size "
+    "is data-dependent, not k.  Broadcast query batch x corpus scan, "
+    "JVM HOF cosine, zero shuffle before the final projection; ids "
+    "only in the output (the dedup_embedding_cosine precedent: score "
+    "doubles differ across engine float paths, membership does not)",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.vectors import cosine_sim
+
+    t = load_tables(spark, sf_dir)
+    q = _queries(t)
+    return (
+        t["embeddings"]
+        .crossJoin(F.broadcast(q))
+        .filter(cosine_sim(F.col("qv"), F.col("embedding")) >= RANGE_TAU)
+        .select("query_id", "vec_id")
+    )

@@ -1482,3 +1482,84 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, merged string"
     )
+
+
+@register(
+    "corpus_health_report",
+    """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               w -> w <> ''))) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents
+    ),
+    lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY lang)
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+    UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+    UNION ALL SELECT 'avg_doc_chars',
+                     CAST(sum_chars AS DOUBLE) / n_docs FROM base
+    UNION ALL SELECT 'exact_dup_frac',
+                     1.0 - CAST(n_unique AS DOUBLE) / n_docs FROM base
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+    UNION ALL
+    SELECT 'lang_entropy',
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) FROM lc
+    """,
+    doc="one-stop corpus health dashboard as a tall (metric, value) "
+    "table: doc/token counts, mean length, exact-duplicate fraction "
+    "(md5 fingerprints — bytes, not full texts, cross the wire), lang/"
+    "source cardinalities, language-mix entropy H = ln n − Σc·ln c / n "
+    "(exact integer counts, round-6 absorbs the k-term fold).  ONE "
+    "corpus scan feeds every distinct aggregate; the entropy rides a "
+    "lang-sized side agg — the monitoring query a 100 TB ingest runs "
+    "after every batch",
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: w != "",
+        )
+    )
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(toks).alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    # nullif guards: an empty corpus must report NULL ratios, not an
+    # ANSI divide-by-zero (the empty-partition contract every registered
+    # query honors); on real data nullif is the identity
+    tall = base.selectExpr(
+        "stack(6,"
+        " 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+        " 'avg_doc_chars', CAST(sum_chars AS DOUBLE) / nullif(n_docs, 0),"
+        " 'exact_dup_frac',"
+        "   1.0 - CAST(n_unique AS DOUBLE) / nullif(n_docs, 0),"
+        " 'n_langs', CAST(n_langs AS DOUBLE),"
+        " 'n_sources', CAST(n_sources AS DOUBLE)"
+        ") AS (metric, value)"
+    )
+    lc = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    ent = lc.agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.nullif(F.sum("c"), F.lit(0)),
+            6,
+        ).alias("value")
+    ).select(F.lit("lang_entropy").alias("metric"), "value")
+    return tall.unionByName(ent)
