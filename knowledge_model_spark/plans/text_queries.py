@@ -1375,8 +1375,6 @@ def corpus_crossdup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-engine, per the round() half-tie gotcha)",
 )
 def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     t = load_tables(spark, sf_dir)
     w = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
@@ -1396,9 +1394,12 @@ def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per = grams.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
-    flagged = per.withColumn(
-        "n_docs", F.count("*").over(Window.partitionBy("g"))
-    )
+    # per-gram doc count as an agg + equi-join rather than a window over
+    # g: real-corpus grams are Zipfian, and AQE can split a skewed JOIN
+    # partition but never a WINDOW partition — a boilerplate gram must
+    # not pin one task.  Both inputs are the gram-table-sized `per`.
+    gram_docs = per.groupBy("g").agg(F.count("*").alias("n_docs"))
+    flagged = per.join(gram_docs, "g")
     dup_c = F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0)))
     return flagged.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_ngrams"),
