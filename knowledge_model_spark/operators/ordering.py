@@ -114,3 +114,60 @@ def grid_global_running_sum(
         .withColumn(out, (F.col(_OFF) + F.sum(_VAL).over(local)).cast("long"))
         .drop(_GRID, _VAL, _OFF)
     )
+
+
+def grid_partitioned_rank_and_sum(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    grid: Column,
+    order_cols: Sequence[Column | str],
+    val: Column,
+    *,
+    out_rn: str = "rn",
+    out_cum: str = "cum",
+) -> DataFrame:
+    """Exact per-partition ``row_number()`` AND inclusive running sum of
+    ``val`` under a total order, grid-decomposed — for PARTITIONED
+    windows whose partitions are themselves corpus-sized (a handful of
+    event types over 10^9 events: per-key rows ≈ corpus/k, and AQE can
+    split neither a window partition nor its sort).
+
+    Same monotone-grid contract as :func:`grid_global_row_number`,
+    applied within each partition key: one map-side-combinable
+    (keys × grid) aggregate computes counts and sums together, the
+    offsets window runs per key over the grid-level table only
+    (bounded by |grid| rows per key — days, buckets), and one
+    hash-partitioned (keys, grid) window finishes both outputs as
+    offset + local. Keep ``val`` integral so the decomposed sum is
+    bit-identical to the single-window form.
+    """
+    part = list(partition_cols)
+    g = df.withColumn(_GRID, grid).withColumn(_VAL, val)
+    per = g.groupBy(*part, _GRID).agg(
+        F.count("*").cast("long").alias(_CNT),
+        F.sum(_VAL).cast("long").alias("__kms_sum"),
+    )
+    woff = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(_GRID).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per.select(
+        *part,
+        _GRID,
+        F.coalesce(F.sum(_CNT).over(woff), F.lit(0).cast("long")).alias(_OFF),
+        F.coalesce(
+            F.sum("__kms_sum").over(woff), F.lit(0).cast("long")
+        ).alias("__kms_soff"),
+    )
+    local = Window.partitionBy(*part, _GRID).orderBy(*order_cols)
+    local_sum = local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        g.join(F.broadcast(offs), part + [_GRID])
+        .withColumn(out_rn, (F.col(_OFF) + F.row_number().over(local)).cast("long"))
+        .withColumn(
+            out_cum,
+            (F.col("__kms_soff") + F.sum(_VAL).over(local_sum)).cast("long"),
+        )
+        .drop(_GRID, _VAL, _OFF, "__kms_soff")
+    )

@@ -1326,7 +1326,9 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mass per type, cast the products to decimal(38,0) beyond",
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from knowledge_model_spark.operators.ordering import (
+        grid_partitioned_rank_and_sum,
+    )
 
     t = load_tables(spark, sf_dir)
     x = t["events"].select(
@@ -1338,11 +1340,19 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = x.groupBy("event_type").agg(
         F.sum("v_fp").alias("s_tot"), F.count("*").alias("n")
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    cum = (
-        x.join(F.broadcast(tot), "event_type")
-        .withColumn("s_cum", F.sum("v_fp").over(w))
-        .withColumn("i", F.row_number().over(w))
+    # per-type cumsum + ordinal, grid-decomposed on the day bucket
+    # (monotone in (ts, event_id) order): a type's events are corpus/k
+    # rows, and a raw per-type window would pin them to one task —
+    # the same single-task hazard as an unpartitioned window, one
+    # partitionBy short of obvious
+    cum = grid_partitioned_rank_and_sum(
+        x.join(F.broadcast(tot), "event_type"),
+        ["event_type"],
+        F.unix_micros(F.date_trunc("day", F.col("ts"))),
+        [F.col("ts"), F.col("event_id")],
+        F.col("v_fp"),
+        out_rn="i",
+        out_cum="s_cum",
     )
     dev = cum.select(
         "event_type",

@@ -506,3 +506,20 @@ def test_dup_ngram_mass_shuffles_are_gram_table_sized(spark):
     # both join inputs are aggregates (gram-table-sized), never raw grams
     join_seg = plan.split("Join")[-1]
     assert "HashAggregate" in join_seg
+
+
+def test_cusum_per_type_window_is_grid_decomposed(spark):
+    """A raw per-event_type window pins corpus/k rows to one task (AQE
+    can split neither a window partition nor its sort). The cumsum and
+    ordinal must come from the (event_type, grid) decomposition: every
+    Window over raw events is partitioned on the grid key, and the
+    offsets window consumes a HashAggregate-bounded table."""
+    import re
+
+    plan = _plan(spark, "events_cusum_changepoint")
+    assert "__kms_grid" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected Window operators in the plan"
+    for spec in specs:
+        if "event_type" in spec:
+            assert "__kms_grid" in spec, f"raw per-type window: {spec}"
