@@ -396,11 +396,23 @@ def sample_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
+    # literal bound FIRST: a foldable rk <= max-quota conjunct lets
+    # InferWindowGroupLimit prune every window partition to max-quota
+    # rows MAP-SIDE — without it the dynamic per-source quota filter
+    # alone forces a full per-source sort in one task (sources are few,
+    # so a partition is corpus/k rows)
+    max_quota = max(int(_MIX_BUDGET * wgt) for wgt in _MIX_TARGET.values())
     return (
         t["documents"]
         .filter(F.col("source").isin(*_MIX_TARGET))
         .select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
-        .filter(F.col("rk") <= F.coalesce(F.element_at(quota, F.col("source")), F.lit(0)))
+        .filter(
+            (F.col("rk") <= F.lit(max_quota))
+            & (
+                F.col("rk")
+                <= F.coalesce(F.element_at(quota, F.col("source")), F.lit(0))
+            )
+        )
     )
 
 

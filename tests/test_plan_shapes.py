@@ -523,3 +523,11 @@ def test_cusum_per_type_window_is_grid_decomposed(spark):
     for spec in specs:
         if "event_type" in spec:
             assert "__kms_grid" in spec, f"raw per-type window: {spec}"
+
+
+def test_target_mixture_window_prunes_map_side(spark):
+    """The dynamic per-source quota filter alone cannot trigger
+    InferWindowGroupLimit; the foldable max-quota conjunct must keep the
+    map-side prune (each source's partition is corpus/k rows without it)."""
+    plan = _plan(spark, "sample_target_mixture")
+    assert "WindowGroupLimit" in plan
