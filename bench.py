@@ -274,6 +274,7 @@ HEADLINE: dict[str, bool] = {
     "quality_l_diversity": True,
     "stats_ks_test_kll": True,
     "ann_range_search": True,
+    "join_asof_tolerance_event_order": False,
     "stats_anova_oneway": True,
     "corpus_health_report": True,
 }

@@ -36,6 +36,7 @@ _GATE_PRIORITY = [
     # (a) new/changed this round, oracle-checked — zero driver history
     "text_pdf_link_extract",
     "ann_range_search",
+    "join_asof_tolerance_event_order",
     "stats_anova_oneway",
     "corpus_health_report",
     "text_dup_ngram_mass",

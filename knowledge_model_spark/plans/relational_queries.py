@@ -415,6 +415,68 @@ def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "join_asof_tolerance_event_order",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN e.ts IS NOT NULL
+                 AND o.ots - e.ts <= INTERVAL 6 HOUR
+                THEN e.event_type END AS last_event_type
+    FROM (SELECT o_orderkey, o_custkey, o_custkey % 20 AS uid,
+                 TIMESTAMP '2024-01-01' + to_minutes(o_orderkey % 40000) AS ots
+          FROM orders) o
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_type
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) e
+      ON o.uid = e.user_id AND o.ots >= e.ts
+    """,
+    doc="as-of join with tolerance (pandas merge_asof tolerance= "
+    "semantics): a carried backward match further than 6 hours from "
+    "the order time is nulled while the left row survives — the "
+    "staleness bound every feature-join at training time needs; zero "
+    "added shuffle over the plain as-of (the tolerance is a post-"
+    "filter on the carried match time), oracle = DuckDB ASOF LEFT "
+    "JOIN with the same CASE guard",
+)
+def join_asof_tolerance_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.pmod(F.col("o_orderkey"), F.lit(40000)).cast("int"))
+        ).alias("ots"),
+        F.pmod(F.col("o_custkey"), F.lit(20)).alias("uid"),
+    )
+    events = (
+        t["events"]
+        .select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    joined = asof_join(
+        orders,
+        events.withColumnRenamed("user_id", "uid"),
+        on="uid",
+        left_time="ots",
+        right_time="ts",
+        direction="backward",
+        tolerance="6 hours",
+        right_cols=["event_type"],
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", F.col("event_type").alias("last_event_type")
+    )
+
+
 # ---------------------------------------------------------------- windows
 
 @register(
@@ -513,7 +575,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume
     FROM customer
     """,
-    doc="ntile / percent_rank / cume_dist ranking windows",
+    doc="ntile / percent_rank / cume_dist ranking windows — API-surface demo whose SQL semantics REQUIRE one global ordering; production use partitions these by a tenant/segment key (or grid-decomposes via operators/ordering.py) so no single task sees the corpus",
 )
 def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -534,7 +596,7 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)            AS drnk
     FROM part
     """,
-    doc="rank vs dense_rank",
+    doc="rank vs dense_rank — partitioned by p_brand (25-ish values): fine while a brand's parts fit one task, the grid decomposition in operators/ordering.py is the 100 TB form",
 )
 def window_dense_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -1672,7 +1734,9 @@ def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ranking-function family (row_number, rank, dense_rank, ntile, "
     "percent_rank, lead/lag already registered); nth_value takes the "
     "full-partition frame so every row sees the 3rd-richest customer "
-    "of its nation; one nation-key Exchange serves all three functions",
+    "of its nation; one nation-key Exchange serves all three functions "
+    "(25 nations: fine while a nation's customers fit one task — the "
+    "grid decomposition in operators/ordering.py is the 100 TB form)",
 )
 def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
