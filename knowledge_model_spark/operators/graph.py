@@ -62,18 +62,24 @@ def connected_components(
         hop = labels.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
-        labels = (
-            labels.join(hop, labels["label"] == hop["l_node"], "left")
-            .select("node", F.coalesce("l_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
         # labels are positive and only decrease → sum is a monotone
         # witness; decimal(38,0) accumulation cannot overflow for any
         # realistic graph (int64 sums would wrap silently — or throw
-        # under ANSI — for billions of hash-derived ids)
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        # under ANSI — for billions of hash-derived ids).  The witness
+        # rides the checkpoint's materializing job via observe() — ONE
+        # action per round, not a checkpoint plus a separate sum scan.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        labels = (
+            labels.join(hop, labels["label"] == hop["l_node"], "left")
+            .select("node", F.coalesce("l_label", "label").alias("label"))
+            .observe(
+                obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
         prev_sum = cur_sum
