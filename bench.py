@@ -275,6 +275,8 @@ HEADLINE: dict[str, bool] = {
     "stats_ks_test_kll": True,
     "ann_range_search": True,
     "join_asof_tolerance_event_order": False,
+    "stats_proportions_ztest": True,
+    "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,
 }

@@ -37,6 +37,8 @@ _GATE_PRIORITY = [
     "text_pdf_link_extract",
     "ann_range_search",
     "join_asof_tolerance_event_order",
+    "stats_proportions_ztest",
+    "graph_link_prediction_jaccard",
     "stats_anova_oneway",
     "corpus_health_report",
     "text_dup_ngram_mass",

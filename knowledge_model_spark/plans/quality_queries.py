@@ -1778,3 +1778,99 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw, 6).alias("ss_within"),
         F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
     )
+
+
+@register(
+    "stats_proportions_ztest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS in_a,
+             CASE WHEN count(*) FILTER (event_type = 'click')
+                       > count(*) FILTER (event_type = 'view')
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id,
+             substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+    ),
+    m AS (
+      SELECT CAST(count(*) FILTER (in_a) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (NOT in_a) AS BIGINT) AS n_b,
+             CAST(sum(conv) FILTER (in_a) AS BIGINT) AS x_a,
+             CAST(sum(conv) FILTER (NOT in_a) AS BIGINT) AS x_b
+      FROM u
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           round(CAST(x_a AS DOUBLE) / nullif(n_a, 0), 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / nullif(n_b, 0), 6) AS p_b,
+           round((CAST(x_a AS DOUBLE) / nullif(n_a, 0)
+                  - CAST(x_b AS DOUBLE) / nullif(n_b, 0))
+                 / nullif(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_stat,
+           abs((CAST(x_a AS DOUBLE) / nullif(n_a, 0)
+                - CAST(x_b AS DOUBLE) / nullif(n_b, 0))
+               / nullif(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 0)) > 1.959964 AS reject_05
+    FROM m
+    """,
+    doc="two-proportion pooled z-test on a user-level conversion flag "
+    "(clicks > views — the synthetic table gives every user every "
+    "event type, so an any-event flag would be degenerate p=1) between "
+    "md5-content-addressed A/B arms — THE A/B primitive for rate "
+    "metrics, beside welch (means), mwu (ranks), ks (distributions), "
+    "chi2 (contingency), anova (k means).  One user-key agg then four "
+    "exact int64 counters; every float derives from the same integers "
+    "in both engines; 1.959964 = z_{0.975} as a shared literal; nullif "
+    "guards honor the empty-partition contract",
+)
+def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"]
+        .groupBy(
+            "user_id",
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+            ).alias("in_a"),
+        )
+        .agg(
+            (
+                F.count(F.when(F.col("event_type") == "click", 1))
+                > F.count(F.when(F.col("event_type") == "view", 1))
+            ).cast("int").alias("conv")
+        )
+    )
+    m = u.agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("long").alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.nullif(F.col("n_a"), F.lit(0))
+    pb = F.col("x_b").cast("double") / F.nullif(F.col("n_b"), F.lit(0))
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / F.nullif(
+        F.col("n_a") + F.col("n_b"), F.lit(0)
+    )
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.nullif(F.col("n_a"), F.lit(0))
+            + F.lit(1.0) / F.nullif(F.col("n_b"), F.lit(0))
+        )
+    )
+    z = (pa - pb) / F.nullif(se, F.lit(0.0))
+    return m.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("reject_05"),
+    )
