@@ -321,3 +321,85 @@ def ks_d_kll(
         d_expr.alias("d_stat"),
         (d_expr > F.lit(crit)).alias("reject_05"),
     )
+
+
+def mwu_p_kll(
+    df: DataFrame,
+    is_a: Column,
+    value_col: str,
+    k: int = 2048,
+    n_probe: int = 256,
+) -> DataFrame:
+    """Approximate Mann-Whitney effect size P(X_a > X_b) via KLL
+    sketches — the 100 TB companion of :func:`ks_d_kll` for the exact
+    ``stats_mannwhitney_u`` (whose rank window runs over the VALUE-level
+    aggregate: fine for fixed-point metrics, corpus-sized for genuinely
+    continuous ones).
+
+    U/(n_a·n_b) = P(X_a > X_b) + ½P(X_a = X_b) = ∫ F_b(x⁻) dF_a(x);
+    the integral is evaluated by the midpoint rule on sample A's
+    ``n_probe``-point quantile grid: P ≈ (1/n_probe) Σ_i F_b(q_a((i+½)/n_probe)).
+    Same one-scan shape as ks_d_kll: two mergeable sketches, a bounded
+    driver fetch, one 1-row follow-up job.  The z statistic derives from
+    U = P·n_a·n_b with the standard normal approximation (no tie
+    correction — the sketch path targets continuous metrics where ties
+    are measure-zero; the exact query handles tied fixed-point data).
+
+    Error bound (gated in tests/test_sketches.py at sf0.01 AND sf0.1):
+    each of rank lookup and quantile probe carries ε(k)≈1.65/√k and the
+    midpoint grid contributes ≤ 1/n_probe, so
+    |P_kll − P_exact| ≤ 2·ε(k) + 1/n_probe.
+
+    Output: one row ``(n_a, n_b, p_a_gt_b, u_est, z_stat)``.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    # midpoint grid: (i + 0.5)/n_probe, i = 0..n_probe-1
+    grid = ", ".join(f"{(i + 0.5) / n_probe!r}D" for i in range(n_probe))
+    row = (
+        df.select(
+            F.when(is_a, v).alias("__va"), F.when(~is_a, v).alias("__vb")
+        )
+        .agg(
+            F.expr(f"kll_sketch_agg_double(__va, {k})").alias("ska"),
+            F.expr(f"kll_sketch_agg_double(__vb, {k})").alias("skb"),
+            F.count("__va").cast("long").alias("n_a"),
+            F.count("__vb").cast("long").alias("n_b"),
+        )
+        .select(
+            "skb",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CASE WHEN n_a > 0 THEN "
+                f"kll_sketch_get_quantile_double(ska, array({grid})) END"
+            ).alias("qa"),
+        )
+        .collect()[0]
+    )
+    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    if not n_a or not n_b:
+        return spark.createDataFrame(
+            [],
+            "n_a long, n_b long, p_a_gt_b double, u_est double, z_stat double",
+        )
+    one = spark.createDataFrame(
+        [(bytearray(row["skb"]),)], "skb binary"
+    )
+    lit_probes = ", ".join(f"{p!r}D" for p in row["qa"])
+    p_expr = F.expr(
+        f"""aggregate(
+              kll_sketch_get_rank_double(skb, array({lit_probes})),
+              0.0D, (acc, r) -> acc + r) / {float(len(row['qa']))!r}D"""
+    )
+    import math
+
+    sigma = math.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)
+    u_expr = p_expr * F.lit(float(n_a * n_b))
+    return one.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        p_expr.alias("p_a_gt_b"),
+        u_expr.alias("u_est"),
+        ((u_expr - F.lit(n_a * n_b / 2.0)) / F.lit(sigma)).alias("z_stat"),
+    )

@@ -1716,7 +1716,10 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/sketches.ks_d_kll) — ONE corpus scan folds both "
     "samples into mergeable sketches, D is evaluated on a 256-point "
     "probe grid; no value-level window, no corpus-sized shuffle; "
-    "|D_kll − D_exact| ≤ 2·1.65/√k + 2/n_probe",
+    "|D_kll − D_exact| ≤ 2·1.65/√k + 2/n_probe. Run-determinism "
+    "boundary: KLL compaction coin-flips beyond ~k buffered items — "
+    "±ε run jitter at sf0.1, exact (deterministic) at the sf0.01 "
+    "gate; the bound test is the contract, not value equality",
 )
 def stats_ks_test_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.operators.sketches import ks_d_kll
@@ -1874,3 +1877,27 @@ def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.959964).alias("reject_05"),
     )
+
+
+@register(
+    "stats_mannwhitney_u_kll",
+    None,  # sketch-approximate by design — gated against the exact
+    # stats_mannwhitney_u effect size within the published KLL
+    # rank-error bound in tests/test_sketches.py at sf0.01 AND sf0.1
+    doc="the 100 TB path for stats_mannwhitney_u made driver-visible: "
+    "P(X_a > X_b) = ∫F_b dF_a over KLL(2048) sketch CDFs by midpoint "
+    "rule on a 256-point quantile grid (operators/sketches.mwu_p_kll) "
+    "— ONE corpus scan, no value-level rank window; "
+    "|P_kll − P_exact| ≤ 2·1.65/√k + 1/n_probe; pairs with "
+    "stats_ks_test_kll as the sketch twins of the exact rank tests. "
+    "Run-determinism boundary (same as the declared sketch regimes): "
+    "KLL compaction coin-flips beyond ~k buffered items, so values "
+    "carry ±ε run jitter at sf0.1 while the sf0.01 gate (n<k) is "
+    "exact — the bound test, not value equality, is the contract",
+)
+def stats_mannwhitney_u_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import mwu_p_kll
+
+    t = load_tables(spark, sf_dir)
+    pooled = t["events"].filter(F.col("event_type").isin("click", "view"))
+    return mwu_p_kll(pooled, F.col("event_type") == "click", "value")

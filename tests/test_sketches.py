@@ -675,3 +675,32 @@ def test_ks_d_kll_within_rank_error_bound_vs_exact(spark):
         assert abs(approx["d_stat"] - exact["d_stat"]) <= bound, (
             sf, approx["d_stat"], exact["d_stat"], bound,
         )
+
+
+def test_mwu_p_kll_within_rank_error_bound_vs_exact(spark):
+    """The KLL-backed Mann-Whitney effect size (the 100 TB path: one
+    scan, no value-level rank window) must land within its published
+    error bound of the exact registered query's U/(n_a*n_b) at BOTH
+    sf0.01 and sf0.1.  (The z statistics are NOT compared: z scales the
+    P error by n_a*n_b/sigma, and the exact query additionally
+    tie-corrects — the P scale is the gate, per the operator docstring.)"""
+    from knowledge_model_spark.operators.sketches import mwu_p_kll
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.session import load_tables
+
+    R = load_registry()
+    k, n_probe = 2048, 256
+    bound = 2 * 1.65 / k**0.5 + 1 / n_probe
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        exact = R["stats_mannwhitney_u"].fn(spark, sf).collect()[0]
+        p_exact = exact["u_stat"] / (exact["n_x"] * exact["n_y"])
+        pooled = load_tables(spark, sf)["events"].filter(
+            F.col("event_type").isin("click", "view")
+        )
+        approx = mwu_p_kll(
+            pooled, F.col("event_type") == "click", "value", k=k, n_probe=n_probe
+        ).collect()[0]
+        assert 0.0 <= approx["p_a_gt_b"] <= 1.0
+        assert abs(approx["p_a_gt_b"] - p_exact) <= bound, (
+            sf, approx["p_a_gt_b"], p_exact, bound,
+        )
