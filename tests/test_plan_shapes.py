@@ -531,3 +531,18 @@ def test_target_mixture_window_prunes_map_side(spark):
     map-side prune (each source's partition is corpus/k rows without it)."""
     plan = _plan(spark, "sample_target_mixture")
     assert "WindowGroupLimit" in plan
+
+
+def test_link_prediction_no_cartesian_degrees_broadcast(spark):
+    plan = _plan(spark, "graph_link_prediction_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert "BroadcastHashJoin" in plan  # degree tables broadcast
+
+
+def test_proportions_ztest_single_scan_two_aggs(spark):
+    """User-level conversion then four counters: one user-key Exchange,
+    one reduce to a single row, no join anywhere."""
+    plan = _plan(spark, "stats_proportions_ztest")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
