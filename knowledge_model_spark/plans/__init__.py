@@ -34,6 +34,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # everything r02-green, whose rows are on record in CORRECTNESS_r02.json.
 _GATE_PRIORITY = [
     # (a) new/changed this round, oracle-checked — zero driver history
+    # with the shipped code (new queries, plus queries whose
+    # implementation was rewritten or re-inputted this round: prefix
+    # Jaccard, spread scans, grid-decomposed cusum, WindowGroupLimit
+    # mixture — their old green rows no longer certify this code)
     "text_pdf_link_extract",
     "ann_range_search",
     "join_asof_tolerance_event_order",
@@ -44,8 +48,17 @@ _GATE_PRIORITY = [
     "text_dup_ngram_mass",
     "text_mojibake_score",
     "quality_l_diversity",
-    # (b) never driver-sampled, oracle-checked — the ~50-query sample
-    # window should land entirely in this backlog (r3 verdict item 2);
+    "dedup_ngram_jaccard",
+    "dedup_bow_cosine",
+    "dedup_embedding_cosine",
+    "events_cusum_changepoint",
+    "sample_target_mixture",
+    "corpus_overlap_matrix",
+    "decontam_survivors",
+    "decontam_report",
+    "embeddings_single_link_clusters",
+    # (b) never driver-sampled, oracle-checked — the rest of the ~50
+    # sample window lands in this backlog (r3 verdict item 2);
     # heavily-engineered ones the judge named go first, then TPC-H
     "text_bpe_tokenize",
     "er_name_clusters",
@@ -74,7 +87,6 @@ _GATE_PRIORITY = [
     "graph_triangle_count",
     "market_basket_rules",
     "events_twap_user",
-    "corpus_overlap_matrix",
     "join_asof_forward_next_event",
     "embeddings_standardize",
     "stats_welch_ttest",
@@ -91,7 +103,6 @@ _GATE_PRIORITY = [
     "join_hot_key_salted",
     "events_sessionize_dynamic_gap",
     "events_rolling_7d_distinct",
-    "dedup_bow_cosine",
     "events_ohlc_hourly",
     "sample_group_holdout",
     "diag_key_skew",
@@ -103,8 +114,6 @@ _GATE_PRIORITY = [
     "embed_seam_parity",
     "text_pii_redact",
     "quality_gopher_rules",
-    "decontam_report",
-    "decontam_survivors",
     "sample_stratified_lang",
     "window_range_frame_revenue",
     "dedup_char_ngram_jaccard",
@@ -157,6 +166,8 @@ _GATE_PRIORITY = [
     "stats_ks_test_kll",
     "eval_dedup_recall_vs_exact",
     "eval_ann_recall_vs_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_sq8_topk",
     "multimodal_phash_dedup",
     "dedup_semantic_pairs",
@@ -164,8 +175,6 @@ _GATE_PRIORITY = [
     "ann_ivfpq_topk",
     # (d) driver-green on record (r1-r3), code unchanged
     "postprocess_battery",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
     "dedup_exact_groups",
     "text_vocab_build",
     "quality_bigram_backoff",
@@ -184,7 +193,6 @@ _GATE_PRIORITY = [
     "events_robust_zscore_mad",
     "graph_ppr_customer_seeds",
     "eval_recall_at_k_sweep",
-    "embeddings_single_link_clusters",
     "quality_readability_fk",
     "events_attribution_linear",
     "corpus_zipf_slope",
@@ -196,7 +204,6 @@ _GATE_PRIORITY = [
     "stats_permutation_test",
     "quality_classifier_calibration",
     "events_seasonal_profile",
-    "events_cusum_changepoint",
     "sample_time_split",
     "graph_degree_powerlaw",
     "dedup_cluster_size_histogram",
@@ -207,14 +214,11 @@ _GATE_PRIORITY = [
     "corpus_crossdup_matrix",
     "quality_char_entropy",
     "sample_quality_budget",
-    "sample_target_mixture",
     "training_length_batching",
     "training_span_corruption",
     "embeddings_jl_project",
     "text_keyword_tag",
     "corpus_kl_divergence",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_lsh_topk",
     "date_functions_orders",
     "month_sequence_gap_scan",
