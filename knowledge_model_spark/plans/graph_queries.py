@@ -709,11 +709,16 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2003): score every NON-adjacent pair sharing >=1 neighbor by "
     "|N(a) n N(b)| / |N(a) u N(b)|, top-20 with (score, id_a, id_b) "
     "tiebreak.  Wedge self-join through the shared neighbor costs "
-    "sum(deg^2) — the same bound the triangle counter rides, with the "
-    "same degree-orientation escape hatch on skew; degrees broadcast "
-    "back; the existing-edge anti join prunes before scoring; exact "
-    "integer counts, the one double is a shared division.  The "
-    "recommend-next-citation / suggest-duplicate-candidate primitive",
+    "sum(deg^2); unlike triangle counting, orientation cannot shrink "
+    "the wedge count (every wedge IS a scored pair), so the 100 TB "
+    "lever is a hub-degree cap — drop or sample neighbors of nodes "
+    "above a degree cut, the graph twin of the dedup max_df stop "
+    "shingle (hub-mediated wedges carry near-zero Jaccard anyway: "
+    "common/(da+db-common) vanishes as hub degree grows).  Degrees "
+    "broadcast back; the existing-edge anti join prunes before "
+    "scoring; exact integer counts, the one double is a shared "
+    "division.  The recommend-next-citation / "
+    "suggest-duplicate-candidate primitive",
 )
 def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
