@@ -521,3 +521,80 @@ def bfs_hops(
         frontier = nxt
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     raise RuntimeError(f"bfs_hops did not converge in {max_iter} rounds")
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_degree: int | None = None,
+    k: int | None = 20,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (Liben-Nowell/Kleinberg '03):
+    score every NON-adjacent pair sharing ≥1 neighbor by
+    ``|N(a)∩N(b)| / |N(a)∪N(b)|``.
+
+    The wedge self-join through the shared neighbor costs Σdeg² — and
+    unlike triangle counting, degree orientation cannot shrink it
+    (every wedge IS a scored pair), so ``max_degree`` is the 100 TB
+    lever: wedges are not generated THROUGH nodes above the cut (their
+    neighbor lists are dropped from the wedge index), the graph twin of
+    the dedup ``max_df`` stop-shingle.  Justified because hub-mediated
+    wedges carry vanishing Jaccard: common ≤ 1 per hub while
+    |N(a)∪N(b)| stays large.  Jaccard denominators keep TRUE degrees
+    (the cap only prunes candidate generation, it never distorts a
+    surviving pair's score).
+
+    Returns (id_a, id_b, common, jaccard) — top-``k`` under the total
+    (jaccard desc, id_a, id_b) order, or all pairs when ``k`` is None.
+    ``common`` counts only wedges through uncapped nodes, so a capped
+    run scores a (lossless-for-surviving-pairs) LOWER BOUND of common
+    for pairs that also share hub neighbors — the standard trade.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    index = sym
+    if max_degree is not None:
+        keep = deg.filter(F.col("d") <= max_degree).select(
+            F.col("node").alias("a")
+        )
+        index = sym.join(keep, "a")
+    s1 = index.select(F.col("a").alias("n"), F.col("b").alias("id_a"))
+    s2 = index.select(F.col("a").alias("n"), F.col("b").alias("id_b"))
+    wedge = (
+        s1.join(s2, "n")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    cand = wedge.join(
+        e,
+        (wedge["id_a"] == e["a"]) & (wedge["id_b"] == e["b"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("id_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("id_b"), F.col("d").alias("db"))
+    out = (
+        cand.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(k)

@@ -730,40 +730,6 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(d.select((F.col("doc_id") + 2).alias("a"), (F.col("doc_id") + 3).alias("b")))
         .unionByName(d.select((F.col("doc_id") + 1).alias("a"), (F.col("doc_id") + 3).alias("b")))
     )
-    e = e0.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy(F.col("a").alias("node")).agg(
-        F.count("*").cast("long").alias("d")
-    )
-    s1 = sym.select(F.col("a").alias("n"), F.col("b").alias("id_a"))
-    s2 = sym.select(F.col("a").alias("n"), F.col("b").alias("id_b"))
-    wedge = (
-        s1.join(s2, "n")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("common"))
-    )
-    cand = wedge.join(
-        e,
-        (wedge["id_a"] == e["a"]) & (wedge["id_b"] == e["b"]),
-        "left_anti",
-    )
-    da = deg.select(F.col("node").alias("id_a"), F.col("d").alias("da"))
-    db = deg.select(F.col("node").alias("id_b"), F.col("d").alias("db"))
-    return (
-        cand.join(F.broadcast(da), "id_a")
-        .join(F.broadcast(db), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "common",
-            (
-                F.col("common").cast("double")
-                / (F.col("da") + F.col("db") - F.col("common"))
-            ).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
-        .limit(20)
-    )
+    from knowledge_model_spark.operators.graph import link_prediction_jaccard
+
+    return link_prediction_jaccard(e0, "a", "b", k=20)

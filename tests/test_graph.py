@@ -260,3 +260,37 @@ def test_personalized_pagerank_empty_seeds(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     seeds = spark.createDataFrame([(99,)], "node long")  # not in graph
     assert personalized_pagerank(edges, seeds).count() == 0
+
+
+def test_link_prediction_hub_cap_is_lossless_for_true_pairs(spark):
+    """The max_degree lever must drop hub-mediated wedges (the Σdeg²
+    blowup) without losing genuinely-similar pairs: on a graph where
+    nodes 1..4 form a near-clique and node 0 is a hub touching
+    everything, capping at the hub's degree-1 removes the hub's wedge
+    fan-out while the clique pair survives with its Jaccard intact
+    (denominators keep TRUE degrees)."""
+    from knowledge_model_spark.operators.graph import link_prediction_jaccard
+
+    # hub 0 — 1..8; clique-ish 1-2, 1-3, 2-3, 2-4, 3-4  (1,4 not adjacent)
+    hub = [(0, i) for i in range(1, 9)]
+    cliq = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(hub + cliq, ["a", "b"])
+
+    full = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+        for r in link_prediction_jaccard(edges, "a", "b", k=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+        for r in link_prediction_jaccard(
+            edges, "a", "b", max_degree=4, k=None
+        ).collect()
+    }
+    # hub-only pairs (e.g. 5,6: only wedge is through 0) disappear
+    assert (5, 6) in full and (5, 6) not in capped
+    # the true pair (1,4) survives: N(1) == N(4) == {0,2,3}, so the
+    # full score is exactly 1.0; capping drops the hub wedge (common
+    # 3 -> 2) while denominators keep TRUE degrees (3+3-2) — the
+    # documented lower-bound trade, not a silent degree distortion
+    assert full[(1, 4)] == (3, 1.0)
+    assert capped[(1, 4)] == (2, 2 / (3 + 3 - 2))
