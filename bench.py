@@ -277,6 +277,7 @@ HEADLINE: dict[str, bool] = {
     "join_asof_tolerance_event_order": False,
     "stats_proportions_ztest": True,
     "stats_mannwhitney_u_kll": True,
+    "dedup_threshold_curve": True,
     "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,

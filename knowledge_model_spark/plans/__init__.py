@@ -48,6 +48,7 @@ _GATE_PRIORITY = [
     "text_dup_ngram_mass",
     "text_mojibake_score",
     "quality_l_diversity",
+    "dedup_threshold_curve",
     "dedup_ngram_jaccard",
     "dedup_bow_cosine",
     "dedup_embedding_cosine",

@@ -503,3 +503,74 @@ def eval_dedup_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "dedup_threshold_curve",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM}, ' '), w -> len(w) > 0) AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(words) - 4),
+                                                    i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+             END AS sh
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS common
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT common / (n_a + n_b - common) AS j FROM pairs
+      WHERE common / (n_a + n_b - common) >= 0.5
+    ),
+    buckets AS (
+      SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM scored GROUP BY 1
+    )
+    SELECT round(b / 10.0, 1) AS threshold,
+           n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY b DESC) AS BIGINT) AS n_pairs_at_or_above
+    FROM buckets
+    """,
+    doc="dedup threshold operating curve: how many near-dup pairs each "
+    "Jaccard cutoff 0.5..0.9 would produce, from ONE pass of the "
+    "prefix-filtered exact join at the loosest threshold (the "
+    "eval_recall_at_k_sweep philosophy: sweep the knob over the "
+    "materialized result, never re-run the operator per setting) — "
+    "the tuning query run before committing a corpus-wide dedup; "
+    "cumulative window runs over the ≤5-row bucket table only",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents_spread"], "doc_id", "text", k=5, threshold=0.5
+    )
+    buckets = (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        F.round(F.col("b") / 10.0, 1).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )
