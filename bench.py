@@ -278,6 +278,7 @@ HEADLINE: dict[str, bool] = {
     "stats_proportions_ztest": True,
     "stats_mannwhitney_u_kll": True,
     "dedup_threshold_curve": True,
+    "quality_drift_trend": True,
     "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,

@@ -49,6 +49,7 @@ _GATE_PRIORITY = [
     "text_mojibake_score",
     "quality_l_diversity",
     "dedup_threshold_curve",
+    "quality_drift_trend",
     "dedup_ngram_jaccard",
     "dedup_bow_cosine",
     "dedup_embedding_cosine",

@@ -1901,3 +1901,68 @@ def stats_mannwhitney_u_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pooled = t["events"].filter(F.col("event_type").isin("click", "view"))
     return mwu_p_kll(pooled, F.col("event_type") == "click", "value")
+
+
+@register(
+    "quality_drift_trend",
+    """
+    WITH d AS (
+      SELECT source, doc_id % 12 AS m,
+             len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS a,
+             n_chars AS c
+      FROM documents
+    ),
+    g AS (
+      SELECT source, m,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(c) AS BIGINT) AS sc
+      FROM d GROUP BY source, m
+    ),
+    r AS (SELECT source, m, CAST(sa AS DOUBLE) / sc AS ratio FROM g)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round((min({'m': m, 'r': ratio})).r, 6) AS r_first,
+           round((max({'m': m, 'r': ratio})).r, 6) AS r_last,
+           round((count(*) * sum(m * ratio) - sum(m) * sum(ratio))
+                 / (count(*) * sum(CAST(m * m AS DOUBLE)) - CAST(sum(m) AS DOUBLE) * sum(m)),
+                 6) AS slope_per_month
+    FROM r GROUP BY source
+    """,
+    doc="per-source quality drift monitor: alphabetic-mass ratio per "
+    "(source, ingestion month — doc_id%12 as the batch proxy, the "
+    "corpus_token_drift convention) as a RATIO OF INTEGER SUMS "
+    "(Σalpha/Σchars — exact cross-engine, unlike a mean of per-doc "
+    "ratios whose corpus-sized float fold would drift), then an OLS "
+    "slope per source over its ≤12-point month grid via the exact-"
+    "moment recipe (agg_corr_regression precedent; round-6 absorbs the "
+    "12-term fold).  The alert that catches a quality regression in "
+    "ONE source's new batches before it pollutes the mixture",
+)
+def quality_drift_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source",
+        (F.col("doc_id") % 12).alias("m"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias("a"),
+        F.col("n_chars").alias("c"),
+    )
+    g = d.groupBy("source", "m").agg(
+        F.sum("a").cast("long").alias("sa"), F.sum("c").cast("long").alias("sc")
+    )
+    r = g.select(
+        "source", "m", (F.col("sa").cast("double") / F.col("sc")).alias("ratio")
+    )
+    key = F.struct(F.col("m").alias("m"), F.col("ratio").alias("r"))
+    n = F.count("*")
+    sxy = F.sum(F.col("m") * F.col("ratio"))
+    sx = F.sum("m")
+    sy = F.sum("ratio")
+    sxx = F.sum((F.col("m") * F.col("m")).cast("double"))
+    return r.groupBy("source").agg(
+        n.cast("long").alias("n_months"),
+        F.round(F.min(key)["r"], 6).alias("r_first"),
+        F.round(F.max(key)["r"], 6).alias("r_last"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx.cast("double") * sx),
+            6,
+        ).alias("slope_per_month"),
+    )
