@@ -279,6 +279,7 @@ HEADLINE: dict[str, bool] = {
     "stats_mannwhitney_u_kll": True,
     "dedup_threshold_curve": True,
     "quality_drift_trend": True,
+    "events_rolling_1h_value": False,
     "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,

@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "quality_l_diversity",
     "dedup_threshold_curve",
     "quality_drift_trend",
+    "events_rolling_1h_value",
     "dedup_ngram_jaccard",
     "dedup_bow_cosine",
     "dedup_embedding_cosine",

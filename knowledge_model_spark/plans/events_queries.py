@@ -1451,3 +1451,36 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(l12, "view->click").unionByName(
         summarize(l23, "click->purchase")
     )
+
+
+@register(
+    "events_rolling_1h_value",
+    """
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(sum(floor(value * 1000000)) OVER w AS BIGINT) AS roll_sum_fp,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing 1-hour rolling sum/count per user via a timestamp "
+    "RANGE INTERVAL frame — the time-based frame the numeric RANGE "
+    "window (window_range_frame_revenue) doesn't cover, and the exact "
+    "streaming-window batch twin (same semantics as a sliding window "
+    "evaluated at event times).  Fixed-point int64 values keep the "
+    "rolling sums exact (no float cumsum drift); one user-key "
+    "Exchange; frame bounds are data values, so the result is "
+    "partition-invariant by construction",
+)
+def events_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id, CAST(unix_micros(ts) AS BIGINT) AS ts_us,
+               CAST(sum(floor(value * 1000000)) OVER w AS BIGINT) AS roll_sum_fp,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
