@@ -280,6 +280,7 @@ HEADLINE: dict[str, bool] = {
     "dedup_threshold_curve": True,
     "quality_drift_trend": True,
     "events_rolling_1h_value": False,
+    "multimodal_audio_vad": False,
     "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,

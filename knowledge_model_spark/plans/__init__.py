@@ -165,6 +165,7 @@ _GATE_PRIORITY = [
     "setop_multiset_all",
     # (c) rows-only: new/changed this round, then never-sampled
     "text_bpe_learn_merges",
+    "multimodal_audio_vad",
     "stats_mannwhitney_u_kll",
     "stats_ks_test_kll",
     "eval_dedup_recall_vs_exact",

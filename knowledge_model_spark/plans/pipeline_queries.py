@@ -525,3 +525,26 @@ def text_pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(anchors(page)).cast("long").alias("n_anchors"),
         first_pdf_link(page).alias("pdf_link"),
     )
+
+
+@register(
+    "multimodal_audio_vad",
+    None,  # binary-kernel output — rows-only; exact segment-boundary
+    # gate on a synthesized REAL WAV in tests/test_sources.py
+    doc="energy-based voice-activity segmentation (1-to-segments): "
+    "contiguous active-frame runs per audio row with start/end ms and "
+    "mean RMS — the speech-extraction step before transcription/"
+    "feature caching (silence never reaches the model); mapInPandas "
+    "kernel, REAL decode for PCM-16 WAV (exact boundaries pinned in "
+    "tests), int8 stub keeps framing + run-length logic fully "
+    "exercised in-container; fixed absolute threshold = deterministic "
+    "across partitionings",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.sources.multimodal import (
+        audio_vad_segments,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, n=128, kind="audio")
+    return audio_vad_segments(media, decode="DETERMINISTIC")

@@ -466,3 +466,101 @@ def perceptual_hash(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFram
         ]
     )
     return media.select("media_id", "payload").mapInPandas(kernel, schema)
+
+
+VAD_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("seg_index", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mean_rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_vad_segments(
+    media: DataFrame,
+    frame_ms: int = 20,
+    threshold: float = 0.1,
+    decode: str = "DETERMINISTIC",
+) -> DataFrame:
+    """Energy-based voice-activity segmentation: frame the waveform at
+    ``frame_ms``, mark frames with RMS > ``threshold`` active, emit one
+    row per CONTIGUOUS active run — (media_id, seg_index, start_ms,
+    end_ms, n_frames, mean_rms).  The speech-segment extraction step an
+    audio training pipeline runs before transcription/feature caching
+    (silence never reaches the model), and the 1-to-segments shape that
+    complements :func:`audio_features`' fixed windows.
+
+    REAL mode decodes RIFF PCM-16 WAV (genuine numpy, real sample
+    rate); DETERMINISTIC mode treats payload bytes as an int8 waveform
+    scaled to [-1, 1] over ``duration_ms`` — batch shapes, framing and
+    run-length logic identical, so tests pin the full kernel.
+    Fixed absolute threshold keeps results deterministic across
+    partitionings (no per-batch adaptive statistics).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "seg_index": [],
+                "start_ms": [],
+                "end_ms": [],
+                "n_frames": [],
+                "mean_rms": [],
+            }
+            for _, row in pdf.iterrows():
+                if decode == "REAL":
+                    decoded = decode_wav_pcm16(row["payload"] or b"")
+                    if decoded is None:
+                        raise NotImplementedError(
+                            "compressed audio (MP3/OGG/…) requires librosa/"
+                            "ffmpeg — not in container; REAL decode supports "
+                            "RIFF PCM-16 WAV"
+                        )
+                    wave, rate = decoded
+                    step = max(1, rate * frame_ms // 1000)
+                else:
+                    duration = int(row["duration_ms"] or 0)
+                    wave = (
+                        np.frombuffer(row["payload"] or b"", dtype=np.int8).astype(
+                            np.float32
+                        )
+                        / 128.0
+                    )
+                    n_frames_total = max(1, duration // frame_ms)
+                    step = max(1, len(wave) // n_frames_total) if len(wave) else 1
+                n_fr = max(0, -(-len(wave) // step))
+                seg = None  # (start_frame, rms_sum, n)
+                seg_idx = 0
+                for i in range(n_fr):
+                    w = wave[i * step : (i + 1) * step]
+                    rms = float(np.sqrt(np.mean(w**2))) if len(w) else 0.0
+                    if rms > threshold:
+                        if seg is None:
+                            seg = [i, 0.0, 0]
+                        seg[1] += rms
+                        seg[2] += 1
+                    elif seg is not None:
+                        out["media_id"].append(row["media_id"])
+                        out["seg_index"].append(seg_idx)
+                        out["start_ms"].append(seg[0] * frame_ms)
+                        out["end_ms"].append((seg[0] + seg[2]) * frame_ms)
+                        out["n_frames"].append(seg[2])
+                        out["mean_rms"].append(seg[1] / seg[2])
+                        seg_idx += 1
+                        seg = None
+                if seg is not None:
+                    out["media_id"].append(row["media_id"])
+                    out["seg_index"].append(seg_idx)
+                    out["start_ms"].append(seg[0] * frame_ms)
+                    out["end_ms"].append((seg[0] + seg[2]) * frame_ms)
+                    out["n_frames"].append(seg[2])
+                    out["mean_rms"].append(seg[1] / seg[2])
+            yield pd.DataFrame(out)
+
+    cols = ["media_id", "payload", "duration_ms"]
+    return media.select(*cols).mapInPandas(kernel, VAD_SEGMENTS_SCHEMA)

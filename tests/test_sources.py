@@ -872,3 +872,45 @@ def test_s3a_session_confs_commit_protocol():
         s3a_session_confs(committer="rename")
     with _pytest.raises(ValueError):
         s3a_session_confs(upload_part_mb=1)
+
+
+def test_vad_segments_exact_boundaries_real_wav(spark):
+    """REAL-decode VAD on a synthesized WAV with a known
+    speech/silence/speech pattern must recover the exact segment
+    boundaries: 0-200ms tone, 200-400ms silence, 400-1000ms tone."""
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import audio_vad_segments
+
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    wave = tone.copy()
+    wave[int(0.2 * rate):int(0.4 * rate)] = 0.0
+    df = spark.createDataFrame(
+        [(7, _make_wav(wave, rate), 1000)],
+        "media_id long, payload binary, duration_ms long",
+    )
+    segs = sorted(
+        audio_vad_segments(df, frame_ms=20, threshold=0.1, decode="REAL").collect(),
+        key=lambda r: r["seg_index"],
+    )
+    assert [(s["start_ms"], s["end_ms"]) for s in segs] == [(0, 200), (400, 1000)]
+    assert all(abs(s["mean_rms"] - 0.5 / 2**0.5) < 0.02 for s in segs)
+
+
+def test_vad_segments_deterministic_mode_partition_invariant(spark):
+    from knowledge_model_spark.sources.multimodal import (
+        audio_vad_segments,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, n=64, kind="audio")
+    a = sorted(
+        audio_vad_segments(media, decode="DETERMINISTIC").collect(),
+        key=lambda r: (r["media_id"], r["seg_index"]),
+    )
+    b = sorted(
+        audio_vad_segments(media.repartition(7), decode="DETERMINISTIC").collect(),
+        key=lambda r: (r["media_id"], r["seg_index"]),
+    )
+    assert a == b and len(a) > 0
