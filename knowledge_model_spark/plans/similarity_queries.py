@@ -144,15 +144,33 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
-    out = []
-    for method, fn in (
+    # pq/ivfpq/sq8/ivf run their training jobs (Lloyd rounds, codebook
+    # collects) EAGERLY at construction time — ~4 s serial on the
+    # driver.  SparkSessions accept concurrent job submission, and the
+    # methods are independent (separate deterministic seeds), so build
+    # the five pipelines on threads; results are identical, the
+    # training jobs just overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    methods = (
         ("lsh", lsh_bucket_top_k),
         ("ivf", ivf_top_k),
         ("pq", pq_top_k),
         ("ivfpq", ivfpq_top_k),
         ("sq8", sq8_top_k),
-    ):
-        approx = fn(t["embeddings"], q, **kw).select("query_id", "vec_id")
+    )
+    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
+        approxes = list(
+            pool.map(
+                lambda m: (
+                    m[0],
+                    m[1](t["embeddings"], q, **kw).select("query_id", "vec_id"),
+                ),
+                methods,
+            )
+        )
+    out = []
+    for method, approx in approxes:
         hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
         out.append(
             hit.agg(
