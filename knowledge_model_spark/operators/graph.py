@@ -43,10 +43,13 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # label_0 = min(node, min neighbor) — exactly what the first
+    # neighbor-propagation round would compute from identity labels, so
+    # seeding it here saves one full loop round (join + agg + checkpoint)
+    # for every caller; the fixpoint (min reachable id) is unchanged.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
