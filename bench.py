@@ -355,17 +355,46 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(line))
+
+    # Persist the full per-query record in-repo: the driver's
+    # BENCH_r0N.json keeps only a 2000-char tail, so cross-round
+    # per-query comparisons were impossible without re-running old
+    # code.  BENCH_HISTORY.jsonl is append-only and owned by bench.py;
+    # `round` is inferred as 1 + the highest driver-recorded round so
+    # each driver run lands under the round it belongs to.
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "round": (max(rounds) + 1) if rounds else 1,
+                        "total": line["value"],
+                        "sf": sf,
+                        "n_queries": len(timings),
+                        "queries": timings,
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass  # history is best-effort; never fail the bench over it
 
 
 if __name__ == "__main__":

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 # reference reads a.get_text() the same way for simple anchors).
 ANCHOR_RE = r'(?i)<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
 HREF_RE = r'(?i)href="([^"]*)"'
-TEXT_RE = r">([^<]*)<"
+# Anchored to the closing </a> (not the first >…< span): ANCHOR_RE's
+# href="[^"]*" admits a '>' inside the attribute value, and a first-span
+# match would then capture from inside the href instead of the anchor
+# text (diverging from the reference's get_text()).  Excluding '>' from
+# the capture class forces the match to start at the LAST '>' before
+# </a> — the tag close — even when the href contains '>'.
+TEXT_RE = r"(?i)>([^<>]*)</a>"
 
 
 def anchors(col: Column) -> Column:

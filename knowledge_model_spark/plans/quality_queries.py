@@ -1847,10 +1847,14 @@ def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = u.agg(
         F.count(F.when(F.col("in_a"), 1)).cast("long").alias("n_a"),
         F.count(F.when(~F.col("in_a"), 1)).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("in_a"), F.col("conv")).otherwise(0))
+        # no .otherwise(0): sum over the bare when() skips non-arm rows
+        # and returns NULL when an arm is empty — exactly DuckDB's
+        # sum(conv) FILTER (in_a), so the degenerate empty-arm case
+        # cannot hash-mismatch the oracle
+        F.sum(F.when(F.col("in_a"), F.col("conv")))
         .cast("long")
         .alias("x_a"),
-        F.sum(F.when(~F.col("in_a"), F.col("conv")).otherwise(0))
+        F.sum(F.when(~F.col("in_a"), F.col("conv")))
         .cast("long")
         .alias("x_b"),
     )

@@ -545,7 +545,14 @@ RANGE_TAU = 0.4
     "is data-dependent, not k.  Broadcast query batch x corpus scan, "
     "JVM HOF cosine, zero shuffle before the final projection; ids "
     "only in the output (the dedup_embedding_cosine precedent: score "
-    "doubles differ across engine float paths, membership does not)",
+    "doubles differ across engine float paths).  Boundary caveat: "
+    "membership agreement is DATA-dependent, not guaranteed — a pair "
+    "whose true cosine lies within ~1 ulp of tau could flip between "
+    "Spark's HOF fold and DuckDB's list_cosine_similarity; the "
+    "synthetic embeddings sit far from the 0.4 boundary (verified "
+    "min |score-tau| >> float64 error), and quantize-then-compare "
+    "would only relocate the race to a rounding-grid midpoint, so the "
+    "honest contract is this caveat rather than a fake fix",
 )
 def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.vectors import cosine_sim

@@ -857,19 +857,23 @@ def training_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event counts give exclusive offsets over a days-bounded table, "
     "raw events only see a hash-partitioned within-day window — the "
     "exact-at-scale form of the approx-percentile cutover — and the "
-    "per-split min/max audit proves train.max <= test.min",
+    "per-split min/max audit proves train.max <= test.min.  The cutoff "
+    "n*0.8 derives IN-PLAN from the same grid-count aggregate that "
+    "builds the offsets (out_total — zero extra scans); an earlier "
+    "form ran an eager x.count() at plan-build time, a whole second "
+    "corpus scan per invocation",
 )
 def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     x = t["events"].select("event_id", "ts")
-    n = x.count()
-    cut = int(n * 0.8)
     numbered = grid_global_row_number(
         x,
         F.date_trunc("day", F.col("ts")),
         ["ts", "event_id"],
         out="rn",
+        out_total="__n",
     )
+    cut = F.floor(F.col("__n") * 0.8).cast("long")
     labeled = numbered.select(
         "event_id",
         "ts",

@@ -250,11 +250,32 @@ def stream_vocab_ingest(
 
     _MARKER = "_last_batch_id"  # Spark ignores _-prefixed files in dirs
 
+    def _checkpoint_identity() -> str:
+        # batch_id is only meaningful RELATIVE to a checkpoint instance:
+        # if the checkpoint is deleted/recreated while the vocab table
+        # (and its marker) persists, batch ids restart at 0 and a bare
+        # "<= last_applied" test would silently skip genuinely new
+        # batches.  Spark persists the query id in <checkpoint>/metadata
+        # — stable across restarts of the SAME checkpoint, fresh when it
+        # is recreated — so the marker stores it and is ignored on
+        # mismatch (degrades to at-least-once for one batch, never to
+        # silent data loss).
+        import json
+        import os
+
+        meta = os.path.join(checkpoint_dir, "metadata")
+        try:
+            with open(meta, encoding="utf-8") as fh:
+                return str(json.load(fh)["id"])
+        except Exception:
+            return checkpoint_dir
+
     def _read_current(sparkSession):
         # current table + its last-applied batch_id marker, falling back
         # to the __old copy a crashed swap may have left behind (see
         # swap protocol below); marker and data always come from the
         # SAME copy so they cannot disagree
+        import json
         import os
 
         for path in (vocab_path, vocab_path + "__old"):
@@ -268,7 +289,14 @@ def stream_vocab_ingest(
                 marker = os.path.join(path, _MARKER)
                 if os.path.exists(marker):
                     with open(marker, encoding="ascii") as fh:
-                        last = int(fh.read().strip())
+                        raw = fh.read().strip()
+                    try:
+                        rec = json.loads(raw)
+                        if rec.get("ckpt") == _checkpoint_identity():
+                            last = int(rec["batch_id"])
+                    except ValueError:
+                        # pre-identity marker format (bare int): honor it
+                        last = int(raw)
                 return df, last
         empty = sparkSession.createDataFrame(
             [], "term string, c long, df_docs long"
@@ -300,10 +328,16 @@ def stream_vocab_ingest(
         import os
         import shutil
 
+        import json
+
         with open(
             os.path.join(staging, _MARKER), "w", encoding="ascii"
         ) as fh:
-            fh.write(str(batch_id))
+            fh.write(
+                json.dumps(
+                    {"batch_id": batch_id, "ckpt": _checkpoint_identity()}
+                )
+            )
         if os.path.exists(retired):
             shutil.rmtree(retired)
         if os.path.exists(vocab_path):

@@ -807,6 +807,13 @@ def test_first_pdf_link_mirrors_reference_scrape_rule(spark):
         ('<a href="https://x.org/about">About</a>', None),
         # no anchors at all
         ("<p>plain page</p>", None),
+        # href containing '>' must NOT leak into the anchor text: the
+        # pre-fix first->...< span would capture pdf">download (false
+        # positive vs the reference's get_text() == "download")
+        ('<a href="https://x.org/view?next=>pdf">download</a>', None),
+        # ...while a genuine text match still qualifies despite the '>'
+        ('<a href="https://x.org/v?a=>1">Get PDF</a>',
+         "https://x.org/v?a=>1"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
     got = [
@@ -817,7 +824,7 @@ def test_first_pdf_link_mirrors_reference_scrape_rule(spark):
     ]
     assert got == [want for _, want in rows]
     n = df.select(F.size(anchors(F.col("html"))).alias("n")).collect()
-    assert [r["n"] for r in n] == [1, 1, 2, 2, 1, 1, 0]
+    assert [r["n"] for r in n] == [1, 1, 2, 2, 1, 1, 0, 1, 1]
 
 
 def test_s3a_path_layout_and_validation():
