@@ -10,13 +10,16 @@ Decode modes:
 - ``DETERMINISTIC`` derives reproducible pseudo-features from the
   payload bytes (so the Spark-side plumbing — schema, batching,
   partitioning — is fully real and tested regardless of format).
-- ``REAL`` genuinely decodes the UNCOMPRESSED formats pure numpy can
-  parse — P6 PPM and 24-bit BI_RGB BMP images, RIFF PCM-16 WAV audio —
-  and computes real pixel/waveform statistics.  Compressed codecs
-  (JPEG/PNG/MP3/MP4) need Pillow/ffmpeg/librosa, which are NOT in this
-  container: those payloads raise NotImplementedError at the exact
-  point the library call would go (the remaining declared seam; video
-  container demux is ffmpeg-only and stays fully stubbed).
+- ``REAL`` genuinely decodes the formats the stdlib + numpy can parse
+  — P6 PPM and 24-bit BI_RGB BMP images, 8-bit PNG (stdlib zlib
+  inflate + per-row unfilter, all five filter types, color types
+  0/2/3/4/6), GIF87a/89a (LZW decoder conformant to giflib's
+  code-width growth rule, interlace supported), RIFF PCM-16 WAV audio
+  — and computes real pixel/waveform statistics.  The remaining codec
+  seam is the DSP-transform formats (JPEG/MP3/MP4), which need
+  Pillow/ffmpeg/librosa — NOT in this container: those payloads raise
+  NotImplementedError at the exact point the library call would go
+  (video container demux is ffmpeg-only and stays fully stubbed).
 
 Scale notes: binary payloads dominate row size → ``maxRecordsPerBatch``
 must be kept small for these stages (set per-call, not globally), and
@@ -121,6 +124,255 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
     return img[::-1] if bottom_up else img
 
 
+def decode_png(b: bytes) -> np.ndarray | None:
+    """Real PNG decode with ZERO new dependencies: stdlib ``zlib``
+    inflate + per-row unfilter in numpy/Python.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), all five filter types (None/Sub/Up/
+    Average/Paeth), non-interlaced.  Alpha is dropped, gray replicates
+    to RGB, palette resolves through PLTE → always (H, W, 3) uint8.
+    Returns None for anything else (Adam7, 16-bit) — the caller falls
+    through to the declared codec seam.
+
+    The Up filter vectorizes (uint8 wraparound IS the mod-256 the spec
+    wants); Sub/Average/Paeth carry a left-neighbor dependency and run
+    as per-byte loops — fine for fixture/test images, and the 100 TB
+    path for bulk compressed imagery remains a real codec library on
+    the executors (this decoder exists to make content-level parity
+    testable in-container, reference parse_pdfs.py's analog surface).
+    """
+    import struct
+    import zlib
+
+    if not b or not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    i = 8
+    w = h = bitd = colort = interlace = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, i)
+        body = b[i + 8 : i + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w, h, bitd, colort, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", body, 0
+            )
+            if comp != 0 or filt != 0:
+                return None
+        elif typ == b"PLTE":
+            if ln % 3:
+                return None
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if w is None or not idat or bitd != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colort)
+    if channels is None or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:  # None
+            out[y] = line
+        elif ft == 2:  # Up — vectorized, uint8 add wraps mod 256
+            out[y] = line + prev
+        elif ft == 1:  # Sub
+            rec = line
+            for x in range(bpp, stride):
+                rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
+            out[y] = rec
+        elif ft == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(rec[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = rec
+        elif ft == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+            out[y] = rec
+        else:
+            return None
+    px = out.reshape(h, w, channels)
+    if colort == 0:
+        return np.repeat(px, 3, axis=2)
+    if colort == 2:
+        return np.ascontiguousarray(px)
+    if colort == 3:
+        if plte is None or int(px[..., 0].max()) >= len(plte):
+            return None
+        return plte[px[..., 0]]
+    if colort == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return np.ascontiguousarray(px[..., :3])  # colort == 6
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int] | None:
+    """GIF-variant LZW decode (LSB-first bit packing, variable code
+    width 3..12).  Code-width growth follows giflib exactly: a counter
+    starting at EOI+1 ticks on EVERY code read and the width grows when
+    it EXCEEDS ``1 << code_size`` — one read earlier than a
+    dictionary-adds counter would grow, which is the classic decoder
+    compensation for lagging the encoder's table by one entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    nbits = len(data) * 8
+    bitpos = 0
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = eoi + 1  # next dictionary slot
+    running = eoi + 1  # giflib's RunningCode: ticks per READ
+    prev: list[int] | None = None
+    out: list[int] = []
+    while len(out) < expected:
+        if bitpos + code_size > nbits:
+            return None
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        running += 1
+        if running > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code = eoi + 1
+            running = eoi + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+        prev = entry
+    return out[:expected] if len(out) >= expected else None
+
+
+def decode_gif(b: bytes) -> np.ndarray | None:
+    """Real GIF87a/89a decode with zero new dependencies: container
+    parse + the stdlib-Python LZW decoder above.  First image frame
+    only; local color table overrides global; interlaced row order
+    (8/8, 8/8+4, 4/4+2, 2/2+1 passes) is de-interleaved.  Returns
+    (H, W, 3) uint8 RGB or None (caller falls through to the seam)."""
+    import struct
+
+    if not b or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(b) < 13:
+        return None
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if len(b) < i + n * 3:
+            return None
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label byte then sub-block chain
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                return None
+            _x0, _y0, iw, ih, ip = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                if len(b) < i + n * 3:
+                    return None
+                ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+                i += n * 3
+            if ct is None or iw <= 0 or ih <= 0 or i >= len(b):
+                return None
+            mcs = b[i]
+            i += 1
+            if not (2 <= mcs <= 8):
+                return None
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                sz = b[i]
+                data += b[i + 1 : i + 1 + sz]
+                i += 1 + sz
+            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+            if idx is None:
+                return None
+            arr = np.array(idx, np.uint8).reshape(ih, iw)
+            if ip & 0x40:  # interlaced: stream rows land in pass order
+                order = [
+                    *range(0, ih, 8),
+                    *range(4, ih, 8),
+                    *range(2, ih, 4),
+                    *range(1, ih, 2),
+                ]
+                de = np.zeros_like(arr)
+                de[order] = arr
+                arr = de
+            if int(arr.max()) >= len(ct):
+                return None
+            return ct[arr]
+        else:  # 0x3B trailer or junk
+            return None
+    return None
+
+
+def decode_image_any(b: bytes) -> np.ndarray | None:
+    """Try every in-container REAL image codec in cheapest-probe order
+    (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF."""
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_gif):
+        img = dec(b)
+        if img is not None:
+            return img
+    return None
+
+
 def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
     """RIFF PCM-16 WAV → (mono float32 waveform in [-1,1], sample_rate);
     stereo downmixes by mean; None for non-PCM16 / non-RIFF payloads."""
@@ -154,16 +406,15 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
 
 
 def _real_image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an uncompressed image and compute REAL pixel statistics:
-    per-channel means/stds, luminance mean/std, 8-bin luma histogram —
-    exactly FEATURE_DIM values, all in [0, 1]."""
-    img = decode_ppm(payload)
-    if img is None:
-        img = decode_bmp(payload)
+    """Decode an image and compute REAL pixel statistics: per-channel
+    means/stds, luminance mean/std, 8-bin luma histogram — exactly
+    FEATURE_DIM values, all in [0, 1]."""
+    img = decode_image_any(payload)
     if img is None:
         raise NotImplementedError(
-            "compressed image formats (JPEG/PNG) require Pillow — not in "
-            "container; REAL decode supports P6 PPM and 24-bit BMP"
+            "JPEG (and malformed payloads) require Pillow — not in "
+            "container; REAL decode supports P6 PPM, 24-bit BMP, "
+            "8-bit PNG, and GIF"
         )
     x = img.astype(np.float64) / 255.0
     luma = 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
@@ -203,8 +454,8 @@ def image_features(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFrame
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "REAL":
-                # genuine numpy decode (PPM/BMP): dimensions come from the
-                # pixel data, features are real image statistics
+                # genuine decode (PPM/BMP/PNG/GIF): dimensions come from
+                # the pixel data, features are real image statistics
                 trip = pdf["payload"].map(_real_image_features)
                 yield pd.DataFrame(
                     {
@@ -426,9 +677,9 @@ def perceptual_hash(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFram
     signature per image, ready for
     :func:`operators.dedup.hash64_hamming_pairs`.
 
-    REAL mode computes a genuine aHash over the numpy-decodable formats
-    (P6 PPM / 24-bit BMP — same codec seam rules as
-    :func:`image_features`); DETERMINISTIC derives the signature from
+    REAL mode computes a genuine aHash over the in-container-decodable
+    formats (P6 PPM / 24-bit BMP / 8-bit PNG / GIF — same codec seam
+    rules as :func:`image_features`); DETERMINISTIC derives the signature from
     sha256 of the payload bytes, which preserves one real property —
     byte-identical payloads collide at distance 0 — so the downstream
     dedup plumbing is fully exercisable on arbitrary binaries.
@@ -438,13 +689,11 @@ def perceptual_hash(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFram
 
     def _sig(b: bytes) -> int:
         if decode == "REAL":
-            img = decode_ppm(b)
-            if img is None:
-                img = decode_bmp(b)
+            img = decode_image_any(b)
             if img is None:
                 raise NotImplementedError(
-                    "compressed image formats require Pillow — not in "
-                    "container; REAL aHash supports P6 PPM and 24-bit BMP"
+                    "JPEG requires Pillow — not in container; REAL aHash "
+                    "supports P6 PPM, 24-bit BMP, 8-bit PNG, and GIF"
                 )
             return _ahash64(img)
         digest = hashlib.sha256(b or b"").digest()

@@ -301,13 +301,240 @@ def test_real_image_compressed_raises(spark):
     import pytest
     from knowledge_model_spark.sources.multimodal import image_features
 
-    df = spark.createDataFrame(
-        [(0, b"\x89PNG\r\n\x1a\n....", 0, 0)],
-        "media_id long, payload binary, width int, height int",
+    # JPEG is the remaining codec seam; a TRUNCATED PNG must also fall
+    # through to the seam (decode_png returns None), never misdecode
+    for payload in (b"\xff\xd8\xff\xe0JFIF....", b"\x89PNG\r\n\x1a\n...."):
+        df = spark.createDataFrame(
+            [(0, payload, 0, 0)],
+            "media_id long, payload binary, width int, height int",
+        )
+        with pytest.raises(Exception) as ei:
+            image_features(df, decode="REAL").collect()
+        assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+# --- PNG/GIF: real compressed-format decode, zero new dependencies ---
+
+def _png_filter_row(raw, prior, ft, bpp):
+    """Forward PNG filter (encoder side) for test fixtures."""
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        a = raw[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (raw[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def _make_png(planes, color_type, filters, plte=None):
+    """Minimal PNG encoder for fixtures: ``planes`` is (H, W, C) uint8
+    (C per color type), per-row filter types from ``filters`` cycling."""
+    import struct
+    import zlib
+
+    h, w, c = planes.shape
+    scan = bytearray()
+    prior = bytes(w * c)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        raw = planes[y].tobytes()
+        scan.append(ft)
+        scan += _png_filter_row(raw, prior, ft, c)
+        prior = raw
+
+    def chunk(typ, body):
+        base = typ + body
+        return struct.pack(">I", len(body)) + base + struct.pack(
+            ">I", zlib.crc32(base)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(scan)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_pixel_exact():
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # every row uses a different filter type → all five unfilter paths
+    got = decode_png(_make_png(img, 2, filters=[0, 1, 2, 3, 4]))
+    assert got is not None and np.array_equal(got, img)
+
+
+def test_png_decode_color_types_pixel_exact():
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_png
+
+    rng = np.random.RandomState(12)
+    # gray (0) → replicate to RGB
+    g = rng.randint(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    got = decode_png(_make_png(g, 0, filters=[1, 4]))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # gray+alpha (4) → alpha dropped
+    ga = rng.randint(0, 256, size=(5, 4, 2), dtype=np.uint8)
+    got = decode_png(_make_png(ga, 4, filters=[3, 2]))
+    assert np.array_equal(got, np.repeat(ga[..., :1], 3, axis=2))
+    # RGBA (6) → alpha dropped
+    rgba = rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    got = decode_png(_make_png(rgba, 6, filters=[4]))
+    assert np.array_equal(got, rgba[..., :3])
+    # palette (3) → resolved through PLTE
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(7, 6, 1), dtype=np.uint8)
+    got = decode_png(_make_png(idx, 3, filters=[0, 1], plte=plte))
+    assert np.array_equal(got, plte[idx[..., 0]])
+    # 16-bit / interlaced / truncated → None (seam), never misdecode
+    assert decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """GIF LZW encoder mirroring giflib's EGifCompress: emit at current
+    width, grow width when the running code counter reaches capacity
+    BEFORE the add of this emission's entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    running = eoi + 1
+    table = {(i,): i for i in range(clear)}
+    buf = 0
+    nbits = 0
+    out = bytearray()
+
+    def put(code):
+        nonlocal buf, nbits, code_size
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+        # giflib: growth check uses the counter BEFORE this code's add
+        if running >= (1 << code_size) and code_size < 12:
+            code_size += 1
+
+    put(clear)
+    wseq = ()
+    for k in indices:
+        cand = wseq + (int(k),)
+        if cand in table:
+            wseq = cand
+        else:
+            put(table[wseq])
+            table[cand] = running
+            running += 1
+            wseq = (int(k),)
+    if wseq:
+        put(table[wseq])
+    put(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(idx2d, palette, interlaced=False, mcs=None):
+    import struct
+
+    import numpy as np
+
+    h, w = idx2d.shape
+    n = len(palette)
+    size_field = max(1, int(np.ceil(np.log2(n))) if n > 1 else 1)
+    table_n = 1 << size_field
+    pal = np.zeros((table_n, 3), np.uint8)
+    pal[:n] = palette
+    mcs = mcs or max(2, size_field)
+    rows = idx2d
+    if interlaced:
+        order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+        rows = idx2d[order]  # stream stores rows in pass order
+    data = _gif_lzw_encode(rows.ravel().tolist(), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_field - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_known_external_fixture():
+    """A hand-verified 35-byte 1×1 red GIF (the classic minimal GIF,
+    produced by standard encoders — NOT by this repo's test encoder):
+    validates the bit reader, clear/EOI handling, and palette resolve
+    against real-world bytes."""
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_gif
+
+    b = bytes.fromhex(
+        "474946383961"  # GIF89a
+        "010001008000"  # 1x1, GCT of 2
+        "00ff00000000" "00"  # palette: red, black; bg
+        "2c00000000010001000002024401003b"
     )
-    with pytest.raises(Exception) as ei:
-        image_features(df, decode="REAL").collect()
-    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+    got = decode_gif(b)
+    assert got is not None and got.shape == (1, 1, 3)
+    assert np.array_equal(got[0, 0], np.array([255, 0, 0], np.uint8))
+
+
+def test_gif_roundtrip_pixel_exact_and_interlace():
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_gif
+
+    rng = np.random.RandomState(13)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    # big enough that the LZW code width grows past 2 boundaries
+    idx = rng.randint(0, 8, size=(23, 17)).astype(np.uint8)
+    want = palette[idx]
+    got = decode_gif(_make_gif(idx, palette))
+    assert got is not None and np.array_equal(got, want)
+    got_i = decode_gif(_make_gif(idx, palette, interlaced=True))
+    assert got_i is not None and np.array_equal(got_i, want)
+
+
+def test_image_features_real_png_gif_match_ppm(spark):
+    """The SAME pixels through PPM, PNG, and GIF containers must give
+    IDENTICAL REAL features — content-level codec parity, the r4
+    verdict's 'shrink the codec seam' ask."""
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import image_features
+
+    rng = np.random.RandomState(14)
+    palette = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+    idx = rng.randint(0, 32, size=(9, 8)).astype(np.uint8)
+    img = palette[idx]  # palette-expressible so GIF holds it losslessly
+    rows = [
+        (0, _make_ppm(img), 0, 0),
+        (1, _make_png(img, 2, filters=[0, 1, 2, 3, 4]), 0, 0),
+        (2, _make_gif(idx, palette), 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, width int, height int"
+    )
+    got = {r["media_id"]: r for r in image_features(df, decode="REAL").collect()}
+    assert got[0]["width"] == 8 and got[0]["height"] == 9
+    assert got[0]["features"] == got[1]["features"] == got[2]["features"]
 
 
 def test_real_audio_decode_wav(spark):
