@@ -284,6 +284,9 @@ HEADLINE: dict[str, bool] = {
     "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,
+    # new in r5: the KLL twins of the exact-percentile family
+    "events_funnel_latency_kll": True,
+    "agg_winsorized_mean_kll": True,
 }
 
 

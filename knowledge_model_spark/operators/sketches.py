@@ -107,6 +107,41 @@ def kll_quantile_rollup(
     return merged.select(*coarse_keys, *cols)
 
 
+def kll_group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    k: int = 2048,
+    count_as: str = "n",
+) -> DataFrame:
+    """Per-group quantiles + count from ONE map-side-combinable KLL(k)
+    aggregate — the single-level sibling of :func:`kll_quantile_rollup`
+    and the 100 TB replacement for exact ``percentile()`` aggregates,
+    whose ObjectHashAggregate buffers hold EVERY group value in executor
+    memory (exact interpolated percentiles are unbounded-state; KLL is
+    O(k) state with the published ~1.65/√k rank-error bound, gated in
+    tests at sf0.01 AND sf0.1).
+
+    Returns ``keys + [count_as, q_<pct>...]``; quantile column names use
+    round(q*100) so q=0.95 → ``q_95`` (int() would floor 94.999… to 94).
+    """
+    qarr = ", ".join(f"{q}D" for q in quantiles)
+    agg = df.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(count_as),
+        F.expr(
+            f"kll_sketch_get_quantile_double("
+            f"kll_sketch_agg_double(cast({value_col} as double), {k}), "
+            f"array({qarr}))"
+        ).alias("__qs"),
+    )
+    cols = [
+        F.col("__qs")[i].alias(f"q_{round(q * 100)}")
+        for i, q in enumerate(quantiles)
+    ]
+    return agg.select(*keys, count_as, *cols)
+
+
 def bitmap_distinct_rollup(
     df: DataFrame,
     fine_cols: list[str],

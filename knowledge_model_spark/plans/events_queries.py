@@ -1454,6 +1454,52 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_latency_kll",
+    None,  # sketch-approximate by design — gated against the exact
+    # events_funnel_latency percentiles within the published KLL
+    # rank-error bound in tests/test_sketches.py at sf0.01 AND sf0.1
+    doc="the 100 TB path for events_funnel_latency made driver-visible: "
+    "p50/p90 conversion lags from ONE map-side-combinable KLL(2048) "
+    "aggregate per step pair (operators/sketches.kll_group_quantiles) "
+    "instead of exact percentile() aggregates whose buffers hold every "
+    "lag in executor memory — unbounded state that OOMs when a step "
+    "pair has 10^9 converting users.  Returned quantiles are true "
+    "stream items with rank within ~1.65/√k of the target; pairs with "
+    "stats_ks_test_kll / stats_mannwhitney_u_kll as the sketch twins "
+    "of the exact-percentile family.  Same run-determinism boundary as "
+    "those: KLL compaction coin-flips beyond ~k buffered items, so the "
+    "bound test, not value equality, is the contract",
+)
+def events_funnel_latency_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.funnel import funnel_times
+    from knowledge_model_spark.operators.sketches import kll_group_quantiles
+
+    t = load_tables(spark, sf_dir)
+    times = funnel_times(
+        t["events"], "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within="2 DAY",
+    )
+    l12 = times.filter(F.col("t2").isNotNull()).select(
+        F.lit("view->click").alias("step_pair"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("lag_us"),
+    )
+    l23 = times.filter(F.col("t3").isNotNull()).select(
+        F.lit("click->purchase").alias("step_pair"),
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("lag_us"),
+    )
+    out = kll_group_quantiles(
+        l12.unionByName(l23), ["step_pair"], "lag_us", [0.5, 0.9],
+        count_as="n_users",
+    )
+    return out.select(
+        "step_pair",
+        "n_users",
+        F.col("q_50").alias("p50_us"),
+        F.col("q_90").alias("p90_us"),
+    )
+
+
+@register(
     "events_rolling_1h_value",
     """
     SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,

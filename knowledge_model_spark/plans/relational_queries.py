@@ -1392,6 +1392,43 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_winsorized_mean_kll",
+    None,  # sketch-approximate bounds by design — the winsorized mean
+    # and the rank of each KLL bound are gated against the exact
+    # agg_winsorized_mean in tests/test_sketches.py at sf0.01 AND sf0.1
+    doc="the 100 TB path for agg_winsorized_mean made driver-visible: "
+    "the [p05, p95] clamp bounds come from ONE map-side-combinable "
+    "KLL(2048) aggregate per group (operators/sketches."
+    "kll_group_quantiles) instead of exact percentile() whose buffer "
+    "holds every group value; the clamp-and-average second pass stays "
+    "EXACT (broadcast bounds onto the fact scan, no second raw "
+    "shuffle).  The KLL bounds are true stream items with rank within "
+    "~1.65/√k of 0.05/0.95, so the winsorization differs only in which "
+    "tail sliver gets clamped; bound-gated vs the exact twin",
+)
+def agg_winsorized_mean_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import kll_group_quantiles
+
+    t = load_tables(spark, sf_dir)
+    geo = t["customer"].join(
+        broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_acctbal")
+    bounds = kll_group_quantiles(
+        geo, ["n_name"], "c_acctbal", [0.05, 0.95]
+    ).select("n_name", F.col("q_5").alias("lo"), F.col("q_95").alias("hi"))
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return (
+        geo.join(broadcast(bounds), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg("c_acctbal"), 4).alias("raw_mean"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
     "join_hot_key_salted",
     """
     SELECT e.event_type, n.n_name, count(*) AS n_events,

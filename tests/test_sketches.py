@@ -677,6 +677,106 @@ def test_ks_d_kll_within_rank_error_bound_vs_exact(spark):
         )
 
 
+def test_funnel_latency_kll_within_rank_error_bound_vs_exact(spark):
+    """The KLL funnel-latency twin (the 100 TB path: one bounded-state
+    aggregate, no exact-percentile buffer holding every lag) must give
+    p50/p90 whose TRUE rank among the exact lags is within the
+    published rank-error bound, at BOTH sf0.01 and sf0.1."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    eps = 1.65 / 2048**0.5  # published KLL(k=2048) rank error
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        exact_rows = {
+            r["step_pair"]: r for r in R["events_funnel_latency"].fn(spark, sf).collect()
+        }
+        kll_rows = {
+            r["step_pair"]: r
+            for r in R["events_funnel_latency_kll"].fn(spark, sf).collect()
+        }
+        assert set(kll_rows) == {"view->click", "click->purchase"}
+        # rebuild the raw lags once to rank-check the sketch answers
+        from knowledge_model_spark.operators.funnel import funnel_times
+        from knowledge_model_spark.session import load_tables
+        import pyspark.sql.functions as F
+
+        times = funnel_times(
+            load_tables(spark, sf)["events"], "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within="2 DAY",
+        ).localCheckpoint()
+        lags = {
+            "view->click": np.sort(
+                times.filter(F.col("t2").isNotNull())
+                .select((F.unix_micros("t2") - F.unix_micros("t1")).alias("l"))
+                .toPandas()["l"].to_numpy()
+            ),
+            "click->purchase": np.sort(
+                times.filter(F.col("t3").isNotNull())
+                .select((F.unix_micros("t3") - F.unix_micros("t2")).alias("l"))
+                .toPandas()["l"].to_numpy()
+            ),
+        }
+        for pair, kr in kll_rows.items():
+            vals = lags[pair]
+            n = len(vals)
+            assert kr["n_users"] == exact_rows[pair]["n_users"] == n
+            for q, col in ((0.5, "p50_us"), (0.9, "p90_us")):
+                # KLL returns a true stream item; its rank must be close
+                rank = np.searchsorted(vals, kr[col], side="right") / n
+                lo_rank = np.searchsorted(vals, kr[col], side="left") / n
+                # with ties, any rank in [left, right] is the item's rank
+                err = min(abs(rank - q), abs(lo_rank - q))
+                assert err <= eps + 1.0 / n, (sf, pair, col, kr[col], rank, q)
+
+
+def test_winsorized_mean_kll_within_rank_error_bound_vs_exact(spark):
+    """The KLL winsorized-mean twin must (a) produce clamp bounds whose
+    true rank is within the published KLL error of 0.05/0.95 per group
+    (checked on the kll_group_quantiles helper, which also pins the
+    q_95 column naming — int(0.95*100) would floor to 94), and (b)
+    agree with the exact twin's winsorized mean to the accuracy those
+    bounds imply, at BOTH sf0.01 and sf0.1."""
+    from knowledge_model_spark.operators.sketches import kll_group_quantiles
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.session import load_tables
+
+    R = load_registry()
+    eps = 1.65 / 2048**0.5
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        exact = {r["n_name"]: r for r in R["agg_winsorized_mean"].fn(spark, sf).collect()}
+        kll = {r["n_name"]: r for r in R["agg_winsorized_mean_kll"].fn(spark, sf).collect()}
+        assert set(exact) == set(kll)
+        t = load_tables(spark, sf)
+        geo_df = (
+            t["customer"]
+            .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name", "c_acctbal")
+        )
+        geo = geo_df.toPandas()
+        qb = {
+            r["n_name"]: r
+            for r in kll_group_quantiles(
+                geo_df, ["n_name"], "c_acctbal", [0.05, 0.95]
+            ).collect()
+        }
+        for name, kr in kll.items():
+            ex = exact[name]
+            assert kr["n_customers"] == ex["n_customers"]
+            assert kr["raw_mean"] == ex["raw_mean"]  # untouched by sketching
+            vals = np.sort(geo[geo["n_name"] == name]["c_acctbal"].to_numpy(float))
+            n = len(vals)
+            # (a) bound ranks from the helper (fresh sketch, same contract)
+            for q, col in ((0.05, "q_5"), (0.95, "q_95")):
+                rank = np.searchsorted(vals, qb[name][col], side="right") / n
+                assert abs(rank - q) <= eps + 1.0 / n, (sf, name, col, rank)
+            # (b) a mis-ranked bound shifts the mean by at most the clamp
+            # mass it moves: (eps+1/n) of rows moved by <= value range
+            tol = (eps + 1.0 / n) * (vals[-1] - vals[0]) * 2 + 1e-9
+            assert abs(kr["winsorized_mean"] - ex["winsorized_mean"]) <= tol, (
+                sf, name, kr["winsorized_mean"], ex["winsorized_mean"], tol,
+            )
+
+
 def test_mwu_p_kll_within_rank_error_bound_vs_exact(spark):
     """The KLL-backed Mann-Whitney effect size (the 100 TB path: one
     scan, no value-level rank window) must land within its published
