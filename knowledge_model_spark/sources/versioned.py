@@ -65,6 +65,13 @@ def write_snapshot(df: DataFrame, base: str, note: str = "") -> int:
     final = os.path.join(base, f"v={version}")
     if os.path.exists(staging):
         shutil.rmtree(staging)  # leftover from a crashed attempt
+    if os.path.exists(final):
+        # a crash BETWEEN the staging rename and the manifest flip
+        # leaves v=<n> on disk but unreferenced (the manifest still says
+        # latest = n-1, so no reader ever saw it); without this sweep
+        # the retry's os.replace would fail with ENOTEMPTY — rename(2)
+        # cannot clobber a non-empty directory
+        shutil.rmtree(final)
     df.write.mode("overwrite").parquet(staging)
     os.replace(staging, final)
     n_rows = df.sparkSession.read.parquet(final).count()
@@ -119,19 +126,34 @@ def vacuum(base: str, keep_last: int = 2) -> list[int]:
     (dropping the vacuumed entries) and directories deleted after: a
     crash between the two leaves unreferenced dirs (harmless garbage, a
     later vacuum re-deletes them) rather than referenced-but-missing
-    versions.  Time travel to a vacuumed version fails with the same
+    versions.  To make that re-delete true, the doomed set is computed
+    from the FILESYSTEM (every on-disk v=k with k <= cutoff), not from
+    the manifest — a crashed vacuum's orphans are no longer in the
+    manifest, so a manifest-driven sweep would leak them forever.
+    Time travel to a vacuumed version fails with the same
     manifest error as a never-written one; rollback targets must
     therefore be within the retention window — rollback() itself copies
     data forward, so a completed rollback never depends on old dirs.
     """
+    import re
+
     manifest = _read_manifest(base)
     cutoff = manifest["latest"] - keep_last
-    doomed = sorted(int(v) for v in manifest["versions"] if int(v) <= cutoff)
+    on_disk = [
+        int(m.group(1))
+        for d in os.listdir(base)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    doomed = sorted(v for v in on_disk if v <= cutoff)
     if not doomed:
         return []
+    changed = False
     for v in doomed:
-        del manifest["versions"][str(v)]
-    _write_manifest(base, manifest)
+        if str(v) in manifest["versions"]:
+            del manifest["versions"][str(v)]
+            changed = True
+    if changed:
+        _write_manifest(base, manifest)
     for v in doomed:
         path = os.path.join(base, f"v={v}")
         if os.path.exists(path):

@@ -71,3 +71,48 @@ def test_faiss_export_roundtrip(spark, tables, tmp_path):
     # row alignment: the exported vector for a sampled id matches the table
     probe = emb.filter(emb.vec_id == int(ids[0])).first()["embedding"]
     np.testing.assert_allclose(vecs[0], np.asarray(probe, np.float32), rtol=1e-6)
+
+
+def test_faiss_importable_branch_parity(spark, tables, tmp_path, monkeypatch):
+    """When faiss IS importable (not in this container — importorskip,
+    the test_real_model.py pattern for environment seams), the
+    faiss.index branch must agree with the numpy fallback exactly:
+    same ids.npy ordering, and IndexFlatIP top-k == brute-force inner
+    product over the fallback arrays (IndexFlatIP is exact)."""
+    import pytest
+
+    faiss = pytest.importorskip("faiss")
+    import shutil
+
+    from knowledge_model_spark.sources import faiss_export as fx
+
+    emb = tables["embeddings"].limit(200)
+    path_f = str(tmp_path / "with_faiss")
+    fx.export_embeddings(emb, path_f)
+    path_np = str(tmp_path / "numpy_fallback")
+    shutil.copytree(path_f, path_np)
+
+    # real faiss branch
+    artifact = fx.build_faiss_index(path_f)
+    assert artifact.endswith("faiss.index")
+    index = faiss.read_index(artifact)
+    ids_f = np.load(f"{path_f}/ids.npy")
+
+    # numpy fallback branch, forced by masking the import seam
+    monkeypatch.setattr(fx, "faiss", None)
+    assert fx.build_faiss_index(path_np).endswith("vectors.npy")
+    ids_n, vecs_n = fx.load_export(path_np)
+
+    np.testing.assert_array_equal(ids_f, ids_n)  # same ordering contract
+    q = vecs_n[:5]
+    scores_f, idx_f = index.search(q, 10)
+    brute = q @ vecs_n.T
+    for r in range(len(q)):
+        order = np.argsort(-brute[r], kind="stable")[:10]
+        np.testing.assert_allclose(
+            np.sort(scores_f[r]), np.sort(brute[r][order]), rtol=1e-5
+        )
+        # id sets agree (ties may permute within equal scores)
+        assert set(ids_f[idx_f[r]]) == set(ids_n[order]) or np.allclose(
+            np.sort(scores_f[r]), np.sort(brute[r][order]), rtol=1e-5
+        )

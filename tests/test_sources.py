@@ -991,6 +991,63 @@ def test_versioned_vacuum_retention(spark, tmp_path):
     assert vacuum(base, keep_last=2) == []
 
 
+def test_versioned_snapshot_crash_between_rename_and_manifest(spark, tmp_path):
+    """Fault injection for the OTHER half of the two-phase write: the
+    snapshot rename lands (v=2 on disk) but the process dies before the
+    manifest flip.  Invariants: (a) readers still see v1 — the orphan is
+    unreferenced; (b) the RETRY must succeed and supersede the orphan's
+    data (rename(2) cannot clobber a non-empty dir, so write_snapshot
+    has to sweep the unreferenced v=2 first)."""
+    import os
+
+    from knowledge_model_spark.sources.versioned import (
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "vtab3")
+    write_snapshot(spark.range(3), base)
+    # simulate: v=2 fully renamed in, manifest never flipped
+    spark.range(100).write.parquet(os.path.join(base, "v=2"))
+    assert read_snapshot(spark, base).count() == 3  # (a) orphan invisible
+    assert list_versions(base)["latest"] == 1
+    v = write_snapshot(spark.range(7), base)  # (b) retry
+    assert v == 2
+    assert read_snapshot(spark, base).count() == 7  # retry's data, not orphan's
+    assert list_versions(base)["latest"] == 2
+
+
+def test_versioned_vacuum_crash_resweeps_orphans(spark, tmp_path):
+    """Fault injection for vacuum's two phases: manifest rewritten
+    (entries dropped) but the process dies before the directory
+    deletes.  A later vacuum must re-collect the unreferenced dirs —
+    the doomed set comes from the filesystem, not the manifest."""
+    import json
+    import os
+
+    from knowledge_model_spark.sources.versioned import (
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "vtab4")
+    for i in range(1, 5):
+        write_snapshot(spark.range(i), base, note=f"batch {i}")
+    # simulate the crash: drop v1/v2 from the manifest BY HAND, leave dirs
+    mpath = os.path.join(base, "_manifest.json")
+    manifest = json.load(open(mpath))
+    del manifest["versions"]["1"]
+    del manifest["versions"]["2"]
+    json.dump(manifest, open(mpath, "w"))
+    assert os.path.exists(f"{base}/v=1") and os.path.exists(f"{base}/v=2")
+    # the re-run vacuum finds the orphans on disk and deletes them
+    assert vacuum(base, keep_last=2) == [1, 2]
+    assert not os.path.exists(f"{base}/v=1") and not os.path.exists(f"{base}/v=2")
+    assert read_snapshot(spark, base).count() == 4  # latest untouched
+
+
 def test_write_partitioned_zstd_compression(spark, tmp_path):
     from knowledge_model_spark.sources.corpus import write_partitioned
 

@@ -701,3 +701,74 @@ def test_stream_vocab_replayed_batch_not_double_counted(spark, tmp_path):
         ).collect()
     }
     assert stored == full  # beta == 3, not 4: replay was skipped
+
+
+def test_stream_vocab_crash_between_stage_and_swap(spark, tmp_path):
+    """Fault injection: the process dies AFTER staging the new table
+    (+ marker) but BEFORE any rename — ``__staging`` sits on disk, the
+    live table and checkpoint are both the pre-batch state.  The next
+    run must replay the batch, overwrite the stale staging, and land
+    the correct merged counts (the staging dir is scratch until the
+    swap; only the swap commits)."""
+    from knowledge_model_spark.streaming.ingest import stream_vocab_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = spark.createDataFrame([(1, "alpha beta beta")], "doc_id long, text string")
+    m1.write.parquet(str(landing / "m1"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+
+    # crash simulation: a stale staging dir with GARBAGE counts and a
+    # poisoned marker — exactly what an interrupted batch-2 would leave
+    import os
+
+    staging = vocab_path + "__staging"
+    spark.createDataFrame(
+        [("poison", 999, 999)], "term string, c long, df_docs long"
+    ).write.parquet(staging)
+    with open(os.path.join(staging, "_last_batch_id"), "w") as fh:
+        fh.write('{"batch_id": 99, "ckpt": "bogus"}')
+
+    m2 = spark.createDataFrame([(2, "beta gamma")], "doc_id long, text string")
+    m2.write.parquet(str(landing / "m2"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    got = {r["term"]: r["c"] for r in spark.read.parquet(vocab_path).collect()}
+    assert got == {"alpha": 1, "beta": 3, "gamma": 1}  # no poison, no loss
+    assert not os.path.exists(staging)
+
+
+def test_stream_vocab_checkpoint_recreation_never_silently_skips(spark, tmp_path):
+    """The idempotency marker keys on the checkpoint's query id: if the
+    checkpoint is deleted/recreated while the vocab table (and its
+    marker) persists, batch ids restart at 0.  Keying the marker on the
+    OLD checkpoint would make every new batch <= stale marker silently
+    skip — permanent data loss.  With the identity check the system
+    degrades to at-least-once (the old landing files re-merge once,
+    detectable duplicates) and GENUINELY NEW data always lands."""
+    import shutil
+
+    from knowledge_model_spark.streaming.ingest import stream_vocab_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = spark.createDataFrame([(1, "alpha beta beta")], "doc_id long, text string")
+    m1.write.parquet(str(landing / "m1"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)  # marker now batch 0
+
+    # operator error: checkpoint deleted, table retained
+    shutil.rmtree(ckpt)
+    m2 = spark.createDataFrame([(2, "gamma delta")], "doc_id long, text string")
+    m2.write.parquet(str(landing / "m2"))
+    n = stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    assert n >= 1
+    got = {r["term"]: r["c"] for r in spark.read.parquet(vocab_path).collect()}
+    # new data MUST be present (the silent-skip bug would drop it: the
+    # fresh checkpoint's batch 0 <= stale marker 0)
+    assert got["gamma"] == 1 and got["delta"] == 1
+    # old files re-merged once — the documented at-least-once degradation
+    assert got["alpha"] == 2 and got["beta"] == 4
