@@ -284,9 +284,11 @@ HEADLINE: dict[str, bool] = {
     "graph_link_prediction_jaccard": True,
     "stats_anova_oneway": True,
     "corpus_health_report": True,
-    # new in r5: the KLL twins of the exact-percentile family
+    # new in r5: the KLL twins of the exact-percentile family, and the
+    # real PDF→text round-trip (genuine FlateDecode both directions)
     "events_funnel_latency_kll": True,
     "agg_winsorized_mean_kll": True,
+    "multimodal_pdf_text": False,
 }
 
 

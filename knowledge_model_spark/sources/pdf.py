@@ -1,0 +1,370 @@
+"""Real PDF text extraction with zero new dependencies.
+
+Reference parity: the reference opens every fetched PDF with PyMuPDF
+and concatenates ``page.get_text()`` before artifact-stripping and
+passage-splitting (knowledge_model/ingestion/parse_pdfs.py:57-88).
+This module is the in-container decode for the encodings that dominate
+real-world text PDFs — **FlateDecode content streams (stdlib zlib) and
+uncompressed streams** — so the engine's PDF→text path runs genuine
+content extraction, not a stub.  Scanned/image-only PDFs and exotic
+stream filters (DCT/JPX/LZW/CCITT) remain the declared PyMuPDF seam,
+as do font-CMap re-encodings: literal/hex strings are decoded as
+UTF-8-with-replacement, which is exact for the ASCII page content the
+fixtures and the reference's PubMed corpus overwhelmingly carry.
+
+Extraction semantics (deliberately the simple core of what every PDF
+text extractor does):
+
+- every stream object is inflated (FlateDecode) or taken raw, and
+  scanned for ``BT``/``ET`` text blocks;
+- inside a block, ``Tj``, ``'``, ``"`` and ``TJ`` string shows append
+  text; the TJ kerning numbers are ignored;
+- a text-positioning operator (``Td``, ``TD``, ``T*``, ``Tm``) between
+  shows starts a new line — the layout-free approximation of
+  PyMuPDF's line assembly;
+- pages (content streams containing at least one BT) join with "\\n",
+  matching the reference's ``"\\n".join(pages)``.
+
+Escape handling follows the spec: ``\\n \\r \\t \\b \\f \\( \\) \\\\``,
+1-3 digit octal codes, line-continuation backslash, and balanced
+unescaped parentheses inside literal strings; hex strings ``<...>``
+with odd length pad a trailing 0.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+def _inflate_streams(b: bytes) -> list[bytes]:
+    """All decodable stream payloads of a PDF, in document order."""
+    out = []
+    for obj in _OBJ_RE.finditer(b):
+        body = obj.group(1)
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        data = m.group(1)
+        head = body[: m.start()]
+        if b"FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue  # corrupt or predictor-filtered: skip, don't lie
+        elif re.search(rb"/Filter\b", head):
+            continue  # some other filter (DCT/LZW/...): the declared seam
+        out.append(data)
+    return out
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(...)`` literal string starting at the '('; returns
+    (decoded bytes, index after the closing paren)."""
+    assert data[i : i + 1] == b"("
+    i += 1
+    depth = 1
+    out = bytearray()
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in b"nrtbf":
+                out += {"n": b"\n", "r": b"\r", "t": b"\t", "b": b"\b", "f": b"\f"}[
+                    chr(e)
+                ]
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i:j], 8) & 0xFF)
+                i = j
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # spec: lone backslash is dropped
+                out.append(e)
+                i += 1
+            continue
+        if c == 0x28:  # nested unescaped (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
+    assert data[i : i + 1] == b"<"
+    j = data.find(b">", i + 1)
+    if j == -1:
+        return b"", len(data)
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), j + 1
+
+
+def _extract_text(content: bytes) -> str:
+    """Text shown by one content stream (see module doc for semantics)."""
+    i = 0
+    n = len(content)
+    in_text = False
+    lines: list[list[bytes]] = []
+    cur: list[bytes] = []
+    pending: list[bytes] = []  # strings seen since the last operator
+
+    def flush_show() -> None:
+        nonlocal pending
+        if pending:
+            cur.extend(pending)
+            pending = []
+
+    def newline() -> None:
+        nonlocal cur
+        if cur:
+            lines.append(cur)
+            cur = []
+
+    while i < n:
+        c = content[i]
+        if c in _WHITESPACE:
+            i += 1
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = content.find(b"\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if c == 0x28:  # (
+            s, i = _parse_literal(content, i)
+            if in_text:
+                pending.append(s)
+            continue
+        if c == 0x3C:  # < — hex string or << dict
+            if content[i : i + 2] == b"<<":
+                i += 2
+                continue
+            s, i = _parse_hex(content, i)
+            if in_text:
+                pending.append(s)
+            continue
+        if c in b"[]{}>/":
+            if c == 0x2F:  # /Name: skip token
+                i += 1
+                while i < n and content[i] not in _WHITESPACE and content[i] not in _DELIMS:
+                    i += 1
+                continue
+            i += 1
+            continue
+        # regular token (operator or number)
+        j = i
+        while j < n and content[j] not in _WHITESPACE and content[j] not in _DELIMS:
+            j += 1
+        tok = content[i:j]
+        i = j
+        if tok == b"BT":
+            in_text = True
+            pending = []
+        elif tok == b"ET":
+            flush_show()
+            newline()
+            in_text = False
+        elif not in_text:
+            continue
+        elif tok in (b"Tj", b"TJ"):
+            flush_show()
+        elif tok in (b"'", b'"'):
+            # both move to the next line, then show
+            newline()
+            flush_show()
+        elif tok in (b"Td", b"TD", b"T*", b"Tm"):
+            flush_show()
+            newline()
+            pending = []
+    flush_show()
+    newline()
+    return "\n".join(
+        b"".join(parts).decode("utf-8", errors="replace") for parts in lines
+    )
+
+
+def decode_pdf_pages(b: bytes) -> list[str] | None:
+    """PDF bytes → one extracted-text string per text content stream
+    (≈ per page).  None when the payload is not a PDF; a PDF whose
+    streams are all undecodable yields [] (matching the reference's
+    unreadable-PDF fallback of empty pages)."""
+    if not b or not b.startswith(b"%PDF-"):
+        return None
+    pages = []
+    for stream in _inflate_streams(b):
+        if b"BT" not in stream:
+            continue  # not a text content stream (fonts, images, xobjects)
+        txt = _extract_text(stream)
+        if txt:
+            pages.append(txt)
+    return pages
+
+
+def decode_pdf_text(b: bytes) -> str | None:
+    """PDF bytes → extracted text, pages joined by newline (the
+    reference's ``"\\n".join(page.get_text() for page in doc)`` shape,
+    parse_pdfs.py:75-82)."""
+    pages = decode_pdf_pages(b)
+    return None if pages is None else "\n".join(pages)
+
+
+# ------------------------------------------------------- fixture writer
+
+
+def encode_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Minimal but well-formed single-font PDF writer (fixtures and the
+    round-trip query): one content stream per page, FlateDecode by
+    default, real xref table.  Each input page string becomes Td-spaced
+    ``Tj`` lines, so ``decode_pdf_text(encode_simple_pdf(pages))``
+    reproduces ``"\\n".join(pages)`` exactly — the property the tests
+    and the registered round-trip query pin."""
+
+    def esc(line: str) -> bytes:
+        raw = line.encode("utf-8")
+        return (
+            raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        )
+
+    objs: list[bytes] = []  # 1-indexed
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_num = 3 + 2 * n_pages
+    for i, page in enumerate(pages):
+        content_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(page.split("\n")):
+            if k:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + esc(line) + b") Tj")
+        ops.append(b"ET")
+        body = b"\n".join(ops)
+        if compress:
+            data = zlib.compress(body)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = body
+            head = b"<< /Length %d >>" % len(data)
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# ------------------------------------------------ Spark-side operator
+
+
+def pdf_text_extract(media, decode: str = "REAL"):
+    """media(media_id, payload) → (media_id, n_pages, n_chars, text):
+    distributed PDF→text over Arrow-batched ``mapInPandas`` — the
+    engine's parse_pdf surface (reference parse_pdfs.py:57-88 runs the
+    same extraction single-process over ``src.rglob('*.pdf')``).
+
+    REAL runs :func:`decode_pdf_text` (genuine content extraction for
+    FlateDecode/uncompressed streams; non-PDF payloads raise at the
+    exact seam point).  DETERMINISTIC derives a reproducible pseudo-text
+    from the payload bytes so the plumbing is testable on arbitrary
+    binaries.  Downstream composes with the SAME cleaning/passage
+    pipeline as every other text source (functions/text_cleaning.py,
+    functions/chunking.py — the reference's strip/split steps).
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if decode not in ("DETERMINISTIC", "REAL"):
+        raise ValueError("decode must be DETERMINISTIC or REAL")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_pages", T.IntegerType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_pages, n_chars, texts = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if decode == "REAL":
+                    page_list = decode_pdf_pages(b)
+                    if page_list is None:
+                        raise NotImplementedError(
+                            "non-PDF payload (or scanned/image PDF) requires "
+                            "PyMuPDF — not in container; REAL decode supports "
+                            "FlateDecode/uncompressed text PDFs"
+                        )
+                    txt = "\n".join(page_list)
+                    pages = len(page_list)
+                else:
+                    h = hashlib.sha256(b).hexdigest()
+                    txt = f"pdf:{h[:16]}"
+                    pages = 1
+                ids.append(mid)
+                n_pages.append(pages)
+                n_chars.append(len(txt))
+                texts.append(txt)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_pages": pd.Series(n_pages, dtype="int32"),
+                    "n_chars": pd.Series(n_chars, dtype="int64"),
+                    "text": texts,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema)

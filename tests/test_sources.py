@@ -479,6 +479,85 @@ def _make_gif(idx2d, palette, interlaced=False, mcs=None):
     return bytes(out)
 
 
+# --- PDF: real text extraction (FlateDecode via stdlib zlib) ---
+
+def test_pdf_roundtrip_compressed_and_raw():
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_pages,
+        decode_pdf_text,
+        encode_simple_pdf,
+    )
+
+    pages = [
+        "Hello World\nSecond line with (parens) and \\ backslash",
+        "Page two: special )( chars\nand a tab\tinside",
+        "",  # empty page collapses (no shows → no content)
+        "Final page",
+    ]
+    want_pages = [p for p in pages if p]
+    for compress in (True, False):
+        b = encode_simple_pdf(pages, compress=compress)
+        assert decode_pdf_pages(b) == want_pages
+        assert decode_pdf_text(b) == "\n".join(want_pages)
+    assert decode_pdf_text(b"not a pdf") is None
+    assert decode_pdf_text(b"%PDF-1.4\nno streams") == ""
+
+
+def test_pdf_text_operators_hand_authored():
+    """TJ kerning arrays, hex strings, T* and ' line advances — the
+    operator set every real-world text PDF uses — on a hand-authored
+    uncompressed content stream (spec-conformant, not produced by this
+    repo's encoder)."""
+    from knowledge_model_spark.sources.pdf import decode_pdf_text
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 95 >>\nstream\n"
+        b"BT /F1 12 Tf 72 720 Td [(Kerned ) -250 (text)] TJ "
+        b"0 -14 Td <48692068657821> Tj T* (next) ' ET\n"
+        b"endstream\nendobj\n"
+    )
+    assert decode_pdf_text(raw) == "Kerned text\nHi hex!\nnext"
+    # octal + line-continuation escapes
+    raw2 = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n"
+        b"BT (A\\101\\tB) Tj (cont\\\ninued) Tj ET\n"
+        b"endstream\nendobj\n"
+    )
+    assert decode_pdf_text(raw2) == "AA\tBcontinued"
+    # an unsupported filter must be skipped, never misdecoded
+    raw3 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\nstream\n"
+        b"\xff\xd8\xff\xe0 jpeg bytes BT (fake) Tj ET\nendstream\nendobj\n"
+    )
+    assert decode_pdf_text(raw3) == ""
+
+
+def test_pdf_text_extract_spark_surface(spark):
+    """The mapInPandas operator end to end: REAL extraction over a
+    binary payload column, non-PDF payload raises at the seam."""
+    import pytest
+
+    from knowledge_model_spark.sources.pdf import (
+        encode_simple_pdf,
+        pdf_text_extract,
+    )
+
+    rows = [
+        (0, encode_simple_pdf(["alpha\nbeta", "gamma"])),
+        (1, encode_simple_pdf(["solo page"], compress=False)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in pdf_text_extract(df, decode="REAL").collect()}
+    assert got[0]["n_pages"] == 2 and got[0]["text"] == "alpha\nbeta\ngamma"
+    assert got[1]["n_pages"] == 1 and got[1]["text"] == "solo page"
+    assert got[0]["n_chars"] == len("alpha\nbeta\ngamma")
+
+    bad = spark.createDataFrame([(2, b"\xff\xd8jpeg")], "media_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        pdf_text_extract(bad, decode="REAL").collect()
+    assert "NotImplementedError" in str(ei.value) or "PyMuPDF" in str(ei.value)
+
+
 def test_gif_decode_known_external_fixture():
     """A hand-verified 35-byte 1×1 red GIF (the classic minimal GIF,
     produced by standard encoders — NOT by this repo's test encoder):
