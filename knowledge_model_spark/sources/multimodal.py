@@ -14,12 +14,15 @@ Decode modes:
   — P6 PPM and 24-bit BI_RGB BMP images, 8-bit PNG (stdlib zlib
   inflate + per-row unfilter, all five filter types, color types
   0/2/3/4/6), GIF87a/89a (LZW decoder conformant to giflib's
-  code-width growth rule, interlace supported), RIFF PCM-16 WAV audio
-  — and computes real pixel/waveform statistics.  The remaining codec
-  seam is the DSP-transform formats (JPEG/MP3/MP4), which need
-  Pillow/ffmpeg/librosa — NOT in this container: those payloads raise
-  NotImplementedError at the exact point the library call would go
-  (video container demux is ffmpeg-only and stays fully stubbed).
+  code-width growth rule, interlace supported), baseline sequential
+  JPEG (sources/jpeg.py — file-supplied Huffman/quant tables, any
+  chroma subsampling, restart markers), RIFF PCM-16 WAV audio — and
+  computes real pixel/waveform statistics.  The remaining codec seam
+  is progressive JPEG and the audio/video DSP formats (MP3/MP4),
+  which need Pillow/ffmpeg/librosa — NOT in this container: those
+  payloads raise NotImplementedError at the exact point the library
+  call would go (video container demux is ffmpeg-only and stays
+  fully stubbed).
 
 Scale notes: binary payloads dominate row size → ``maxRecordsPerBatch``
 must be kept small for these stages (set per-call, not globally), and
@@ -365,8 +368,11 @@ def decode_gif(b: bytes) -> np.ndarray | None:
 
 def decode_image_any(b: bytes) -> np.ndarray | None:
     """Try every in-container REAL image codec in cheapest-probe order
-    (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF."""
-    for dec in (decode_ppm, decode_bmp, decode_png, decode_gif):
+    (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF, and
+    baseline JPEG (sources/jpeg.py — pure numpy/stdlib)."""
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_gif, decode_jpeg):
         img = dec(b)
         if img is not None:
             return img
@@ -412,9 +418,9 @@ def _real_image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
     img = decode_image_any(payload)
     if img is None:
         raise NotImplementedError(
-            "JPEG (and malformed payloads) require Pillow — not in "
-            "container; REAL decode supports P6 PPM, 24-bit BMP, "
-            "8-bit PNG, and GIF"
+            "progressive JPEG / exotic formats require Pillow — not in "
+            "container; REAL decode supports P6 PPM, 24-bit BMP, 8-bit "
+            "PNG, GIF, and baseline JPEG"
         )
     x = img.astype(np.float64) / 255.0
     luma = 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
@@ -692,8 +698,9 @@ def perceptual_hash(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFram
             img = decode_image_any(b)
             if img is None:
                 raise NotImplementedError(
-                    "JPEG requires Pillow — not in container; REAL aHash "
-                    "supports P6 PPM, 24-bit BMP, 8-bit PNG, and GIF"
+                    "progressive JPEG / exotic formats require Pillow — "
+                    "not in container; REAL aHash supports P6 PPM, "
+                    "24-bit BMP, 8-bit PNG, GIF, and baseline JPEG"
                 )
             return _ahash64(img)
         digest = hashlib.sha256(b or b"").digest()

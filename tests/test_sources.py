@@ -479,6 +479,175 @@ def _make_gif(idx2d, palette, interlaced=False, mcs=None):
     return bytes(out)
 
 
+# --- JPEG: baseline codec (pure numpy/stdlib) ---
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_psnr_and_shapes():
+    import numpy as np
+    from knowledge_model_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [
+            (128 + 100 * np.sin(xx / 8)).clip(0, 255),
+            (128 + 100 * np.cos(yy / 6)).clip(0, 255),
+            ((xx * 3 + yy * 5) % 256),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for q, floor in ((95, 43), (75, 37)):
+        got = decode_jpeg(encode_jpeg(img, quality=q))
+        assert got is not None and got.shape == img.shape
+        assert _psnr(img, got) > floor
+    # flat color is near-exact; non-multiple-of-8 dims crop correctly
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    got = decode_jpeg(encode_jpeg(flat, 90))
+    assert np.abs(got.astype(int) - 130).max() <= 1
+    odd = np.random.RandomState(3).randint(0, 256, (17, 19, 3), np.uint8)
+    got = decode_jpeg(encode_jpeg(odd, 95))
+    assert got.shape == odd.shape and _psnr(odd, got) > 25
+    assert decode_jpeg(b"\xff\xd8broken") is None
+    assert decode_jpeg(b"not a jpeg") is None
+
+
+def _tiny_gray_jpeg(dc_code_bits, entropy_bits, dc_vals, ac_vals, ac_bits):
+    """Hand-assemble a spec-conformant 8x8 single-component JPEG with an
+    identity quant table and caller-supplied Huffman tables/entropy —
+    independent of sources/jpeg.py's encoder."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    for tc_th, bits, vals in ((0x00, dc_code_bits, dc_vals), (0x10, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    # pack entropy bits MSB-first, pad with 1s
+    padded = entropy_bits + "1" * (-len(entropy_bits) % 8)
+    out += bytes(int(padded[i : i + 8], 2) for i in range(0, len(padded), 8))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _spec_idct_pixel(F, r, c):
+    """Direct ITU-T T.81 A.3.3 arithmetic (double loop, no matrices) —
+    the independent oracle for the decoder's IDCT + zigzag."""
+    import numpy as np
+
+    s = 0.0
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s += (
+                cu * cv * F[u][v]
+                * np.cos((2 * r + 1) * u * np.pi / 16)
+                * np.cos((2 * c + 1) * v * np.pi / 16)
+            )
+    return s / 4 + 128.0
+
+
+def test_jpeg_decoder_idct_and_zigzag_pinned_by_hand_fixtures():
+    """Single-coefficient fixtures with expected pixels computed from
+    the spec formula directly: a mirrored encoder/decoder bug (wrong
+    IDCT normalization, transposed zigzag) cannot hide here because the
+    expectation never touches sources/jpeg.py."""
+    import numpy as np
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    # fixture A: DC=50 (category 6), AC at scan pos 1 (= F[0][1]) = 35
+    # (category-6 positive values need the MSB set: 100011 = +35;
+    #  011110 would decode as -33 per the EXTEND rule)
+    # DC table: one len-2 code "00" -> category 6
+    # AC table: len-2 codes "00"->EOB(0x00), "01"->(run0,size6), "10"->(run1,size6)
+    dc_bits = [0, 1] + [0] * 14
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x00, 0x06, 0x16]
+    bits_a = "00" + "110010" + "01" + "100011" + "00"  # DC 50, AC 35, EOB
+    img = decode_jpeg(_tiny_gray_jpeg(dc_bits, bits_a, [6], ac_vals, ac_bits))
+    assert img is not None and img.shape == (8, 8, 3)
+    F = [[0] * 8 for _ in range(8)]
+    F[0][0], F[0][1] = 50, 35
+    for r, c in ((0, 0), (0, 7), (3, 2), (7, 7)):
+        want = int(np.clip(round(_spec_idct_pixel(F, r, c)), 0, 255))
+        assert abs(int(img[r, c, 0]) - want) <= 1, (r, c, img[r, c, 0], want)
+    # horizontal frequency: varies along columns, constant down rows
+    assert np.all(img[:, :, 0].std(axis=0) < 1.0)
+
+    # fixture B: DC=0 (needs a category-0 code), AC at scan pos 2
+    # (one zero run) -> F[1][0]: VERTICAL frequency. A transposed
+    # zigzag would put it at F[0][1] and fail the axis assertions.
+    dc_bits_b = [0, 2] + [0] * 14  # "00"->cat6, "01"->cat0
+    bits_b = "01" + "10" + "100011" + "00"  # DC 0, (run1,size6) 35, EOB
+    img_b = decode_jpeg(
+        _tiny_gray_jpeg(dc_bits_b, bits_b, [6, 0], ac_vals, ac_bits)
+    )
+    assert img_b is not None
+    Fb = [[0] * 8 for _ in range(8)]
+    Fb[1][0] = 35
+    for r, c in ((0, 0), (5, 5), (7, 0)):
+        want = int(np.clip(round(_spec_idct_pixel(Fb, r, c)), 0, 255))
+        assert abs(int(img_b[r, c, 0]) - want) <= 1, (r, c)
+    assert np.all(img_b[:, :, 0].std(axis=1) < 1.0)  # constant along rows
+
+
+def test_jpeg_decodes_external_libjpeg_files():
+    """Conformance anchor: JPEGs written by real encoders (stdlib /
+    IPython test data shipped in the container — skipped if absent)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+    fixtures = [
+        (f"{base}/site-packages/IPython/core/tests/2x2.jpg", (2, 2, 3)),
+        (f"{base}/test/test_email/data/python.jpg", (16, 16, 3)),
+    ]
+    if not any(os.path.exists(p) for p, _ in fixtures):
+        pytest.skip("external JPEG fixtures not present")
+    for path, shape in fixtures:
+        if not os.path.exists(path):
+            continue
+        img = decode_jpeg(open(path, "rb").read())
+        assert img is not None and img.shape == shape
+        assert 0 <= img.min() and img.max() <= 255
+        # decoding is deterministic
+        assert np.array_equal(img, decode_jpeg(open(path, "rb").read()))
+
+
+def test_image_features_real_jpeg_close_to_lossless_twin(spark):
+    """A JPEG payload must flow through the SAME REAL feature kernel as
+    the lossless containers, with features close (not equal — JPEG is
+    lossy) to the PPM of the same pixels."""
+    import numpy as np
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import image_features
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack(
+        [(xx * 16) % 256, (yy * 16) % 256, ((xx + yy) * 8) % 256], axis=2
+    ).astype(np.uint8)
+    rows = [(0, _make_ppm(img), 0, 0), (1, encode_jpeg(img, 95), 0, 0)]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, width int, height int"
+    )
+    got = {r["media_id"]: r for r in image_features(df, decode="REAL").collect()}
+    assert got[1]["width"] == 16 and got[1]["height"] == 16
+    a = np.array(got[0]["features"])
+    b = np.array(got[1]["features"])
+    assert np.abs(a - b).max() < 0.05  # channel means/stds/histogram close
+
+
 # --- PDF: real text extraction (FlateDecode via stdlib zlib) ---
 
 def test_pdf_roundtrip_compressed_and_raw():
