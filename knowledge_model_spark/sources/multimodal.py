@@ -13,16 +13,18 @@ Decode modes:
 - ``REAL`` genuinely decodes the formats the stdlib + numpy can parse
   — P6 PPM and 24-bit BI_RGB BMP images, 8-bit PNG (stdlib zlib
   inflate + per-row unfilter, all five filter types, color types
-  0/2/3/4/6), GIF87a/89a (LZW decoder conformant to giflib's
-  code-width growth rule, interlace supported), baseline sequential
-  JPEG (sources/jpeg.py — file-supplied Huffman/quant tables, any
-  chroma subsampling, restart markers), RIFF PCM-16 WAV audio — and
-  computes real pixel/waveform statistics.  The remaining codec seam
-  is progressive JPEG and the audio/video DSP formats (MP3/MP4),
+  0/2/3/4/6, Adam7 interlace), GIF87a/89a (LZW decoder conformant to
+  giflib's code-width growth rule, interlace supported), baseline
+  sequential JPEG (sources/jpeg.py — file-supplied Huffman/quant
+  tables, any chroma subsampling, restart markers), RIFF WAV audio
+  (PCM-16 plus G.711 A-law/μ-law, audioop-conformance-pinned), and
+  uncompressed-DIB AVI video demux (sampled frames re-emitted as PPM
+  so the frame→features path composes in-container) — and computes
+  real pixel/waveform statistics.  The remaining codec seam is
+  progressive JPEG and the DSP transform codecs (MP3, H.264/VP9),
   which need Pillow/ffmpeg/librosa — NOT in this container: those
   payloads raise NotImplementedError at the exact point the library
-  call would go (video container demux is ffmpeg-only and stays
-  fully stubbed).
+  call would go.
 
 Scale notes: binary payloads dominate row size → ``maxRecordsPerBatch``
 must be kept small for these stages (set per-call, not globally), and
@@ -133,10 +135,12 @@ def decode_png(b: bytes) -> np.ndarray | None:
 
     Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
     4 (gray+alpha), 6 (RGBA), all five filter types (None/Sub/Up/
-    Average/Paeth), non-interlaced.  Alpha is dropped, gray replicates
-    to RGB, palette resolves through PLTE → always (H, W, 3) uint8.
-    Returns None for anything else (Adam7, 16-bit) — the caller falls
-    through to the declared codec seam.
+    Average/Paeth), both non-interlaced and Adam7-interlaced (each of
+    the 7 passes unfilters as its own sub-image, then scatters onto the
+    8x8 grid).  Alpha is dropped, gray replicates to RGB, palette
+    resolves through PLTE → always (H, W, 3) uint8.  Returns None for
+    anything else (16-bit) — the caller falls through to the declared
+    codec seam.
 
     The Up filter vectorizes (uint8 wraparound IS the mod-256 the spec
     wants); Sub/Average/Paeth carry a left-neighbor dependency and run
@@ -176,7 +180,7 @@ def decode_png(b: bytes) -> np.ndarray | None:
         elif typ == b"IEND":
             break
         i += 12 + ln  # length + type + data + crc
-    if w is None or not idat or bitd != 8 or interlace != 0:
+    if w is None or not idat or bitd != 8 or interlace not in (0, 1):
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colort)
     if channels is None or w <= 0 or h <= 0:
@@ -185,47 +189,75 @@ def decode_png(b: bytes) -> np.ndarray | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), np.uint8)
-    bpp = channels  # bytes per pixel at bit depth 8
-    pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        pos += 1
-        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
-        pos += stride
-        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
-        if ft == 0:  # None
-            out[y] = line
-        elif ft == 2:  # Up — vectorized, uint8 add wraps mod 256
-            out[y] = line + prev
-        elif ft == 1:  # Sub
-            rec = line
-            for x in range(bpp, stride):
-                rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
-            out[y] = rec
-        elif ft == 3:  # Average
-            rec = line
-            for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(rec[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-            out[y] = rec
-        elif ft == 4:  # Paeth
-            rec = line
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (int(rec[x]) + pred) & 0xFF
-            out[y] = rec
-        else:
+
+    def unfilter(pw: int, ph: int, pos: int):
+        """Unfilter a (ph, pw)-pixel sub-image starting at raw[pos];
+        returns (pixels, next pos) or None."""
+        stride = pw * channels
+        if len(raw) < pos + ph * (stride + 1):
             return None
-    px = out.reshape(h, w, channels)
+        sub = np.zeros((ph, stride), np.uint8)
+        bpp = channels  # bytes per pixel at bit depth 8
+        for y in range(ph):
+            ft = raw[pos]
+            pos += 1
+            line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+            pos += stride
+            prev = sub[y - 1] if y else np.zeros(stride, np.uint8)
+            if ft == 0:  # None
+                sub[y] = line
+            elif ft == 2:  # Up — vectorized, uint8 add wraps mod 256
+                sub[y] = line + prev
+            elif ft == 1:  # Sub
+                rec = line
+                for x in range(bpp, stride):
+                    rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
+                sub[y] = rec
+            elif ft == 3:  # Average
+                rec = line
+                for x in range(stride):
+                    left = int(rec[x - bpp]) if x >= bpp else 0
+                    rec[x] = (int(rec[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+                sub[y] = rec
+            elif ft == 4:  # Paeth
+                rec = line
+                for x in range(stride):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    up = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    )
+                    rec[x] = (int(rec[x]) + pred) & 0xFF
+                sub[y] = rec
+            else:
+                return None
+        return sub.reshape(ph, pw, channels), pos
+
+    if interlace == 0:
+        got = unfilter(w, h, 0)
+        if got is None:
+            return None
+        px = got[0]
+    else:  # Adam7: 7 passes, each filtered as its own sub-image
+        ADAM7 = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        px = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines at all
+            got = unfilter(pw, ph, pos)
+            if got is None:
+                return None
+            sub, pos = got
+            px[y0::dy, x0::dx] = sub
     if colort == 0:
         return np.repeat(px, 3, axis=2)
     if colort == 2:
@@ -379,15 +411,49 @@ def decode_image_any(b: bytes) -> np.ndarray | None:
     return None
 
 
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law byte → float32 in [-1, 1] (table formula:
+    complement, then mantissa/exponent expand with the +33 bias)."""
+    u = (~u) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 1) + 33) << exp) - 33
+    out = np.where(sign, -mag, mag).astype(np.float32)
+    return out / 8031.0  # max magnitude of the expansion
+
+
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte → float32 in [-1, 1] (0x55 toggle, then
+    segment expand)."""
+    a = a ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(
+        exp == 0,
+        (mant << 1) + 1,
+        ((mant << 1) + 33) << (exp - 1),
+    )
+    # NOTE the inverted sign convention vs μ-law: after the 0x55
+    # toggle, a SET sign bit means POSITIVE (CCITT alaw2lin)
+    out = np.where(sign, mag, -mag).astype(np.float32)
+    return out / 4032.0  # max magnitude of the expansion
+
+
 def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
-    """RIFF PCM-16 WAV → (mono float32 waveform in [-1,1], sample_rate);
-    stereo downmixes by mean; None for non-PCM16 / non-RIFF payloads."""
+    """RIFF WAV → (mono float32 waveform in [-1,1], sample_rate).
+
+    Formats: PCM-16 (fmt 1), G.711 A-law (fmt 6) and μ-law (fmt 7) —
+    the three encodings stdlib arithmetic decodes exactly; stereo
+    downmixes by mean; None for anything else (ADPCM/float/MP3-in-WAV
+    remain the librosa/ffmpeg seam)."""
     import struct
 
     if not b or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
         return None
     i = 12
-    data = rate = channels = None
+    data = rate = channels = audio_fmt = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = struct.unpack_from("<I", b, i + 4)[0]
@@ -397,18 +463,115 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
                 return None
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bps = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bps != 16:
+            if audio_fmt == 1 and bps != 16:
+                return None
+            if audio_fmt not in (1, 6, 7):
                 return None
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks pad to even
     if data is None or rate is None:
         return None
-    wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if audio_fmt == 1:
+        wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 6:
+        wave = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:  # 7: μ-law
+        wave = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     if channels and channels > 1:
         n = (len(wave) // channels) * channels
         wave = wave[:n].reshape(-1, channels).mean(axis=1)
     return wave, int(rate)
+
+
+def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
+    """RIFF AVI with uncompressed DIB video ('00db' chunks, 24-bit
+    BI_RGB bottom-up BGR rows padded to 4 bytes — the BMP raster) →
+    (frames as (H, W, 3) uint8 RGB, fps).  None for non-AVI payloads
+    or compressed codecs ('00dc' with a fourcc) — the ffmpeg seam.
+
+    This makes video demux REAL in-container for the one container
+    format stdlib arithmetic can parse; real-world H.264/VP9 stays on
+    the ffmpeg seam, same rule as progressive JPEG.
+    """
+    import struct
+
+    if not b or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    us_per_frame = w = h = None
+
+    def walk(start: int, end: int):
+        nonlocal us_per_frame, w, h
+        frames: list[np.ndarray] = []
+        i = start
+        while i + 8 <= end:
+            cid = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            body_at = i + 8
+            if cid == b"LIST":
+                frames += walk(body_at + 4, body_at + size)
+            elif cid == b"avih" and size >= 40:
+                us_per_frame = struct.unpack_from("<I", b, body_at)[0]
+                w, h = struct.unpack_from("<ii", b, body_at + 32)
+            elif cid.endswith(b"db") and w and h:
+                row = (w * 3 + 3) & ~3
+                need = row * abs(h)
+                if size >= need:
+                    rows = np.frombuffer(
+                        b, np.uint8, need, body_at
+                    ).reshape(abs(h), row)
+                    img = rows[:, : w * 3].reshape(abs(h), w, 3)[..., ::-1]
+                    frames.append(img[::-1] if h > 0 else img)
+            i = body_at + size + (size & 1)  # chunks pad to even
+        return frames
+
+    frames = walk(12, len(b))
+    if not frames or not us_per_frame:
+        return None
+    return frames, 1e6 / us_per_frame
+
+
+def encode_simple_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """Minimal well-formed uncompressed AVI writer (fixtures): avih +
+    one 'vids'/DIB stream header + '00db' frames, the layout
+    :func:`decode_avi_frames` and any standard player read."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+    row = (w * 3 + 3) & ~3
+    us = int(round(1e6 / fps))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", typ + body)
+
+    avih = struct.pack(
+        "<10I", us, row * h * int(fps), 0, 0x10, len(frames), 0, 1,
+        row * h, w, h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+        int(round(fps)), 0, len(frames), row * h, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    for f in frames:
+        raster = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up BGR, rows pad to 4
+            r = f[y][:, ::-1].tobytes()
+            raster += r + b"\x00" * (row - len(r))
+        movi_body += chunk(b"00db", bytes(raster))
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def _real_image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -497,8 +660,16 @@ def sample_frames(
     """video rows → one row per sampled frame (1-to-N mapInPandas).
 
     DETERMINISTIC mode slices the payload bytes per frame index so batch
-    shapes and row explosion are real; REAL mode is the ffmpeg seam.
+    shapes and row explosion are real.  REAL mode genuinely demuxes
+    uncompressed-DIB AVI (:func:`decode_avi_frames`) and emits each
+    sampled frame re-encoded as P6 PPM — a payload the downstream REAL
+    image kernels decode, so video→frame→features composes end to end
+    in-container; compressed codecs raise at the ffmpeg seam.
     """
+
+    def _ppm(img: np.ndarray) -> bytes:
+        h, w = img.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -510,9 +681,27 @@ def sample_frames(
             }
             for _, row in pdf.iterrows():
                 if decode == "REAL":
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg (not in container)"
-                    )
+                    decoded = decode_avi_frames(row["payload"] or b"")
+                    if decoded is None:
+                        raise NotImplementedError(
+                            "compressed video (H.264/VP9/...) requires "
+                            "ffmpeg — not in container; REAL demux "
+                            "supports uncompressed-DIB AVI"
+                        )
+                    frames, fps = decoded
+                    n_total = len(frames)
+                    dur_ms = n_total * 1000.0 / fps
+                    i = 0
+                    t = 0.0
+                    while t < dur_ms:
+                        k = min(n_total - 1, int(t * fps / 1000.0))
+                        out["media_id"].append(row["media_id"])
+                        out["frame_index"].append(i)
+                        out["frame_ts_ms"].append(int(t))
+                        out["frame_payload"].append(_ppm(frames[k]))
+                        i += 1
+                        t += every_ms
+                    continue
                 duration = int(row["duration_ms"] or 0)
                 payload = row["payload"] or b""
                 n_frames = max(1, duration // every_ms)

@@ -405,6 +405,143 @@ def test_png_decode_color_types_pixel_exact():
     assert decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
 
 
+def _make_png_adam7(img, filters):
+    """Adam7-interlaced PNG encoder for fixtures: each pass is filtered
+    as its own sub-image, passes concatenated in spec order."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    scan = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(ADAM7):
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        prior = bytes(pw * c)
+        for y in range(ph):
+            ft = filters[(pi + y) % len(filters)]
+            raw = sub[y].tobytes()
+            scan.append(ft)
+            scan += _png_filter_row(raw, prior, ft, c)
+            prior = raw
+
+    def chunk(typ, body):
+        base = typ + body
+        return struct.pack(">I", len(body)) + base + struct.pack(
+            ">I", zlib.crc32(base)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_pixel_exact():
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_png
+
+    rng = np.random.RandomState(21)
+    # odd dims so several passes have ragged sub-grids
+    img = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    got = decode_png(_make_png_adam7(img, filters=[0, 1, 2, 3, 4]))
+    assert got is not None and np.array_equal(got, img)
+    # tiny image where some passes are EMPTY (w<5 kills pass 2 etc.)
+    small = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    got = decode_png(_make_png_adam7(small, filters=[4]))
+    assert got is not None and np.array_equal(got, small)
+
+
+def test_wav_g711_mulaw_alaw_decode_conformance(spark):
+    """μ-law / A-law WAV decode pinned against the stdlib audioop
+    (CCITT reference) encoder: fixtures come from lin2ulaw/lin2alaw,
+    never from this repo's own code."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from knowledge_model_spark.sources.multimodal import decode_wav_pcm16
+
+    rate = 8000
+    t = np.arange(rate // 4)
+    wave = (0.6 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.float32)
+    pcm = (wave * 32767).astype("<i2").tobytes()
+
+    def wav(fmt_code, data, bps):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate * bps // 8, bps // 8, bps)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    for fmt_code, data in ((7, audioop.lin2ulaw(pcm, 2)), (6, audioop.lin2alaw(pcm, 2))):
+        got = decode_wav_pcm16(wav(fmt_code, data, 8))
+        assert got is not None
+        w, r = got
+        assert r == rate and len(w) == len(wave)
+        # G.711 is logarithmic 8-bit: compand error well under 5%
+        assert np.abs(w - wave).max() < 0.05
+    # unsupported format still falls to the seam
+    assert decode_wav_pcm16(wav(2, b"\x00" * 100, 4)) is None  # ADPCM
+
+
+def test_sample_frames_real_avi_roundtrip(spark):
+    """REAL video demux end to end: uncompressed-DIB AVI built by the
+    fixture writer, frames sampled through the Spark surface, each
+    emitted payload a PPM that decodes back to the EXACT source frame."""
+    import numpy as np
+    import pytest
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_avi_frames,
+        decode_ppm,
+        encode_simple_avi,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(31)
+    frames = [
+        rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(8)
+    ]
+    avi = encode_simple_avi(frames, fps=4.0)  # 2 s of video
+    got = decode_avi_frames(avi)
+    assert got is not None and len(got[0]) == 8 and got[1] == 4.0
+    for a, b in zip(got[0], frames):
+        assert np.array_equal(a, b)
+
+    df = spark.createDataFrame(
+        [(0, avi, 2000)], "media_id long, payload binary, duration_ms long"
+    )
+    rows = sorted(
+        sample_frames(df, every_ms=500, decode="REAL").collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_ts_ms"] for r in rows] == [0, 500, 1000, 1500]
+    for r in rows:
+        img = decode_ppm(bytes(r["frame_payload"]))
+        k = r["frame_ts_ms"] * 4 // 1000
+        assert img is not None and np.array_equal(img, frames[k])
+
+    bad = spark.createDataFrame(
+        [(1, b"\x00\x00\x01\xba mpeg-ps", 1000)],
+        "media_id long, payload binary, duration_ms long",
+    )
+    with pytest.raises(Exception) as ei:
+        sample_frames(bad, decode="REAL").collect()
+    assert "NotImplementedError" in str(ei.value) or "ffmpeg" in str(ei.value)
+
+
 def _gif_lzw_encode(indices, min_code_size):
     """GIF LZW encoder mirroring giflib's EGifCompress: emit at current
     width, grow width when the running code counter reaches capacity
