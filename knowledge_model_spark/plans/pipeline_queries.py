@@ -491,6 +491,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_pipeline",
+    None,  # binary mux/demux in pandas kernels — no SQL twin; frame
+    # counts and feature values are deterministic (content-addressed
+    # RNG per media_id), and the codecs are pixel-exact-tested
+    doc="REAL video→frames→features composition, all three codec hops "
+    "in one distributed plan: deterministic frames are muxed into a "
+    "genuine uncompressed-DIB AVI per media row (sources/multimodal."
+    "encode_simple_avi), demuxed by sample_frames REAL (real RIFF "
+    "parse; sampled frames re-emitted as PPM), and featurized by "
+    "image_features REAL (real pixel statistics).  The full video "
+    "branch of a multimodal training pipeline, executor-side end to "
+    "end; at 100 TB only the codec kernels swap for ffmpeg — the plan "
+    "shape (three chained mapInPandas over a scan, zero shuffle until "
+    "the final per-video aggregate) is already the production shape",
+)
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from knowledge_model_spark.sources.multimodal import (
+        encode_simple_avi,
+        image_features,
+        sample_frames,
+    )
+
+    base = spark.range(32).select(F.col("id").alias("media_id"))
+
+    def mux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, durs = [], []
+            for mid in pdf["media_id"]:
+                rng = np.random.RandomState(int(mid))
+                frames = [
+                    rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(4)
+                ]
+                payloads.append(encode_simple_avi(frames, fps=2.0))  # 2 s
+                durs.append(2000)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "duration_ms": durs,
+                }
+            )
+
+    media = base.mapInPandas(mux, "media_id long, payload binary, duration_ms long")
+    frames = sample_frames(media, every_ms=500, decode="REAL")
+    per_frame = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+    )
+    feats = image_features(per_frame, decode="REAL")
+    return (
+        feats.withColumn("video_id", F.floor(F.col("media_id") / 100))
+        .groupBy("video_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.round(F.avg(F.element_at("features", 7)), 6).alias("avg_luma"),
+        )
+    )
+
+
+@register(
     "multimodal_phash_dedup",
     None,  # sha256/aHash signatures — no SQL equivalent; rows-only
     doc="image dedup by perceptual hash: binary payloads → 63-bit "
