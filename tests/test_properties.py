@@ -500,3 +500,132 @@ def test_chat_render_spans_always_slice_to_assistant(spark, turns):
         for span, a in zip(spans, answers):
             s, t = map(int, span.split(":"))
             assert r["rendered"][s:t] == a
+
+
+# ------------------------------------------------- codec round-trips (r5)
+# Pure-Python/numpy codecs: hypothesis sweeps geometries, palettes,
+# filter choices, and adversarial text the fixed fixtures can't.
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlaced=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_png_roundtrip_property(h, w, filters, seed, interlaced):
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import decode_png
+    from tests.test_sources import _make_png, _make_png_adam7
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+    b = (
+        _make_png_adam7(img, filters)
+        if interlaced
+        else _make_png(img, 2, filters)
+    )
+    got = decode_png(b)
+    assert got is not None and np.array_equal(got, img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    n_colors=st.integers(min_value=2, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlaced=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_gif_roundtrip_property(h, w, n_colors, seed, interlaced):
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import decode_gif
+    from tests.test_sources import _make_gif
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (n_colors, 3), np.uint8)
+    idx = rng.randint(0, n_colors, (h, w)).astype(np.uint8)
+    got = decode_gif(_make_gif(idx, palette, interlaced=interlaced))
+    assert got is not None and np.array_equal(got, palette[idx])
+
+
+@given(
+    pages=st.lists(
+        st.text(
+            # printable ASCII + the PDF-special characters + newline;
+            # excludes lone \r (the writer normalizes real newlines)
+            alphabet=st.sampled_from(
+                list("abc XYZ09()\\<>[]/%#\n\t'\"!$&*+,-.:;=?@_~")
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_pdf_roundtrip_property(pages):
+    from knowledge_model_spark.sources.pdf import decode_pdf_pages, encode_simple_pdf
+
+    want = [p for p in pages if p]  # empty pages collapse (no shows)
+    got = decode_pdf_pages(encode_simple_pdf(pages))
+    # line-splitting inside a page collapses empty lines the same way
+    # the extractor does (no show -> no line)
+    norm = lambda p: "\n".join(ln for ln in p.split("\n") if ln != "")
+    assert got is not None
+    assert [norm(g) for g in got if norm(g)] == [
+        norm(p) for p in want if norm(p)
+    ]
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    mcs=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_gif_lzw_codec_property(n, mcs, seed):
+    """LZW encode/decode round-trip across code-width growth
+    boundaries for every min-code-size."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import _gif_lzw_decode
+    from tests.test_sources import _gif_lzw_encode
+
+    idx = np.random.RandomState(seed).randint(0, 1 << mcs, n).tolist()
+    data = _gif_lzw_encode(idx, mcs)
+    assert _gif_lzw_decode(data, mcs, n) == idx
+
+
+@given(
+    h=st.integers(min_value=8, max_value=33),
+    w=st.integers(min_value=8, max_value=33),
+    quality=st.integers(min_value=70, max_value=98),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_jpeg_roundtrip_property(h, w, quality, seed):
+    """Smooth gradients survive baseline JPEG at reasonable PSNR for
+    EVERY geometry (incl. non-multiple-of-8 edge replication)."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, bfreq = rng.uniform(4, 16), rng.uniform(4, 16)
+    img = np.stack(
+        [
+            (128 + 100 * np.sin(xx / a)).clip(0, 255),
+            (128 + 100 * np.cos(yy / bfreq)).clip(0, 255),
+            ((xx * 3 + yy * 5) % 256),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality))
+    assert got is not None and got.shape == img.shape
+    mse = np.mean((got.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 28.0
