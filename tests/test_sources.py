@@ -745,11 +745,24 @@ def test_jpeg_decodes_external_libjpeg_files():
 
     from knowledge_model_spark.sources.jpeg import decode_jpeg
 
-    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+    stdlib = os.path.dirname(os.__file__)
     fixtures = [
-        (f"{base}/site-packages/IPython/core/tests/2x2.jpg", (2, 2, 3)),
-        (f"{base}/test/test_email/data/python.jpg", (16, 16, 3)),
+        (os.path.join(stdlib, "test/test_email/data/python.jpg"), (16, 16, 3)),
+        (os.path.join(stdlib, "test/imghdrdata/python.jpg"), (16, 16, 3)),
     ]
+    try:
+        import IPython
+
+        fixtures.append(
+            (
+                os.path.join(
+                    os.path.dirname(IPython.__file__), "core/tests/2x2.jpg"
+                ),
+                (2, 2, 3),
+            )
+        )
+    except ImportError:
+        pass
     if not any(os.path.exists(p) for p, _ in fixtures):
         pytest.skip("external JPEG fixtures not present")
     for path, shape in fixtures:
