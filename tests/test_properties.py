@@ -629,3 +629,74 @@ def test_jpeg_roundtrip_property(h, w, quality, seed):
     assert got is not None and got.shape == img.shape
     mse = np.mean((got.astype(float) - img.astype(float)) ** 2)
     assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 28.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # grid
+            st.integers(min_value=0, max_value=9),  # tiebreak id component
+            st.integers(min_value=0, max_value=100),  # value
+            st.integers(min_value=0, max_value=1),  # partition key
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    asc=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_grid_ordering_equals_single_window_incl_null_grids(spark, rows, asc):
+    """The grid-decomposed ordering helpers must equal the
+    single-partition window forms they replace EXACTLY — including NULL
+    grid cells (r5 ADVICE fix: null-safe offsets join; NULLS FIRST
+    under asc / NULLS LAST under desc, Spark's default null ordering)
+    and duplicate order keys broken by a unique id."""
+    from pyspark.sql import Window
+
+    from knowledge_model_spark.operators.ordering import (
+        grid_global_row_number,
+        grid_global_running_sum,
+        grid_partitioned_rank_and_sum,
+    )
+
+    data = [
+        (i, g, (g if g is not None else -1) * 10 + t, v, p)
+        for i, (g, t, v, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, g long, ord long, v long, p long")
+    gcol = F.col("g").asc_nulls_first() if asc else F.col("g").desc_nulls_last()
+    order = [gcol, "id"]
+
+    w = Window.orderBy(*order)
+    truth_rn = {r["id"]: r["rn"] for r in df.select(
+        "id", F.row_number().over(w).alias("rn")).collect()}
+    got = grid_global_row_number(df, F.col("g"), order, grid_asc=asc, out="rn",
+                                 out_total="tot")
+    got_rows = got.collect()
+    assert {r["id"]: r["rn"] for r in got_rows} == truth_rn  # no dropped NULLs
+    assert {r["tot"] for r in got_rows} == {len(data)}
+
+    truth_cum = {r["id"]: r["c"] for r in df.select(
+        "id", F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("c")).collect()}
+    got2 = grid_global_running_sum(df, F.col("g"), order, F.col("v"),
+                                   grid_asc=asc, out="c")
+    assert {r["id"]: r["c"] for r in got2.collect()} == truth_cum
+
+    if asc:  # the partitioned helper is asc-only by contract
+        wp = Window.partitionBy("p").orderBy(*order)
+        truth = {
+            r["id"]: (r["rn"], r["c"])
+            for r in df.select(
+                "id",
+                F.row_number().over(wp).alias("rn"),
+                F.sum("v").over(
+                    wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).alias("c"),
+            ).collect()
+        }
+        got3 = grid_partitioned_rank_and_sum(
+            df, ["p"], F.col("g"), order, F.col("v"), out_rn="rn", out_cum="c"
+        )
+        assert {r["id"]: (r["rn"], r["c"]) for r in got3.collect()} == truth
