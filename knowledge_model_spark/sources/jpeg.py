@@ -1,12 +1,13 @@
-"""Baseline JPEG codec with zero new dependencies (pure numpy/stdlib).
+"""JPEG codec with zero new dependencies (pure numpy/stdlib).
 
-Closes the last image-codec seam the container allows: REAL decode for
-baseline sequential JFIF (SOF0, Huffman, 8-bit, any chroma subsampling,
-restart markers) — the encoding virtually all non-progressive photos
-use — plus a baseline encoder (4:4:4, Annex-K-style tables) so tests
-can round-trip pixels without Pillow.  Progressive (SOF2) and
-arithmetic-coded JPEGs return None and stay on the declared Pillow
-seam.
+Closes the image-codec seam: REAL decode for sequential JFIF
+(SOF0/SOF1, Huffman, 8-bit, any chroma subsampling, restart markers)
+AND progressive JFIF (SOF2 — spectral selection and successive
+approximation with EOB runs, the scan scripts libjpeg-family encoders
+emit), plus a baseline encoder (4:4:4, Annex-K-style tables) so tests
+can round-trip pixels without Pillow.  Arithmetic-coded, lossless,
+hierarchical, and 12-bit JPEGs return None and stay on the declared
+Pillow seam.
 
 Conformance anchors (tests/test_sources.py):
 - the decoder takes Huffman and quantization tables FROM THE FILE
@@ -14,9 +15,14 @@ Conformance anchors (tests/test_sources.py):
 - hand-authored single-coefficient fixtures pin the IDCT normalization
   and zigzag order against spec arithmetic computed independently in
   the test (a mirrored encoder/decoder bug cannot hide there);
-- external JPEGs from the container's stdlib test data (written by
-  libjpeg, not by this repo) decode to the right dimensions with
+- external JPEGs from the container's stdlib test data and the nodejs
+  docs (written by libjpeg-family encoders, not by this repo; the
+  nodejs pair is PROGRESSIVE) decode to the right dimensions with
   plausible content;
+- a hand-assembled 4-scan progressive stream (DC/AC first + refinement
+  scans, successive approximation, a refine-scan coefficient
+  insertion) reconstructs the exact coefficient block, pinned against
+  the spec's direct IDCT arithmetic;
 - encoder→decoder round-trip is gated on PSNR.
 
 Scale note: this codec exists so `image_features`/`perceptual_hash`
@@ -113,9 +119,11 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _entropy_segments(b: bytes, start: int) -> list[bytes]:
+def _entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``start``: de-stuff FF00, split on
-    restart markers (FFD0-FFD7), stop at any other marker."""
+    restart markers (FFD0-FFD7), stop at any other marker.  Returns
+    (segments, index of the terminating marker's FF) so multi-scan
+    files (progressive) can keep parsing after each scan."""
     segs: list[bytearray] = [bytearray()]
     i = start
     n = len(b)
@@ -134,31 +142,35 @@ def _entropy_segments(b: bytes, start: int) -> list[bytes]:
             i += 2
         else:
             break
-    return [bytes(s) for s in segs]
+    return [bytes(s) for s in segs], i
 
 
-def decode_jpeg(b: bytes) -> np.ndarray | None:
-    """Baseline sequential JFIF → (H, W, 3) uint8 RGB (grayscale
-    replicates).  None for non-JPEG, progressive, arithmetic, or
-    12-bit payloads (the remaining Pillow seam)."""
-    if not b or not b.startswith(b"\xff\xd8"):
-        return None
+def _parse_jpeg(b: bytes) -> dict | None:
+    """Marker-level parse: quant/huffman tables, frame header, and ALL
+    scans (progressive files carry many SOS, each with its own
+    spectral band Ss..Se and successive-approximation bits Ah/Al and
+    possibly tables defined between scans — so each scan snapshots the
+    table objects it references)."""
     i = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     comps: list[dict] = []
     H = W = 0
-    scan_comps: list[dict] = []
-    scan_at = -1
+    mode = None  # "baseline" | "progressive"
     restart_interval = 0
+    scans: list[dict] = []
     n = len(b)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
         i += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
+        if i + 2 > n:
+            return None
         L = struct.unpack_from(">H", b, i)[0]
         seg = b[i + 2 : i + L]
         if marker == 0xDB:  # DQT
@@ -167,107 +179,71 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
                 pq, tq = seg[j] >> 4, seg[j] & 15
                 if pq != 0:
                     return None  # 16-bit tables: seam
-                qt[tq] = np.frombuffer(
-                    seg, np.uint8, 64, j + 1
-                ).astype(np.int32)
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int32)
                 j += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, H, W, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 return None
+            mode = "progressive" if marker == 0xC2 else "baseline"
             for k in range(nc):
                 cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/arithmetic/lossless: seam
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            return None  # arithmetic/lossless/hierarchical: seam
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 15
                 bits = list(seg[j + 1 : j + 17])
                 nv = sum(bits)
-                values = list(seg[j + 17 : j + 17 + nv])
-                huff[(tc, th)] = _HuffTable(bits, values)
+                huff[(tc, th)] = _HuffTable(bits, list(seg[j + 17 : j + 17 + nv]))
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            sc = []
             for k in range(ns):
                 cid, tables = seg[1 + 2 * k], seg[2 + 2 * k]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan_comps.append(
-                    {**comp, "dc": tables >> 4, "ac": tables & 15}
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    return None
+                sc.append(
+                    {
+                        **comp,
+                        "dct": huff.get((0, tables >> 4)),
+                        "act": huff.get((1, tables & 15)),
+                    }
                 )
-            scan_at = i + L
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            segments, i = _entropy_segments(b, i + L)
+            scans.append(
+                {
+                    "comps": sc,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "segments": segments,
+                    "ri": restart_interval,
+                }
+            )
+            continue  # i already points at the terminating marker's FF
         i += L
-    if scan_at < 0 or not comps or W <= 0 or H <= 0:
+    if not comps or not scans or W <= 0 or H <= 0 or mode is None:
         return None
+    return {
+        "qt": qt, "comps": comps, "H": H, "W": W,
+        "mode": mode, "scans": scans,
+    }
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
-    mcux = -(-W // (8 * hmax))
-    mcuy = -(-H // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c in scan_comps
-    ]
-    segments = _entropy_segments(b, scan_at)
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(scan_comps)
-    try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                mcu_no = my * mcux + mx
-                if (
-                    restart_interval
-                    and mcu_no > 0
-                    and mcu_no % restart_interval == 0
-                ):
-                    # restart: jump to the next entropy segment, byte-
-                    # aligned, and reset the DC predictors (T.81 E.2.4)
-                    seg_idx += 1
-                    reader = _BitReader(segments[seg_idx])
-                    preds = [0] * len(scan_comps)
-                for ci, c in enumerate(scan_comps):
-                    q = qt[c["tq"]]
-                    for v in range(c["v"]):
-                        for h in range(c["h"]):
-                            zig = np.zeros(64, np.int32)
-                            t = huff[(0, c["dc"])].decode(reader)
-                            diff = _extend(reader.receive(t), t)
-                            preds[ci] += diff
-                            zig[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = huff[(1, c["ac"])].decode(reader)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC overflow")
-                                zig[k] = _extend(reader.receive(s), s)
-                                k += 1
-                            block = np.zeros(64, np.float64)
-                            block[ZIGZAG] = zig * q
-                            px = _idct2(block.reshape(8, 8)) + 128.0
-                            y0 = (my * c["v"] + v) * 8
-                            x0 = (mx * c["h"] + h) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    except (ValueError, IndexError, KeyError, StopIteration):
-        return None
 
+def _finish(planes: list[np.ndarray], comps: list[dict], H: int, W: int,
+            hmax: int, vmax: int) -> np.ndarray | None:
     full = []
-    for ci, c in enumerate(scan_comps):
+    for ci, c in enumerate(comps):
         p = planes[ci]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -283,6 +259,249 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bl = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+def _decode_baseline(parsed: dict) -> np.ndarray | None:
+    comps, H, W = parsed["comps"], parsed["H"], parsed["W"]
+    qt = parsed["qt"]
+    scan = parsed["scans"][0]
+    sc = scan["comps"]
+    hmax = max(c["h"] for c in sc)
+    vmax = max(c["v"] for c in sc)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in sc
+    ]
+    segments = scan["segments"]
+    ri = scan["ri"]
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(sc)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_no = my * mcux + mx
+            if ri and mcu_no > 0 and mcu_no % ri == 0:
+                # restart: next entropy segment, byte-aligned, DC
+                # predictors reset (T.81 E.2.4)
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                preds = [0] * len(sc)
+            for ci, c in enumerate(sc):
+                q = qt[c["tq"]]
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        zig = np.zeros(64, np.int64)
+                        t = c["dct"].decode(reader)
+                        preds[ci] += _extend(reader.receive(t), t)
+                        zig[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = c["act"].decode(reader)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overflow")
+                            zig[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[ZIGZAG] = zig * q
+                        px = _idct2(block.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + h) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    return _finish(planes, sc, H, W, hmax, vmax)
+
+
+def _dc_first(reader, table, pred: int, coef, al: int) -> int:
+    t = table.decode(reader)
+    pred += _extend(reader.receive(t), t)
+    coef[0] = pred << al
+    return pred
+
+
+def _ac_first(reader, table, coef, ss, se, al, eobrun) -> int:
+    """AC first scan for one block (T.81 G.1.2.2 / libjpeg
+    decode_mcu_AC_first).  Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = table.decode(reader)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC overflow")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, table, coef, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / libjpeg decode_mcu_AC_refine): already-nonzero
+    coefficients consume a correction bit as the scan passes them; new
+    coefficients arrive as ±1<<Al after skipping r zero-HISTORY
+    positions.  Returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = table.decode(reader)
+            r, s = rs >> 4, rs & 15
+            if s:
+                s_val = p1 if reader.receive(1) else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                s_val = 0  # ZRL: skip 16 zero-history positions
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.receive(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s_val and k <= se:
+                coef[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if reader.receive(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(parsed: dict) -> np.ndarray | None:
+    comps, H, W = parsed["comps"], parsed["H"], parsed["W"]
+    qt = parsed["qt"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    # coefficient accumulators in ZIGZAG order, MCU-padded block grids
+    grids = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+        for c in comps
+    }
+    for scan in parsed["scans"]:
+        sc = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        segments, ri = scan["segments"], scan["ri"]
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        preds = [0] * len(sc)
+        eobrun = 0
+        if len(sc) > 1 or (ss == 0 and len(sc) == len(comps)):
+            # interleaved (DC scans typically): MCU order
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for ci, c in enumerate(sc):
+                        for v in range(c["v"]):
+                            for h in range(c["h"]):
+                                mcu.append(
+                                    (ci, grids[c["id"]][my * c["v"] + v,
+                                                        mx * c["h"] + h])
+                                )
+                    units.append(mcu)
+        else:
+            # non-interleaved: the component's OWN block grid, row-major
+            # (T.81 A.2.2: dimensions from the component's sample counts)
+            c = sc[0]
+            comp_w = -(-W * c["h"] // hmax)
+            comp_h = -(-H * c["v"] // vmax)
+            nbw = -(-comp_w // 8)
+            nbh = -(-comp_h // 8)
+            units = [
+                [(0, grids[c["id"]][by, bx])]
+                for by in range(nbh)
+                for bx in range(nbw)
+            ]
+        for unit_no, mcu in enumerate(units):
+            if ri and unit_no > 0 and unit_no % ri == 0:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                preds = [0] * len(sc)
+                eobrun = 0
+            for ci, coef in mcu:
+                if ss == 0:  # DC scan (Se must be 0)
+                    if ah == 0:
+                        preds[ci] = _dc_first(
+                            reader, sc[ci]["dct"], preds[ci], coef, al
+                        )
+                    elif reader.receive(1):
+                        coef[0] |= 1 << al
+                else:  # AC scan (single component)
+                    table = sc[ci]["act"]
+                    if ah == 0:
+                        eobrun = _ac_first(
+                            reader, table, coef, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine(
+                            reader, table, coef, ss, se, al, eobrun
+                        )
+    planes = []
+    for c in comps:
+        g = grids[c["id"]]
+        bh, bw = g.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, np.float64)
+                block[ZIGZAG] = g[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(block.reshape(8, 8)) + 128.0
+                )
+        planes.append(plane)
+    return _finish(planes, comps, H, W, hmax, vmax)
+
+
+def decode_jpeg(b: bytes) -> np.ndarray | None:
+    """Sequential (SOF0/SOF1) AND progressive (SOF2) 8-bit JFIF →
+    (H, W, 3) uint8 RGB (grayscale replicates).  Progressive support
+    covers spectral selection and successive approximation with EOB
+    runs — the scan scripts libjpeg-family encoders emit.  None for
+    non-JPEG, arithmetic-coded, lossless, hierarchical, or 12-bit
+    payloads (the remaining Pillow seam)."""
+    if not b or not b.startswith(b"\xff\xd8"):
+        return None
+    try:
+        parsed = _parse_jpeg(b)
+        if parsed is None:
+            return None
+        if parsed["mode"] == "baseline":
+            return _decode_baseline(parsed)
+        return _decode_progressive(parsed)
+    except (ValueError, IndexError, KeyError, StopIteration, TypeError,
+            AttributeError):
+        return None
 
 
 # ---------------------------------------------------------- encoder

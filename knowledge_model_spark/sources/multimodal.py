@@ -14,14 +14,16 @@ Decode modes:
   — P6 PPM and 24-bit BI_RGB BMP images, 8-bit PNG (stdlib zlib
   inflate + per-row unfilter, all five filter types, color types
   0/2/3/4/6, Adam7 interlace), GIF87a/89a (LZW decoder conformant to
-  giflib's code-width growth rule, interlace supported), baseline
-  sequential JPEG (sources/jpeg.py — file-supplied Huffman/quant
-  tables, any chroma subsampling, restart markers), RIFF WAV audio
+  giflib's code-width growth rule, interlace supported), sequential
+  AND progressive JPEG (sources/jpeg.py — file-supplied Huffman/quant
+  tables, any chroma subsampling, restart markers, spectral selection
+  + successive approximation), RIFF WAV audio
   (PCM-16 plus G.711 A-law/μ-law, audioop-conformance-pinned), and
   uncompressed-DIB AVI video demux (sampled frames re-emitted as PPM
   so the frame→features path composes in-container) — and computes
   real pixel/waveform statistics.  The remaining codec seam is
-  progressive JPEG and the DSP transform codecs (MP3, H.264/VP9),
+  the DSP transform codecs (MP3, H.264/VP9) and exotic JPEG modes
+  (arithmetic/lossless/12-bit),
   which need Pillow/ffmpeg/librosa — NOT in this container: those
   payloads raise NotImplementedError at the exact point the library
   call would go.
@@ -401,7 +403,7 @@ def decode_gif(b: bytes) -> np.ndarray | None:
 def decode_image_any(b: bytes) -> np.ndarray | None:
     """Try every in-container REAL image codec in cheapest-probe order
     (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF, and
-    baseline JPEG (sources/jpeg.py — pure numpy/stdlib)."""
+    sequential+progressive JPEG (sources/jpeg.py — pure numpy/stdlib)."""
     from knowledge_model_spark.sources.jpeg import decode_jpeg
 
     for dec in (decode_ppm, decode_bmp, decode_png, decode_gif, decode_jpeg):
@@ -581,9 +583,9 @@ def _real_image_features(payload: bytes) -> tuple[int, int, np.ndarray]:
     img = decode_image_any(payload)
     if img is None:
         raise NotImplementedError(
-            "progressive JPEG / exotic formats require Pillow — not in "
-            "container; REAL decode supports P6 PPM, 24-bit BMP, 8-bit "
-            "PNG, GIF, and baseline JPEG"
+            "exotic formats (arithmetic/lossless JPEG, …) require Pillow — "
+            "not in container; REAL decode supports P6 PPM, 24-bit BMP, "
+            "8-bit PNG, GIF, and sequential+progressive JPEG"
         )
     x = img.astype(np.float64) / 255.0
     luma = 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
@@ -887,9 +889,9 @@ def perceptual_hash(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFram
             img = decode_image_any(b)
             if img is None:
                 raise NotImplementedError(
-                    "progressive JPEG / exotic formats require Pillow — "
-                    "not in container; REAL aHash supports P6 PPM, "
-                    "24-bit BMP, 8-bit PNG, GIF, and baseline JPEG"
+                    "exotic formats require Pillow — not in container; REAL "
+                    "aHash supports P6 PPM, 24-bit BMP, 8-bit PNG, GIF, "
+                    "and sequential+progressive JPEG"
                 )
             return _ahash64(img)
         digest = hashlib.sha256(b or b"").digest()

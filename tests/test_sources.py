@@ -735,6 +735,117 @@ def test_jpeg_decoder_idct_and_zigzag_pinned_by_hand_fixtures():
     assert np.all(img_b[:, :, 0].std(axis=1) < 1.0)  # constant along rows
 
 
+class _Bits:
+    def __init__(self):
+        self.s = ""
+
+    def put(self, code, length):
+        self.s += format(code, f"0{length}b")
+
+    def bytes(self):
+        padded = self.s + "1" * (-len(self.s) % 8)
+        return bytes(int(padded[i : i + 8], 2) for i in range(0, len(padded), 8))
+
+
+def test_jpeg_progressive_hand_fixture_matches_spec_arithmetic():
+    """A hand-assembled 4-scan progressive stream (DC first at Al=1,
+    DC refinement, AC first at Al=1, AC refinement at Al=0 that both
+    corrects existing coefficients AND inserts a ±1 newcomer) must
+    reconstruct the exact coefficient block — pinned against the
+    spec's direct IDCT arithmetic, never against this repo's encoder.
+    Target coefficients (zigzag): DC=50, k1=35, k3=-8, k5=1."""
+    import struct
+
+    import numpy as np
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    def dht(tc_th, bits, vals):
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vals))
+            + bytes([tc_th])
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    def sos(dc_ac, ss, se, ah, al, payload):
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, dc_ac, ss, se, (ah << 4) | al])
+            + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    # DC table 0: one len-2 code "00" -> category 5
+    out += dht(0x00, [0, 1] + [0] * 14, [5])
+    # AC table 0 (first scan): "00"->(0,5) "01"->(1,3) "10"->EOB
+    out += dht(0x10, [0, 3] + [0] * 14, [0x05, 0x13, 0x00])
+    # AC table 1 (refine scan): "00"->EOB "01"->(2,1)
+    out += dht(0x11, [0, 2] + [0] * 14, [0x00, 0x21])
+
+    # scan 1: DC first, Al=1 -> sends 50>>1 = 25 (category 5)
+    bits = _Bits(); bits.put(0b00, 2); bits.put(25, 5)
+    out += sos(0x00, 0, 0, 0, 1, bits.bytes())
+    # scan 2: DC refinement -> appends bit 50&1 = 0
+    bits = _Bits(); bits.put(0, 1)
+    out += sos(0x00, 0, 0, 1, 0, bits.bytes())
+    # scan 3: AC first, Al=1 -> k1: 35//2=17 (cat 5); k3: -8/2=-4
+    # (cat 3, one zero run); k5 invisible at this precision; EOB
+    bits = _Bits()
+    bits.put(0b00, 2); bits.put(17, 5)          # (0,5) +17
+    bits.put(0b01, 2); bits.put(-4 + 7, 3)      # (1,3) -4
+    bits.put(0b10, 2)                           # EOB
+    out += sos(0x00, 1, 63, 0, 1, bits.bytes())
+    # scan 4: AC refinement, Al=0 -> (2,1) inserts +1 at k5 after two
+    # zero-history skips; correction bits for k1 (35&1=1) and k3
+    # (8&1=0) ride between the sign bit and the next code; EOB drains
+    bits = _Bits()
+    bits.put(0b01, 2)  # (2,1)
+    bits.put(1, 1)     # sign: positive
+    bits.put(1, 1)     # correction for k1: 34 -> 35
+    bits.put(0, 1)     # correction for k3: -8 stays
+    bits.put(0b00, 2)  # EOB
+    out += sos(0x01, 1, 63, 1, 0, bits.bytes())
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img is not None and img.shape == (8, 8, 3)
+    F = [[0] * 8 for _ in range(8)]
+    F[0][0], F[0][1], F[2][0], F[0][2] = 50, 35, -8, 1  # zigzag 0,1,3,5
+    for r in range(8):
+        for c in range(8):
+            want = int(np.clip(round(_spec_idct_pixel(F, r, c)), 0, 255))
+            assert abs(int(img[r, c, 0]) - want) <= 1, (r, c, img[r, c, 0], want)
+
+
+def test_jpeg_decodes_external_progressive_files():
+    """Conformance anchor for SOF2: progressive JPEGs written by real
+    encoders (nodejs doc images shipped in the container — skipped if
+    absent) decode with correct dimensions and semantically-plausible
+    content (the 'white stripe' images are mostly white)."""
+    import os
+
+    import pytest
+
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    fixtures = [
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493, 3)),
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493, 3)),
+    ]
+    if not any(os.path.exists(p) for p, _ in fixtures):
+        pytest.skip("external progressive JPEG fixtures not present")
+    for path, shape in fixtures:
+        if not os.path.exists(path):
+            continue
+        img = decode_jpeg(open(path, "rb").read())
+        assert img is not None and img.shape == shape
+        assert img.mean() > 180  # mostly white, per the images' content
+
+
 def test_jpeg_decodes_external_libjpeg_files():
     """Conformance anchor: JPEGs written by real encoders (stdlib /
     IPython test data shipped in the container — skipped if absent)."""
