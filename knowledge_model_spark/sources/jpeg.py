@@ -415,8 +415,12 @@ def _decode_progressive(parsed: dict) -> np.ndarray | None:
         reader = _BitReader(segments[0])
         preds = [0] * len(sc)
         eobrun = 0
-        if len(sc) > 1 or (ss == 0 and len(sc) == len(comps)):
-            # interleaved (DC scans typically): MCU order
+        if len(sc) > 1:
+            # interleaved (multi-component DC scans): MCU order.  A
+            # single-component scan is ALWAYS non-interleaved per T.81
+            # A.2 — its block grid is the component's own ceil(comp/8),
+            # which differs from the MCU grid when sampling factors
+            # exceed 1 and the image isn't MCU-aligned.
             units = []
             for my in range(mcuy):
                 for mx in range(mcux):

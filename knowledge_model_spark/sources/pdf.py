@@ -43,16 +43,36 @@ _WHITESPACE = b"\x00\t\n\x0c\r "
 _DELIMS = b"()<>[]{}/%"
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
 def _inflate_streams(b: bytes) -> list[bytes]:
-    """All decodable stream payloads of a PDF, in document order."""
+    """All decodable stream payloads of a PDF, in document order.
+
+    Stream extent comes from a DIRECT /Length entry when present —
+    compressed payloads can contain the literal bytes ``endstream`` by
+    chance, so the lazy regex boundary is only the fallback (and for
+    indirect /Length references, which fixtures don't use)."""
     out = []
     for obj in _OBJ_RE.finditer(b):
         body = obj.group(1)
-        m = _STREAM_RE.search(body)
+        m = _STREAM_START_RE.search(body)
         if not m:
             continue
-        data = m.group(1)
         head = body[: m.start()]
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            # slice from the FULL buffer by absolute offset: the object
+            # regex itself can truncate at an 'endobj' that appears
+            # inside compressed data, but /Length is authoritative
+            start = obj.start(1) + m.end()
+            data = b[start : start + int(lm.group(1))]
+        else:
+            em = _STREAM_RE.search(body)
+            if not em:
+                continue
+            data = em.group(1)
         if b"FlateDecode" in head:
             try:
                 data = zlib.decompress(data)

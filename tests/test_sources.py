@@ -962,6 +962,31 @@ def test_pdf_text_operators_hand_authored():
     assert decode_pdf_text(raw3) == ""
 
 
+def test_pdf_stream_extent_honors_length_over_delimiters():
+    """A stream whose DATA contains the literal bytes 'endstream' (or
+    'endobj') must still extract fully: a direct /Length is
+    authoritative over the lazy delimiter fallback — compressed bytes
+    can contain either delimiter by chance."""
+    import zlib
+
+    from knowledge_model_spark.sources.pdf import decode_pdf_pages
+
+    body = b"BT (hello endstream world) Tj ET"
+    comp = zlib.compress(body)
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp
+        + b"\nendstream\nendobj\n"
+    )
+    assert decode_pdf_pages(raw) == ["hello endstream world"]
+    body2 = b"BT (fake endobj inside) Tj ET"
+    raw2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body2)).encode()
+        + b" >>\nstream\n" + body2 + b"\nendstream\nendobj\n"
+    )
+    assert decode_pdf_pages(raw2) == ["fake endobj inside"]
+
+
 def test_pdf_text_extract_spark_surface(spark):
     """The mapInPandas operator end to end: REAL extraction over a
     binary payload column, non-PDF payload raises at the seam."""
