@@ -289,6 +289,7 @@ HEADLINE: dict[str, bool] = {
     "events_funnel_latency_kll": True,
     "agg_winsorized_mean_kll": True,
     "multimodal_pdf_text": False,
+    "multimodal_pdf_passages": False,
     "multimodal_video_pipeline": True,
 }
 

@@ -491,6 +491,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pdf_passages",
+    None,  # PDF bytes built in a pandas kernel — no SQL twin; the
+    # pipeline is deterministic end to end and the extraction stage is
+    # round-trip-gated by multimodal_pdf_text
+    doc="the reference's ENTIRE parse_pdf dataflow as one distributed "
+    "plan (parse_pdfs.py:57-88: PyMuPDF get_text per page → "
+    "_strip_page_artifacts → strip_boiler → split_passages(300, 50) → "
+    "enumerated passage dicts): documents become genuine FlateDecode "
+    "PDFs, sources/pdf.pdf_text_extract runs REAL content extraction, "
+    "then the SAME cleaning battery every text source uses "
+    "(strip_page_furniture, hyphen rejoin, clean_text — UDF-free "
+    "column expressions) and the posexplode char-window splitter "
+    "produce (media_id, chunk_index, char offsets, passage).  Scale "
+    "shape: two mapInPandas stages + scan-speed column ops + one "
+    "posexplode — no shuffle anywhere; a user of the reference "
+    "switching to this engine runs their PDF corpus through this "
+    "exact query",
+)
+def multimodal_pdf_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from knowledge_model_spark.functions.chunking import explode_passages
+    from knowledge_model_spark.functions.text_cleaning import (
+        clean_text,
+        rejoin_hyphen_linebreaks,
+        strip_page_furniture,
+    )
+    from knowledge_model_spark.sources.pdf import (
+        encode_simple_pdf,
+        pdf_text_extract,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text").filter(F.col("doc_id") < 100)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                words = (txt or "").split(" ")
+                pages = [
+                    " ".join(words[i : i + 40]) for i in range(0, len(words), 40)
+                ] or [""]
+                payloads.append(encode_simple_pdf(pages))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    extracted = pdf_text_extract(media, decode="REAL")
+    body = extracted.select(
+        "media_id",
+        clean_text(
+            rejoin_hyphen_linebreaks(strip_page_furniture(F.col("text")))
+        ).alias("body"),
+    )
+    out = explode_passages(body, "body", ["media_id"], size=300, overlap=50)
+    return out.select(
+        "media_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("char_start").cast("long").alias("char_start"),
+        F.length("chunk_text").cast("long").alias("n_chars"),
+        F.crc32(F.col("chunk_text")).alias("chunk_crc"),
+    )
+
+
+@register(
     "multimodal_video_pipeline",
     None,  # binary mux/demux in pandas kernels — no SQL twin; frame
     # counts and feature values are deterministic (content-addressed
