@@ -135,14 +135,16 @@ def decode_png(b: bytes) -> np.ndarray | None:
     """Real PNG decode with ZERO new dependencies: stdlib ``zlib``
     inflate + per-row unfilter in numpy/Python.
 
-    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), all five filter types (None/Sub/Up/
-    Average/Paeth), both non-interlaced and Adam7-interlaced (each of
-    the 7 passes unfilters as its own sub-image, then scatters onto the
-    8x8 grid).  Alpha is dropped, gray replicates to RGB, palette
-    resolves through PLTE → always (H, W, 3) uint8.  Returns None for
-    anything else (16-bit) — the caller falls through to the declared
-    codec seam.
+    Supported: bit depths 8 and 16 (16-bit samples downconvert by the
+    standard high-byte take), color types 0 (gray), 2 (RGB), 3
+    (palette, 8-bit only per spec), 4 (gray+alpha), 6 (RGBA), all five
+    filter types (None/Sub/Up/Average/Paeth — operating on BYTES with
+    bpp = channels×bytes-per-sample, as the spec requires), both
+    non-interlaced and Adam7-interlaced (each of the 7 passes
+    unfilters as its own sub-image, then scatters onto the 8x8 grid).
+    Alpha is dropped, gray replicates to RGB, palette resolves through
+    PLTE → always (H, W, 3) uint8.  Returns None for anything else
+    (1/2/4-bit) — the caller falls through to the declared codec seam.
 
     The Up filter vectorizes (uint8 wraparound IS the mod-256 the spec
     wants); Sub/Average/Paeth carry a left-neighbor dependency and run
@@ -182,11 +184,14 @@ def decode_png(b: bytes) -> np.ndarray | None:
         elif typ == b"IEND":
             break
         i += 12 + ln  # length + type + data + crc
-    if w is None or not idat or bitd != 8 or interlace not in (0, 1):
+    if w is None or not idat or bitd not in (8, 16) or interlace not in (0, 1):
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colort)
     if channels is None or w <= 0 or h <= 0:
         return None
+    if bitd == 16 and colort == 3:
+        return None  # illegal per spec (palette is 8-bit max)
+    bps = bitd // 8  # bytes per sample
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
@@ -195,11 +200,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
     def unfilter(pw: int, ph: int, pos: int):
         """Unfilter a (ph, pw)-pixel sub-image starting at raw[pos];
         returns (pixels, next pos) or None."""
-        stride = pw * channels
+        stride = pw * channels * bps
         if len(raw) < pos + ph * (stride + 1):
             return None
         sub = np.zeros((ph, stride), np.uint8)
-        bpp = channels  # bytes per pixel at bit depth 8
+        bpp = channels * bps  # bytes per pixel (filters operate on bytes)
         for y in range(ph):
             ft = raw[pos]
             pos += 1
@@ -236,6 +241,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
                 sub[y] = rec
             else:
                 return None
+        if bps == 2:
+            # 16-bit samples are big-endian: the HIGH byte is the
+            # standard 8-bit downconversion (val >> 8)
+            sub = sub.reshape(ph, pw, channels, 2)[..., 0]
+            return sub, pos
         return sub.reshape(ph, pw, channels), pos
 
     if interlace == 0:
@@ -443,19 +453,96 @@ def _alaw_expand(a: np.ndarray) -> np.ndarray:
     return out / 4032.0  # max magnitude of the expansion
 
 
+# IMA ADPCM tables (IMA ADPCM reference / audioop's stepsizeTable)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_run(nibbles, pred: int, index: int):
+    """Decode a run of IMA ADPCM nibbles from (pred, index) state;
+    returns (samples, pred, index).  Identical arithmetic to audioop's
+    Intel/DVI adpcm2lin (the conformance oracle in tests); WAV-IMA
+    merely frames it into blocks with a (pred, index) header and packs
+    the FIRST sample in the LOW nibble where audioop packs it high."""
+    out = []
+    for delta in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if delta & 4:
+            diff += step
+        if delta & 2:
+            diff += step >> 1
+        if delta & 1:
+            diff += step >> 2
+        pred = pred - diff if delta & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[delta & 7]))
+        out.append(pred)
+    return out, pred, index
+
+
+def _decode_wav_ima_adpcm(data: bytes, block_align: int, channels: int):
+    """WAV-IMA ADPCM (fmt 0x11) data chunk → mono float32 waveform.
+    Each block: per-channel 4-byte header (pred int16 — which IS the
+    block's first output sample — index uint8, reserved), then nibble
+    data in 4-byte-per-channel interleave; low nibble first."""
+    import struct
+
+    if block_align <= 4 * channels:
+        return None
+    per_ch: list[list[int]] = [[] for _ in range(channels)]
+    for off in range(0, len(data) - (4 * channels) + 1, block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4 * channels:
+            break
+        states = []
+        for ch in range(channels):
+            pred = struct.unpack_from("<h", block, ch * 4)[0]
+            index = min(88, block[ch * 4 + 2])
+            per_ch[ch].append(pred)
+            states.append((pred, index))
+        body = block[4 * channels :]
+        # data interleaves 4-byte (8-nibble) words per channel
+        for word_at in range(0, len(body) - 3, 4 * channels):
+            for ch in range(channels):
+                chunk = body[word_at + ch * 4 : word_at + ch * 4 + 4]
+                nibbles = []
+                for byte in chunk:
+                    nibbles.append(byte & 0x0F)  # low nibble FIRST
+                    nibbles.append(byte >> 4)
+                pred, index = states[ch]
+                decoded, pred, index = _ima_adpcm_run(nibbles, pred, index)
+                states[ch] = (pred, index)
+                per_ch[ch].extend(decoded)
+    if not per_ch[0]:
+        return None
+    n = min(len(c) for c in per_ch)
+    stacked = np.stack([np.array(c[:n], np.float32) for c in per_ch])
+    return stacked.mean(axis=0) / 32768.0
+
+
 def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
     """RIFF WAV → (mono float32 waveform in [-1,1], sample_rate).
 
-    Formats: PCM-16 (fmt 1), G.711 A-law (fmt 6) and μ-law (fmt 7) —
-    the three encodings stdlib arithmetic decodes exactly; stereo
-    downmixes by mean; None for anything else (ADPCM/float/MP3-in-WAV
-    remain the librosa/ffmpeg seam)."""
+    Formats: PCM-16 (fmt 1), G.711 A-law (fmt 6) and μ-law (fmt 7),
+    and IMA ADPCM (fmt 0x11) — the encodings stdlib arithmetic decodes
+    exactly; stereo downmixes by mean; None for anything else
+    (float/MS-ADPCM/MP3-in-WAV remain the librosa/ffmpeg seam)."""
     import struct
 
     if not b or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
         return None
     i = 12
     data = rate = channels = audio_fmt = None
+    block_align = 0
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = struct.unpack_from("<I", b, i + 4)[0]
@@ -464,16 +551,20 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
             if len(body) < 16:
                 return None
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bps = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt == 1 and bps != 16:
                 return None
-            if audio_fmt not in (1, 6, 7):
+            if audio_fmt not in (1, 6, 7, 0x11):
                 return None
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks pad to even
     if data is None or rate is None:
         return None
+    if audio_fmt == 0x11:  # IMA ADPCM: blocks decode + downmix inside
+        wave = _decode_wav_ima_adpcm(data, block_align, max(1, channels or 1))
+        return None if wave is None else (wave, int(rate))
     if audio_fmt == 1:
         wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_fmt == 6:

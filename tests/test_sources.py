@@ -401,8 +401,46 @@ def test_png_decode_color_types_pixel_exact():
     idx = rng.randint(0, 16, size=(7, 6, 1), dtype=np.uint8)
     got = decode_png(_make_png(idx, 3, filters=[0, 1], plte=plte))
     assert np.array_equal(got, plte[idx[..., 0]])
-    # 16-bit / interlaced / truncated → None (seam), never misdecode
+    # truncated → None (seam), never misdecode
     assert decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
+
+
+def test_png_16bit_downconverts_by_high_byte():
+    """16-bit PNGs decode with the standard high-byte take; the
+    filters operate on BYTES with bpp = 2×channels, pinned by running
+    Sub/Paeth rows through a 16-bit fixture."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_png
+
+    rng = np.random.RandomState(17)
+    img16 = rng.randint(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+    h, w, c = img16.shape
+    scan = bytearray()
+    prior = bytes(w * c * 2)
+    for y in range(h):
+        ft = [0, 1, 2, 3, 4][y % 5]
+        raw = img16[y].astype(">u2").tobytes()  # big-endian per spec
+        scan.append(ft)
+        scan += _png_filter_row(raw, prior, ft, c * 2)
+        prior = raw
+
+    def chunk(typ, body):
+        base = typ + body
+        return struct.pack(">I", len(body)) + base + struct.pack(
+            ">I", zlib.crc32(base)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    b = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+    )
+    got = decode_png(b)
+    assert got is not None
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
 
 
 def _make_png_adam7(img, filters):
@@ -494,6 +532,55 @@ def test_wav_g711_mulaw_alaw_decode_conformance(spark):
         assert np.abs(w - wave).max() < 0.05
     # unsupported format still falls to the seam
     assert decode_wav_pcm16(wav(2, b"\x00" * 100, 4)) is None  # ADPCM
+
+
+def test_wav_ima_adpcm_decode_conformance_vs_audioop(spark):
+    """WAV-IMA ADPCM (fmt 0x11) pinned against stdlib audioop's
+    Intel/DVI adpcm2lin: the SAME step/index arithmetic, differing
+    only in framing — WAV packs the first sample in the LOW nibble and
+    carries a per-block (pred, index) header which IS the block's
+    first output sample.  The fixture's nibble stream comes from
+    audioop.lin2adpcm (never this repo's code), swapped to WAV order."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from knowledge_model_spark.sources.multimodal import decode_wav_pcm16
+
+    rate = 8000
+    t = np.arange(1024)
+    wave = (0.5 * np.sin(2 * np.pi * 300 * t / rate)).astype(np.float32)
+    pcm = (wave * 32767).astype("<i2").tobytes()
+    adpcm, (final_pred, final_idx) = audioop.lin2adpcm(pcm, 2, None)
+    # audioop packs first-sample-HIGH; WAV packs first-sample-LOW
+    swapped = bytes(((x & 0x0F) << 4) | (x >> 4) for x in adpcm)
+    # one mono block: header pred=0 index=0 (audioop's initial state),
+    # so the expected output is [0] + audioop's own decode of its stream
+    block = struct.pack("<hBB", 0, 0, 0) + swapped
+    block_align = len(block)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate // 2, block_align, 4, 2,
+        (block_align - 4) * 2 + 1,
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(block)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    got = decode_wav_pcm16(wav)
+    assert got is not None
+    w, r = got
+    assert r == rate
+    ref = np.frombuffer(
+        audioop.adpcm2lin(adpcm, 2, (0, 0))[0], dtype="<i2"
+    ).astype(np.float32) / 32768.0
+    assert len(w) == len(ref) + 1 and w[0] == 0.0  # header sample
+    np.testing.assert_allclose(w[1:], ref, atol=1e-6)  # bit-identical ints
+    # source error: ADPCM adapts from (0,0) so the attack lags (slope
+    # overload — audioop's own output lags identically); gate the tail
+    assert np.abs(w[1:][-512:] - wave[: len(ref)][-512:]).max() < 0.05
 
 
 def test_sample_frames_real_avi_roundtrip(spark):
