@@ -546,3 +546,30 @@ def test_proportions_ztest_single_scan_two_aggs(spark):
     plan = _plan(spark, "stats_proportions_ztest")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------- r5 multimodal pipelines
+
+def test_pdf_text_pipeline_shuffles_nothing_before_join(spark):
+    """Two chained mapInPandas stages over the documents scan; the only
+    join is the broadcast self-join for the round-trip equality — no
+    hash-partitioned Exchange anywhere (payloads never shuffle)."""
+    plan = _plan(spark, "multimodal_pdf_text")
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pdf_passages_pipeline_is_shuffle_free(spark):
+    """extract -> clean -> posexplode split: pure narrow pipeline, zero
+    Exchange of any kind."""
+    plan = _plan(spark, "multimodal_pdf_passages")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode passage splitter
+
+
+def test_video_pipeline_single_aggregate_shuffle(spark):
+    """mux -> demux -> featurize are narrow mapInPandas stages; the
+    ONLY shuffle is the final per-video aggregate."""
+    plan = _plan(spark, "multimodal_video_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 3
