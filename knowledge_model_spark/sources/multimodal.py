@@ -184,14 +184,17 @@ def decode_png(b: bytes) -> np.ndarray | None:
         elif typ == b"IEND":
             break
         i += 12 + ln  # length + type + data + crc
-    if w is None or not idat or bitd not in (8, 16) or interlace not in (0, 1):
+    if w is None or not idat or bitd not in (1, 2, 4, 8, 16) \
+            or interlace not in (0, 1):
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colort)
     if channels is None or w <= 0 or h <= 0:
         return None
     if bitd == 16 and colort == 3:
         return None  # illegal per spec (palette is 8-bit max)
-    bps = bitd // 8  # bytes per sample
+    if bitd < 8 and colort not in (0, 3):
+        return None  # sub-byte depths are gray/palette only per spec
+    bps = max(1, bitd // 8)  # bytes per sample (filter granularity)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
@@ -200,11 +203,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
     def unfilter(pw: int, ph: int, pos: int):
         """Unfilter a (ph, pw)-pixel sub-image starting at raw[pos];
         returns (pixels, next pos) or None."""
-        stride = pw * channels * bps
+        stride = (pw * channels * bitd + 7) // 8
         if len(raw) < pos + ph * (stride + 1):
             return None
         sub = np.zeros((ph, stride), np.uint8)
-        bpp = channels * bps  # bytes per pixel (filters operate on bytes)
+        bpp = max(1, channels * bitd // 8)  # filter byte distance
         for y in range(ph):
             ft = raw[pos]
             pos += 1
@@ -241,11 +244,21 @@ def decode_png(b: bytes) -> np.ndarray | None:
                 sub[y] = rec
             else:
                 return None
-        if bps == 2:
+        if bitd == 16:
             # 16-bit samples are big-endian: the HIGH byte is the
             # standard 8-bit downconversion (val >> 8)
             sub = sub.reshape(ph, pw, channels, 2)[..., 0]
             return sub, pos
+        if bitd < 8:
+            # sub-byte samples pack MSB-first, rows byte-aligned:
+            # unpack to bits, regroup per sample, weigh back together
+            bits = np.unpackbits(sub, axis=1)
+            per = bits[:, : (stride * 8 // bitd) * bitd].reshape(
+                ph, -1, bitd
+            )
+            weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+            vals = (per * weights).sum(axis=2).astype(np.uint8)[:, :pw]
+            return vals.reshape(ph, pw, 1), pos
         return sub.reshape(ph, pw, channels), pos
 
     if interlace == 0:
@@ -271,6 +284,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
             sub, pos = got
             px[y0::dy, x0::dx] = sub
     if colort == 0:
+        if bitd < 8:  # scale sub-byte gray to full range (spec sample
+            # depth scaling: v * 255 / maxval, exact for these depths)
+            px = (px.astype(np.uint16) * 255 // ((1 << bitd) - 1)).astype(
+                np.uint8
+            )
         return np.repeat(px, 3, axis=2)
     if colort == 2:
         return np.ascontiguousarray(px)

@@ -1826,3 +1826,55 @@ def test_vad_segments_deterministic_mode_partition_invariant(spark):
         key=lambda r: (r["media_id"], r["seg_index"]),
     )
     assert a == b and len(a) > 0
+
+
+def test_png_sub_byte_depths_pixel_exact():
+    """1/2/4-bit gray and 4-bit palette PNGs: MSB-first bit packing
+    with byte-aligned rows, spec sample-depth scaling for gray, PLTE
+    resolve for palette — the legacy-icon formats."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from knowledge_model_spark.sources.multimodal import decode_png
+
+    def make(bitd, colort, samples2d, plte=None, filters=(0,)):
+        h, w = samples2d.shape
+        stride = (w * bitd + 7) // 8
+        scan = bytearray()
+        prior = bytes(stride)
+        for y in range(h):
+            bits = "".join(format(int(v), f"0{bitd}b") for v in samples2d[y])
+            bits += "0" * (stride * 8 - len(bits))
+            raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+            ft = filters[y % len(filters)]
+            scan.append(ft)
+            scan += _png_filter_row(raw, prior, ft, 1)
+            prior = raw
+
+        def chunk(typ, body):
+            base = typ + body
+            return struct.pack(">I", len(body)) + base + struct.pack(
+                ">I", zlib.crc32(base)
+            )
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, bitd, colort, 0, 0, 0)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+
+    rng = np.random.RandomState(23)
+    for bitd in (1, 2, 4):
+        maxv = (1 << bitd) - 1
+        g = rng.randint(0, maxv + 1, size=(5, 11), dtype=np.uint8)
+        got = decode_png(make(bitd, 0, g, filters=(0, 1, 2, 3, 4)))
+        want = (g.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        assert got is not None and np.array_equal(got[..., 0], want)
+        assert np.array_equal(got[..., 0], got[..., 1])
+    # 4-bit palette
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(6, 7), dtype=np.uint8)
+    got = decode_png(make(4, 3, idx, plte=plte, filters=(0, 2)))
+    assert got is not None and np.array_equal(got, plte[idx])
