@@ -550,10 +550,11 @@ def _decode_wav_ima_adpcm(data: bytes, block_align: int, channels: int):
 def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
     """RIFF WAV → (mono float32 waveform in [-1,1], sample_rate).
 
-    Formats: PCM-16 (fmt 1), G.711 A-law (fmt 6) and μ-law (fmt 7),
-    and IMA ADPCM (fmt 0x11) — the encodings stdlib arithmetic decodes
-    exactly; stereo downmixes by mean; None for anything else
-    (float/MS-ADPCM/MP3-in-WAV remain the librosa/ffmpeg seam)."""
+    Formats: PCM-16 (fmt 1), IEEE float32 (fmt 3), G.711 A-law (fmt 6)
+    and μ-law (fmt 7), and IMA ADPCM (fmt 0x11) — the encodings stdlib
+    arithmetic decodes exactly; stereo downmixes by mean; None for
+    anything else (MS-ADPCM/MP3-in-WAV remain the librosa/ffmpeg
+    seam)."""
     import struct
 
     if not b or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
@@ -573,7 +574,9 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
             bps = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt == 1 and bps != 16:
                 return None
-            if audio_fmt not in (1, 6, 7, 0x11):
+            if audio_fmt == 3 and bps != 32:
+                return None  # float64 WAV: seam
+            if audio_fmt not in (1, 3, 6, 7, 0x11):
                 return None
         elif cid == b"data":
             data = body
@@ -585,6 +588,8 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
         return None if wave is None else (wave, int(rate))
     if audio_fmt == 1:
         wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 3:  # IEEE float32, already in [-1, 1]
+        wave = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif audio_fmt == 6:
         wave = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:  # 7: μ-law

@@ -530,8 +530,13 @@ def test_wav_g711_mulaw_alaw_decode_conformance(spark):
         assert r == rate and len(w) == len(wave)
         # G.711 is logarithmic 8-bit: compand error well under 5%
         assert np.abs(w - wave).max() < 0.05
+    # IEEE float32 (fmt 3) decodes exactly
+    f32 = wave.astype("<f4").tobytes()
+    got = decode_wav_pcm16(wav(3, f32, 32))
+    assert got is not None
+    np.testing.assert_allclose(got[0], wave, atol=1e-7)
     # unsupported format still falls to the seam
-    assert decode_wav_pcm16(wav(2, b"\x00" * 100, 4)) is None  # ADPCM
+    assert decode_wav_pcm16(wav(2, b"\x00" * 100, 4)) is None  # MS-ADPCM
 
 
 def test_wav_ima_adpcm_decode_conformance_vs_audioop(spark):
