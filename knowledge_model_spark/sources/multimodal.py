@@ -18,12 +18,13 @@ Decode modes:
   AND progressive JPEG (sources/jpeg.py — file-supplied Huffman/quant
   tables, any chroma subsampling, restart markers, spectral selection
   + successive approximation), RIFF WAV audio
-  (PCM-16 plus G.711 A-law/μ-law, audioop-conformance-pinned), and
+  (PCM-16, IEEE float32, G.711 A-law/μ-law, and IMA ADPCM — the
+  G.711/ADPCM arithmetic audioop-conformance-pinned), and
   uncompressed-DIB AVI video demux (sampled frames re-emitted as PPM
   so the frame→features path composes in-container) — and computes
   real pixel/waveform statistics.  The remaining codec seam is
-  the DSP transform codecs (MP3, H.264/VP9) and exotic JPEG modes
-  (arithmetic/lossless/12-bit),
+  the DSP transform codecs (MP3, MS-ADPCM, H.264/VP9) and exotic JPEG
+  modes (arithmetic/lossless/12-bit),
   which need Pillow/ffmpeg/librosa — NOT in this container: those
   payloads raise NotImplementedError at the exact point the library
   call would go.
