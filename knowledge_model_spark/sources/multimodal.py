@@ -136,16 +136,18 @@ def decode_png(b: bytes) -> np.ndarray | None:
     """Real PNG decode with ZERO new dependencies: stdlib ``zlib``
     inflate + per-row unfilter in numpy/Python.
 
-    Supported: bit depths 8 and 16 (16-bit samples downconvert by the
-    standard high-byte take), color types 0 (gray), 2 (RGB), 3
-    (palette, 8-bit only per spec), 4 (gray+alpha), 6 (RGBA), all five
-    filter types (None/Sub/Up/Average/Paeth — operating on BYTES with
-    bpp = channels×bytes-per-sample, as the spec requires), both
-    non-interlaced and Adam7-interlaced (each of the 7 passes
-    unfilters as its own sub-image, then scatters onto the 8x8 grid).
-    Alpha is dropped, gray replicates to RGB, palette resolves through
-    PLTE → always (H, W, 3) uint8.  Returns None for anything else
-    (1/2/4-bit) — the caller falls through to the declared codec seam.
+    Supported: the full legal format matrix — bit depths 1/2/4
+    (gray/palette, MSB-first packing with byte-aligned rows, spec
+    v*255/maxval gray scaling), 8, and 16 (samples downconvert by the
+    standard high-byte take); color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA); all five filter types
+    (None/Sub/Up/Average/Paeth — operating on BYTES with bpp =
+    max(1, channels×bitd/8), as the spec requires); both non-interlaced
+    and Adam7-interlaced (each of the 7 passes unfilters as its own
+    sub-image, then scatters onto the 8x8 grid).  Alpha is dropped,
+    gray replicates to RGB, palette resolves through PLTE → always
+    (H, W, 3) uint8.  Returns None only for malformed or spec-illegal
+    payloads (e.g. 16-bit palette).
 
     The Up filter vectorizes (uint8 wraparound IS the mod-256 the spec
     wants); Sub/Average/Paeth carry a left-neighbor dependency and run
