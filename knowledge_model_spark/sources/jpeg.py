@@ -64,19 +64,28 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
     return _A @ block @ _A.T
 
 
+def _canonical_codes(bits: list[int], values: list[int]):
+    """Yield (value, code, length) for a canonical Huffman spec — the
+    single implementation behind both the decoder lookup and the
+    encoder map (a fix to one cannot miss the other)."""
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            yield values[k], code, length
+            code += 1
+            k += 1
+        code <<= 1
+
+
 class _HuffTable:
     """Canonical Huffman decode table from BITS (16 counts) + values."""
 
     def __init__(self, bits: list[int], values: list[int]):
-        self.lookup: dict[tuple[int, int], int] = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = values[k]
-                code += 1
-                k += 1
-            code <<= 1
+        self.lookup: dict[tuple[int, int], int] = {
+            (length, code): value
+            for value, code, length in _canonical_codes(bits, values)
+        }
 
     def decode(self, reader: "_BitReader") -> int:
         code = 0
@@ -163,6 +172,12 @@ def _parse_jpeg(b: bytes) -> dict | None:
     while i + 2 <= n:
         if b[i] != 0xFF:
             return None
+        # any number of 0xFF FILL bytes may pad before a marker
+        # (T.81 B.1.1.2) — some encoders pad before RST/EOI
+        while i + 1 < n and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > n:
+            break
         marker = b[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
@@ -188,6 +203,8 @@ def _parse_jpeg(b: bytes) -> dict | None:
             mode = "progressive" if marker == 0xC2 else "baseline"
             for k in range(nc):
                 cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                if (hv >> 4) == 0 or (hv & 15) == 0:
+                    return None  # zero sampling factor: malformed
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
@@ -245,6 +262,10 @@ def _finish(planes: list[np.ndarray], comps: list[dict], H: int, W: int,
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
+        if vmax % c["v"] or hmax % c["h"]:
+            return None  # non-integer sampling ratio (legal but rare):
+            # integer replication can't reconstruct it — seam, not a
+            # silently wrong image
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -262,65 +283,97 @@ def _finish(planes: list[np.ndarray], comps: list[dict], H: int, W: int,
 
 
 def _decode_baseline(parsed: dict) -> np.ndarray | None:
+    """Sequential decode over ALL scans: a legal sequential JPEG may
+    carry one interleaved scan (the common case) OR one scan per
+    component — single-component scans use the component's OWN block
+    grid per T.81 A.2, exactly as in the progressive path."""
     comps, H, W = parsed["comps"], parsed["H"], parsed["W"]
     qt = parsed["qt"]
-    scan = parsed["scans"][0]
-    sc = scan["comps"]
-    hmax = max(c["h"] for c in sc)
-    vmax = max(c["v"] for c in sc)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcux = -(-W // (8 * hmax))
     mcuy = -(-H // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c in sc
-    ]
-    segments = scan["segments"]
-    ri = scan["ri"]
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(sc)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            mcu_no = my * mcux + mx
-            if ri and mcu_no > 0 and mcu_no % ri == 0:
-                # restart: next entropy segment, byte-aligned, DC
-                # predictors reset (T.81 E.2.4)
-                seg_idx += 1
-                reader = _BitReader(segments[seg_idx])
-                preds = [0] * len(sc)
-            for ci, c in enumerate(sc):
-                q = qt[c["tq"]]
-                for v in range(c["v"]):
-                    for h in range(c["h"]):
-                        zig = np.zeros(64, np.int64)
-                        t = c["dct"].decode(reader)
-                        preds[ci] += _extend(reader.receive(t), t)
-                        zig[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = c["act"].decode(reader)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC overflow")
-                            zig[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, np.float64)
-                        block[ZIGZAG] = zig * q
-                        px = _idct2(block.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + h) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    return _finish(planes, sc, H, W, hmax, vmax)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in comps
+    }
+    seen: set[int] = set()
+
+    def decode_block(reader, c, preds, ci):
+        zig = np.zeros(64, np.int64)
+        t = c["dct"].decode(reader)
+        if t > 15:
+            raise ValueError("DC category out of range")
+        preds[ci] += _extend(reader.receive(t), t)
+        zig[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = c["act"].decode(reader)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC overflow")
+            zig[k] = _extend(reader.receive(s), s)
+            k += 1
+        block = np.zeros(64, np.float64)
+        block[ZIGZAG] = zig * qt[c["tq"]]
+        return _idct2(block.reshape(8, 8)) + 128.0
+
+    for scan in parsed["scans"]:
+        sc = scan["comps"]
+        seen.update(c["id"] for c in sc)
+        segments, ri = scan["segments"], scan["ri"]
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        preds = [0] * len(sc)
+        if len(sc) > 1:  # interleaved: MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu_no = my * mcux + mx
+                    if ri and mcu_no > 0 and mcu_no % ri == 0:
+                        # restart: next segment, byte-aligned, DC
+                        # predictors reset (T.81 E.2.4)
+                        seg_idx += 1
+                        reader = _BitReader(segments[seg_idx])
+                        preds = [0] * len(sc)
+                    for ci, c in enumerate(sc):
+                        for v in range(c["v"]):
+                            for h in range(c["h"]):
+                                px = decode_block(reader, c, preds, ci)
+                                y0 = (my * c["v"] + v) * 8
+                                x0 = (mx * c["h"] + h) * 8
+                                planes[c["id"]][
+                                    y0 : y0 + 8, x0 : x0 + 8
+                                ] = px
+        else:  # single component: its own row-major block grid
+            c = sc[0]
+            comp_w = -(-W * c["h"] // hmax)
+            comp_h = -(-H * c["v"] // vmax)
+            nbw = -(-comp_w // 8)
+            nbh = -(-comp_h // 8)
+            for bno in range(nbh * nbw):
+                if ri and bno > 0 and bno % ri == 0:
+                    seg_idx += 1
+                    reader = _BitReader(segments[seg_idx])
+                    preds = [0]
+                by, bx = divmod(bno, nbw)
+                px = decode_block(reader, c, preds, 0)
+                planes[c["id"]][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    if seen != {c["id"] for c in comps}:
+        return None  # a component never got a scan: don't emit a
+        # grayscale-replicated image with chroma silently dropped
+    return _finish([planes[c["id"]] for c in comps], comps, H, W, hmax, vmax)
 
 
 def _dc_first(reader, table, pred: int, coef, al: int) -> int:
     t = table.decode(reader)
+    if t > 15:
+        raise ValueError("DC category out of range")
     pred += _extend(reader.receive(t), t)
     coef[0] = pred << al
     return pred
@@ -504,7 +557,10 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
             return _decode_baseline(parsed)
         return _decode_progressive(parsed)
     except (ValueError, IndexError, KeyError, StopIteration, TypeError,
-            AttributeError):
+            AttributeError, ZeroDivisionError, OverflowError,
+            struct.error):
+        # corrupt payloads must return None, never crash the Spark
+        # task that fed an arbitrary binary through decode_image_any
         return None
 
 
@@ -582,17 +638,11 @@ _AC_C_VALS = [
 
 
 def _encode_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
-    """value -> (code, length), canonical assignment (encoder mirror)."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[values[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """value -> (code, length), from the shared canonical assignment."""
+    return {
+        value: (code, length)
+        for value, code, length in _canonical_codes(bits, values)
+    }
 
 
 class _BitWriter:

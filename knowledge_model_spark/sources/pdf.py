@@ -36,7 +36,6 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 
 _WHITESPACE = b"\x00\t\n\x0c\r "
@@ -47,40 +46,119 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 
 
-def _inflate_streams(b: bytes) -> list[bytes]:
-    """All decodable stream payloads of a PDF, in document order.
+_NUM_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+
+
+def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
+    """Decoded stream payload of one object body, or None.
 
     Stream extent comes from a DIRECT /Length entry when present —
-    compressed payloads can contain the literal bytes ``endstream`` by
-    chance, so the lazy regex boundary is only the fallback (and for
-    indirect /Length references, which fixtures don't use)."""
-    out = []
-    for obj in _OBJ_RE.finditer(b):
-        body = obj.group(1)
-        m = _STREAM_START_RE.search(body)
-        if not m:
-            continue
-        head = body[: m.start()]
-        lm = _LENGTH_RE.search(head)
-        if lm:
-            # slice from the FULL buffer by absolute offset: the object
-            # regex itself can truncate at an 'endobj' that appears
-            # inside compressed data, but /Length is authoritative
-            start = obj.start(1) + m.end()
-            data = b[start : start + int(lm.group(1))]
+    compressed payloads can contain the literal bytes ``endstream``
+    (or ``endobj``, which truncates the object regex) by chance, so
+    the /Length slice is taken from the FULL buffer by absolute offset
+    and the lazy regex boundary is only the fallback (and for indirect
+    /Length references, which fixtures don't use)."""
+    m = _STREAM_START_RE.search(body)
+    if not m:
+        return None
+    head = body[: m.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        start = body_at + m.end()
+        data = b[start : start + int(lm.group(1))]
+    else:
+        em = _STREAM_RE.search(body)
+        if not em:
+            return None
+        data = em.group(1)
+    if b"FlateDecode" in head:
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None  # corrupt or predictor-filtered: skip, don't lie
+    if re.search(rb"/Filter\b", head):
+        return None  # some other filter (DCT/LZW/...): the declared seam
+    return data
+
+
+def _objects_by_number(b: bytes) -> dict[int, tuple[bytes, int]]:
+    """object number -> (body, absolute body offset), last wins (an
+    incremental update appends a replacement object)."""
+    return {
+        int(m.group(1)): (m.group(2), m.start(2))
+        for m in _NUM_OBJ_RE.finditer(b)
+    }
+
+
+_REF_RE_T = rb"/%s\s+(\d+)\s+\d+\s+R"
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_REF_LIST_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _page_streams_in_tree_order(
+    b: bytes, objs: dict[int, tuple[bytes, int]]
+) -> list[list[bytes]] | None:
+    """Follow /Root → /Pages → /Kids to the page objects IN PAGE-TREE
+    ORDER (file byte order is NOT page order for incrementally-updated
+    or generator-written PDFs), returning each page's decoded content
+    streams — a /Contents array is ONE page, not several.  None when
+    the tree can't be resolved (caller falls back to byte order)."""
+    root = re.search(_REF_RE_T % b"Root", b)
+    if not root or int(root.group(1)) not in objs:
+        return None
+    catalog = objs[int(root.group(1))][0]
+    pages_ref = re.search(_REF_RE_T % b"Pages", catalog)
+    if not pages_ref or int(pages_ref.group(1)) not in objs:
+        return None
+    pages: list[list[bytes]] = []
+    visited: set[int] = set()
+
+    def walk(num: int) -> bool:
+        if num in visited or num not in objs:
+            return False  # cycle or dangling ref: unresolvable
+        visited.add(num)
+        body, _ = objs[num]
+        kids = _KIDS_RE.search(body)
+        if kids is not None and b"/Type" in body and b"/Page" in body \
+                and b"/Pages" in body:
+            for m in _REF_LIST_RE.finditer(kids.group(1)):
+                if not walk(int(m.group(1))):
+                    return False
+            return True
+        # a leaf page: /Contents is a ref or an array of refs
+        arr = _CONTENTS_ARR_RE.search(body)
+        if arr is not None:
+            refs = [int(m.group(1)) for m in _REF_LIST_RE.finditer(arr.group(1))]
         else:
-            em = _STREAM_RE.search(body)
-            if not em:
-                continue
-            data = em.group(1)
-        if b"FlateDecode" in head:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue  # corrupt or predictor-filtered: skip, don't lie
-        elif re.search(rb"/Filter\b", head):
-            continue  # some other filter (DCT/LZW/...): the declared seam
-        out.append(data)
+            one = re.search(_REF_RE_T % b"Contents", body)
+            if one is None:
+                pages.append([])  # blank page
+                return True
+            refs = [int(one.group(1))]
+        streams = []
+        for r in refs:
+            if r not in objs:
+                return False
+            data = _stream_payload(b, *objs[r])
+            if data is not None:
+                streams.append(data)
+        pages.append(streams)
+        return True
+
+    if not walk(int(pages_ref.group(1))):
+        return None
+    return pages
+
+
+def _inflate_streams(b: bytes) -> list[bytes]:
+    """All decodable stream payloads, in file byte order — the
+    fallback when the page tree can't be resolved."""
+    out = []
+    for m in _NUM_OBJ_RE.finditer(b):
+        data = _stream_payload(b, m.group(2), m.start(2))
+        if data is not None:
+            out.append(data)
     return out
 
 
@@ -200,13 +278,29 @@ def _extract_text(content: bytes) -> str:
             j += 1
         tok = content[i:j]
         i = j
-        if tok == b"BT":
+        if tok == b"BI":
+            # inline image: skip the param dict to ID, then the binary
+            # data to a whitespace-delimited EI — raw image bytes would
+            # otherwise derail the string/token parser (a 0x28 byte
+            # starts a bogus literal that can swallow the rest)
+            id_at = re.search(rb"(?:^|[\x00\t\n\x0c\r ])ID[\x00\t\n\x0c\r ]", content[i:])
+            if id_at is None:
+                break
+            scan_from = i + id_at.end()
+            ei = re.search(
+                rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<\[/%]|$)",
+                content[scan_from:],
+            )
+            if ei is None:
+                break
+            i = scan_from + ei.end()
+        elif tok == b"BT":
             in_text = True
             pending = []
         elif tok == b"ET":
-            flush_show()
             newline()
             in_text = False
+            pending = []
         elif not in_text:
             continue
         elif tok in (b"Tj", b"TJ"):
@@ -216,8 +310,14 @@ def _extract_text(content: bytes) -> str:
             newline()
             flush_show()
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
-            flush_show()
             newline()
+            pending = []
+        elif not re.fullmatch(rb"[+-]?[0-9.]+", tok):
+            # any OTHER operator consumed its operands: strings that
+            # were operands of non-show operators (BDC property dicts'
+            # /ActualText, orphan Td operands) must NOT leak into the
+            # output; numbers stay — they're co-operands of a pending
+            # show (TJ kerning) and must not clear it
             pending = []
     flush_show()
     newline()
@@ -227,13 +327,24 @@ def _extract_text(content: bytes) -> str:
 
 
 def decode_pdf_pages(b: bytes) -> list[str] | None:
-    """PDF bytes → one extracted-text string per text content stream
-    (≈ per page).  None when the payload is not a PDF; a PDF whose
-    streams are all undecodable yields [] (matching the reference's
-    unreadable-PDF fallback of empty pages)."""
+    """PDF bytes → one extracted-text string per page, in PAGE-TREE
+    order (the reference's per-page ``get_text()`` order; file byte
+    order is the fallback only when the tree can't be resolved).  A
+    page whose /Contents is an array of streams is ONE page.  None
+    when the payload is not a PDF; a PDF whose streams are all
+    undecodable yields [] (matching the reference's unreadable-PDF
+    fallback of empty pages)."""
     if not b or not b.startswith(b"%PDF-"):
         return None
+    tree = _page_streams_in_tree_order(b, _objects_by_number(b))
     pages = []
+    if tree is not None:
+        for streams in tree:
+            content = b"\n".join(streams)
+            txt = _extract_text(content) if b"BT" in content else ""
+            if txt:
+                pages.append(txt)
+        return pages
     for stream in _inflate_streams(b):
         if b"BT" not in stream:
             continue  # not a text content stream (fonts, images, xobjects)

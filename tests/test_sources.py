@@ -745,7 +745,8 @@ def test_jpeg_roundtrip_psnr_and_shapes():
     assert decode_jpeg(b"not a jpeg") is None
 
 
-def _tiny_gray_jpeg(dc_code_bits, entropy_bits, dc_vals, ac_vals, ac_bits):
+def _tiny_gray_jpeg(dc_code_bits, entropy_bits, dc_vals, ac_vals, ac_bits,
+                    hv=0x11):
     """Hand-assemble a spec-conformant 8x8 single-component JPEG with an
     identity quant table and caller-supplied Huffman tables/entropy —
     independent of sources/jpeg.py's encoder."""
@@ -753,7 +754,8 @@ def _tiny_gray_jpeg(dc_code_bits, entropy_bits, dc_vals, ac_vals, ac_bits):
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    out += (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + bytes([1, hv, 0]))
     for tc_th, bits, vals in ((0x00, dc_code_bits, dc_vals), (0x10, ac_bits, ac_vals)):
         out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
         out += bytes([tc_th]) + bytes(bits) + bytes(vals)
@@ -1077,6 +1079,92 @@ def test_pdf_stream_extent_honors_length_over_delimiters():
         + b" >>\nstream\n" + body2 + b"\nendstream\nendobj\n"
     )
     assert decode_pdf_pages(raw2) == ["fake endobj inside"]
+
+
+def test_pdf_page_tree_order_beats_byte_order():
+    """Pages must come out in PAGE-TREE order: swapping the two content
+    objects' byte positions (structurally valid — real readers follow
+    the tree) must NOT swap the extracted pages."""
+    import re
+
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_pages,
+        encode_simple_pdf,
+    )
+
+    b = encode_simple_pdf(["page one", "page two"])
+    m = {
+        int(x.group(1)): x
+        for x in re.finditer(rb"(\d+) 0 obj(.*?)endobj\n", b, re.DOTALL)
+    }
+    s4, s6 = m[4], m[6]  # the two content streams per the writer layout
+    swapped = (
+        b[: s4.start()] + b[s6.start() : s6.end()]
+        + b[s4.end() : s6.start()] + b[s4.start() : s4.end()]
+        + b[s6.end() :]
+    )
+    assert decode_pdf_pages(swapped) == ["page one", "page two"]
+
+
+def test_pdf_contents_array_is_one_page():
+    """A page whose /Contents is an ARRAY of streams is ONE page (the
+    reference's get_text would report one page too) — n_pages is an
+    output column of the registered operator, so this is contract."""
+    import struct
+    import zlib
+
+    from knowledge_model_spark.sources.pdf import decode_pdf_pages
+
+    def obj(num, body):
+        return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+    def stream(body):
+        data = zlib.compress(body)
+        return (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    out += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    out += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    out += obj(
+        3, b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>"
+    )
+    out += obj(4, stream(b"BT (first half) Tj ET"))
+    out += obj(5, stream(b"BT (second half) Tj ET"))
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    pages = decode_pdf_pages(bytes(out))
+    assert pages == ["first half\nsecond half"]  # ONE page, both streams
+
+
+def test_pdf_inline_image_and_operand_strings():
+    """Inline images (BI..ID <binary> EI) must be skipped — their raw
+    bytes would derail the string parser; strings that are operands of
+    non-show operators (BDC /ActualText, orphan Td operands) must not
+    leak into the output; TJ kerning numbers must NOT clear a pending
+    show."""
+    from knowledge_model_spark.sources.pdf import decode_pdf_text
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n"
+        b"BT (before) Tj ET BI /W 2 /H 2 /BPC 8 /CS /G ID \x28\x01\x02\x9f"
+        b" EI BT (after) Tj ET\nendstream\nendobj\n"
+    )
+    assert decode_pdf_text(raw) == "before\nafter"
+    raw2 = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n"
+        b"BT /Span <</ActualText (LEAK)>> BDC (Hello) Tj EMC ET\n"
+        b"endstream\nendobj\n"
+    )
+    assert decode_pdf_text(raw2) == "Hello"
+    raw3 = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n"
+        b"BT (orphan) 0 0 Td (shown) Tj [(a) -250 (b)] TJ ET\n"
+        b"endstream\nendobj\n"
+    )
+    got = decode_pdf_text(raw3)
+    assert "orphan" not in got and "shownab" in got.replace("\n", "")
 
 
 def test_pdf_text_extract_spark_surface(spark):
@@ -1883,3 +1971,74 @@ def test_png_sub_byte_depths_pixel_exact():
     idx = rng.randint(0, 16, size=(6, 7), dtype=np.uint8)
     got = decode_png(make(4, 3, idx, plte=plte, filters=(0, 2)))
     assert got is not None and np.array_equal(got, plte[idx])
+
+
+def test_jpeg_single_component_scan_uses_component_grid():
+    """A single-component SEQUENTIAL scan is non-interleaved per T.81
+    A.2: with sampling 2x2 on an 8x8 image the component grid is ONE
+    block while the MCU grid would be four — a grid mix-up either
+    garbles the plane or raises; the fix decodes the one block."""
+    import numpy as np
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    dc_bits = [0, 1] + [0] * 14
+    ac_bits = [0, 1] + [0] * 14
+    bits = "00" + "110010" + "00"  # DC 50 (cat 6... cat5 bits) wait
+    # DC category 5: code "00" -> 5; bits 11001 = 25 -> DC = 25
+    bits = "00" + "11001" + "00"  # DC 25, then AC EOB
+    img = decode_jpeg(
+        _tiny_gray_jpeg(dc_bits, bits, [5], [0x00], ac_bits, hv=0x22)
+    )
+    assert img is not None and img.shape == (8, 8, 3)
+    # uniform block: 128 + 25/8 rounds to 131
+    assert abs(int(img[0, 0, 0]) - 131) <= 1
+    assert img[..., 0].std() == 0
+
+
+def test_jpeg_missing_component_scan_returns_none():
+    """A 3-component frame whose only scan covers component 1 must
+    return None — never a grayscale-replicated image with the chroma
+    silently dropped."""
+    import struct
+
+    from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0])
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 3 + 16 + 1) + b"\x00"
+        + bytes([0, 1] + [0] * 14) + bytes([5])
+    )
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 3 + 16 + 1) + b"\x10"
+        + bytes([0, 1] + [0] * 14) + bytes([0x00])
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += bytes([0b00110010])  # DC cat5=25, EOB, padded
+    out += b"\xff\xd9"
+    assert decode_jpeg(bytes(out)) is None
+
+
+def test_jpeg_malformed_payload_fuzz_never_raises():
+    """decode_jpeg's contract is None-on-garbage: byte mutations and
+    truncations of a valid file must never escape as exceptions (a
+    crash would kill the Spark task that fed an arbitrary payload
+    through decode_image_any)."""
+    import numpy as np
+    from knowledge_model_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(41)
+    good = encode_jpeg(
+        rng.randint(0, 256, (16, 16, 3), np.uint8), 90
+    )
+    for trial in range(300):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        cut = rng.randint(0, len(b) + 1)
+        for payload in (bytes(b), bytes(b[:cut])):
+            out = decode_jpeg(payload)  # must not raise
+            assert out is None or out.ndim == 3
