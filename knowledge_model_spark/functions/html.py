@@ -25,13 +25,13 @@ from pyspark.sql import functions as F
 # reference reads a.get_text() the same way for simple anchors).
 ANCHOR_RE = r'(?i)<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
 HREF_RE = r'(?i)href="([^"]*)"'
-# Anchored to the closing </a> (not the first >…< span): ANCHOR_RE's
-# href="[^"]*" admits a '>' inside the attribute value, and a first-span
-# match would then capture from inside the href instead of the anchor
-# text (diverging from the reference's get_text()).  Excluding '>' from
-# the capture class forces the match to start at the LAST '>' before
-# </a> — the tag close — even when the href contains '>'.
-TEXT_RE = r"(?i)>([^<>]*)</a>"
+# Matches the OPENING TAG explicitly (mirror of ANCHOR_RE with a
+# capture group on the body) rather than anchoring to any '>' before
+# </a>: href="[^"]*" consumes a '>' inside the attribute value, and the
+# [^<]* body class admits a literal '>' in the anchor TEXT — both match
+# the reference's get_text(), which neither truncates text at '>' nor
+# leaks href bytes into it.
+TEXT_RE = r'(?i)<a\s[^>]*href="[^"]*"[^>]*>([^<]*)</a>'
 
 
 def anchors(col: Column) -> Column:

@@ -331,9 +331,10 @@ def decode_pdf_pages(b: bytes) -> list[str] | None:
     order (the reference's per-page ``get_text()`` order; file byte
     order is the fallback only when the tree can't be resolved).  A
     page whose /Contents is an array of streams is ONE page.  None
-    when the payload is not a PDF; a PDF whose streams are all
-    undecodable yields [] (matching the reference's unreadable-PDF
-    fallback of empty pages)."""
+    when the payload is not a PDF.  Blank/image-only pages yield ''
+    entries (the reference joins EVERY ``page.get_text()`` including
+    empty ones); only the tree-less byte-order fallback drops empty
+    streams, because there page boundaries are unknowable."""
     if not b or not b.startswith(b"%PDF-"):
         return None
     tree = _page_streams_in_tree_order(b, _objects_by_number(b))
@@ -342,8 +343,10 @@ def decode_pdf_pages(b: bytes) -> list[str] | None:
         for streams in tree:
             content = b"\n".join(streams)
             txt = _extract_text(content) if b"BT" in content else ""
-            if txt:
-                pages.append(txt)
+            # blank/image-only pages stay as '' — the reference joins
+            # EVERY page.get_text() including empty ones, so dropping
+            # them would lose newlines and undercount n_pages
+            pages.append(txt)
         return pages
     for stream in _inflate_streams(b):
         if b"BT" not in stream:

@@ -292,11 +292,17 @@ def stream_vocab_ingest(
                         raw = fh.read().strip()
                     try:
                         rec = json.loads(raw)
-                        if rec.get("ckpt") == _checkpoint_identity():
-                            last = int(rec["batch_id"])
-                    except ValueError:
-                        # pre-identity marker format (bare int): honor it
-                        last = int(raw)
+                        # pre-identity marker format (bare int) parses
+                        # as a valid JSON int — isinstance-guard so the
+                        # fallback actually runs instead of crashing on
+                        # int.get()
+                        if isinstance(rec, dict):
+                            if rec.get("ckpt") == _checkpoint_identity():
+                                last = int(rec["batch_id"])
+                        else:
+                            last = int(rec)
+                    except (ValueError, TypeError, KeyError):
+                        last = -1
                 return df, last
         empty = sparkSession.createDataFrame(
             [], "term string, c long, df_docs long"

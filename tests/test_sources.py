@@ -1015,14 +1015,14 @@ def test_pdf_roundtrip_compressed_and_raw():
     pages = [
         "Hello World\nSecond line with (parens) and \\ backslash",
         "Page two: special )( chars\nand a tab\tinside",
-        "",  # empty page collapses (no shows → no content)
+        "",  # blank page must SURVIVE as '' — the reference joins
+        # every page.get_text() including empty ones (r5 ADVICE)
         "Final page",
     ]
-    want_pages = [p for p in pages if p]
     for compress in (True, False):
         b = encode_simple_pdf(pages, compress=compress)
-        assert decode_pdf_pages(b) == want_pages
-        assert decode_pdf_text(b) == "\n".join(want_pages)
+        assert decode_pdf_pages(b) == pages
+        assert decode_pdf_text(b) == "\n".join(pages)
     assert decode_pdf_text(b"not a pdf") is None
     assert decode_pdf_text(b"%PDF-1.4\nno streams") == ""
 

@@ -739,6 +739,48 @@ def test_stream_vocab_crash_between_stage_and_swap(spark, tmp_path):
     assert not os.path.exists(staging)
 
 
+def test_stream_vocab_bare_int_marker_upgrade(spark, tmp_path):
+    """Upgrade path: a vocab table written by the pre-identity revision
+    carries a BARE-INT ``_last_batch_id`` marker ('0', not JSON-dict).
+    json.loads('0') parses fine (an int), so an rec.get() on it would
+    raise AttributeError — which an ``except ValueError`` does not
+    catch, failing the whole stream on upgrade (r5 ADVICE).  The
+    isinstance guard must honor the int as the last-applied batch id:
+    new batches merge, the stream does not crash."""
+    import os
+
+    from knowledge_model_spark.streaming.ingest import stream_vocab_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vocab_path = str(tmp_path / "vocab")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = spark.createDataFrame([(1, "alpha beta beta")], "doc_id long, text string")
+    m1.write.parquet(str(landing / "m1"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+
+    # simulate the previous revision's marker format: a bare int
+    with open(os.path.join(vocab_path, "_last_batch_id"), "w") as fh:
+        fh.write("0")
+
+    m2 = spark.createDataFrame([(2, "beta gamma")], "doc_id long, text string")
+    m2.write.parquet(str(landing / "m2"))
+    # old code: AttributeError inside foreachBatch → stream fails here
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    got = {r["term"]: r["c"] for r in spark.read.parquet(vocab_path).collect()}
+    assert got == {"alpha": 1, "beta": 3, "gamma": 1}
+
+    # and a GARBAGE marker (unparseable as JSON or int) degrades to
+    # at-least-once (last = -1) instead of crashing
+    with open(os.path.join(vocab_path, "_last_batch_id"), "w") as fh:
+        fh.write("not-a-marker")
+    m3 = spark.createDataFrame([(3, "delta")], "doc_id long, text string")
+    m3.write.parquet(str(landing / "m3"))
+    stream_vocab_ingest(spark, str(landing) + "/*", vocab_path, ckpt)
+    got = {r["term"]: r["c"] for r in spark.read.parquet(vocab_path).collect()}
+    assert got["delta"] == 1  # new data landed despite the garbage marker
+
+
 def test_stream_vocab_checkpoint_recreation_never_silently_skips(spark, tmp_path):
     """The idempotency marker keys on the checkpoint's query id: if the
     checkpoint is deleted/recreated while the vocab table (and its
