@@ -142,6 +142,48 @@ def kll_group_quantiles(
     return agg.select(*keys, count_as, *cols)
 
 
+def kll_group_multi_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    specs: list[tuple[str, float, str]],
+    k: int = 2048,
+    count_as: str = "n",
+    extra_aggs: list | None = None,
+) -> DataFrame:
+    """Multi-column sibling of :func:`kll_group_quantiles`: per-group
+    quantiles over SEVERAL value columns from ONE grouped aggregate —
+    one KLL(k) sketch per distinct value column, all map-side
+    combinable, one scan, one shuffle.  ``specs`` is a list of
+    ``(value_col, quantile, out_name)``; quantiles naming the same
+    column share its sketch.  ``extra_aggs`` lets bounded-state exact
+    aggregates (avg, count, sum) ride the same groupBy so the sketch
+    twin of a mixed exact/percentile query stays single-pass.
+
+    Returns ``keys + [count_as, *out_names, *extra_agg_names]``.
+    """
+    by_col: dict[str, list[tuple[float, str]]] = {}
+    for col, q, name in specs:
+        by_col.setdefault(col, []).append((q, name))
+    aggs = [F.count("*").cast("long").alias(count_as)]
+    for i, (col, qs) in enumerate(by_col.items()):
+        qarr = ", ".join(f"{q}D" for q, _ in qs)
+        aggs.append(
+            F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double(cast({col} as double), {k}), "
+                f"array({qarr}))"
+            ).alias(f"__qs_{i}")
+        )
+    agg = df.groupBy(*keys).agg(*aggs, *(extra_aggs or []))
+    cols = []
+    extra_names = [c for c in agg.columns if c not in set(keys) | {count_as}
+                   and not c.startswith("__qs_")]
+    for i, (col, qs) in enumerate(by_col.items()):
+        for j, (q, name) in enumerate(qs):
+            cols.append(F.col(f"__qs_{i}")[j].alias(name))
+    return agg.select(*keys, count_as, *cols, *extra_names)
+
+
 def bitmap_distinct_rollup(
     df: DataFrame,
     fine_cols: list[str],

@@ -264,6 +264,44 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_kll",
+    None,  # sketch-approximate by design — every returned quantile's
+    # TRUE rank among the exact column values is gated within the
+    # published KLL(2048) rank-error bound vs the exact agg_percentiles
+    # in tests/test_sketches.py at sf0.01 AND sf0.1
+    doc="the 100 TB path for agg_percentiles made driver-visible (r5 "
+    "verdict item 3 — the last exact-percentile plan without a sketch "
+    "twin): med_qty/p25_price/p90_price come from TWO map-side-"
+    "combinable KLL(2048) sketches (one per value column) inside ONE "
+    "grouped aggregate (operators/sketches.kll_group_multi_quantiles) "
+    "instead of exact percentile() whose ObjectHashAggregate buffers "
+    "hold every l_quantity AND l_extendedprice value per returnflag in "
+    "executor memory; avg_disc stays EXACT (bounded-state avg riding "
+    "the same groupBy — the query remains one scan, one shuffle).  "
+    "Returned quantiles are true stream items with rank within "
+    "~1.65/√k of the target; same run-determinism boundary as the "
+    "other KLL twins (compaction coin-flips beyond ~k buffered items), "
+    "so the bound test, not value equality, is the contract",
+)
+def agg_percentiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import (
+        kll_group_multi_quantiles,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return kll_group_multi_quantiles(
+        t["lineitem"],
+        ["l_returnflag"],
+        [
+            ("l_quantity", 0.5, "med_qty"),
+            ("l_extendedprice", 0.25, "p25_price"),
+            ("l_extendedprice", 0.9, "p90_price"),
+        ],
+        extra_aggs=[F.round(F.avg("l_discount"), 6).alias("avg_disc")],
+    )
+
+
+@register(
     "unpivot_flag_metrics",
     """
     WITH agg AS (

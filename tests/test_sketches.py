@@ -777,6 +777,44 @@ def test_winsorized_mean_kll_within_rank_error_bound_vs_exact(spark):
             )
 
 
+def test_agg_percentiles_kll_within_rank_error_bound_vs_exact(spark):
+    """The KLL twin of agg_percentiles (the last exact-percentile plan
+    without a sketch twin, r5 verdict item 3): each returned quantile's
+    TRUE rank among the exact column values must be within the
+    published KLL(2048) rank error of its target, the exact avg_disc
+    must match the exact twin bit-for-bit, and the group keys must
+    agree — at BOTH sf0.01 and sf0.1."""
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.session import load_tables
+
+    R = load_registry()
+    eps = 1.65 / 2048**0.5
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        exact = {r["l_returnflag"]: r for r in R["agg_percentiles"].fn(spark, sf).collect()}
+        kll = {r["l_returnflag"]: r for r in R["agg_percentiles_kll"].fn(spark, sf).collect()}
+        assert set(exact) == set(kll)
+        li = (
+            load_tables(spark, sf)["lineitem"]
+            .select("l_returnflag", "l_quantity", "l_extendedprice")
+            .toPandas()
+        )
+        for flag, kr in kll.items():
+            assert kr["avg_disc"] == exact[flag]["avg_disc"]  # exact lane untouched
+            grp = li[li["l_returnflag"] == flag]
+            assert kr["n"] == len(grp)
+            for col, q, name in (
+                ("l_quantity", 0.5, "med_qty"),
+                ("l_extendedprice", 0.25, "p25_price"),
+                ("l_extendedprice", 0.9, "p90_price"),
+            ):
+                vals = np.sort(grp[col].to_numpy(float))
+                n = len(vals)
+                rank = np.searchsorted(vals, kr[name], side="right") / n
+                lo_rank = np.searchsorted(vals, kr[name], side="left") / n
+                err = min(abs(rank - q), abs(lo_rank - q))
+                assert err <= eps + 1.0 / n, (sf, flag, name, kr[name], rank, q)
+
+
 def test_mwu_p_kll_within_rank_error_bound_vs_exact(spark):
     """The KLL-backed Mann-Whitney effect size (the 100 TB path: one
     scan, no value-level rank window) must land within its published
