@@ -52,19 +52,24 @@ WHITELIST: dict[str, tuple[str, str]] = {
         "the production decomposition documented at "
         "plans/relational_queries.py:579 (r4 verdict: acceptable)",
     ),
-    "retrieval_hybrid_weighted": (
-        "single_partition",
-        "min-max normalization window over each retriever's top-20 "
-        "shortlist — bounded to k=20 rows by the upstream rank<=k "
-        "filters (TakeOrderedAndProject / window-rank), invisible to "
-        "the line-level lint through the intervening Project",
-    ),
 }
 
 _AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-_BOUNDED = _AGGS + ("LocalLimit", "TakeOrderedAndProject")
+# WindowGroupLimit (the node Spark 4 inserts under a rank<=k filter)
+# bounds its output to k rows PER GROUP — strictly global boundedness
+# would additionally need a bounded group count, which the plan text
+# cannot prove.  It is accepted as bounding because (a) per-group-limit
+# shortlists feeding a global window are exactly the top-k-then-
+# normalize shape (retrieval_hybrid_weighted: k=20 per retriever), and
+# (b) the alternative — a per-query whitelist entry — waives EVERY
+# single-partition check for that query, which is strictly weaker than
+# trusting the limit node (r5 verdict item 7).
+_BOUNDED = _AGGS + ("LocalLimit", "TakeOrderedAndProject", "WindowGroupLimit")
 # single-child operators that preserve (never multiply) row counts, so
-# boundedness looks through them
+# boundedness looks through them.  Window is row-preserving — it adds
+# COLUMNS over the same rows; the single-partition hazard of an
+# unpartitioned window is the Exchange above it, which is the very node
+# being linted, so skipping Window here loses nothing.
 _PASSTHROUGH = (
     "Project",
     "Filter",
@@ -73,6 +78,7 @@ _PASSTHROUGH = (
     "Coalesce",
     "AQEShuffleRead",
     "WholeStageCodegen",
+    "Window [",  # not WindowGroupLimit — that is a _BOUNDED node
 )
 
 

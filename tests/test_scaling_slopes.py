@@ -1,0 +1,124 @@
+"""Empirical scaling-slope harness (r5 verdict item 2).
+
+The 100×-scale claims elsewhere rest on PLAN shapes (no cartesian
+product, no unbounded single-partition exchange — tests/test_plan_lint
+.py).  Plan lint cannot see a candidate-pair explosion: an LSH bucket
+whose candidate count grows quadratically produces exactly the same
+plan shape at every SF.  This harness catches that class empirically,
+with the only scale axis the container offers: the driver's three
+testdata SFs span two decades (sf0.001 → sf0.01 → sf0.1, 10× rows per
+step).
+
+For each of the heaviest / highest-risk queries we execute the full
+plan at all three SFs (a `noop` write — full computation, no driver
+collect) and check the LAST decade's growth ratio t(sf0.1)/t(sf0.01).
+A linear operator's ratio is ≤10 plus fixed overhead; we fail above
+10^MAX_SLOPE (slope >1.5 on the decade ≈ 31.6×) — generous enough for
+shuffle constants and JVM noise, far below the ~100× a quadratic
+blowup produces.  The earlier decade is recorded but not gated: at
+sf0.001 fixed job-scheduling overhead dominates real work, so its
+ratio is noise.  Measured slopes for every query land in
+``SLOPES.json`` at the repo root so rounds can be diffed.
+
+Queries with a KNOWN superlinear term carry a whitelist entry with the
+reason — an entry here must argue why the growth is bounded at real
+scale, not just raise the threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import pytest
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# the heaviest bench queries (BENCH_HISTORY r5 top of table) plus the
+# families whose algorithms have a pair-expansion / iteration risk the
+# plan lint cannot see
+SLOPE_QUERIES = [
+    "eval_dedup_recall_vs_exact",   # dedup gate: exact all-pairs truth inside
+    "er_name_clusters",             # fuzzy pairs -> connected components
+    "dedup_simhash",                # banded LSH candidate expansion
+    "dedup_char_ngram_jaccard",     # inverted-index pair generation
+    "dedup_bow_cosine",             # df-cut candidate pairs
+    "dedup_minhash_lsh",            # banded buckets, 1000-id caps
+    "dedup_containment_pairs",      # PPJoin prefix filter
+    "dedup_embedding_cosine",       # LSH candidates + exact verify
+    "text_bpe_learn_merges",        # iterative merge rounds off one scan
+    "graph_ppr_customer_seeds",     # iterative push
+    "graph_pagerank_trade",         # iterative, edge-count bound
+    "join_asof_cogrouped",          # cogrouped pandas as-of
+    "join_interval_overlap",        # range-bucketed interval join
+    "market_basket_rules",          # pairwise co-occurrence within baskets
+    "stats_permutation_test",       # replicated resamples
+    "ann_ivfpq_topk",               # train + LUT-ADC scan
+    "embeddings_single_link_clusters",  # epsilon-graph components
+]
+
+# slope threshold on the last decade: 10^1.5 ≈ 31.6× for 10× rows
+MAX_SLOPE = 1.5
+# below this wall-time at sf0.1 the query is overhead-dominated and a
+# ratio says nothing (2 s of fixed scheduling swamps the signal)
+MIN_GATED_SECONDS = 2.0
+
+# name -> reason; entries are tolerated up to MAX_WHITELISTED_SLOPE so
+# even a whitelisted query cannot hide a true quadratic blowup
+WHITELIST: dict[str, str] = {
+    "stats_permutation_test": (
+        "replicate count is a FIXED constant (n_perm), but each "
+        "replicate aggregates the full input, so work is n_perm x "
+        "linear with a large constant; crossing the overhead floor "
+        "between sf0.01 and sf0.1 can push the measured decade above "
+        "the gate while the asymptote stays linear"
+    ),
+}
+MAX_WHITELISTED_SLOPE = 1.85  # ~70x per decade — still far below quadratic
+
+
+def _run_once(spark, fn, sf):
+    t0 = time.perf_counter()
+    fn(spark, sf).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def test_scaling_slopes(spark):
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    missing = [q for q in SLOPE_QUERIES if q not in R]
+    assert not missing, missing
+
+    slopes = {}
+    failures = []
+    for name in SLOPE_QUERIES:
+        fn = R[name].fn
+        # warm-up at the smallest SF: JVM/codegen/pandas-import costs
+        # land here, not in the timed decades
+        _run_once(spark, fn, SFS[0])
+        t = [_run_once(spark, fn, sf) for sf in SFS]
+        last_ratio = t[2] / max(t[1], 0.05)
+        slope = math.log10(max(last_ratio, 1e-9))
+        slopes[name] = {
+            "t_sf0.001": round(t[0], 3),
+            "t_sf0.01": round(t[1], 3),
+            "t_sf0.1": round(t[2], 3),
+            "last_decade_ratio": round(last_ratio, 2),
+            "last_decade_slope": round(slope, 3),
+            "gated": t[2] >= MIN_GATED_SECONDS,
+            "whitelisted": name in WHITELIST,
+        }
+        if t[2] < MIN_GATED_SECONDS:
+            continue
+        limit = MAX_WHITELISTED_SLOPE if name in WHITELIST else MAX_SLOPE
+        if slope > limit:
+            failures.append((name, slopes[name], WHITELIST.get(name)))
+
+    out = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SLOPES.json")
+    with open(out, "w") as fh:
+        json.dump(slopes, fh, indent=1, sort_keys=True)
+
+    assert not failures, failures
