@@ -310,52 +310,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]
     starting at EOI+1 ticks on EVERY code read and the width grows when
     it EXCEEDS ``1 << code_size`` — one read earlier than a
     dictionary-adds counter would grow, which is the classic decoder
-    compensation for lagging the encoder's table by one entry."""
-    clear = 1 << min_code_size
-    eoi = clear + 1
-    code_size = min_code_size + 1
-    nbits = len(data) * 8
-    bitpos = 0
-    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
-    next_code = eoi + 1  # next dictionary slot
-    running = eoi + 1  # giflib's RunningCode: ticks per READ
-    prev: list[int] | None = None
-    out: list[int] = []
-    while len(out) < expected:
-        if bitpos + code_size > nbits:
-            return None
-        byte_i = bitpos >> 3
-        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
-        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
-        bitpos += code_size
-        running += 1
-        if running > (1 << code_size) and code_size < 12:
-            code_size += 1
-        if code == clear:
-            table = {i: [i] for i in range(clear)}
-            next_code = eoi + 1
-            running = eoi + 1
-            code_size = min_code_size + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            entry = table.get(code)
-            if entry is None:
-                return None
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
-            entry = prev + [prev[0]]  # the KwKwK case
-        else:
-            return None
-        out.extend(entry)
-        if prev is not None and next_code < 4096:
-            table[next_code] = prev + [entry[0]]
-            next_code += 1
-        prev = entry
-    return out[:expected] if len(out) >= expected else None
+    compensation for lagging the encoder's table by one entry.  The
+    dictionary machine itself is the shared core in sources/lzw.py
+    (also the PDF /LZWDecode early-change variant)."""
+    from knowledge_model_spark.sources.lzw import lzw_decode
+
+    return lzw_decode(
+        data, min_code_size, lsb_first=True, growth="giflib",
+        expected=expected,
+    )
 
 
 def decode_gif(b: bytes) -> np.ndarray | None:

@@ -4,10 +4,11 @@ Reference parity: the reference opens every fetched PDF with PyMuPDF
 and concatenates ``page.get_text()`` before artifact-stripping and
 passage-splitting (knowledge_model/ingestion/parse_pdfs.py:57-88).
 This module is the in-container decode for the encodings that dominate
-real-world text PDFs — **FlateDecode content streams (stdlib zlib) and
-uncompressed streams** — so the engine's PDF→text path runs genuine
-content extraction, not a stub.  Scanned/image-only PDFs and exotic
-stream filters (DCT/JPX/LZW/CCITT) remain the declared PyMuPDF seam,
+real-world text PDFs — **FlateDecode content streams (stdlib zlib),
+/LZWDecode streams (the shared early-change LZW core in sources/
+lzw.py), and uncompressed streams** — so the engine's PDF→text path
+runs genuine content extraction, not a stub.  Scanned/image-only PDFs
+and exotic stream filters (DCT/JPX/CCITT) remain the declared seam,
 as do font-CMap re-encodings: literal/hex strings are decoded as
 UTF-8-with-replacement, which is exact for the ASCII page content the
 fixtures and the reference's PubMed corpus overwhelmingly carry.
@@ -71,13 +72,27 @@ def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
         if not em:
             return None
         data = em.group(1)
-    if b"FlateDecode" in head:
+    has_flate = b"FlateDecode" in head
+    has_lzw = b"LZWDecode" in head
+    if has_flate and has_lzw:
+        return None  # chained-filter array: the declared seam
+    if has_flate:
         try:
             return zlib.decompress(data)
         except zlib.error:
             return None  # corrupt or predictor-filtered: skip, don't lie
+    if has_lzw:
+        pm = re.search(rb"/Predictor\s+(\d+)", head)
+        if pm and int(pm.group(1)) > 1:
+            return None  # predictor post-filter: skip, don't lie
+        em = re.search(rb"/EarlyChange\s+(\d+)", head)
+        from knowledge_model_spark.sources.lzw import lzw_decode_pdf
+
+        return lzw_decode_pdf(
+            data, early_change=int(em.group(1)) if em else 1
+        )
     if re.search(rb"/Filter\b", head):
-        return None  # some other filter (DCT/LZW/...): the declared seam
+        return None  # some other filter (DCT/JPX/CCITT/...): the seam
     return data
 
 
@@ -368,13 +383,15 @@ def decode_pdf_text(b: bytes) -> str | None:
 # ------------------------------------------------------- fixture writer
 
 
-def encode_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
+def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
     """Minimal but well-formed single-font PDF writer (fixtures and the
     round-trip query): one content stream per page, FlateDecode by
-    default, real xref table.  Each input page string becomes Td-spaced
-    ``Tj`` lines, so ``decode_pdf_text(encode_simple_pdf(pages))``
-    reproduces ``"\\n".join(pages)`` exactly — the property the tests
-    and the registered round-trip query pin."""
+    default (``compress="lzw"`` writes /LZWDecode streams — the
+    pre-Flate legacy filter old Acrobat-era PDFs carry), real xref
+    table.  Each input page string becomes Td-spaced ``Tj`` lines, so
+    ``decode_pdf_text(encode_simple_pdf(pages))`` reproduces
+    ``"\\n".join(pages)`` exactly — the property the tests and the
+    registered round-trip query pin."""
 
     def esc(line: str) -> bytes:
         raw = line.encode("utf-8")
@@ -406,7 +423,12 @@ def encode_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
             ops.append(b"(" + esc(line) + b") Tj")
         ops.append(b"ET")
         body = b"\n".join(ops)
-        if compress:
+        if compress == "lzw":
+            from knowledge_model_spark.sources.lzw import lzw_encode_pdf
+
+            data = lzw_encode_pdf(body)
+            head = b"<< /Length %d /Filter /LZWDecode >>" % len(data)
+        elif compress:
             data = zlib.compress(body)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
         else:
@@ -444,8 +466,8 @@ def pdf_text_extract(media, decode: str = "REAL"):
     same extraction single-process over ``src.rglob('*.pdf')``).
 
     REAL runs :func:`decode_pdf_text` (genuine content extraction for
-    FlateDecode/uncompressed streams; non-PDF payloads raise at the
-    exact seam point).  DETERMINISTIC derives a reproducible pseudo-text
+    FlateDecode/LZWDecode/uncompressed streams; non-PDF payloads raise
+    at the exact seam point).  DETERMINISTIC derives a reproducible pseudo-text
     from the payload bytes so the plumbing is testable on arbitrary
     binaries.  Downstream composes with the SAME cleaning/passage
     pipeline as every other text source (functions/text_cleaning.py,
@@ -480,7 +502,7 @@ def pdf_text_extract(media, decode: str = "REAL"):
                         raise NotImplementedError(
                             "non-PDF payload (or scanned/image PDF) requires "
                             "PyMuPDF — not in container; REAL decode supports "
-                            "FlateDecode/uncompressed text PDFs"
+                            "FlateDecode/LZWDecode/uncompressed text PDFs"
                         )
                     txt = "\n".join(page_list)
                     pages = len(page_list)

@@ -1027,6 +1027,76 @@ def test_pdf_roundtrip_compressed_and_raw():
     assert decode_pdf_text(b"%PDF-1.4\nno streams") == ""
 
 
+def test_pdf_lzw_content_stream_roundtrip():
+    """/LZWDecode content streams decode through the shared LZW core
+    (r5 verdict item 5): a fixture PDF whose pages are LZW-compressed
+    round-trips exactly, and the PDF variant's EARLY-CHANGE width
+    growth (PDF 32000-1 §7.4.4.2, EarlyChange default 1) is really
+    what's implemented — the same bitstream read with EarlyChange=0
+    diverges once the code width crosses a growth boundary, and a
+    stream declaring /EarlyChange 0 is honored."""
+    from knowledge_model_spark.sources.lzw import (
+        lzw_decode_pdf,
+        lzw_encode_pdf,
+    )
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_pages,
+        decode_pdf_text,
+        encode_simple_pdf,
+    )
+
+    pages = [
+        "LZW page one: the quick brown fox jumps over the lazy dog. " * 30,
+        "Second page with (parens), \\ backslash, and repeats " * 40,
+        "",
+        "Final page",
+    ]
+    b = encode_simple_pdf(pages, compress="lzw")
+    assert b"/LZWDecode" in b
+    assert decode_pdf_pages(b) == pages
+    assert decode_pdf_text(b) == "\n".join(pages)
+
+    # the early-change rule is observable: this payload drives >253
+    # dictionary adds, crossing the 9->10-bit boundary, where
+    # EarlyChange=1 and =0 streams disagree by construction
+    payload = bytes(range(256)) * 4
+    assert lzw_decode_pdf(lzw_encode_pdf(payload)) == payload
+    assert lzw_decode_pdf(lzw_encode_pdf(payload), early_change=0) != payload
+    assert (
+        lzw_decode_pdf(lzw_encode_pdf(payload, early_change=0), early_change=0)
+        == payload
+    )
+    # table-full path: forces a mid-stream Clear code and reset
+    import random
+
+    rnd = random.Random(11)
+    big = bytes(rnd.randrange(256) for _ in range(30000))
+    assert lzw_decode_pdf(lzw_encode_pdf(big)) == big
+    # garbage tolerance: undecodable bits -> None, never a lie
+    assert lzw_decode_pdf(b"\xff\xff\xf0\x0d") is None
+
+    # /DecodeParms << /EarlyChange 0 >> is parsed and honored inside a
+    # real PDF object — the text is long and varied enough to cross
+    # the 9->10-bit boundary, so honoring the parm is OBSERVABLE: the
+    # same stream without it (default EarlyChange=1) mis-decodes
+    text = "".join(chr(33 + ((i * 7) % 90)) for i in range(1500))
+    text = text.replace("(", "_").replace(")", "_").replace("\\", "_")
+    content = b"BT (" + text.encode() + b") Tj ET"
+    data0 = lzw_encode_pdf(content, early_change=0)
+    obj = (
+        b"<< /Length %d /Filter /LZWDecode "
+        b"/DecodeParms << /EarlyChange 0 >> >>\n"
+        b"stream\n" % len(data0)
+    ) + data0 + b"\nendstream"
+    raw = b"%PDF-1.4\n1 0 obj\n" + obj + b"\nendobj\n"
+    assert decode_pdf_text(raw) == text
+    obj_noparm = (
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(data0)
+    ) + data0 + b"\nendstream"
+    raw_noparm = b"%PDF-1.4\n1 0 obj\n" + obj_noparm + b"\nendobj\n"
+    assert decode_pdf_text(raw_noparm) != text
+
+
 def test_pdf_text_operators_hand_authored():
     """TJ kerning arrays, hex strings, T* and ' line advances — the
     operator set every real-world text PDF uses — on a hand-authored
