@@ -291,6 +291,8 @@ HEADLINE: dict[str, bool] = {
     "multimodal_pdf_text": False,
     "multimodal_pdf_passages": False,
     "multimodal_video_pipeline": True,
+    # new in r6: the KLL twin of the last exact-percentile plan
+    "agg_percentiles_kll": True,
 }
 
 
@@ -327,18 +329,23 @@ def main() -> None:
     registry = load_registry()
     _warmup(spark)
 
-    # min over REPS runs per query: single-run timings at this scale swing
-    # up to ~3× on plan/JIT/GC noise (an unchanged join_asof plan measured
-    # 1.09 s one round and 2.41 s the next); the minimum is the standard
-    # low-variance estimator of the plan's true cost.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min AND median over REPS runs per query (r5 verdict item 4):
+    # single-run timings at this scale swing up to ~3× on plan/JIT/GC
+    # noise (an unchanged join_asof plan measured 1.09 s one round and
+    # 2.41 s the next, and the r5 driver-vs-builder same-code delta was
+    # ~15% uniformly).  The MINIMUM is the low-variance estimator of
+    # the plan's true cost — cross-round regression claims compare
+    # mins; the MEDIAN is recorded alongside so a real 1.5× regression
+    # on a sub-second query is distinguishable from one noisy rep.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     total = 0.0
     for name, force_collect in HEADLINE.items():
         spec = registry.get(name)
         if spec is None:
             continue
-        best = None
+        times: list[float] = []
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
@@ -352,15 +359,16 @@ def main() -> None:
                 # only 8 bytes to the driver.  bit_xor (not sum): ANSI-safe —
                 # no int64 overflow — and order-independent.
                 df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(time.perf_counter() - t0)
             # queries that persist() intermediates (minhash/cosine-LSH
             # sketches) would otherwise hand rep 2 a warm cache via the
             # CacheManager's canonicalized-plan matching — every rep must
             # pay the full plan, or min-of-reps overstates
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        total += best
+        times.sort()
+        timings[name] = round(times[0], 3)
+        medians[name] = round(times[len(times) // 2], 3)
+        total += times[0]
 
     line = {
         "metric": "headline_queries_total",
@@ -395,7 +403,9 @@ def main() -> None:
                         "total": line["value"],
                         "sf": sf,
                         "n_queries": len(timings),
-                        "queries": timings,
+                        "reps": max(1, reps),
+                        "queries": timings,  # per-query MIN of reps
+                        "queries_median": medians,
                     }
                 )
                 + "\n"
