@@ -560,6 +560,7 @@ def multimodal_pdf_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from knowledge_model_spark.sources.pdf import (
         encode_simple_pdf,
+        make_reference_shaped_pages,
         pdf_text_extract,
     )
 
@@ -568,13 +569,16 @@ def multimodal_pdf_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for txt in pdf["text"]:
-                words = (txt or "").split(" ")
-                pages = [
-                    " ".join(words[i : i + 40]) for i in range(0, len(words), 40)
-                ] or [""]
-                payloads.append(encode_simple_pdf(pages))
+            payloads = [
+                # reference-shaped pages: Page-N-of-M headers, copyright
+                # footers, bare page-number lines, hyphen linebreaks —
+                # so strip_page_furniture + rejoin_hyphen_linebreaks do
+                # real work INSIDE this query (r5 verdict item 8); the
+                # noise is invertible, pinned by the noisy-vs-clean
+                # equality test in tests/test_sources.py
+                encode_simple_pdf(make_reference_shaped_pages(txt))
+                for txt in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype("int64"),

@@ -383,6 +383,55 @@ def decode_pdf_text(b: bytes) -> str | None:
 # ------------------------------------------------------- fixture writer
 
 
+def make_reference_shaped_pages(
+    text: str,
+    words_per_page: int = 40,
+    line_words: int = 10,
+    furniture: bool = True,
+) -> list[str]:
+    """Render document text into PDF page strings shaped like a REAL
+    scanned article (reference parse_pdfs.py:23-54's input): each page
+    carries a ``Page N of M`` header, multi-word body lines with
+    hyphen-linebreak splits at line junctions (``transfor-\\n mation``),
+    a copyright footer, and a bare page-number line — exactly the
+    artifacts ``strip_page_furniture`` and ``rejoin_hyphen_linebreaks``
+    exist to remove.  ``furniture=False`` renders the same pagination
+    with NO noise, so noisy-vs-clean pipeline equality is a testable
+    losslessness property (the noise is invertible by construction:
+    furniture lines match PAGE_FURNITURE_RE / DIGIT_LINE_RE exactly,
+    and splits only land between ASCII word chars so the rejoin regex
+    provably fires)."""
+    words = (text or "").split(" ")
+    pages = []
+    n_pages = max(1, -(-len(words) // words_per_page))
+    for p in range(n_pages):
+        chunk = words[p * words_per_page : (p + 1) * words_per_page]
+        lines = [
+            " ".join(chunk[i : i + line_words])
+            for i in range(0, len(chunk), line_words)
+        ] or [""]
+        if furniture:
+            for k in range(len(lines) - 1):
+                head = lines[k + 1].split(" ", 1)
+                w = head[0]
+                if (
+                    len(w) >= 6
+                    and w[2].isascii() and w[2].isalnum()
+                    and w[3].isascii() and w[3].isalnum()
+                ):
+                    lines[k] += " " + w[:3] + "-"
+                    lines[k + 1] = w[3:] + (
+                        " " + head[1] if len(head) > 1 else ""
+                    )
+            lines = (
+                [f"Page {p + 1} of {n_pages}"]
+                + lines
+                + ["© 2024 Example Press. All rights reserved.", str(p + 1)]
+            )
+        pages.append("\n".join(lines))
+    return pages
+
+
 def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
     """Minimal but well-formed single-font PDF writer (fixtures and the
     round-trip query): one content stream per page, FlateDecode by

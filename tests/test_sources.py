@@ -1027,6 +1027,89 @@ def test_pdf_roundtrip_compressed_and_raw():
     assert decode_pdf_text(b"%PDF-1.4\nno streams") == ""
 
 
+def test_pdf_passages_furniture_and_hyphens_are_invertible(spark):
+    """multimodal_pdf_passages now builds REFERENCE-SHAPED fixture PDFs
+    (r5 verdict item 8): Page-N-of-M headers, copyright footers, bare
+    page-number lines, and hyphen linebreaks.  Because the noise is
+    invertible by construction, the registered query's output must be
+    IDENTICAL to a twin pipeline fed the same pagination with no noise
+    — proving strip_page_furniture and rejoin_hyphen_linebreaks do
+    real, lossless work on realistic input inside the SAME query."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from knowledge_model_spark.functions.chunking import explode_passages
+    from knowledge_model_spark.functions.text_cleaning import (
+        clean_text,
+        rejoin_hyphen_linebreaks,
+        strip_page_furniture,
+    )
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.session import load_tables
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_text,
+        encode_simple_pdf,
+        make_reference_shaped_pages,
+        pdf_text_extract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    R = load_registry()
+    noisy = {
+        (r["media_id"], r["chunk_index"]): (r["char_start"], r["n_chars"], r["chunk_crc"])
+        for r in R["multimodal_pdf_passages"].fn(spark, sf).collect()
+    }
+    assert noisy  # the query produced passages
+
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+
+    def build_clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_simple_pdf(
+                            make_reference_shaped_pages(t, furniture=False)
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build_clean, "media_id long, payload binary")
+    body = pdf_text_extract(media, decode="REAL").select(
+        "media_id",
+        clean_text(
+            rejoin_hyphen_linebreaks(strip_page_furniture(F.col("text")))
+        ).alias("body"),
+    )
+    clean = {
+        (r["media_id"], r["chunk_index"]): (r["char_start"], r["n_chars"], r["chunk_crc"])
+        for r in explode_passages(body, "body", ["media_id"], size=300, overlap=50)
+        .select(
+            "media_id",
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            F.col("char_start").cast("long").alias("char_start"),
+            F.length("chunk_text").cast("long").alias("n_chars"),
+            F.crc32(F.col("chunk_text")).alias("chunk_crc"),
+        )
+        .collect()
+    }
+    assert noisy == clean
+
+    # non-vacuity: the noisy fixtures really carry the artifacts BEFORE
+    # the strip/rejoin stage, so the equality above proves real work
+    sample = docs.limit(1).collect()[0]["text"]
+    raw = decode_pdf_text(encode_simple_pdf(make_reference_shaped_pages(sample)))
+    assert "Page 1 of" in raw
+    assert "© 2024 Example Press. All rights reserved." in raw
+    assert "-\n" in raw  # at least one hyphen linebreak split landed
+
+
 def test_pdf_lzw_content_stream_roundtrip():
     """/LZWDecode content streams decode through the shared LZW core
     (r5 verdict item 5): a fixture PDF whose pages are LZW-compressed
