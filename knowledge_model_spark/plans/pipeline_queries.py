@@ -423,8 +423,10 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests pin the extractor on hand-authored fixtures
     doc="REAL distributed PDF→text (reference parse_pdfs.py:57-88 runs "
     "PyMuPDF get_text single-process over rglob('*.pdf')): documents "
-    "become genuine FlateDecode PDFs in one pandas kernel (sources/"
-    "pdf.encode_simple_pdf — real xref/objects/zlib streams), then "
+    "become genuine PDFs in one pandas kernel (sources/pdf."
+    "encode_simple_pdf — real xref/objects; the stream filter rotates "
+    "FlateDecode / LZWDecode / uncompressed per doc so every "
+    "in-container decode path is round-trip-gated), then "
     "sources/pdf.pdf_text_extract runs genuine content extraction "
     "(stdlib-zlib inflate + BT/ET Tj/TJ text assembly) in a second "
     "Arrow-batched stage; roundtrip_ok proves extracted == source for "
@@ -450,12 +452,16 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for txt in pdf["text"]:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 words = (txt or "").split(" ")
                 pages = [
                     " ".join(words[i : i + 40]) for i in range(0, len(words), 40)
                 ] or [""]
-                payloads.append(encode_simple_pdf(pages))
+                # rotate the stream filter per doc so the round-trip
+                # gate covers all three in-container decode paths:
+                # FlateDecode, /LZWDecode (early-change LZW, r6), raw
+                comp: bool | str = (True, "lzw", False)[int(did) % 3]
+                payloads.append(encode_simple_pdf(pages, compress=comp))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype("int64"),

@@ -1027,6 +1027,21 @@ def test_pdf_roundtrip_compressed_and_raw():
     assert decode_pdf_text(b"%PDF-1.4\nno streams") == ""
 
 
+def test_pdf_text_roundtrip_gate_all_three_filters(spark):
+    """multimodal_pdf_text's in-plan equality column must be TRUE for
+    every document — and since r6 the fixture writer rotates the
+    stream filter per doc (FlateDecode / LZWDecode / uncompressed),
+    this one gate certifies all three in-container decode paths
+    end-to-end on the executors."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["multimodal_pdf_text"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 3  # all three filters really appear (id % 3)
+    bad = [r["media_id"] for r in rows if not r["roundtrip_ok"]]
+    assert not bad, bad
+
+
 def test_pdf_passages_furniture_and_hyphens_are_invertible(spark):
     """multimodal_pdf_passages now builds REFERENCE-SHAPED fixture PDFs
     (r5 verdict item 8): Page-N-of-M headers, copyright footers, bare
