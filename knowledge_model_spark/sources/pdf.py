@@ -6,9 +6,12 @@ passage-splitting (knowledge_model/ingestion/parse_pdfs.py:57-88).
 This module is the in-container decode for the encodings that dominate
 real-world text PDFs — **FlateDecode content streams (stdlib zlib),
 /LZWDecode streams (the shared early-change LZW core in sources/
-lzw.py), and uncompressed streams** — so the engine's PDF→text path
-runs genuine content extraction, not a stub.  Scanned/image-only PDFs
-and exotic stream filters (DCT/JPX/CCITT) remain the declared seam,
+lzw.py), /ASCIIHexDecode and /ASCII85Decode (stdlib binascii/base64,
+including the chained [/ASCII85Decode /FlateDecode] form), and
+uncompressed streams** — so the engine's PDF→text path runs genuine
+content extraction, not a stub.  Scanned/image-only PDFs, row
+predictors, and the remaining filters (DCT/JPX/CCITT/RunLength for
+CONTENT streams) stay the declared seam,
 as do font-CMap re-encodings: literal/hex strings are decoded as
 UTF-8-with-replacement, which is exact for the ASCII page content the
 fixtures and the reference's PubMed corpus overwhelmingly carry.
@@ -72,27 +75,66 @@ def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
         if not em:
             return None
         data = em.group(1)
-    has_flate = b"FlateDecode" in head
-    has_lzw = b"LZWDecode" in head
-    if has_flate and has_lzw:
-        return None  # chained-filter array: the declared seam
-    if has_flate:
-        try:
-            return zlib.decompress(data)
-        except zlib.error:
-            return None  # corrupt or predictor-filtered: skip, don't lie
-    if has_lzw:
-        pm = re.search(rb"/Predictor\s+(\d+)", head)
-        if pm and int(pm.group(1)) > 1:
-            return None  # predictor post-filter: skip, don't lie
-        em = re.search(rb"/EarlyChange\s+(\d+)", head)
-        from knowledge_model_spark.sources.lzw import lzw_decode_pdf
+    return _apply_filters(data, head)
 
-        return lzw_decode_pdf(
-            data, early_change=int(em.group(1)) if em else 1
-        )
-    if re.search(rb"/Filter\b", head):
-        return None  # some other filter (DCT/JPX/CCITT/...): the seam
+
+_FILTER_SPEC_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
+
+
+def _apply_filters(data: bytes, head: bytes) -> bytes | None:
+    """Run the stream's /Filter chain (scalar or array form, applied in
+    declaration order per PDF 32000-1 §7.4): FlateDecode (stdlib zlib),
+    LZWDecode (the early-change LZW core, /EarlyChange honored),
+    ASCIIHexDecode and ASCII85Decode (stdlib binascii/base64).  None
+    for any filter outside that set (DCT/JPX/CCITT/RunLength — the
+    declared seam) and for /Predictor > 1 (the PNG/TIFF row predictors
+    post-process Flate/LZW output; decoding without applying them would
+    return wrong bytes, so skip honestly)."""
+    fm = _FILTER_SPEC_RE.search(head)
+    if not fm:
+        return data  # no filter: raw stream
+    names = re.findall(rb"/(\w+)", fm.group(1))
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm and int(pm.group(1)) > 1:
+        return None
+    for name in names:
+        if data is None:
+            return None
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None  # corrupt stream: skip, don't lie
+        elif name == b"LZWDecode":
+            em = re.search(rb"/EarlyChange\s+(\d+)", head)
+            from knowledge_model_spark.sources.lzw import lzw_decode_pdf
+
+            data = lzw_decode_pdf(
+                data, early_change=int(em.group(1)) if em else 1
+            )
+        elif name == b"ASCIIHexDecode":
+            import binascii
+
+            hexpart = data.split(b">", 1)[0]
+            hexpart = bytes(c for c in hexpart if c not in _WHITESPACE)
+            if len(hexpart) % 2:  # odd count: implicit trailing 0
+                hexpart += b"0"
+            try:
+                data = binascii.unhexlify(hexpart)
+            except binascii.Error:
+                return None
+        elif name == b"ASCII85Decode":
+            import base64
+
+            enc = data.split(b"~>", 1)[0]
+            try:
+                data = base64.a85decode(
+                    bytes(c for c in enc if c not in _WHITESPACE)
+                )
+            except ValueError:
+                return None
+        else:
+            return None  # DCT/JPX/CCITT/RunLength/...: the seam
     return data
 
 

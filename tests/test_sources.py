@@ -1195,6 +1195,60 @@ def test_pdf_lzw_content_stream_roundtrip():
     assert decode_pdf_text(raw_noparm) != text
 
 
+def test_pdf_ascii_filters_and_chains():
+    """/ASCIIHexDecode and /ASCII85Decode streams (stdlib binascii /
+    base64) decode, including the classic chained form
+    [/ASCII85Decode /FlateDecode] PostScript-era tools emit; predictor
+    streams and unknown filters still skip honestly."""
+    import base64
+    import zlib as _z
+
+    from knowledge_model_spark.sources.pdf import decode_pdf_text
+
+    def one_obj(head: bytes, data: bytes) -> bytes:
+        return (
+            b"%%PDF-1.4\n1 0 obj\n<< /Length %d %s >>\nstream\n"
+            % (len(data), head)
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    content = b"BT (Hex text) Tj ET"
+    hexdata = content.hex().encode() + b">"
+    assert decode_pdf_text(
+        one_obj(b"/Filter /ASCIIHexDecode", hexdata)
+    ) == "Hex text"
+    # whitespace inside hex is ignored (spec 7.4.2)
+    h = content.hex().encode()
+    spaced = b" ".join(h[i : i + 2] for i in range(0, len(h), 2)) + b">"
+    assert decode_pdf_text(
+        one_obj(b"/Filter /ASCIIHexDecode", spaced)
+    ) == "Hex text"
+    # odd hex digit count: implicit trailing zero — 'BT (A4' + odd '4'
+    # decodes the final byte as 0x40 '@'; just pin no-crash + prefix
+    oddhex = (b"BT (Odd) Tj ET".hex().encode())[:-1] + b">"
+    assert decode_pdf_text(one_obj(b"/Filter /ASCIIHexDecode", oddhex)) is not None
+
+    content85 = b"BT (A85 text) Tj ET"
+    a85 = base64.a85encode(content85) + b"~>"
+    assert decode_pdf_text(
+        one_obj(b"/Filter /ASCII85Decode", a85)
+    ) == "A85 text"
+
+    chained = base64.a85encode(_z.compress(b"BT (Chained) Tj ET")) + b"~>"
+    assert decode_pdf_text(
+        one_obj(b"/Filter [ /ASCII85Decode /FlateDecode ]", chained)
+    ) == "Chained"
+
+    # predictor-filtered and unknown filters: honest None (empty text)
+    flate = _z.compress(b"BT (x) Tj ET")
+    assert decode_pdf_text(one_obj(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>",
+        flate,
+    )) == ""
+    assert decode_pdf_text(one_obj(b"/Filter /DCTDecode", b"\xff\xd8junk")) == ""
+
+
 def test_pdf_text_operators_hand_authored():
     """TJ kerning arrays, hex strings, T* and ' line advances — the
     operator set every real-world text PDF uses — on a hand-authored
