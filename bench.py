@@ -291,8 +291,10 @@ HEADLINE: dict[str, bool] = {
     "multimodal_pdf_text": False,
     "multimodal_pdf_passages": False,
     "multimodal_video_pipeline": True,
-    # new in r6: the KLL twin of the last exact-percentile plan
+    # new in r6: the KLL twin of the last exact-percentile plan, and
+    # embedded-figure extraction from PDFs (DCT XObjects -> real JPEGs)
     "agg_percentiles_kll": True,
+    "multimodal_pdf_images": False,
 }
 
 

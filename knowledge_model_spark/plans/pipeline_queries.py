@@ -264,6 +264,125 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_pdf_images",
+    None,  # PDF bytes built in a pandas kernel — no SQL twin; the
+    # in-plan extract_ok column is an exact byte-identity gate and
+    # tests pin it all-true plus real pixel statistics
+    doc="embedded-figure extraction from PDFs (the image half of the "
+    "reference's PyMuPDF surface, parse_pdfs.py — page.get_images is "
+    "the library analog): documents become genuine PDFs whose page 1 "
+    "embeds 1-2 /DCTDecode image XObjects (REAL JPEGs from sources/"
+    "jpeg.encode_jpeg, drawn with cm/Do operators), then sources/pdf."
+    "decode_pdf_images recovers them BYTE-IDENTICAL in a second "
+    "Arrow-batched stage and sources/jpeg.decode_jpeg computes real "
+    "pixel statistics — the figure-mining step of a multimodal "
+    "training pipeline over paper corpora.  extract_ok compares "
+    "against the content-addressed expected bytes recomputed from "
+    "media_id, so the gate rides the plan with zero joins.  Scale "
+    "shape: two mapInPandas over the documents scan — no shuffle, "
+    "payloads never leave the executors",
+)
+def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_model_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_images,
+        encode_simple_pdf,
+        make_reference_shaped_pages,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text").filter(F.col("doc_id") < 48)
+
+    def _figure(did: int, k: int) -> np.ndarray:
+        # content-addressed synthetic figure: both stages regenerate it
+        # from (doc_id, k) alone, so the byte-identity gate needs no join
+        h = 16 + 8 * ((did + k) % 3)
+        w = 24 + 8 * (k % 2)
+        yy, xx = np.mgrid[0:h, 0:w]
+        a, b, c = 3 + did % 7, 2 + k * 5, (did * 31 + k * 17) % 256
+        return np.stack(
+            [
+                (xx * a + c) % 256,
+                (yy * b + c) % 256,
+                ((xx + yy) * (a + b)) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_simple_pdf(
+                            make_reference_shaped_pages(txt),
+                            images=[
+                                encode_jpeg(_figure(int(did), k), 90)
+                                for k in range(1 + int(did) % 2)
+                            ],
+                        )
+                        for did, txt in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "image_index": [], "width": [],
+                "height": [], "n_bytes": [], "extract_ok": [],
+                "mean_luma": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                imgs = decode_pdf_images(bytes(payload)) or []
+                expected = [
+                    encode_jpeg(_figure(int(mid), k), 90)
+                    for k in range(1 + int(mid) % 2)
+                ]
+                for k, jpg in enumerate(imgs):
+                    px = decode_jpeg(jpg)
+                    ok = (
+                        k < len(expected)
+                        and jpg == expected[k]
+                        and px is not None
+                    )
+                    rows["media_id"].append(int(mid))
+                    rows["image_index"].append(k)
+                    rows["width"].append(0 if px is None else px.shape[1])
+                    rows["height"].append(0 if px is None else px.shape[0])
+                    rows["n_bytes"].append(len(jpg))
+                    rows["extract_ok"].append(bool(ok))
+                    rows["mean_luma"].append(
+                        0.0 if px is None
+                        else round(float(px.astype(np.float64).mean()), 4)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "image_index": pd.Series(rows["image_index"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                    "extract_ok": pd.Series(rows["extract_ok"], dtype="bool"),
+                    "mean_luma": pd.Series(rows["mean_luma"], dtype="float64"),
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return media.mapInPandas(
+        extract,
+        "media_id long, image_index int, width int, height int, "
+        "n_bytes long, extract_ok boolean, mean_luma double",
+    )
+
+
+@register(
     "agg_percentiles_kll",
     None,  # sketch-approximate by design — every returned quantile's
     # TRUE rank among the exact column values is gated within the

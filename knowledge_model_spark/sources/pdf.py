@@ -53,8 +53,10 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _NUM_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
 
 
-def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
-    """Decoded stream payload of one object body, or None.
+def _raw_stream(
+    b: bytes, body: bytes, body_at: int
+) -> tuple[bytes, bytes] | None:
+    """(dictionary head, RAW stream bytes) of one object body, or None.
 
     Stream extent comes from a DIRECT /Length entry when present —
     compressed payloads can contain the literal bytes ``endstream``
@@ -75,6 +77,15 @@ def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
         if not em:
             return None
         data = em.group(1)
+    return head, data
+
+
+def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
+    """Decoded stream payload of one object body, or None."""
+    raw = _raw_stream(b, body, body_at)
+    if raw is None:
+        return None
+    head, data = raw
     return _apply_filters(data, head)
 
 
@@ -422,6 +433,90 @@ def decode_pdf_text(b: bytes) -> str | None:
     return None if pages is None else "\n".join(pages)
 
 
+# ------------------------------------------------- embedded image extraction
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG's SOF marker, by marker walk."""
+    if not b.startswith(b"\xff\xd8"):
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+_DECODABLE_FILTERS = (
+    b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode", b"ASCII85Decode",
+)
+
+
+def decode_pdf_images(b: bytes) -> list[bytes] | None:
+    """Embedded image XObjects of a PDF, in file order, each re-emitted
+    as a payload the in-container image codecs decode: **/DCTDecode
+    streams pass through as complete JPEG files** (the spec guarantees
+    a DCT image stream is a standalone JPEG — sources/jpeg.py then
+    decodes it), and raw-sample images behind Flate/LZW/ASCII filters
+    with 8-bit /DeviceRGB or /DeviceGray become P6 PPM.  None when the
+    payload is not a PDF; JPX/CCITT/JBIG2, predictor-coded, indexed,
+    and CMYK images are skipped (the declared seam).
+
+    This is the image half of the reference's PyMuPDF surface
+    (parse_pdfs.py opens the same documents; ``page.get_images`` is
+    the PyMuPDF analog) — a multimodal training pipeline extracts
+    figures from paper PDFs with exactly this shape."""
+    if not b or not b.startswith(b"%PDF-"):
+        return None
+    out: list[bytes] = []
+    for m in _NUM_OBJ_RE.finditer(b):
+        raw = _raw_stream(b, m.group(2), m.start(2))
+        if raw is None:
+            continue
+        head, data = raw
+        if not re.search(rb"/Subtype\s*/Image\b", head):
+            continue
+        fm = _FILTER_SPEC_RE.search(head)
+        names = re.findall(rb"/(\w+)", fm.group(1)) if fm else []
+        if names == [b"DCTDecode"]:
+            jpg = bytes(data)
+            if _jpeg_dims(jpg) is not None:
+                out.append(jpg)
+            continue
+        if any(nm not in _DECODABLE_FILTERS for nm in names):
+            continue  # JPX/CCITT/JBIG2/...: the seam
+        px = _apply_filters(data, head)
+        wm = re.search(rb"/Width\s+(\d+)", head)
+        hm = re.search(rb"/Height\s+(\d+)", head)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+        if px is None or not (wm and hm) or (bm and bm.group(1) != b"8"):
+            continue
+        w, h = int(wm.group(1)), int(hm.group(1))
+        if b"/DeviceRGB" in head and len(px) >= w * h * 3:
+            out.append(b"P6\n%d %d\n255\n" % (w, h) + px[: w * h * 3])
+        elif b"/DeviceGray" in head and len(px) >= w * h:
+            import numpy as np
+
+            gray = np.frombuffer(px[: w * h], dtype=np.uint8)
+            rgb = np.repeat(gray, 3).tobytes()
+            out.append(b"P6\n%d %d\n255\n" % (w, h) + rgb)
+    return out
+
+
 # ------------------------------------------------------- fixture writer
 
 
@@ -474,7 +569,11 @@ def make_reference_shaped_pages(
     return pages
 
 
-def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
+def encode_simple_pdf(
+    pages: list[str],
+    compress: bool | str = True,
+    images: list[bytes] | None = None,
+) -> bytes:
     """Minimal but well-formed single-font PDF writer (fixtures and the
     round-trip query): one content stream per page, FlateDecode by
     default (``compress="lzw"`` writes /LZWDecode streams — the
@@ -482,7 +581,12 @@ def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
     table.  Each input page string becomes Td-spaced ``Tj`` lines, so
     ``decode_pdf_text(encode_simple_pdf(pages))`` reproduces
     ``"\\n".join(pages)`` exactly — the property the tests and the
-    registered round-trip query pin."""
+    registered round-trip query pin.
+
+    ``images``: JPEG payloads embedded as /DCTDecode image XObjects,
+    referenced from page 1's resources and drawn with ``cm``/``Do``
+    operators — the shape every figure-bearing article PDF has;
+    :func:`decode_pdf_images` extracts them back byte-identical."""
 
     def esc(line: str) -> bytes:
         raw = line.encode("utf-8")
@@ -498,13 +602,21 @@ def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     font_num = 3 + 2 * n_pages
+    imgs = images or []
+    img_nums = [font_num + 1 + j for j in range(len(imgs))]
     for i, page in enumerate(pages):
         content_num = 4 + 2 * i
+        res = f"<< /Font << /F1 {font_num} 0 R >>"
+        if i == 0 and imgs:
+            xo = " ".join(
+                f"/Im{j + 1} {num} 0 R" for j, num in enumerate(img_nums)
+            )
+            res += f" /XObject << {xo} >>"
+        res += " >>"
         objs.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
-                f"/Contents {content_num} 0 R >>"
+                f"/Resources {res} /Contents {content_num} 0 R >>"
             ).encode()
         )
         ops = [b"BT /F1 12 Tf 72 720 Td"]
@@ -513,6 +625,13 @@ def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
                 ops.append(b"0 -14 Td")
             ops.append(b"(" + esc(line) + b") Tj")
         ops.append(b"ET")
+        if i == 0 and imgs:
+            for j, jpg in enumerate(imgs):
+                dims = _jpeg_dims(jpg) or (1, 1)
+                ops.append(
+                    b"q %d 0 0 %d 72 %d cm /Im%d Do Q"
+                    % (dims[0], dims[1], 80 + 8 * j, j + 1)
+                )
         body = b"\n".join(ops)
         if compress == "lzw":
             from knowledge_model_spark.sources.lzw import lzw_encode_pdf
@@ -529,6 +648,17 @@ def encode_simple_pdf(pages: list[str], compress: bool | str = True) -> bytes:
     objs.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    for jpg in imgs:
+        w, h = _jpeg_dims(jpg) or (0, 0)
+        objs.append(
+            (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n" % (w, h, len(jpg))
+            )
+            + jpg
+            + b"\nendstream"
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
