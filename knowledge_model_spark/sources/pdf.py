@@ -96,11 +96,13 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
     """Run the stream's /Filter chain (scalar or array form, applied in
     declaration order per PDF 32000-1 §7.4): FlateDecode (stdlib zlib),
     LZWDecode (the early-change LZW core, /EarlyChange honored),
-    ASCIIHexDecode and ASCII85Decode (stdlib binascii/base64).  None
-    for any filter outside that set (DCT/JPX/CCITT/RunLength — the
-    declared seam) and for /Predictor > 1 (the PNG/TIFF row predictors
-    post-process Flate/LZW output; decoding without applying them would
-    return wrong bytes, so skip honestly)."""
+    ASCIIHexDecode / ASCII85Decode (stdlib binascii/base64), and
+    RunLengthDecode.  None for any filter outside that set (DCT/JPX/
+    CCITT — the declared seam; DCT image XObjects are instead surfaced
+    whole by :func:`decode_pdf_images`) and for /Predictor > 1 (the
+    PNG/TIFF row predictors post-process Flate/LZW output; decoding
+    without applying them would return wrong bytes, so skip
+    honestly)."""
     fm = _FILTER_SPEC_RE.search(head)
     if not fm:
         return data  # no filter: raw stream
@@ -144,9 +146,35 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
                 )
             except ValueError:
                 return None
+        elif name == b"RunLengthDecode":
+            data = _rle_decode(data)
         else:
-            return None  # DCT/JPX/CCITT/RunLength/...: the seam
+            return None  # DCT/JPX/CCITT/...: the seam
     return data
+
+
+def _rle_decode(data: bytes) -> bytes | None:
+    """PDF RunLengthDecode (spec 7.4.5): length byte L then either
+    L+1 literal bytes (L <= 127) or one byte repeated 257-L times
+    (L >= 129); 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            return bytes(out)
+        if ln <= 127:
+            if i + 1 + ln + 1 > n:
+                return None
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                return None
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)  # EOD-less: spec-violating but tolerated
 
 
 def _objects_by_number(b: bytes) -> dict[int, tuple[bytes, int]]:

@@ -1307,6 +1307,21 @@ def test_pdf_ascii_filters_and_chains():
         one_obj(b"/Filter [ /ASCII85Decode /FlateDecode ]", chained)
     ) == "Chained"
 
+    # RunLengthDecode (spec 7.4.5): literal runs, repeat runs, EOD
+    def rle(chunks: list[bytes | tuple[int, int]]) -> bytes:
+        out = bytearray()
+        for c in chunks:
+            if isinstance(c, tuple):
+                out += bytes([257 - c[1], c[0]])
+            else:
+                out += bytes([len(c) - 1]) + c
+        return bytes(out) + b"\x80"
+
+    rled = rle([b"BT (R", (ord("L"), 3), b"E run) Tj ET"])
+    assert decode_pdf_text(
+        one_obj(b"/Filter /RunLengthDecode", rled)
+    ) == "RLLLE run"
+
     # predictor-filtered and unknown filters: honest None (empty text)
     flate = _z.compress(b"BT (x) Tj ET")
     assert decode_pdf_text(one_obj(
