@@ -14,10 +14,13 @@ Decode modes:
   — P6 PPM and 24-bit BI_RGB BMP images, 8-bit PNG (stdlib zlib
   inflate + per-row unfilter, all five filter types, color types
   0/2/3/4/6, Adam7 interlace), GIF87a/89a (LZW decoder conformant to
-  giflib's code-width growth rule, interlace supported), sequential
-  AND progressive JPEG (sources/jpeg.py — file-supplied Huffman/quant
-  tables, any chroma subsampling, restart markers, spectral selection
-  + successive approximation), RIFF WAV audio
+  giflib's code-width growth rule, interlace supported), baseline
+  strip TIFF (both endiannesses, none/LZW/PackBits compression,
+  horizontal-differencing predictor, 8-bit gray/RGB/RGBA — TIFF LZW is
+  the PDF early-change variant, shared core in sources/lzw.py),
+  sequential AND progressive JPEG (sources/jpeg.py — file-supplied
+  Huffman/quant tables, any chroma subsampling, restart markers,
+  spectral selection + successive approximation), RIFF WAV audio
   (PCM-16, IEEE float32, G.711 A-law/μ-law, and IMA ADPCM — the
   G.711/ADPCM arithmetic audioop-conformance-pinned), and
   uncompressed-DIB AVI video demux (sampled frames re-emitted as PPM
@@ -394,13 +397,219 @@ def decode_gif(b: bytes) -> np.ndarray | None:
     return None
 
 
+def _packbits_decode(data: bytes) -> bytes | None:
+    """Apple PackBits (TIFF spec §9): n in 0..127 → n+1 literal bytes;
+    n in 129..255 → next byte repeated 257−n times; n == 128 is a NOOP
+    (unlike PDF RunLengthDecode, where 128 is EOD)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            i += 1
+            continue
+        if ln <= 127:
+            if i + 2 + ln > n:
+                return None
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                return None
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(b: bytes) -> np.ndarray | None:
+    """Baseline TIFF → RGB uint8.  Supports both endiannesses, 8-bit
+    samples, 1/3/4 samples per pixel (alpha dropped), photometric
+    WhiteIsZero / BlackIsZero / RGB, strip layout, compression none /
+    LZW / PackBits, and horizontal differencing (Predictor 2).  TIFF
+    LZW IS the PDF early-change variant (MSB-first, grows one code
+    early — the historic off-by-one PDF inherited), so the shared core
+    in sources/lzw.py decodes both.  Tiled, palette, planar, 16-bit,
+    and JPEG-in-TIFF files return None (the declared seam).
+    Conformance anchor: the stdlib-shipped externally-written
+    ``python.tiff`` must match the same image's external PNG/BMP/PPM
+    pixel-for-pixel through this repo's decoders."""
+    import struct
+
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if b[:2] == b"II" else ">"
+    if struct.unpack(e + "H", b[2:4])[0] != 42:
+        return None
+    (ifd,) = struct.unpack(e + "I", b[4:8])
+    if ifd + 2 > len(b):
+        return None
+    (n_ent,) = struct.unpack(e + "H", b[ifd : ifd + 2])
+    tags: dict[int, tuple] = {}
+    for i in range(n_ent):
+        ent = b[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+        if len(ent) < 12:
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size <= 4:
+            raw = ent[8 : 8 + size]
+        else:
+            (off,) = struct.unpack(e + "I", ent[8:12])
+            raw = b[off : off + size]
+            if len(raw) < size:
+                return None
+        if typ == 3:
+            tags[tag] = struct.unpack(e + "%dH" % cnt, raw)
+        elif typ == 4:
+            tags[tag] = struct.unpack(e + "%dI" % cnt, raw)
+        elif typ == 1:
+            tags[tag] = tuple(raw)
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    comp, photo = one(259, 1), one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    pred = one(317, 1)
+    rps = one(278, h)
+    offs, cnts = tags.get(273), tags.get(279)
+    if not (w and h and offs and cnts) or photo not in (0, 1, 2):
+        return None
+    if any(x != 8 for x in bits) or spp not in (1, 3, 4):
+        return None
+    if comp not in (1, 5, 32773) or pred not in (1, 2) or one(322):
+        return None  # tiles (322=TileWidth), exotic compression: seam
+    if photo == 2 and spp < 3:
+        return None
+    row_bytes = w * spp
+    out = bytearray()
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        data = b[o : o + c]
+        if len(data) < c:
+            return None
+        nrows = min(rps, h - si * rps)
+        if comp == 1:
+            dec = bytes(data)
+        elif comp == 5:
+            from knowledge_model_spark.sources.lzw import lzw_decode
+
+            sym = lzw_decode(data, 8, lsb_first=False, growth="pdf")
+            if sym is None:
+                return None
+            dec = bytes(sym)
+        else:
+            dec = _packbits_decode(data)
+            if dec is None:
+                return None
+        if len(dec) < nrows * row_bytes:
+            return None
+        out += dec[: nrows * row_bytes]
+    if len(out) < h * row_bytes:
+        return None
+    px = np.frombuffer(bytes(out), np.uint8)[: h * row_bytes].reshape(h, w, spp)
+    if pred == 2:
+        # horizontal differencing: samples are deltas from the left
+        # neighbor per channel — invert with a mod-256 running sum
+        px = (np.cumsum(px.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
+    if photo == 2:
+        return np.ascontiguousarray(px[..., :3])
+    g = px[..., 0]
+    if photo == 0:
+        g = 255 - g
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+def encode_simple_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal little-endian strip TIFF writer (fixtures and round-trip
+    tests): 8-bit RGB, compression ``none`` / ``lzw`` / ``packbits``,
+    optional horizontal differencing, multi-strip."""
+    import struct
+
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img[..., :3].astype(np.uint8))
+    rps = rows_per_strip or h
+    if predictor == 2:
+        first = img[:, :1, :].astype(np.int16)
+        diffs = np.diff(img.astype(np.int16), axis=1)
+        img = (np.concatenate([first, diffs], axis=1) & 0xFF).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = img[y0 : y0 + rps].tobytes()
+        if compression == "lzw":
+            from knowledge_model_spark.sources.lzw import lzw_encode_pdf
+
+            strips.append(lzw_encode_pdf(raw))
+        elif compression == "packbits":
+            # literal-only PackBits (valid, if uncompressed)
+            enc = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i : i + 128]
+                enc += bytes([len(chunk) - 1]) + chunk
+            strips.append(bytes(enc))
+        else:
+            strips.append(raw)
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    n_strips = len(strips)
+    # layout: header(8) | strip data | bits array | offsets | counts | IFD
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    bits_at = pos
+    pos += 6
+    offs_at, cnts_at = pos, pos + 4 * n_strips
+    pos += 8 * n_strips
+    ifd_at = pos
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    ents = [
+        entry(256, 3, 1, w),
+        entry(257, 3, 1, h),
+        entry(258, 3, 3, bits_at),
+        entry(259, 3, 1, comp_tag),
+        entry(262, 3, 1, 2),
+        entry(273, 4, n_strips, strip_offs[0] if n_strips == 1 else offs_at),
+        entry(277, 3, 1, 3),
+        entry(278, 3, 1, rps),
+        entry(279, 4, n_strips, len(strips[0]) if n_strips == 1 else cnts_at),
+        entry(317, 3, 1, predictor),
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    for s in strips:
+        out += s
+    out += struct.pack("<3H", 8, 8, 8)
+    out += struct.pack("<%dI" % n_strips, *strip_offs)
+    out += struct.pack("<%dI" % n_strips, *[len(s) for s in strips])
+    out += struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", 0)
+    return bytes(out)
+
+
 def decode_image_any(b: bytes) -> np.ndarray | None:
     """Try every in-container REAL image codec in cheapest-probe order
-    (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF, and
+    (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF, TIFF
+    (strips; LZW via the shared early-change core), and
     sequential+progressive JPEG (sources/jpeg.py — pure numpy/stdlib)."""
     from knowledge_model_spark.sources.jpeg import decode_jpeg
 
-    for dec in (decode_ppm, decode_bmp, decode_png, decode_gif, decode_jpeg):
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_gif,
+                decode_tiff, decode_jpeg):
         img = dec(b)
         if img is not None:
             return img

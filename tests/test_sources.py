@@ -1195,6 +1195,55 @@ def test_pdf_lzw_content_stream_roundtrip():
     assert decode_pdf_text(raw_noparm) != text
 
 
+def test_tiff_roundtrip_all_paths_and_external_conformance():
+    """Baseline TIFF decode (r6): round-trips through every supported
+    path (none/LZW/PackBits × predictor 1/2 × single/multi-strip) and
+    — the conformance anchor — the stdlib-shipped EXTERNALLY-WRITTEN
+    ``python.tiff`` decodes pixel-identical to the same image's
+    external PNG and PPM through this repo's independent decoders.
+    TIFF LZW is the PDF early-change variant, so this also exercises
+    the shared core (sources/lzw.py) against a file this repo did not
+    write."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_image_any,
+        decode_png,
+        decode_ppm,
+        decode_tiff,
+        encode_simple_tiff,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (23, 17, 3), dtype=np.uint8)
+    for comp in ("none", "lzw", "packbits"):
+        for pred in (1, 2):
+            for rps in (None, 7):
+                t = encode_simple_tiff(img, comp, pred, rps)
+                got = decode_tiff(t)
+                assert got is not None and (got == img).all(), (comp, pred, rps)
+                # and the any-codec dispatcher routes TIFF correctly
+                assert (decode_image_any(t) == img).all()
+    assert decode_tiff(b"garbage") is None
+    assert decode_tiff(b"II*\x00\xff\xff\xff\xff") is None
+
+    hits = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.tiff"
+    )
+    if not hits:
+        pytest.skip("stdlib imghdrdata fixtures not present")
+    base = os.path.dirname(hits[0])
+    t = decode_tiff(open(os.path.join(base, "python.tiff"), "rb").read())
+    p = decode_png(open(os.path.join(base, "python.png"), "rb").read())
+    m = decode_ppm(open(os.path.join(base, "python.ppm"), "rb").read())
+    assert t is not None and t.shape == (16, 16, 3)
+    assert p is not None and (t == p).all()
+    assert m is not None and (t == m).all()
+
+
 def test_pdf_embedded_image_extraction_unit():
     """decode_pdf_images recovers /DCTDecode XObjects byte-identical
     (they are standalone JPEGs per spec) and re-emits Flate/raw
