@@ -179,11 +179,46 @@ def _rle_decode(data: bytes) -> bytes | None:
 
 def _objects_by_number(b: bytes) -> dict[int, tuple[bytes, int]]:
     """object number -> (body, absolute body offset), last wins (an
-    incremental update appends a replacement object)."""
-    return {
+    incremental update appends a replacement object).
+
+    PDF 1.5+ **object streams** are expanded too: modern writers put
+    the catalog/page-tree/font dictionaries inside compressed
+    ``/Type /ObjStm`` streams (spec 7.5.7 — the stream opens with N
+    ``objnum offset`` integer pairs, then the object bodies packed at
+    ``/First``).  Members cannot themselves contain streams, so their
+    synthetic body offset of -1 is never used for /Length slicing.  A
+    direct (top-level) definition of the same object number wins over
+    an ObjStm member — incremental updates append direct objects."""
+    objs = {
         int(m.group(1)): (m.group(2), m.start(2))
         for m in _NUM_OBJ_RE.finditer(b)
     }
+    members: dict[int, tuple[bytes, int]] = {}
+    for body, at in list(objs.values()):
+        sm = _STREAM_START_RE.search(body)
+        if sm is None or not re.search(rb"/Type\s*/ObjStm\b", body[: sm.start()]):
+            continue
+        nm = re.search(rb"/N\s+(\d+)\b", body[: sm.start()])
+        fm = re.search(rb"/First\s+(\d+)\b", body[: sm.start()])
+        payload = _stream_payload(b, body, at)
+        if payload is None or nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = payload[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+        except ValueError:
+            continue
+        for i, (onum, ooff) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(payload) - first
+            members[onum] = (payload[first + ooff : first + end], -1)
+    for onum, rec in members.items():
+        objs.setdefault(onum, rec)
+    return objs
 
 
 _REF_RE_T = rb"/%s\s+(\d+)\s+\d+\s+R"

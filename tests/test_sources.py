@@ -1311,6 +1311,61 @@ def test_pdf_images_query_gate(spark):
         assert sorted(idxs) == list(range(1 + did % 2)), (did, idxs)
 
 
+def test_pdf_object_stream_members_resolved():
+    """PDF 1.5 object streams (spec 7.5.7): modern writers compress the
+    catalog/page-tree dictionaries into a /Type /ObjStm stream.  The
+    fixture packs catalog+pages+both page dicts into one ObjStm and
+    stores the two content streams top-level in REVERSED file order —
+    so the byte-order fallback would emit the pages backwards, and the
+    correct output proves the page tree was resolved THROUGH the
+    object stream."""
+    import zlib as _z
+
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_pages,
+        decode_pdf_text,
+    )
+
+    m1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    m2 = b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"
+    m3 = b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"
+    m4 = b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+    bodies = [m1, m2, m3, m4]
+    offs, pos = [], 0
+    packed = b""
+    for m in bodies:
+        offs.append(pos)
+        packed += m + b" "
+        pos += len(m) + 1
+    header = b"1 %d 2 %d 3 %d 4 %d " % tuple(offs)
+    payload = _z.compress(header + packed)
+
+    def stream_obj(num: int, head: bytes, data: bytes) -> bytes:
+        return (
+            b"%d 0 obj\n<< %s /Length %d >>\nstream\n" % (num, head, len(data))
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    c_page2 = b"BT (second page) Tj ET"
+    c_page1 = b"BT (first page) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        # content streams in REVERSED file order (page 2's first)
+        + stream_obj(5, b"", c_page2)
+        + stream_obj(6, b"", c_page1)
+        + stream_obj(
+            7,
+            b"/Type /ObjStm /N 4 /First %d /Filter /FlateDecode"
+            % len(header),
+            payload,
+        )
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert decode_pdf_pages(pdf) == ["first page", "second page"]
+    assert decode_pdf_text(pdf) == "first page\nsecond page"
+
+
 def test_pdf_ascii_filters_and_chains():
     """/ASCIIHexDecode and /ASCII85Decode streams (stdlib binascii /
     base64) decode, including the classic chained form
