@@ -69,9 +69,23 @@ def _raw_stream(
         return None
     head = body[: m.start()]
     lm = _LENGTH_RE.search(head)
-    if lm:
+    length = int(lm.group(1)) if lm else None
+    if length is None:
+        # indirect /Length N 0 R (the classic incremental-writer shape:
+        # length object written after the stream): resolve the integer
+        # object by a targeted scan of the full buffer
+        im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        if im:
+            om = re.search(
+                rb"(?:^|[^0-9])%s\s+\d+\s+obj\s*(\d+)\s*endobj"
+                % im.group(1),
+                b,
+            )
+            if om:
+                length = int(om.group(1))
+    if length is not None:
         start = body_at + m.end()
-        data = b[start : start + int(lm.group(1))]
+        data = b[start : start + length]
     else:
         em = _STREAM_RE.search(body)
         if not em:

@@ -1366,6 +1366,22 @@ def test_pdf_object_stream_members_resolved():
     assert decode_pdf_text(pdf) == "first page\nsecond page"
 
 
+def test_pdf_indirect_length_reference():
+    """Indirect /Length N 0 R (the incremental-writer shape — length
+    object written after the stream): the fixture's literal string
+    contains the bytes 'endstream', so the lazy-regex fallback would
+    truncate mid-string; full text proves the reference was resolved."""
+    from knowledge_model_spark.sources.pdf import decode_pdf_text
+
+    data = b"BT (endstream test) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 2 0 R >>\nstream\n"
+        + data
+        + b"\nendstream\nendobj\n2 0 obj\n%d\nendobj\n" % len(data)
+    )
+    assert decode_pdf_text(pdf) == "endstream test"
+
+
 def test_pdf_ascii_filters_and_chains():
     """/ASCIIHexDecode and /ASCII85Decode streams (stdlib binascii /
     base64) decode, including the classic chained form
