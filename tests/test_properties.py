@@ -570,14 +570,16 @@ def test_gif_roundtrip_property(h, w, n_colors, seed, interlaced):
 def test_pdf_roundtrip_property(pages):
     from knowledge_model_spark.sources.pdf import decode_pdf_pages, encode_simple_pdf
 
-    want = [p for p in pages if p]  # empty pages collapse (no shows)
     got = decode_pdf_pages(encode_simple_pdf(pages))
-    # line-splitting inside a page collapses empty lines the same way
-    # the extractor does (no show -> no line)
-    norm = lambda p: "\n".join(ln for ln in p.split("\n") if ln != "")
     assert got is not None
+    # blank pages are RETAINED as '' (r5 ADVICE: the reference joins
+    # every page.get_text() including empty ones), so page count is
+    # exact; line-splitting inside a page collapses empty lines the
+    # same way the extractor does (no show -> no line)
+    assert len(got) == len(pages)
+    norm = lambda p: "\n".join(ln for ln in p.split("\n") if ln != "")
     assert [norm(g) for g in got if norm(g)] == [
-        norm(p) for p in want if norm(p)
+        norm(p) for p in pages if norm(p)
     ]
 
 
@@ -598,6 +600,52 @@ def test_gif_lzw_codec_property(n, mcs, seed):
     idx = np.random.RandomState(seed).randint(0, 1 << mcs, n).tolist()
     data = _gif_lzw_encode(idx, mcs)
     assert _gif_lzw_decode(data, mcs, n) == idx
+
+
+@given(
+    n=st.integers(min_value=0, max_value=6000),
+    alphabet=st.integers(min_value=2, max_value=256),
+    early=st.integers(min_value=0, max_value=1),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_pdf_lzw_codec_property(n, alphabet, early, seed):
+    """PDF-variant (MSB, early-change) LZW round-trip across width
+    growth boundaries, both EarlyChange values, table-fill Clear
+    resets, and skewed alphabets."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.lzw import lzw_decode_pdf, lzw_encode_pdf
+
+    data = np.random.RandomState(seed).randint(0, alphabet, n).astype(
+        np.uint8
+    ).tobytes()
+    enc = lzw_encode_pdf(data, early_change=early)
+    assert lzw_decode_pdf(enc, early_change=early) == data
+
+
+@given(
+    h=st.integers(min_value=1, max_value=21),
+    w=st.integers(min_value=1, max_value=21),
+    comp=st.sampled_from(["none", "lzw", "packbits"]),
+    pred=st.sampled_from([1, 2]),
+    rps=st.one_of(st.none(), st.integers(min_value=1, max_value=9)),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_tiff_roundtrip_property(h, w, comp, pred, rps, seed):
+    """Strip-TIFF round-trip over every compression × predictor ×
+    strip-height combination, arbitrary small dimensions."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_tiff,
+        encode_simple_tiff,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    got = decode_tiff(encode_simple_tiff(img, comp, pred, rps))
+    assert got is not None and (got == img).all()
 
 
 @given(
