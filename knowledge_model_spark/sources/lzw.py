@@ -35,6 +35,7 @@ def lzw_decode(
     growth: str,
     expected: int | None = None,
     early_change: int = 1,
+    max_output: int | None = None,
 ) -> list[int] | None:
     """Generic LZW decode → symbol list, or None on garbage.
 
@@ -42,7 +43,12 @@ def lzw_decode(
     boundary) or ``"pdf"`` (grows after a dictionary add when
     ``next_code + early_change >= 1 << code_size``).  ``expected``:
     stop after this many output symbols (GIF knows the pixel count);
-    None decodes until EOD or data exhaustion (PDF).
+    None decodes until EOD or data exhaustion (PDF).  ``max_output``:
+    garbage-inflation guard for EOD-less inputs — corrupt data decodes
+    "successfully" far more often under LZW than under zlib, and its
+    growing dictionary entries can inflate a few KB of junk into MBs
+    that downstream parsers then chew on; exceeding the cap returns
+    None (a LEGITIMATE stream that large would carry EOD long before).
     """
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -95,6 +101,8 @@ def lzw_decode(
         else:
             return None
         out.extend(entry)
+        if max_output is not None and len(out) > max_output:
+            return None
         if prev is not None and next_code < 4096:
             table[next_code] = prev + [entry[0]]
             next_code += 1
@@ -112,9 +120,13 @@ def lzw_decode(
 
 def lzw_decode_pdf(data: bytes, early_change: int = 1) -> bytes | None:
     """PDF /LZWDecode stream → bytes (MSB-first, EarlyChange per the
-    stream's /DecodeParms, default 1), or None on garbage."""
+    stream's /DecodeParms, default 1), or None on garbage — including
+    garbage that INFLATES: output is capped at max(1 MB, 64× input),
+    several times beyond any legitimate content stream's compression
+    ratio (real text streams deflate ~5-20×)."""
     out = lzw_decode(
-        data, 8, lsb_first=False, growth="pdf", early_change=early_change
+        data, 8, lsb_first=False, growth="pdf", early_change=early_change,
+        max_output=max(1 << 20, 64 * len(data)),
     )
     return None if out is None else bytes(out)
 

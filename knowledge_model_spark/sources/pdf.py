@@ -366,6 +366,9 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes.fromhex(digits.decode("ascii")), j + 1
 
 
+_NUMBER_TOKEN_RE = re.compile(rb"[+-]?[0-9.]+")
+
+
 def _extract_text(content: bytes) -> str:
     """Text shown by one content stream (see module doc for semantics)."""
     i = 0
@@ -409,7 +412,11 @@ def _extract_text(content: bytes) -> str:
             if in_text:
                 pending.append(s)
             continue
-        if c in b"[]{}>/":
+        if c in b"[]{}>/)":
+            # ')' here is a STRAY close-paren (corrupt stream — a real
+            # one is consumed by _parse_literal); without this case the
+            # token scan below yields an empty token without advancing
+            # i, an infinite loop on garbage (found by the r6 fuzz)
             if c == 0x2F:  # /Name: skip token
                 i += 1
                 while i < n and content[i] not in _WHITESPACE and content[i] not in _DELIMS:
@@ -457,7 +464,7 @@ def _extract_text(content: bytes) -> str:
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             newline()
             pending = []
-        elif not re.fullmatch(rb"[+-]?[0-9.]+", tok):
+        elif not _NUMBER_TOKEN_RE.fullmatch(tok):
             # any OTHER operator consumed its operands: strings that
             # were operands of non-show operators (BDC property dicts'
             # /ActualText, orphan Td operands) must NOT leak into the

@@ -2446,6 +2446,51 @@ def test_jpeg_missing_component_scan_returns_none():
     assert decode_jpeg(bytes(out)) is None
 
 
+def test_tiff_pdf_lzw_malformed_payload_fuzz_never_raises():
+    """Same None-on-garbage contract for the r6 decoders: byte
+    mutations and truncations of valid TIFF files, LZW-compressed PDFs,
+    and figure-bearing PDFs must never escape as exceptions from
+    decode_tiff / decode_pdf_pages / decode_pdf_images /
+    lzw_decode_pdf."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.lzw import lzw_decode_pdf, lzw_encode_pdf
+    from knowledge_model_spark.sources.multimodal import (
+        decode_tiff,
+        encode_simple_tiff,
+    )
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_images,
+        decode_pdf_pages,
+        encode_simple_pdf,
+    )
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (13, 11, 3), np.uint8)
+    goods = [
+        ("tiff", encode_simple_tiff(img, "lzw", 2, 5)),
+        ("pdf", encode_simple_pdf(["mutate me", "twice"], compress="lzw",
+                                  images=[encode_jpeg(img, 85)])),
+        ("lzw", lzw_encode_pdf(img.tobytes())),
+    ]
+    for kind, good in goods:
+        for trial in range(150):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            cut = rng.randint(0, len(b) + 1)
+            for payload in (bytes(b), bytes(b[:cut])):
+                if kind == "tiff":
+                    out = decode_tiff(payload)  # must not raise
+                    assert out is None or out.ndim == 3
+                elif kind == "pdf":
+                    decode_pdf_pages(payload)
+                    decode_pdf_images(payload)
+                else:
+                    lzw_decode_pdf(payload)
+
+
 def test_jpeg_malformed_payload_fuzz_never_raises():
     """decode_jpeg's contract is None-on-garbage: byte mutations and
     truncations of a valid file must never escape as exceptions (a
