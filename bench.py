@@ -295,6 +295,7 @@ HEADLINE: dict[str, bool] = {
     # embedded-figure extraction from PDFs (DCT XObjects -> real JPEGs)
     "agg_percentiles_kll": True,
     "multimodal_pdf_images": False,
+    "multimodal_image_codec_matrix": False,
 }
 
 

@@ -536,6 +536,121 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_codec_matrix",
+    None,  # binary payloads built in a pandas kernel — no SQL twin;
+    # the in-plan lossless_ok/psnr columns are exact gates, all-true /
+    # threshold-pinned in tests
+    doc="one image, every REAL in-container codec, one distributed "
+    "plan: each media row renders a content-addressed synthetic image, "
+    "encodes it as P6 PPM, strip TIFF (none / LZW / PackBits — r6 "
+    "codec, shared early-change LZW core), and JPEG(q90), and a second "
+    "Arrow-batched stage decodes each payload through the SAME "
+    "decode_image_any dispatcher the ingest path uses, comparing "
+    "against the expected pixels regenerated from media_id (zero "
+    "joins).  lossless_ok must be exact for PPM/TIFF; JPEG is gated by "
+    "PSNR.  The cross-codec identity is the property a real mixed-"
+    "format corpus scan depends on; scale shape: two mapInPandas over "
+    "a range scan, zero shuffle",
+)
+def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import (
+        decode_image_any,
+        encode_simple_tiff,
+    )
+
+    load_tables(spark, sf_dir)
+
+    def _img(mid: int) -> "np.ndarray":
+        h = 24 + 8 * (mid % 3)
+        w = 32 + 8 * (mid % 2)
+        yy, xx = np.mgrid[0:h, 0:w]
+        a, c = 2 + mid % 5, (mid * 37) % 256
+        return np.stack(
+            [(xx * a + c) % 256, (yy * (a + 1) + c) % 256, ((xx + yy) * a) % 256],
+            axis=2,
+        ).astype(np.uint8)
+
+    def _ppm(img: "np.ndarray") -> bytes:
+        h, w = img.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "codec": [], "payload": []}
+            for mid in pdf["id"]:
+                img = _img(int(mid))
+                for codec, payload in (
+                    ("ppm", _ppm(img)),
+                    ("tiff_none", encode_simple_tiff(img, "none")),
+                    ("tiff_lzw", encode_simple_tiff(img, "lzw", 2, 11)),
+                    ("tiff_packbits", encode_simple_tiff(img, "packbits")),
+                    ("jpeg", encode_jpeg(img, 90)),
+                ):
+                    rows["media_id"].append(int(mid))
+                    rows["codec"].append(codec)
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "codec": rows["codec"],
+                    "payload": rows["payload"],
+                }
+            )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "codec": [], "width": [], "height": [],
+                "lossless_ok": [], "psnr": [],
+            }
+            for mid, codec, payload in zip(
+                pdf["media_id"], pdf["codec"], pdf["payload"]
+            ):
+                want = _img(int(mid))
+                got = decode_image_any(bytes(payload))
+                ok = got is not None and got.shape == want.shape
+                exact = bool(ok and (got == want).all())
+                if ok:
+                    mse = float(
+                        np.mean((got.astype(np.float64) - want) ** 2)
+                    )
+                    psnr = 99.0 if mse == 0 else min(
+                        99.0, 10 * np.log10(255.0**2 / mse)
+                    )
+                else:
+                    psnr = 0.0
+                out["media_id"].append(int(mid))
+                out["codec"].append(str(codec))
+                out["width"].append(0 if got is None else got.shape[1])
+                out["height"].append(0 if got is None else got.shape[0])
+                out["lossless_ok"].append(exact)
+                out["psnr"].append(round(psnr, 2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "codec": out["codec"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "lossless_ok": pd.Series(out["lossless_ok"], dtype="bool"),
+                    "psnr": pd.Series(out["psnr"], dtype="float64"),
+                }
+            )
+
+    media = spark.range(64).mapInPandas(build, "media_id long, codec string, payload binary")
+    return media.mapInPandas(
+        check,
+        "media_id long, codec string, width int, height int, "
+        "lossless_ok boolean, psnr double",
+    )
+
+
+@register(
     "multimodal_pdf_text",
     None,  # the PDF bytes are built in a pandas kernel — no SQL twin;
     # the in-plan round-trip equality column is the exact gate, and

@@ -57,6 +57,9 @@ SLOPE_QUERIES = [
     "stats_permutation_test",       # replicated resamples
     "ann_ivfpq_topk",               # train + LUT-ADC scan
     "embeddings_single_link_clusters",  # epsilon-graph components
+    "eval_ann_recall_vs_exact",     # five ANN methods + exact truth
+    "graph_triangle_count",         # wedge enumeration ∝ Σdeg²
+    "decontam_survivors",           # broadcast shingle-index anti join
 ]
 
 # slope threshold on the last decade: 10^1.5 ≈ 31.6× for 10× rows

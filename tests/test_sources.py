@@ -1244,6 +1244,26 @@ def test_tiff_roundtrip_all_paths_and_external_conformance():
     assert m is not None and (t == m).all()
 
 
+def test_image_codec_matrix_query_gate(spark):
+    """multimodal_image_codec_matrix end to end: every lossless codec
+    (PPM, TIFF none/LZW/PackBits) decodes pixel-EXACT through the same
+    decode_image_any dispatcher, and JPEG(q90) lands above 28 dB PSNR,
+    for all 64 media rows × 5 codecs."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["multimodal_image_codec_matrix"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64 * 5
+    for r in rows:
+        assert r["width"] > 0 and r["height"] > 0, (r["media_id"], r["codec"])
+        if r["codec"] == "jpeg":
+            assert r["psnr"] > 28.0, (r["media_id"], r["psnr"])
+        else:
+            assert r["lossless_ok"] and r["psnr"] == 99.0, (
+                r["media_id"], r["codec"], r["psnr"],
+            )
+
+
 def test_pdf_embedded_image_extraction_unit():
     """decode_pdf_images recovers /DCTDecode XObjects byte-identical
     (they are standalone JPEGs per spec) and re-emits Flate/raw
