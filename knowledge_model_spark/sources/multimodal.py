@@ -41,6 +41,7 @@ never hit the driver.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -73,12 +74,17 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def decode_ppm(b: bytes) -> np.ndarray | None:
-    """Binary P6 PPM → (H, W, 3) uint8 RGB; None if not P6/maxval>255."""
-    if not b or not b.startswith(b"P6"):
+    """Netpbm image → (H, W, 3) uint8 RGB — the FULL P1-P6 family:
+    binary P6 PPM / P5 PGM (gray, replicated) / P4 PBM (1-bit packed
+    MSB-first, 1=black per spec, rows byte-padded) and the ASCII twins
+    P3/P2/P1.  None if not Netpbm or maxval>255."""
+    if len(b) < 2 or b[0:1] != b"P" or b[1] not in b"123456":
         return None
+    kind = b[1] - 0x30  # 1..6
+    n_head = 2 if kind in (1, 4) else 3  # bitmaps carry no maxval
     tokens: list[int] = []
     i = 2
-    while len(tokens) < 3 and i < len(b):
+    while len(tokens) < n_head and i < len(b):
         c = b[i : i + 1]
         if c.isspace():
             i += 1
@@ -95,16 +101,275 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
         except ValueError:
             return None
         i = j
-    if len(tokens) < 3:
+    if len(tokens) < n_head:
         return None
-    w, h, maxval = tokens
-    i += 1  # exactly one whitespace byte separates maxval from raster
-    if maxval > 255 or w <= 0 or h <= 0:
+    w, h = tokens[0], tokens[1]
+    maxval = tokens[2] if n_head == 3 else 1
+    if maxval > 255 or maxval <= 0 or w <= 0 or h <= 0:
         return None
-    need = w * h * 3
+    if kind in (1, 2, 3):  # ASCII rasters
+        n_vals = w * h * (3 if kind == 3 else 1)
+        if kind == 1:
+            # P1 digits may be unseparated; strip comments then digits
+            body = re.sub(rb"#[^\n]*", b"", b[i:])
+            vals = np.frombuffer(body, np.uint8)
+            vals = vals[(vals == 0x30) | (vals == 0x31)] - 0x30
+            if len(vals) < n_vals:
+                return None
+            vals = vals[:n_vals].astype(np.int64)
+        else:
+            body = re.sub(rb"#[^\n]*", b"", b[i:]).split()
+            if len(body) < n_vals:
+                return None
+            try:
+                vals = np.array([int(t) for t in body[:n_vals]], np.int64)
+            except ValueError:
+                return None
+        if vals.max(initial=0) > maxval:
+            return None
+        if kind == 3:
+            px = (vals * 255 // maxval).astype(np.uint8).reshape(h, w, 3)
+            return np.ascontiguousarray(px)
+        if kind == 1:
+            g = ((1 - vals) * 255).astype(np.uint8).reshape(h, w)
+        else:
+            g = (vals * 255 // maxval).astype(np.uint8).reshape(h, w)
+        return np.repeat(g[..., None], 3, axis=2)
+    i += 1  # exactly one whitespace byte separates header from raster
+    if kind == 4:
+        row_bytes = (w + 7) // 8
+        need = row_bytes * h
+        if len(b) < i + need:
+            return None
+        bits = np.unpackbits(
+            np.frombuffer(b, np.uint8, count=need, offset=i).reshape(h, row_bytes),
+            axis=1,
+        )[:, :w]
+        g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black per spec
+        return np.repeat(g[..., None], 3, axis=2)
+    ch = 3 if kind == 6 else 1
+    need = w * h * ch
     if len(b) < i + need:
         return None
-    return np.frombuffer(b, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=i)
+    if maxval != 255:
+        px = (px.astype(np.int64) * 255 // maxval).astype(np.uint8)
+    if kind == 5:
+        return np.repeat(px.reshape(h, w)[..., None], 3, axis=2)
+    return px.reshape(h, w, 3)
+
+
+def decode_ras(b: bytes) -> np.ndarray | None:
+    """Sun Raster → (H, W, 3) uint8 RGB: 8-bit gray / 24-bit / 32-bit
+    pixels, type 0/1 (standard, BGR order) / 2 (byte-RLE) / 3
+    (RT_FORMAT_RGB — RGB order; layout pinned against the stdlib's
+    externally-written python.ras vs its PNG twin), rows padded to 16
+    bits, big-endian header.  Colormapped files return None (seam)."""
+    import struct
+
+    if len(b) < 32 or b[:4] != b"\x59\xa6\x6a\x95":
+        return None
+    _, w, h, depth, length, rtype, maptype, maplen = struct.unpack(
+        ">8I", b[:32]
+    )
+    if w <= 0 or h <= 0 or depth not in (8, 24, 32) or maplen:
+        return None
+    if rtype not in (0, 1, 2, 3):
+        return None
+    data = b[32 : 32 + length] if length else b[32:]
+    if rtype == 2:
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            c = data[i]
+            if c != 0x80:
+                out.append(c)
+                i += 1
+                continue
+            if i + 1 >= n:
+                return None
+            cnt = data[i + 1]
+            if cnt == 0:
+                out.append(0x80)
+                i += 2
+            else:
+                if i + 2 >= n:
+                    return None
+                out += bytes([data[i + 2]]) * (cnt + 1)
+                i += 3
+        data = bytes(out)
+    bpp = depth // 8
+    row_bytes = (w * bpp + 1) & ~1  # rows pad to 16 bits
+    if len(data) < row_bytes * h:
+        return None
+    px = np.frombuffer(data, np.uint8, count=row_bytes * h).reshape(h, row_bytes)
+    px = px[:, : w * bpp].reshape(h, w, bpp)
+    if depth == 8:
+        return np.repeat(px, 3, axis=2)
+    if depth == 24:
+        order = [0, 1, 2] if rtype == 3 else [2, 1, 0]
+    else:  # 32-bit: pad byte FIRST (X,R,G,B / X,B,G,R — anchor-pinned)
+        order = [1, 2, 3] if rtype == 3 else [3, 2, 1]
+    return np.ascontiguousarray(px[..., order])
+
+
+def encode_simple_ras(img: np.ndarray, rle: bool = False) -> bytes:
+    """Minimal 24-bit standard (BGR) Sun Raster writer (fixtures):
+    type 1, or type 2 byte-RLE."""
+    import struct
+
+    h, w = img.shape[:2]
+    bgr = np.ascontiguousarray(img[..., [2, 1, 0]].astype(np.uint8))
+    row_bytes = (w * 3 + 1) & ~1
+    raster = np.zeros((h, row_bytes), np.uint8)
+    raster[:, : w * 3] = bgr.reshape(h, w * 3)
+    raw = raster.tobytes()
+    if rle:
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            run = 1
+            while i + run < len(raw) and raw[i + run] == raw[i] and run < 256:
+                run += 1
+            if run >= 3 or (run >= 2 and raw[i] == 0x80):
+                out += bytes([0x80, run - 1, raw[i]])
+                i += run
+            elif raw[i] == 0x80:
+                out += b"\x80\x00"
+                i += 1
+            else:
+                out.append(raw[i])
+                i += 1
+        data, rtype = bytes(out), 2
+    else:
+        data, rtype = raw, 1
+    return struct.pack(
+        ">8I", 0x59A66A95, w, h, 24, len(data), rtype, 0, 0
+    ) + data
+
+
+def decode_sgi(b: bytes) -> np.ndarray | None:
+    """SGI image (.sgi/.rgb) → (H, W, 3) uint8 RGB: 8-bit channels,
+    verbatim or RLE storage, 1/3/4 channels (alpha dropped, gray
+    replicated), bottom-up row order (pinned against the stdlib's
+    externally-written python.sgi vs its PNG twin)."""
+    import struct
+
+    if len(b) < 512 or b[:2] != b"\x01\xda":
+        return None
+    storage, bpc = b[2], b[3]
+    dim, w, h, z = struct.unpack(">4H", b[4:12])
+    if bpc != 1 or storage not in (0, 1) or w <= 0 or h <= 0:
+        return None
+    if dim == 2:
+        z = 1
+    if z not in (1, 3, 4):
+        return None
+    img = np.zeros((h, w, z), np.uint8)
+    if storage == 0:  # verbatim: channel-planar, bottom-up rows
+        need = 512 + w * h * z
+        if len(b) < need:
+            return None
+        planes = np.frombuffer(b, np.uint8, count=w * h * z, offset=512)
+        img = planes.reshape(z, h, w).transpose(1, 2, 0)[::-1]
+    else:
+        ntab = h * z
+        if len(b) < 512 + 8 * ntab:
+            return None
+        offs = struct.unpack(">%dI" % ntab, b[512 : 512 + 4 * ntab])
+        lens = struct.unpack(
+            ">%dI" % ntab, b[512 + 4 * ntab : 512 + 8 * ntab]
+        )
+        for c in range(z):
+            for row in range(h):
+                o, ln = offs[c * h + row], lens[c * h + row]
+                s = b[o : o + ln]
+                if len(s) < ln:
+                    return None
+                out: list[int] = []
+                i = 0
+                while i < len(s) and len(out) < w:
+                    cnt = s[i]
+                    i += 1
+                    n = cnt & 0x7F
+                    if n == 0:
+                        break
+                    if cnt & 0x80:
+                        if i + n > len(s):
+                            return None
+                        out.extend(s[i : i + n])
+                        i += n
+                    else:
+                        if i >= len(s):
+                            return None
+                        out.extend([s[i]] * n)
+                        i += 1
+                if len(out) < w:
+                    return None
+                img[h - 1 - row, :, c] = out[:w]
+    if z == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[..., :3])
+
+
+def encode_simple_sgi(img: np.ndarray, rle: bool = True) -> bytes:
+    """Minimal 3-channel SGI writer (fixtures): RLE or verbatim."""
+    import struct
+
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img[..., :3].astype(np.uint8))
+    # magic, storage, bpc, dim, x, y, z, pixmin, pixmax, dummy4,
+    # name80, colormap4 + dummy404 (408 zero bytes) = 512
+    head = struct.pack(
+        ">2sBB4H2I4x80s408x", b"\x01\xda", 1 if rle else 0, 1, 3, w, h, 3,
+        0, 255, b"kms",
+    )
+    assert len(head) == 512, len(head)
+    if not rle:
+        planes = img.transpose(2, 0, 1)[:, ::-1, :]  # channel-planar, bottom-up
+        return head + planes.tobytes()
+    scanlines = []
+    for c in range(3):
+        for row in range(h):
+            s = img[h - 1 - row, :, c]
+            enc = bytearray()
+            i = 0
+            while i < w:
+                run = 1
+                while i + run < w and s[i + run] == s[i] and run < 127:
+                    run += 1
+                if run >= 3:
+                    enc += bytes([run, s[i]])
+                    i += run
+                else:
+                    j = i
+                    lit = []
+                    while j < w and len(lit) < 127:
+                        run2 = 1
+                        while j + run2 < w and s[j + run2] == s[j] and run2 < 3:
+                            run2 += 1
+                        if run2 >= 3:
+                            break
+                        lit.extend([s[j]] * run2)
+                        j += run2
+                    enc += bytes([0x80 | len(lit)]) + bytes(lit)
+                    i = j
+            enc += b"\x00"
+            scanlines.append(bytes(enc))
+    ntab = 3 * h
+    pos = 512 + 8 * ntab
+    offs, lens = [], []
+    for s in scanlines:
+        offs.append(pos)
+        lens.append(len(s))
+        pos += len(s)
+    return (
+        head
+        + struct.pack(">%dI" % ntab, *offs)
+        + struct.pack(">%dI" % ntab, *lens)
+        + b"".join(scanlines)
+    )
 
 
 def decode_bmp(b: bytes) -> np.ndarray | None:
@@ -603,13 +868,14 @@ def encode_simple_tiff(
 
 def decode_image_any(b: bytes) -> np.ndarray | None:
     """Try every in-container REAL image codec in cheapest-probe order
-    (each starts with a magic-byte check): P6 PPM, BMP, PNG, GIF, TIFF
-    (strips; LZW via the shared early-change core), and
-    sequential+progressive JPEG (sources/jpeg.py — pure numpy/stdlib)."""
+    (each starts with a magic-byte check): Netpbm P1-P6, BMP, PNG, GIF,
+    TIFF (strips; LZW via the shared early-change core), Sun Raster,
+    SGI, and sequential+progressive JPEG (sources/jpeg.py — pure
+    numpy/stdlib)."""
     from knowledge_model_spark.sources.jpeg import decode_jpeg
 
     for dec in (decode_ppm, decode_bmp, decode_png, decode_gif,
-                decode_tiff, decode_jpeg):
+                decode_tiff, decode_ras, decode_sgi, decode_jpeg):
         img = dec(b)
         if img is not None:
             return img

@@ -1195,6 +1195,86 @@ def test_pdf_lzw_content_stream_roundtrip():
     assert decode_pdf_text(raw_noparm) != text
 
 
+def test_netpbm_ras_sgi_decode_and_external_conformance():
+    """r6 codec additions: the full Netpbm P1-P6 family, Sun Raster
+    (standard/RGB-order/RLE), and SGI (verbatim/RLE, bottom-up).
+    Conformance: the stdlib's externally-written python.ras and
+    python.sgi decode pixel-IDENTICAL to the same image's external PNG
+    through this repo's independent decoders (layouts pinned by real
+    files, not by this repo's own writers); python.pgm stays within
+    luma-transform distance; round-trips cover both RLE paths."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_image_any,
+        decode_png,
+        decode_ppm,
+        decode_ras,
+        decode_sgi,
+        encode_simple_ras,
+        encode_simple_sgi,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (19, 13, 3), np.uint8)
+    flat = np.full((9, 31, 3), 128, np.uint8)  # long-run RLE paths
+    for pic in (img, flat):
+        for rle in (False, True):
+            assert (decode_ras(encode_simple_ras(pic, rle)) == pic).all()
+            assert (decode_sgi(encode_simple_sgi(pic, rle)) == pic).all()
+            assert (decode_image_any(encode_simple_sgi(pic, rle)) == pic).all()
+    assert decode_ras(b"garbage") is None
+    assert decode_sgi(b"\x01\xda" + b"\0" * 40) is None
+
+    # Netpbm family on hand fixtures (P6 is covered everywhere else)
+    assert (
+        decode_ppm(b"P1\n# c\n3 2\n0 1 0 1 1 0")[..., 0]
+        == np.array([[255, 0, 255], [0, 0, 255]])
+    ).all()
+    assert (
+        decode_ppm(b"P2\n2 2\n255\n0 128 255 64")[..., 0]
+        == np.array([[0, 128], [255, 64]])
+    ).all()
+    assert (
+        decode_ppm(b"P3\n1 2\n255\n1 2 3 4 5 6").reshape(2, 3)
+        == np.array([[1, 2, 3], [4, 5, 6]])
+    ).all()
+    got = decode_ppm(b"P4\n10 2\n" + bytes([0b10100000, 0, 0b01000000, 0]))
+    want_bits = np.array(
+        [[1, 0, 1, 0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0, 0, 0, 0]]
+    )
+    assert (got[..., 0] == np.where(want_bits == 1, 0, 255)).all()
+    assert (decode_ppm(b"P5\n2 1\n255\n\x10\x20")[..., 0] == [[16, 32]]).all()
+    # maxval != 255 rescales
+    assert (decode_ppm(b"P5\n2 1\n100\nd2")[..., 0] == [[255, 127]]).all()
+
+    hits = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.ras"
+    )
+    if not hits:
+        pytest.skip("stdlib imghdrdata fixtures not present")
+    base = os.path.dirname(hits[0])
+
+    def rd(name):
+        return open(os.path.join(base, name), "rb").read()
+
+    png = decode_png(rd("python.png"))
+    assert (decode_ras(rd("python.ras")) == png).all()
+    assert (decode_sgi(rd("python.sgi")) == png).all()
+    pgm = decode_ppm(rd("python.pgm"))
+    luma = (
+        png[..., 0].astype(np.int64) * 299
+        + png[..., 1].astype(np.int64) * 587
+        + png[..., 2].astype(np.int64) * 114
+    ) // 1000
+    assert np.abs(pgm[..., 0].astype(np.int64) - luma).max() <= 8
+    pbm = decode_ppm(rd("python.pbm"))
+    assert pbm.shape == (16, 16, 3) and set(np.unique(pbm)) <= {0, 255}
+
+
 def test_tiff_roundtrip_all_paths_and_external_conformance():
     """Baseline TIFF decode (r6): round-trips through every supported
     path (none/LZW/PackBits × predictor 1/2 × single/multi-strip) and
