@@ -543,7 +543,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="one image, every REAL in-container codec, one distributed "
     "plan: each media row renders a content-addressed synthetic image, "
     "encodes it as P6 PPM, strip TIFF (none / LZW / PackBits — r6 "
-    "codec, shared early-change LZW core), and JPEG(q90), and a second "
+    "codec, shared early-change LZW core), Sun Raster (standard + "
+    "byte-RLE), SGI (verbatim + RLE — both r6, external-file-"
+    "anchored), and JPEG(q90), and a second "
     "Arrow-batched stage decodes each payload through the SAME "
     "decode_image_any dispatcher the ingest path uses, comparing "
     "against the expected pixels regenerated from media_id (zero "
@@ -561,6 +563,8 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     from knowledge_model_spark.sources.jpeg import encode_jpeg
     from knowledge_model_spark.sources.multimodal import (
         decode_image_any,
+        encode_simple_ras,
+        encode_simple_sgi,
         encode_simple_tiff,
     )
 
@@ -590,6 +594,10 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
                     ("tiff_none", encode_simple_tiff(img, "none")),
                     ("tiff_lzw", encode_simple_tiff(img, "lzw", 2, 11)),
                     ("tiff_packbits", encode_simple_tiff(img, "packbits")),
+                    ("ras", encode_simple_ras(img)),
+                    ("ras_rle", encode_simple_ras(img, rle=True)),
+                    ("sgi", encode_simple_sgi(img, rle=False)),
+                    ("sgi_rle", encode_simple_sgi(img, rle=True)),
                     ("jpeg", encode_jpeg(img, 90)),
                 ):
                     rows["media_id"].append(int(mid))

@@ -1326,14 +1326,15 @@ def test_tiff_roundtrip_all_paths_and_external_conformance():
 
 def test_image_codec_matrix_query_gate(spark):
     """multimodal_image_codec_matrix end to end: every lossless codec
-    (PPM, TIFF none/LZW/PackBits) decodes pixel-EXACT through the same
-    decode_image_any dispatcher, and JPEG(q90) lands above 28 dB PSNR,
-    for all 64 media rows × 5 codecs."""
+    (PPM, TIFF none/LZW/PackBits, RAS ±RLE, SGI ±RLE) decodes
+    pixel-EXACT through the same decode_image_any dispatcher, and
+    JPEG(q90) lands above 28 dB PSNR, for all 64 media rows × 9
+    codecs."""
     from knowledge_model_spark.plans import load_registry
 
     R = load_registry()
     rows = R["multimodal_image_codec_matrix"].fn(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 64 * 5
+    assert len(rows) == 64 * 9
     for r in rows:
         assert r["width"] > 0 and r["height"] > 0, (r["media_id"], r["codec"])
         if r["codec"] == "jpeg":
