@@ -991,11 +991,12 @@ def _decode_wav_ima_adpcm(data: bytes, block_align: int, channels: int):
 def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
     """RIFF WAV → (mono float32 waveform in [-1,1], sample_rate).
 
-    Formats: PCM-16 (fmt 1), IEEE float32 (fmt 3), G.711 A-law (fmt 6)
-    and μ-law (fmt 7), and IMA ADPCM (fmt 0x11) — the encodings stdlib
-    arithmetic decodes exactly; stereo downmixes by mean; None for
-    anything else (MS-ADPCM/MP3-in-WAV remain the librosa/ffmpeg
-    seam)."""
+    Formats: PCM 8 (unsigned) / 16 / 24 / 32-bit (fmt 1; 8/24/32
+    anchored against the stdlib's externally-written pluck-pcm*.wav),
+    IEEE float32 (fmt 3), G.711 A-law (fmt 6) and μ-law (fmt 7), and
+    IMA ADPCM (fmt 0x11) — the encodings stdlib arithmetic decodes
+    exactly; stereo downmixes by mean; None for anything else
+    (MS-ADPCM/MP3-in-WAV remain the librosa/ffmpeg seam)."""
     import struct
 
     if not b or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
@@ -1003,6 +1004,7 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
     i = 12
     data = rate = channels = audio_fmt = None
     block_align = 0
+    bps = 16
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = struct.unpack_from("<I", b, i + 4)[0]
@@ -1013,7 +1015,11 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bps = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt == 1 and bps != 16:
+            if audio_fmt == 0xFFFE and len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the SubFormat GUID (pluck-pcm24-ext.wav)
+                audio_fmt = struct.unpack_from("<H", body, 24)[0]
+            if audio_fmt == 1 and bps not in (8, 16, 24, 32):
                 return None
             if audio_fmt == 3 and bps != 32:
                 return None  # float64 WAV: seam
@@ -1028,7 +1034,9 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
         wave = _decode_wav_ima_adpcm(data, block_align, max(1, channels or 1))
         return None if wave is None else (wave, int(rate))
     if audio_fmt == 1:
-        wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        wave = _pcm_to_float(data, bps, "<", unsigned8=True)
+        if wave is None:
+            return None
     elif audio_fmt == 3:  # IEEE float32, already in [-1, 1]
         wave = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif audio_fmt == 6:
@@ -1039,6 +1047,138 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
         n = (len(wave) // channels) * channels
         wave = wave[:n].reshape(-1, channels).mean(axis=1)
     return wave, int(rate)
+
+
+def _pcm_to_float(
+    data: bytes, bps: int, endian: str, unsigned8: bool = False
+) -> np.ndarray | None:
+    """Integer PCM bytes → float32 in [-1, 1].  ``endian`` is '<' or
+    '>'; WAV's 8-bit is unsigned, AIFF/AU's is signed."""
+    if bps == 8:
+        x = np.frombuffer(data, np.uint8).astype(np.float32)
+        return (x - 128.0) / 128.0 if unsigned8 else (
+            np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+        )
+    if bps == 16:
+        return np.frombuffer(data, f"{endian}i2").astype(np.float32) / 32768.0
+    if bps == 24:
+        n = len(data) // 3
+        raw = np.frombuffer(data, np.uint8, count=n * 3).reshape(n, 3)
+        if endian == "<":
+            x = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+        else:
+            x = (
+                raw[:, 2].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 0].astype(np.int32) << 16)
+            )
+        x = (x ^ 0x800000) - 0x800000  # sign-extend 24 bits
+        return x.astype(np.float32) / 8388608.0
+    if bps == 32:
+        return np.frombuffer(data, f"{endian}i4").astype(np.float32) / 2147483648.0
+    return None
+
+
+def _downmix(wave: np.ndarray, channels: int) -> np.ndarray:
+    if channels > 1:
+        n = (len(wave) // channels) * channels
+        wave = wave[:n].reshape(-1, channels).mean(axis=1).astype(np.float32)
+    return wave
+
+
+def decode_aiff(b: bytes) -> tuple[np.ndarray, int] | None:
+    """AIFF / AIFF-C → (mono float32 waveform in [-1,1], sample_rate):
+    big-endian PCM 8/16/24/32 (AIFF-C 'NONE'/'sowt' too) plus G.711
+    'ulaw'/'alaw' AIFC, COMM's 80-bit extended-float sample rate parsed
+    exactly.  Anchored against the stdlib's externally-written
+    pluck-pcm*.aiff / pluck-*.aifc vs their WAV twins."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    is_aifc = b[8:12] == b"AIFC"
+    i = 12
+    channels = bps = rate = None
+    comp = b"NONE"
+    ssnd = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack_from(">I", b, i + 4)[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                return None
+            channels, _nframes, bps = struct.unpack_from(">HIH", body, 0)
+            ext = body[8:18]  # 80-bit extended float sample rate
+            sign = ext[0] >> 7
+            exp = ((ext[0] & 0x7F) << 8 | ext[1]) - 16383
+            mant = int.from_bytes(ext[2:10], "big")
+            if mant == 0:
+                return None
+            rate = int(round((-1 if sign else 1) * mant * 2.0 ** (exp - 63)))
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            if len(body) < 8:
+                return None
+            off = struct.unpack_from(">I", body, 0)[0]
+            ssnd = body[8 + off :]
+        i += 8 + size + (size & 1)
+    if ssnd is None or rate is None or channels is None:
+        return None
+    if comp in (b"NONE", b"none"):
+        wave = _pcm_to_float(ssnd, bps, ">")
+    elif comp == b"sowt":  # little-endian PCM AIFC
+        wave = _pcm_to_float(ssnd, bps, "<")
+    elif comp in (b"ulaw", b"ULAW"):
+        wave = _mulaw_expand(np.frombuffer(ssnd, np.uint8))
+    elif comp in (b"alaw", b"ALAW"):
+        wave = _alaw_expand(np.frombuffer(ssnd, np.uint8))
+    else:
+        return None  # exotic AIFC compressor: seam
+    if wave is None:
+        return None
+    return _downmix(wave, channels), int(rate)
+
+
+def decode_au(b: bytes) -> tuple[np.ndarray, int] | None:
+    """Sun/NeXT .au/.snd → (mono float32 waveform in [-1,1], rate):
+    encodings 1 (G.711 μ-law), 2/3/4/5 (signed PCM 8/16/24/32,
+    big-endian), 27 (A-law).  Anchored against the stdlib's
+    pluck-*.au vs their WAV twins."""
+    import struct
+
+    if len(b) < 24 or b[:4] != b".snd":
+        return None
+    _, off, _size, enc, rate, channels = struct.unpack(">6I", b[:24])
+    if off < 24 or off > len(b) or channels < 1:
+        return None
+    data = b[off:]
+    if enc == 1:
+        wave = _mulaw_expand(np.frombuffer(data, np.uint8))
+    elif enc in (2, 3, 4, 5):
+        wave = _pcm_to_float(data, 8 * (enc - 1), ">")
+    elif enc == 27:
+        wave = _alaw_expand(np.frombuffer(data, np.uint8))
+    else:
+        return None  # float/double/ADPCM .au: seam
+    if wave is None:
+        return None
+    return _downmix(wave, channels), int(rate)
+
+
+def decode_audio_any(b: bytes) -> tuple[np.ndarray, int] | None:
+    """Try every in-container REAL audio codec in magic-byte order:
+    RIFF WAV, AIFF/AIFF-C, Sun .au."""
+    for dec in (decode_wav_pcm16, decode_aiff, decode_au):
+        out = dec(b)
+        if out is not None:
+            return out
+    return None
 
 
 def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:

@@ -1195,6 +1195,62 @@ def test_pdf_lzw_content_stream_roundtrip():
     assert decode_pdf_text(raw_noparm) != text
 
 
+def test_aiff_au_wav_cross_container_conformance():
+    """r6 audio additions: AIFF/AIFF-C and Sun .au decode, plus
+    PCM-8/24/32 and WAVE_FORMAT_EXTENSIBLE WAV.  The stdlib ships the
+    SAME pluck recording in every container/depth — externally-written
+    cross-format anchors: 24/32-bit must be BIT-IDENTICAL float
+    waveforms across wav/aiff/au; 16/8-bit within requantization
+    distance; G.711 variants within companding error of the PCM-16
+    master; the 80-bit extended-float AIFF sample rate must parse to
+    the exact rate."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_audio_any,
+        decode_wav_pcm16,
+    )
+
+    hits = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/audiodata/pluck-pcm24.au"
+    )
+    if not hits:
+        pytest.skip("stdlib audiodata fixtures not present")
+    base = os.path.dirname(hits[0])
+
+    def rd(name):
+        return open(os.path.join(base, name), "rb").read()
+
+    ref, rate = decode_wav_pcm16(rd("pluck-pcm16.wav"))
+    assert rate == 11025 and len(ref) == 3307
+    for depth, tol in (("8", 1 / 128 + 1e-6), ("16", 1e-4), ("24", 0.0), ("32", 0.0)):
+        w, rw = decode_wav_pcm16(rd(f"pluck-pcm{depth}.wav"))
+        a, ra = decode_aiff(rd(f"pluck-pcm{depth}.aiff"))
+        u, ru = decode_au(rd(f"pluck-pcm{depth}.au"))
+        assert rw == ra == ru == 11025
+        assert len(w) == len(a) == len(u) == 3307
+        if tol == 0.0:
+            assert np.array_equal(w, a) and np.array_equal(w, u), depth
+        else:
+            assert np.abs(w - a).max() <= tol, depth
+            assert np.abs(w - u).max() <= tol, depth
+        # the dispatcher routes all three containers
+        assert decode_audio_any(rd(f"pluck-pcm{depth}.aiff")) is not None
+    for name, dec in (
+        ("pluck-ulaw.au", decode_au),
+        ("pluck-ulaw.aifc", decode_aiff),
+        ("pluck-alaw.aifc", decode_aiff),
+    ):
+        wave, r = dec(rd(name))
+        assert r == 11025 and len(wave) == 3307
+        assert np.abs(wave - ref).max() <= 0.03, name  # companding error
+
+
 def test_netpbm_ras_sgi_decode_and_external_conformance():
     """r6 codec additions: the full Netpbm P1-P6 family, Sun Raster
     (standard/RGB-order/RLE), and SGI (verbatim/RLE, bottom-up).
