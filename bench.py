@@ -296,6 +296,7 @@ HEADLINE: dict[str, bool] = {
     "agg_percentiles_kll": True,
     "multimodal_pdf_images": False,
     "multimodal_image_codec_matrix": False,
+    "multimodal_audio_codec_matrix": False,
 }
 
 

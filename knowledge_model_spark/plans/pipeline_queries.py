@@ -659,6 +659,123 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_audio_codec_matrix",
+    None,  # binary payloads built in a pandas kernel — no SQL twin;
+    # the in-plan lossless_ok column is an exact gate, all-true-pinned
+    doc="one recording, every REAL in-container audio container, one "
+    "distributed plan (the audio sibling of multimodal_image_codec_"
+    "matrix): each media row synthesizes a content-addressed PCM-16 "
+    "waveform, stores it as RIFF WAV (PCM-16 and IEEE float32), AIFF, "
+    "AIFF-C 'sowt' (little-endian), and Sun .au (16- and 24-bit — r6 "
+    "decoders, externally anchored against the stdlib's pluck files), "
+    "and a second Arrow-batched stage decodes each through the SAME "
+    "decode_audio_any dispatcher and demands BIT-IDENTICAL float "
+    "output — all six containers hold the same samples losslessly.  "
+    "Scale shape: two mapInPandas over a range scan, zero shuffle",
+)
+def multimodal_audio_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_audio_any,
+        encode_simple_aiff,
+        encode_simple_au,
+    )
+
+    load_tables(spark, sf_dir)
+
+    def _pcm(mid: int) -> tuple["np.ndarray", int]:
+        n = 800 + 16 * (mid % 5)
+        rate = 8000 + 1000 * (mid % 3)
+        f = 100.0 + 13.0 * (mid % 40)
+        t = np.arange(n, dtype=np.float64) / rate
+        return (np.sin(2 * np.pi * f * t) * 12000).astype(np.int16), rate
+
+    def _wav(pcm: "np.ndarray", rate: int, f32: bool) -> bytes:
+        if f32:
+            data = (pcm.astype(np.float32) / 32768.0).astype("<f4").tobytes()
+            fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+        else:
+            data = pcm.astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "codec": [], "payload": []}
+            for mid in pdf["id"]:
+                pcm, rate = _pcm(int(mid))
+                for codec, payload in (
+                    ("wav_pcm16", _wav(pcm, rate, False)),
+                    ("wav_f32", _wav(pcm, rate, True)),
+                    ("aiff", encode_simple_aiff(pcm, rate)),
+                    ("aiff_sowt", encode_simple_aiff(pcm, rate, sowt=True)),
+                    ("au16", encode_simple_au(pcm, rate, 16)),
+                    ("au24", encode_simple_au(pcm.astype(np.int64) << 8, rate, 24)),
+                ):
+                    rows["media_id"].append(int(mid))
+                    rows["codec"].append(codec)
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "codec": rows["codec"],
+                    "payload": rows["payload"],
+                }
+            )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "codec": [], "n_samples": [], "rate": [],
+                "lossless_ok": [],
+            }
+            for mid, codec, payload in zip(
+                pdf["media_id"], pdf["codec"], pdf["payload"]
+            ):
+                pcm, rate = _pcm(int(mid))
+                want = pcm.astype(np.float32) / 32768.0
+                got = decode_audio_any(bytes(payload))
+                ok = (
+                    got is not None
+                    and got[1] == rate
+                    and len(got[0]) == len(want)
+                    and bool(np.array_equal(got[0], want))
+                )
+                out["media_id"].append(int(mid))
+                out["codec"].append(str(codec))
+                out["n_samples"].append(0 if got is None else len(got[0]))
+                out["rate"].append(0 if got is None else int(got[1]))
+                out["lossless_ok"].append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "codec": out["codec"],
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "rate": pd.Series(out["rate"], dtype="int32"),
+                    "lossless_ok": pd.Series(out["lossless_ok"], dtype="bool"),
+                }
+            )
+
+    media = spark.range(48).mapInPandas(
+        build, "media_id long, codec string, payload binary"
+    )
+    return media.mapInPandas(
+        check,
+        "media_id long, codec string, n_samples long, rate int, "
+        "lossless_ok boolean",
+    )
+
+
+@register(
     "multimodal_pdf_text",
     None,  # the PDF bytes are built in a pandas kernel — no SQL twin;
     # the in-plan round-trip equality column is the exact gate, and

@@ -1171,6 +1171,53 @@ def decode_au(b: bytes) -> tuple[np.ndarray, int] | None:
     return _downmix(wave, channels), int(rate)
 
 
+def encode_simple_aiff(
+    pcm16: np.ndarray, rate: int, sowt: bool = False
+) -> bytes:
+    """Minimal mono PCM-16 AIFF writer (fixtures): plain big-endian
+    AIFF, or AIFF-C 'sowt' (little-endian) when ``sowt``."""
+    import struct
+
+    n = len(pcm16)
+    nbits = max(1, int(rate).bit_length())
+    ext = struct.pack(
+        ">HQ", 16383 + nbits - 1, (int(rate) << (64 - nbits)) & (2**64 - 1)
+    )
+    comm = struct.pack(">HIH", 1, n, 16) + ext
+    if sowt:
+        # AIFC: compression type + empty pstring name (len 0 + pad)
+        comm += b"sowt\x00\x00"
+        data = pcm16.astype("<i2").tobytes()
+        form_type = b"AIFC"
+    else:
+        data = pcm16.astype(">i2").tobytes()
+        form_type = b"AIFF"
+    ssnd = struct.pack(">II", 0, 0) + data
+    chunks = b""
+    if sowt:
+        chunks += b"FVER" + struct.pack(">II", 4, 0xA2805140)
+    chunks += b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + chunks
+
+
+def encode_simple_au(pcm: np.ndarray, rate: int, bps: int = 16) -> bytes:
+    """Minimal mono signed-PCM Sun .au writer (fixtures): 8/16/24/32."""
+    import struct
+
+    if bps == 24:
+        x = pcm.astype(np.int32)
+        data = b"".join(
+            int(v).to_bytes(3, "big", signed=True) for v in x
+        )
+    else:
+        data = pcm.astype(f">i{bps // 8}").tobytes()
+    enc = {8: 2, 16: 3, 24: 4, 32: 5}[bps]
+    return struct.pack(
+        ">4s5I", b".snd", 24, len(data), enc, int(rate), 1
+    ) + data
+
+
 def decode_audio_any(b: bytes) -> tuple[np.ndarray, int] | None:
     """Try every in-container REAL audio codec in magic-byte order:
     RIFF WAV, AIFF/AIFF-C, Sun .au."""

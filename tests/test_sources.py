@@ -1401,6 +1401,21 @@ def test_image_codec_matrix_query_gate(spark):
             )
 
 
+def test_audio_codec_matrix_query_gate(spark):
+    """multimodal_audio_codec_matrix end to end: all six containers
+    (WAV pcm16/f32, AIFF, AIFF-C sowt, .au 16/24-bit) decode
+    BIT-IDENTICAL float waveforms for all 48 media rows."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["multimodal_audio_codec_matrix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 48 * 6
+    bad = [(r["media_id"], r["codec"]) for r in rows if not r["lossless_ok"]]
+    assert not bad, bad[:5]
+
+
 def test_pdf_embedded_image_extraction_unit():
     """decode_pdf_images recovers /DCTDecode XObjects byte-identical
     (they are standalone JPEGs per spec) and re-emits Flate/raw
