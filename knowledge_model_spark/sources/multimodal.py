@@ -1038,7 +1038,9 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
         if wave is None:
             return None
     elif audio_fmt == 3:  # IEEE float32, already in [-1, 1]
-        wave = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        wave = np.frombuffer(
+            data[: len(data) - len(data) % 4], dtype="<f4"
+        ).astype(np.float32)
     elif audio_fmt == 6:
         wave = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:  # 7: μ-law
@@ -1053,7 +1055,10 @@ def _pcm_to_float(
     data: bytes, bps: int, endian: str, unsigned8: bool = False
 ) -> np.ndarray | None:
     """Integer PCM bytes → float32 in [-1, 1].  ``endian`` is '<' or
-    '>'; WAV's 8-bit is unsigned, AIFF/AU's is signed."""
+    '>'; WAV's 8-bit is unsigned, AIFF/AU's is signed.  A trailing
+    partial sample (truncated file) is dropped, not crashed on."""
+    if bps in (16, 24, 32):
+        data = data[: len(data) - len(data) % (bps // 8)]
     if bps == 8:
         x = np.frombuffer(data, np.uint8).astype(np.float32)
         return (x - 128.0) / 128.0 if unsigned8 else (

@@ -2638,13 +2638,29 @@ def test_tiff_pdf_lzw_malformed_payload_fuzz_never_raises():
         encode_simple_pdf,
     )
 
+    from knowledge_model_spark.sources.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_ras,
+        decode_sgi,
+        encode_simple_aiff,
+        encode_simple_au,
+        encode_simple_ras,
+        encode_simple_sgi,
+    )
+
     rng = np.random.RandomState(17)
     img = rng.randint(0, 256, (13, 11, 3), np.uint8)
+    pcm = rng.randint(-32768, 32768, 400).astype(np.int16)
     goods = [
         ("tiff", encode_simple_tiff(img, "lzw", 2, 5)),
         ("pdf", encode_simple_pdf(["mutate me", "twice"], compress="lzw",
                                   images=[encode_jpeg(img, 85)])),
         ("lzw", lzw_encode_pdf(img.tobytes())),
+        ("ras", encode_simple_ras(img, rle=True)),
+        ("sgi", encode_simple_sgi(img, rle=True)),
+        ("aiff", encode_simple_aiff(pcm, 8000, sowt=True)),
+        ("au", encode_simple_au(pcm, 8000, 24)),
     ]
     for kind, good in goods:
         for trial in range(150):
@@ -2659,8 +2675,20 @@ def test_tiff_pdf_lzw_malformed_payload_fuzz_never_raises():
                 elif kind == "pdf":
                     decode_pdf_pages(payload)
                     decode_pdf_images(payload)
-                else:
+                elif kind == "lzw":
                     lzw_decode_pdf(payload)
+                elif kind == "ras":
+                    out = decode_ras(payload)
+                    assert out is None or out.ndim == 3
+                elif kind == "sgi":
+                    out = decode_sgi(payload)
+                    assert out is None or out.ndim == 3
+                elif kind == "aiff":
+                    out = decode_aiff(payload)
+                    assert out is None or out[1] != 0
+                else:
+                    out = decode_au(payload)
+                    assert out is None or len(out) == 2
 
 
 def test_jpeg_malformed_payload_fuzz_never_raises():
