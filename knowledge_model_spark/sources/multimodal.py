@@ -159,6 +159,43 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
     return px.reshape(h, w, 3)
 
 
+def decode_xbm(b: bytes) -> np.ndarray | None:
+    """X bitmap (.xbm — a C source fragment) → (H, W, 3) uint8 RGB:
+    ``#define *_width/_height`` plus a brace-delimited hex byte array,
+    bits LSB-first within each byte, rows byte-padded, 1 = foreground
+    (rendered black, matching PBM's ink convention).  Anchored against
+    the stdlib's externally-written python.xbm vs python.pbm."""
+    if len(b) > 1 << 20:
+        return None  # XBMs are tiny; don't regex megabytes of binary
+    try:
+        txt = b.decode("ascii")
+    except UnicodeDecodeError:
+        return None
+    wm = re.search(r"#define\s+\w*_?width\s+(\d+)", txt)
+    hm = re.search(r"#define\s+\w*_?height\s+(\d+)", txt)
+    am = re.search(r"_bits\s*\[\s*\]\s*=\s*\{([^}]*)\}", txt)
+    if not (wm and hm and am):
+        return None
+    w, h = int(wm.group(1)), int(hm.group(1))
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        vals = [
+            int(t.strip(), 0)
+            for t in am.group(1).split(",")
+            if t.strip()
+        ]
+    except ValueError:
+        return None
+    row_bytes = (w + 7) // 8
+    if len(vals) < row_bytes * h or any(not 0 <= v <= 255 for v in vals):
+        return None
+    raw = np.array(vals[: row_bytes * h], np.uint8).reshape(h, row_bytes)
+    bits = np.unpackbits(raw, axis=1, bitorder="little")[:, :w]
+    g = ((1 - bits) * 255).astype(np.uint8)  # 1 = ink = black
+    return np.repeat(g[..., None], 3, axis=2)
+
+
 def decode_ras(b: bytes) -> np.ndarray | None:
     """Sun Raster → (H, W, 3) uint8 RGB: 8-bit gray / 24-bit / 32-bit
     pixels, type 0/1 (standard, BGR order) / 2 (byte-RLE) / 3
@@ -875,7 +912,8 @@ def decode_image_any(b: bytes) -> np.ndarray | None:
     from knowledge_model_spark.sources.jpeg import decode_jpeg
 
     for dec in (decode_ppm, decode_bmp, decode_png, decode_gif,
-                decode_tiff, decode_ras, decode_sgi, decode_jpeg):
+                decode_tiff, decode_ras, decode_sgi, decode_xbm,
+                decode_jpeg):
         img = dec(b)
         if img is not None:
             return img

@@ -1329,6 +1329,14 @@ def test_netpbm_ras_sgi_decode_and_external_conformance():
     assert np.abs(pgm[..., 0].astype(np.int64) - luma).max() <= 8
     pbm = decode_ppm(rd("python.pbm"))
     assert pbm.shape == (16, 16, 3) and set(np.unique(pbm)) <= {0, 255}
+    # XBM (C-source bitmap, LSB-first) must match the SAME image's PBM
+    # (binary bitmap, MSB-first) bit for bit — two externally-written
+    # encodings of one bitmap through two independent parsers
+    from knowledge_model_spark.sources.multimodal import decode_xbm
+
+    xbm = decode_xbm(rd("python.xbm"))
+    assert xbm is not None and (xbm == pbm).all()
+    assert decode_xbm(b"int main() { return 0; }") is None
 
 
 def test_tiff_roundtrip_all_paths_and_external_conformance():
