@@ -1539,14 +1539,14 @@ def audio_features(
             }
             for _, row in pdf.iterrows():
                 if decode == "REAL":
-                    # genuine numpy decode: PCM-16 WAV windows cut by the
-                    # REAL sample rate from the fmt chunk
-                    decoded = decode_wav_pcm16(row["payload"] or b"")
+                    # genuine numpy decode: windows cut by the REAL
+                    # sample rate; WAV, AIFF/AIFC, and .au all route
+                    decoded = decode_audio_any(row["payload"] or b"")
                     if decoded is None:
                         raise NotImplementedError(
                             "compressed audio (MP3/OGG/…) requires librosa/"
                             "ffmpeg — not in container; REAL decode supports "
-                            "RIFF PCM-16 WAV"
+                            "WAV/AIFF/AIFC/.au (PCM, float32, G.711, ADPCM)"
                         )
                     wave, rate = decoded
                     step = max(1, rate * window_ms // 1000)
@@ -1746,12 +1746,12 @@ def audio_vad_segments(
             }
             for _, row in pdf.iterrows():
                 if decode == "REAL":
-                    decoded = decode_wav_pcm16(row["payload"] or b"")
+                    decoded = decode_audio_any(row["payload"] or b"")
                     if decoded is None:
                         raise NotImplementedError(
                             "compressed audio (MP3/OGG/…) requires librosa/"
                             "ffmpeg — not in container; REAL decode supports "
-                            "RIFF PCM-16 WAV"
+                            "WAV/AIFF/AIFC/.au (PCM, float32, G.711, ADPCM)"
                         )
                     wave, rate = decoded
                     step = max(1, rate * frame_ms // 1000)
