@@ -784,8 +784,10 @@ def multimodal_audio_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     "PyMuPDF get_text single-process over rglob('*.pdf')): documents "
     "become genuine PDFs in one pandas kernel (sources/pdf."
     "encode_simple_pdf — real xref/objects; the stream filter rotates "
-    "FlateDecode / LZWDecode / uncompressed per doc so every "
-    "in-container decode path is round-trip-gated), then "
+    "FlateDecode / LZWDecode / uncompressed / PNG-predictor-12 Flate / "
+    "TIFF-predictor-2 LZW per doc so every in-container decode path "
+    "including /DecodeParms predictor inversion is round-trip-gated), "
+    "then "
     "sources/pdf.pdf_text_extract runs genuine content extraction "
     "(stdlib-zlib inflate + BT/ET Tj/TJ text assembly) in a second "
     "Arrow-batched stage; roundtrip_ok proves extracted == source for "
@@ -817,9 +819,13 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ".join(words[i : i + 40]) for i in range(0, len(words), 40)
                 ] or [""]
                 # rotate the stream filter per doc so the round-trip
-                # gate covers all three in-container decode paths:
-                # FlateDecode, /LZWDecode (early-change LZW, r6), raw
-                comp: bool | str = (True, "lzw", False)[int(did) % 3]
+                # gate covers every in-container decode path:
+                # FlateDecode, /LZWDecode (early-change LZW, r6), raw,
+                # and the /DecodeParms predictor forms (r7 — PNG
+                # predictor 12 over Flate, TIFF predictor 2 over LZW)
+                comp: bool | str = (
+                    True, "lzw", False, "flate-pred12", "lzw-pred2"
+                )[int(did) % 5]
                 payloads.append(encode_simple_pdf(pages, compress=comp))
             yield pd.DataFrame(
                 {

@@ -510,48 +510,19 @@ def decode_png(b: bytes) -> np.ndarray | None:
 
     def unfilter(pw: int, ph: int, pos: int):
         """Unfilter a (ph, pw)-pixel sub-image starting at raw[pos];
-        returns (pixels, next pos) or None."""
+        returns (pixels, next pos) or None.  The scanline loop is the
+        shared predictor core (sources/predictors.py) — the same code
+        that inverts PDF /DecodeParms PNG predictors."""
+        from knowledge_model_spark.sources.predictors import (
+            png_unfilter_scanlines,
+        )
+
         stride = (pw * channels * bitd + 7) // 8
-        if len(raw) < pos + ph * (stride + 1):
-            return None
-        sub = np.zeros((ph, stride), np.uint8)
         bpp = max(1, channels * bitd // 8)  # filter byte distance
-        for y in range(ph):
-            ft = raw[pos]
-            pos += 1
-            line = np.frombuffer(raw, np.uint8, stride, pos).copy()
-            pos += stride
-            prev = sub[y - 1] if y else np.zeros(stride, np.uint8)
-            if ft == 0:  # None
-                sub[y] = line
-            elif ft == 2:  # Up — vectorized, uint8 add wraps mod 256
-                sub[y] = line + prev
-            elif ft == 1:  # Sub
-                rec = line
-                for x in range(bpp, stride):
-                    rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
-                sub[y] = rec
-            elif ft == 3:  # Average
-                rec = line
-                for x in range(stride):
-                    left = int(rec[x - bpp]) if x >= bpp else 0
-                    rec[x] = (int(rec[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-                sub[y] = rec
-            elif ft == 4:  # Paeth
-                rec = line
-                for x in range(stride):
-                    a = int(rec[x - bpp]) if x >= bpp else 0
-                    up = int(prev[x])
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + up - c
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                    pred = (
-                        a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                    )
-                    rec[x] = (int(rec[x]) + pred) & 0xFF
-                sub[y] = rec
-            else:
-                return None
+        got = png_unfilter_scanlines(raw, pos, ph, stride, bpp)
+        if got is None:
+            return None
+        sub, pos = got
         if bitd == 16:
             # 16-bit samples are big-endian: the HIGH byte is the
             # standard 8-bit downconversion (val >> 8)

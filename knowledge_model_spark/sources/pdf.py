@@ -7,11 +7,15 @@ This module is the in-container decode for the encodings that dominate
 real-world text PDFs — **FlateDecode content streams (stdlib zlib),
 /LZWDecode streams (the shared early-change LZW core in sources/
 lzw.py), /ASCIIHexDecode and /ASCII85Decode (stdlib binascii/base64,
-including the chained [/ASCII85Decode /FlateDecode] form), and
+including the chained [/ASCII85Decode /FlateDecode] form),
+/RunLengthDecode, ``/DecodeParms /Predictor`` post-processing (TIFF
+predictor 2 and PNG predictors 10–15 via the shared row-filter core in
+sources/predictors.py — the form modern writers give exactly the
+ObjStm/xref streams that carry the catalog/page tree), and
 uncompressed streams** — so the engine's PDF→text path runs genuine
-content extraction, not a stub.  Scanned/image-only PDFs, row
-predictors, and the remaining filters (DCT/JPX/CCITT/RunLength for
-CONTENT streams) stay the declared seam,
+content extraction, not a stub.  Scanned/image-only PDFs and the
+remaining filters (DCT/JPX for CONTENT streams) stay the declared
+seam,
 as do font-CMap re-encodings: literal/hex strings are decoded as
 UTF-8-with-replacement, which is exact for the ASCII page content the
 fixtures and the reference's PubMed corpus overwhelmingly carry.
@@ -106,38 +110,67 @@ def _stream_payload(b: bytes, body: bytes, body_at: int) -> bytes | None:
 _FILTER_SPEC_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
 
 
+def _decode_parms(head: bytes) -> tuple[int, int, int, int]:
+    """(predictor, columns, colors, bpc) from a stream dictionary's
+    /DecodeParms (spec defaults 1/1/1/8).  The regex scans the whole
+    head, which also finds the params inside the array form
+    ``/DecodeParms [null << ... >>]`` — predictor params only ever
+    parameterize the Flate/LZW stage, so attribution is unambiguous."""
+    def _int(key: bytes, default: int) -> int:
+        m = re.search(rb"/%s\s+(\d+)" % key, head)
+        return int(m.group(1)) if m else default
+
+    return (
+        _int(b"Predictor", 1),
+        _int(b"Columns", 1),
+        _int(b"Colors", 1),
+        _int(b"BitsPerComponent", 8),
+    )
+
+
 def _apply_filters(data: bytes, head: bytes) -> bytes | None:
     """Run the stream's /Filter chain (scalar or array form, applied in
     declaration order per PDF 32000-1 §7.4): FlateDecode (stdlib zlib),
     LZWDecode (the early-change LZW core, /EarlyChange honored),
     ASCIIHexDecode / ASCII85Decode (stdlib binascii/base64), and
-    RunLengthDecode.  None for any filter outside that set (DCT/JPX/
-    CCITT — the declared seam; DCT image XObjects are instead surfaced
-    whole by :func:`decode_pdf_images`) and for /Predictor > 1 (the
-    PNG/TIFF row predictors post-process Flate/LZW output; decoding
-    without applying them would return wrong bytes, so skip
-    honestly)."""
+    RunLengthDecode.  ``/DecodeParms /Predictor`` post-processing (2 =
+    TIFF horizontal differencing, 10–15 = PNG row filters — the form
+    modern writers give exactly the ObjStm/xref streams that carry the
+    catalog/page tree) is inverted through the shared predictor core
+    (sources/predictors.py) after the Flate/LZW stage it parameterizes.
+    None for any filter outside that set (DCT/JPX/CCITT — the declared
+    seam; DCT image XObjects are instead surfaced whole by
+    :func:`decode_pdf_images`) and for malformed predictor data
+    (non-row-aligned / bad tag byte: skip honestly, never misdecode)."""
     fm = _FILTER_SPEC_RE.search(head)
     if not fm:
         return data  # no filter: raw stream
     names = re.findall(rb"/(\w+)", fm.group(1))
-    pm = re.search(rb"/Predictor\s+(\d+)", head)
-    if pm and int(pm.group(1)) > 1:
-        return None
+    predictor, columns, colors, bpc = _decode_parms(head)
+
+    def _unpredict(decoded: bytes | None) -> bytes | None:
+        if decoded is None or predictor <= 1:
+            return decoded
+        from knowledge_model_spark.sources.predictors import unfilter_rows
+
+        return unfilter_rows(decoded, predictor, columns, colors, bpc)
+
     for name in names:
         if data is None:
             return None
         if name == b"FlateDecode":
             try:
-                data = zlib.decompress(data)
+                data = _unpredict(zlib.decompress(data))
             except zlib.error:
                 return None  # corrupt stream: skip, don't lie
         elif name == b"LZWDecode":
             em = re.search(rb"/EarlyChange\s+(\d+)", head)
             from knowledge_model_spark.sources.lzw import lzw_decode_pdf
 
-            data = lzw_decode_pdf(
-                data, early_change=int(em.group(1)) if em else 1
+            data = _unpredict(
+                lzw_decode_pdf(
+                    data, early_change=int(em.group(1)) if em else 1
+                )
             )
         elif name == b"ASCIIHexDecode":
             import binascii
@@ -202,11 +235,34 @@ def _objects_by_number(b: bytes) -> dict[int, tuple[bytes, int]]:
     ``/First``).  Members cannot themselves contain streams, so their
     synthetic body offset of -1 is never used for /Length slicing.  A
     direct (top-level) definition of the same object number wins over
-    an ObjStm member — incremental updates append direct objects."""
-    objs = {
-        int(m.group(1)): (m.group(2), m.start(2))
-        for m in _NUM_OBJ_RE.finditer(b)
-    }
+    an ObjStm member — incremental updates append direct objects.
+
+    Binary stream payloads (embedded JPEGs, compressed data) can
+    contain the byte pattern ``N 0 obj … endobj`` by chance; a match
+    STARTING inside a previously resolved stream's /Length extent is a
+    phantom that could shadow a real object (or swallow the one after
+    the stream), so the scan tracks extents and re-searches from each
+    extent's end instead of trusting the raw regex walk."""
+    objs: dict[int, tuple[bytes, int]] = {}
+    extents: list[tuple[int, int]] = []  # resolved stream [start, end)
+    pos = 0
+    while True:
+        m = _NUM_OBJ_RE.search(b, pos)
+        if m is None:
+            break
+        hit = next((e for s, e in extents if s <= m.start() < e), None)
+        if hit is not None:
+            pos = hit  # phantom match inside stream bytes: rescan after
+            continue
+        body, at = m.group(2), m.start(2)
+        sm = _STREAM_START_RE.search(body)
+        if sm is not None:
+            raw = _raw_stream(b, body, at)
+            if raw is not None:
+                start = at + sm.end()
+                extents.append((start, start + len(raw[1])))
+        objs[int(m.group(1))] = (body, at)
+        pos = m.end()
     members: dict[int, tuple[bytes, int]] = {}
     for body, at in list(objs.values()):
         sm = _STREAM_START_RE.search(body)
@@ -661,8 +717,10 @@ def encode_simple_pdf(
     """Minimal but well-formed single-font PDF writer (fixtures and the
     round-trip query): one content stream per page, FlateDecode by
     default (``compress="lzw"`` writes /LZWDecode streams — the
-    pre-Flate legacy filter old Acrobat-era PDFs carry), real xref
-    table.  Each input page string becomes Td-spaced ``Tj`` lines, so
+    pre-Flate legacy filter old Acrobat-era PDFs carry;
+    ``"flate-pred12"`` / ``"lzw-pred2"`` write /DecodeParms
+    predictor-filtered streams — PNG predictor 12 and TIFF horizontal
+    differencing), real xref table.  Each input page string becomes Td-spaced ``Tj`` lines, so
     ``decode_pdf_text(encode_simple_pdf(pages))`` reproduces
     ``"\\n".join(pages)`` exactly — the property the tests and the
     registered round-trip query pin.
@@ -722,6 +780,33 @@ def encode_simple_pdf(
 
             data = lzw_encode_pdf(body)
             head = b"<< /Length %d /Filter /LZWDecode >>" % len(data)
+        elif compress in ("flate-pred12", "lzw-pred2"):
+            # /DecodeParms predictor streams: the row-structured form
+            # modern writers give ObjStm/xref (and occasionally content)
+            # streams.  The body pads to whole rows with spaces — inert
+            # to the content tokenizer — then the shared predictor core
+            # filters the rows before compression.
+            from knowledge_model_spark.sources.predictors import filter_rows
+
+            columns = 64
+            if len(body) % columns:
+                body += b" " * (columns - len(body) % columns)
+            if compress == "flate-pred12":
+                filtered = filter_rows(body, 12, columns)
+                data = zlib.compress(filtered)
+                head = (
+                    b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                    b"<< /Predictor 12 /Columns %d >> >>" % (len(data), columns)
+                )
+            else:
+                from knowledge_model_spark.sources.lzw import lzw_encode_pdf
+
+                filtered = filter_rows(body, 2, columns)
+                data = lzw_encode_pdf(filtered)
+                head = (
+                    b"<< /Length %d /Filter /LZWDecode /DecodeParms "
+                    b"<< /Predictor 2 /Columns %d >> >>" % (len(data), columns)
+                )
         elif compress:
             data = zlib.compress(body)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)

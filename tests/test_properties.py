@@ -748,3 +748,43 @@ def test_grid_ordering_equals_single_window_incl_null_grids(spark, rows, asc):
             df, ["p"], F.col("g"), order, F.col("v"), out_rn="rn", out_cum="c"
         )
         assert {r["id"]: (r["rn"], r["c"]) for r in got3.collect()} == truth
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=12),
+    columns=st.integers(min_value=1, max_value=24),
+    colors=st.integers(min_value=1, max_value=4),
+    predictor=st.sampled_from([2, 10, 11, 12, 13, 14, 15]),
+    filters=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=5
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_pdf_predictor_roundtrip_property(
+    n_rows, columns, colors, predictor, filters, seed
+):
+    """filter_rows → unfilter_rows is the identity for every predictor
+    the PDF spec defines (2 = TIFF differencing, 10–15 = PNG row
+    filters) across geometries, color counts, and per-row filter-type
+    rotations — encoder and decoder are independent inverse paths
+    (the LZW/ADPCM conformance method)."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.predictors import (
+        filter_rows,
+        unfilter_rows,
+    )
+
+    data = (
+        np.random.RandomState(seed)
+        .randint(0, 256, n_rows * columns * colors, np.uint8)
+        .tobytes()
+    )
+    enc = filter_rows(data, predictor, columns, colors, 8, filter_types=filters)
+    assert unfilter_rows(enc, predictor, columns, colors, 8) == data
+    # non-row-aligned truncation refuses honestly (never a misdecode);
+    # stride-aligned truncation legitimately decodes the shorter rowset
+    stride = columns * colors + (1 if predictor >= 10 else 0)
+    if stride > 1:
+        assert unfilter_rows(enc[:-1], predictor, columns, colors, 8) is None

@@ -1622,13 +1622,176 @@ def test_pdf_ascii_filters_and_chains():
         one_obj(b"/Filter /RunLengthDecode", rled)
     ) == "RLLLE run"
 
-    # predictor-filtered and unknown filters: honest None (empty text)
+    # a predictor-DECLARED stream whose data is NOT actually
+    # row-filtered (first tag byte is 'B', not a filter type) must
+    # refuse honestly, never misdecode; unknown filters likewise
     flate = _z.compress(b"BT (x) Tj ET")
     assert decode_pdf_text(one_obj(
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>",
         flate,
     )) == ""
     assert decode_pdf_text(one_obj(b"/Filter /DCTDecode", b"\xff\xd8junk")) == ""
+
+
+def test_pdf_predictor_streams_decode():
+    """/DecodeParms row predictors (r6 verdict item 1): PNG predictor
+    12 over FlateDecode and TIFF predictor 2 over LZWDecode — the forms
+    modern writers give ObjStm/xref streams — decode through the shared
+    predictor core instead of refusing.  Fixtures are hand-assembled
+    (predictor filtering via sources/predictors.filter_rows, the
+    encoder twin; the decoder inverts through an independent path)."""
+    import zlib as _z
+
+    from knowledge_model_spark.sources.lzw import lzw_encode_pdf
+    from knowledge_model_spark.sources.pdf import decode_pdf_text
+    from knowledge_model_spark.sources.predictors import filter_rows
+
+    def one_obj(head: bytes, data: bytes) -> bytes:
+        return (
+            b"%%PDF-1.4\n1 0 obj\n<< /Length %d %s >>\nstream\n"
+            % (len(data), head)
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    body = b"BT (predictor twelve) Tj 0 -14 Td (second line) Tj ET"
+    cols = 16
+    padded = body + b" " * (-len(body) % cols)
+
+    # PNG predictor 12 over Flate, rotating all five row filter types
+    data = _z.compress(filter_rows(padded, 12, cols, filter_types=[0, 1, 2, 3, 4]))
+    pdf = one_obj(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >>"
+        % cols,
+        data,
+    )
+    assert decode_pdf_text(pdf) == "predictor twelve\nsecond line"
+
+    # TIFF predictor 2 over LZW (content-stream form of task 1's
+    # "predictor-2 LZW content stream round-trip")
+    data2 = lzw_encode_pdf(filter_rows(padded, 2, cols))
+    pdf2 = one_obj(
+        b"/Filter /LZWDecode /DecodeParms << /Predictor 2 /Columns %d >>"
+        % cols,
+        data2,
+    )
+    assert decode_pdf_text(pdf2) == "predictor twelve\nsecond line"
+
+    # array-form DecodeParms aligned with an array-form filter chain
+    pdf3 = one_obj(
+        b"/Filter [ /FlateDecode ] /DecodeParms "
+        b"[ << /Predictor 12 /Columns %d >> ]" % cols,
+        data,
+    )
+    assert decode_pdf_text(pdf3) == "predictor twelve\nsecond line"
+
+    # non-row-aligned predictor data: honest refusal (empty text)
+    bad = _z.compress(
+        filter_rows(padded, 12, cols, filter_types=[0]) + b"\x00"
+    )
+    pdf4 = one_obj(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >>"
+        % cols,
+        bad,
+    )
+    assert decode_pdf_text(pdf4) == ""
+
+
+def test_pdf_object_stream_predictor12():
+    """A predictor-12 Flate ObjStm (the exact stream modern writers
+    predictor-compress) resolves its members: same reversed-content
+    fixture as test_pdf_object_stream_members_resolved, so correct page
+    order proves the tree was reached THROUGH the predictor-coded
+    object stream."""
+    import zlib as _z
+
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_pages,
+        decode_pdf_text,
+    )
+    from knowledge_model_spark.sources.predictors import filter_rows
+
+    m1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    m2 = b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"
+    m3 = b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"
+    m4 = b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+    offs, pos, packed = [], 0, b""
+    for m in (m1, m2, m3, m4):
+        offs.append(pos)
+        packed += m + b" "
+        pos += len(m) + 1
+    header = b"1 %d 2 %d 3 %d 4 %d " % tuple(offs)
+    cols = 24
+    plain = header + packed
+    padded = plain + b" " * (-len(plain) % cols)
+    payload = _z.compress(filter_rows(padded, 12, cols, filter_types=[2, 4, 1, 3, 0]))
+
+    def stream_obj(num: int, head: bytes, data: bytes) -> bytes:
+        return (
+            b"%d 0 obj\n<< %s /Length %d >>\nstream\n" % (num, head, len(data))
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    pdf = (
+        b"%PDF-1.5\n"
+        + stream_obj(5, b"", b"BT (second page) Tj ET")
+        + stream_obj(6, b"", b"BT (first page) Tj ET")
+        + stream_obj(
+            7,
+            b"/Type /ObjStm /N 4 /First %d /Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 12 /Columns %d >>"
+            % (len(header), cols),
+            payload,
+        )
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert decode_pdf_pages(pdf) == ["first page", "second page"]
+    assert decode_pdf_text(pdf) == "first page\nsecond page"
+
+
+def test_pdf_phantom_object_inside_stream_payload():
+    """A binary stream payload containing the byte pattern
+    ``endobj N 0 obj … endobj`` (r6 ADVICE: embedded JPEG bytes can
+    collide) must not shadow a real object: the leading ``endobj``
+    truncates the enclosing object's regex match, so a naive scan would
+    then match the phantom ``1 0 obj`` as a real (last-wins) catalog
+    redefinition pointing at a dangling page tree.  Content streams are
+    stored in REVERSED file order, so only genuine tree resolution
+    through the REAL catalog yields the right page order — the
+    byte-order fallback a shadowed catalog forces would emit the pages
+    backwards."""
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_pages,
+        decode_pdf_text,
+    )
+
+    phantom = (
+        b"\xff\xd8 jpeg-ish bytes endobj 1 0 obj "
+        b"<< /Type /Catalog /Pages 9 0 R >> endobj \xff\xd9"
+    )
+    c2 = b"BT (second page) Tj ET"
+    c1 = b"BT (first page) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+        + b"7 0 obj\n<< /Length %d >>\nstream\n" % len(phantom)
+        + phantom
+        + b"\nendstream\nendobj\n"
+        # content streams in REVERSED file order (page 2's first)
+        + b"5 0 obj\n<< /Length %d >>\nstream\n" % len(c2)
+        + c2
+        + b"\nendstream\nendobj\n"
+        + b"6 0 obj\n<< /Length %d >>\nstream\n" % len(c1)
+        + c1
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert decode_pdf_pages(pdf) == ["first page", "second page"]
+    assert decode_pdf_text(pdf) == "first page\nsecond page"
 
 
 def test_pdf_text_operators_hand_authored():
