@@ -271,16 +271,19 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="embedded-figure extraction from PDFs (the image half of the "
     "reference's PyMuPDF surface, parse_pdfs.py — page.get_images is "
     "the library analog): documents become genuine PDFs whose page 1 "
-    "embeds 1-2 /DCTDecode image XObjects (REAL JPEGs from sources/"
-    "jpeg.encode_jpeg, drawn with cm/Do operators), then sources/pdf."
-    "decode_pdf_images recovers them BYTE-IDENTICAL in a second "
-    "Arrow-batched stage and sources/jpeg.decode_jpeg computes real "
-    "pixel statistics — the figure-mining step of a multimodal "
-    "training pipeline over paper corpora.  extract_ok compares "
-    "against the content-addressed expected bytes recomputed from "
-    "media_id, so the gate rides the plan with zero joins.  Scale "
-    "shape: two mapInPandas over the documents scan — no shuffle, "
-    "payloads never leave the executors",
+    "embeds 1-2 image XObjects ROTATING the encoding per figure — "
+    "/DCTDecode (REAL JPEGs from sources/jpeg.encode_jpeg, recovered "
+    "byte-identical), /FlateDecode raw RGB samples, and /LZWDecode "
+    "raw gray samples (both re-emitted as P6 PPM, r7 — every "
+    "raw-sample branch of decode_pdf_images now exercised "
+    "distributed), drawn with cm/Do operators.  sources/pdf."
+    "decode_pdf_images recovers each in a second Arrow-batched stage "
+    "and decode_image_any computes real pixel statistics — the "
+    "figure-mining step of a multimodal training pipeline over paper "
+    "corpora.  extract_ok compares against the content-addressed "
+    "expected bytes recomputed from media_id, so the gate rides the "
+    "plan with zero joins.  Scale shape: two mapInPandas over the "
+    "documents scan — no shuffle, payloads never leave the executors",
 )
 def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -288,7 +291,8 @@ def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from knowledge_model_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import decode_image_any
     from knowledge_model_spark.sources.pdf import (
         decode_pdf_images,
         encode_simple_pdf,
@@ -314,6 +318,31 @@ def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             axis=2,
         ).astype(np.uint8)
 
+    def _entry(did: int, k: int):
+        """Figure k of doc did as an encode_simple_pdf image entry,
+        rotating the XObject encoding: /DCTDecode JPEG, /FlateDecode
+        raw RGB, /LZWDecode raw gray — content-addressed on (did, k)."""
+        kind = ("dct", "flate", "lzw-gray")[(did + k) % 3]
+        fig = _figure(did, k)
+        if kind == "dct":
+            return encode_jpeg(fig, 90)
+        if kind == "flate":
+            return ("flate", fig)
+        return ("lzw-gray", fig[:, :, 0])
+
+    def _expected(did: int, k: int) -> bytes:
+        """The exact payload decode_pdf_images must re-emit for figure
+        (did, k): the JPEG bytes for DCT, P6 PPM for raw-sample."""
+        kind = ("dct", "flate", "lzw-gray")[(did + k) % 3]
+        fig = _figure(did, k)
+        h, w = fig.shape[:2]
+        if kind == "dct":
+            return encode_jpeg(fig, 90)
+        if kind == "flate":
+            return b"P6\n%d %d\n255\n" % (w, h) + fig.tobytes()
+        gray = np.repeat(fig[:, :, :1], 3, axis=2)
+        return b"P6\n%d %d\n255\n" % (w, h) + gray.tobytes()
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -323,7 +352,7 @@ def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_simple_pdf(
                             make_reference_shaped_pages(txt),
                             images=[
-                                encode_jpeg(_figure(int(did), k), 90)
+                                _entry(int(did), k)
                                 for k in range(1 + int(did) % 2)
                             ],
                         )
@@ -342,21 +371,20 @@ def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 imgs = decode_pdf_images(bytes(payload)) or []
                 expected = [
-                    encode_jpeg(_figure(int(mid), k), 90)
-                    for k in range(1 + int(mid) % 2)
+                    _expected(int(mid), k) for k in range(1 + int(mid) % 2)
                 ]
-                for k, jpg in enumerate(imgs):
-                    px = decode_jpeg(jpg)
+                for k, blob in enumerate(imgs):
+                    px = decode_image_any(blob)
                     ok = (
                         k < len(expected)
-                        and jpg == expected[k]
+                        and blob == expected[k]
                         and px is not None
                     )
                     rows["media_id"].append(int(mid))
                     rows["image_index"].append(k)
                     rows["width"].append(0 if px is None else px.shape[1])
                     rows["height"].append(0 if px is None else px.shape[0])
-                    rows["n_bytes"].append(len(jpg))
+                    rows["n_bytes"].append(len(blob))
                     rows["extract_ok"].append(bool(ok))
                     rows["mean_luma"].append(
                         0.0 if px is None

@@ -601,6 +601,15 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _image_entry_dims(img) -> tuple[int, int]:
+    """(width, height) of an encode_simple_pdf image entry — JPEG bytes
+    or a (kind, pixel-array) tuple."""
+    if isinstance(img, (bytes, bytearray)):
+        return _jpeg_dims(bytes(img)) or (1, 1)
+    px = img[1]
+    return int(px.shape[1]), int(px.shape[0])
+
+
 _DECODABLE_FILTERS = (
     b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode", b"ASCII85Decode",
 )
@@ -725,10 +734,15 @@ def encode_simple_pdf(
     ``"\\n".join(pages)`` exactly — the property the tests and the
     registered round-trip query pin.
 
-    ``images``: JPEG payloads embedded as /DCTDecode image XObjects,
-    referenced from page 1's resources and drawn with ``cm``/``Do``
-    operators — the shape every figure-bearing article PDF has;
-    :func:`decode_pdf_images` extracts them back byte-identical."""
+    ``images``: image XObjects embedded on page 1, referenced from its
+    resources and drawn with ``cm``/``Do`` operators — the shape every
+    figure-bearing article PDF has.  Each entry is either raw JPEG
+    ``bytes`` (embedded as /DCTDecode, extracted back byte-identical by
+    :func:`decode_pdf_images`) or a ``(kind, pixels)`` tuple with
+    ``kind`` in ``{"flate", "lzw-gray"}`` and ``pixels`` a uint8 numpy
+    array (HxWx3 RGB for flate, HxW gray for lzw-gray) — embedded as a
+    raw-sample image behind /FlateDecode or /LZWDecode, which
+    :func:`decode_pdf_images` re-emits as P6 PPM."""
 
     def esc(line: str) -> bytes:
         raw = line.encode("utf-8")
@@ -768,8 +782,8 @@ def encode_simple_pdf(
             ops.append(b"(" + esc(line) + b") Tj")
         ops.append(b"ET")
         if i == 0 and imgs:
-            for j, jpg in enumerate(imgs):
-                dims = _jpeg_dims(jpg) or (1, 1)
+            for j, img in enumerate(imgs):
+                dims = _image_entry_dims(img)
                 ops.append(
                     b"q %d 0 0 %d 72 %d cm /Im%d Do Q"
                     % (dims[0], dims[1], 80 + 8 * j, j + 1)
@@ -817,15 +831,41 @@ def encode_simple_pdf(
     objs.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
-    for jpg in imgs:
-        w, h = _jpeg_dims(jpg) or (0, 0)
+    for img in imgs:
+        w, h = _image_entry_dims(img)
+        if isinstance(img, (bytes, bytearray)):  # JPEG → /DCTDecode
+            jpg = bytes(img)
+            objs.append(
+                (
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode /Length %d >>\nstream\n"
+                    % (w, h, len(jpg))
+                )
+                + jpg
+                + b"\nendstream"
+            )
+            continue
+        kind, px = img
+        raw = px.astype("uint8").tobytes()
+        if kind == "flate":
+            data = zlib.compress(raw)
+            flt, cs = b"/FlateDecode", b"/DeviceRGB"
+        elif kind == "lzw-gray":
+            from knowledge_model_spark.sources.lzw import lzw_encode_pdf
+
+            data = lzw_encode_pdf(raw)
+            flt, cs = b"/LZWDecode", b"/DeviceGray"
+        else:
+            raise ValueError(f"unknown image kind {kind!r}")
         objs.append(
             (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-                b"/Filter /DCTDecode /Length %d >>\nstream\n" % (w, h, len(jpg))
+                b"/ColorSpace %s /BitsPerComponent 8 "
+                b"/Filter %s /Length %d >>\nstream\n"
+                % (w, h, cs, flt, len(data))
             )
-            + jpg
+            + data
             + b"\nendstream"
         )
 
