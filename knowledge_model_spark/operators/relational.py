@@ -997,3 +997,69 @@ def asof_join_nearest(
         .alias("asof_dt_us")
     )
     return both.select(*out_cols)
+
+
+def interval_overlap_counts(
+    sessions: DataFrame,
+    bucket_col: str = "day",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Per-bucket COUNT of overlapping interval pairs via a boundary
+    sweep — the O(n log n) scale twin of the pair-materializing
+    interval-overlap join (which is Θ(output) = Θ(n²) per bucket when
+    most intervals overlap, as same-day activity spans do).
+
+    Identity: intervals a, b overlap iff NOT (e_a < s_b or e_b < s_a),
+    so  overlap_pairs = C(n, 2) − #{(a, b) : e_a < s_b}.  The strict
+    "ends before start" count is a merge of the boundary multiset: sort
+    (t, is_end) per bucket with starts BEFORE ends on ties (e == s
+    touches, which counts as overlap under the <= predicate, so an
+    equal end must NOT be counted), take the running sum of is_end at
+    each start.  Ties among starts contribute 0 to the running sum and
+    end-row values are never read, so tie order cannot change the
+    result — deterministic under any partitioning.
+
+    Scale shape: ONE hash shuffle on the bucket key (the window), and
+    the follow-up groupBy reuses that partitioning — no second
+    exchange, no pair row ever exists.  Parallelism is bucket-count
+    bound: the bucket is the TIME dimension, so a 100 TB events span
+    brings proportionally more buckets; per-bucket cost is the window
+    sort, n log n.  Output schema: (bucket, n_sessions, overlap_pairs).
+    """
+    ev = sessions.select(
+        F.col(bucket_col).alias("__b"),
+        F.col(start_col).alias("__t"),
+        F.lit(0).alias("__is_end"),
+    ).unionAll(
+        sessions.select(
+            F.col(bucket_col).alias("__b"),
+            F.col(end_col).alias("__t"),
+            F.lit(1).alias("__is_end"),
+        )
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__t", "__is_end")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scan = ev.withColumn("__ends_before", F.sum("__is_end").over(w))
+    return (
+        scan.groupBy(F.col("__b").alias(bucket_col))
+        .agg(
+            F.sum(1 - F.col("__is_end")).cast("long").alias("n_sessions"),
+            F.sum(
+                F.when(F.col("__is_end") == 0, F.col("__ends_before")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__disjoint"),
+        )
+        .select(
+            bucket_col,
+            "n_sessions",
+            (
+                (F.col("n_sessions") * (F.col("n_sessions") - 1) / 2).cast("long")
+                - F.col("__disjoint")
+            ).cast("long").alias("overlap_pairs"),
+        )
+    )

@@ -219,7 +219,14 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="interval-overlap join: per-(user,day) activity intervals, pairs "
     "whose spans intersect.  The day column doubles as the coarse "
     "equi-bucket, so the non-equi overlap predicate only runs within "
-    "buckets — the formulation that avoids a cross join at 100 TB",
+    "buckets — the formulation that avoids a cross join at 100 TB.  "
+    "NOTE (r7): the OUTPUT itself is Θ(Σ_day n_day²) by query "
+    "semantics — same-day activity spans almost all overlap (measured "
+    "1.6k/168k/17.1M pairs at sf0.001/0.01/0.1) — so wall time is "
+    "output-bound, not algorithm-waste; the slope-harness whitelist "
+    "entry records the argument and join_interval_overlap_count is "
+    "the registered O(n log n) scale twin for when only counts are "
+    "needed",
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -248,6 +255,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(a.day, "user_a", "user_b")
     )
+
+
+@register(
+    "join_interval_overlap_count",
+    """
+    WITH sessions AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT day, s AS t, 0 AS is_end FROM sessions
+      UNION ALL
+      SELECT day, e AS t, 1 AS is_end FROM sessions
+    ),
+    scan AS (
+      SELECT day, is_end,
+             sum(is_end) OVER (PARTITION BY day ORDER BY t, is_end
+                               ROWS UNBOUNDED PRECEDING) AS ends_before
+      FROM ev
+    ),
+    agg AS (
+      SELECT day,
+             sum(CASE WHEN is_end = 0 THEN 1 ELSE 0 END) AS n,
+             sum(CASE WHEN is_end = 0 THEN ends_before ELSE 0 END) AS disjoint
+      FROM scan GROUP BY day
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_sessions,
+           CAST(n * (n - 1) // 2 - disjoint AS BIGINT) AS overlap_pairs
+    FROM agg
+    """,
+    doc="interval-overlap PAIR COUNTS per day via an O(n log n) boundary "
+    "sweep (overlap_pairs = C(n,2) − #ends-strictly-before-starts) — "
+    "the 100 TB scale twin of join_interval_overlap, whose "
+    "materialized output is Θ(n_day²) by semantics.  One hash shuffle "
+    "on day (the window); the groupBy reuses that partitioning; no "
+    "pair row ever exists.  operators/relational.py::"
+    "interval_overlap_counts; sweep == brute-force equality gated on "
+    "planted skew in tests/test_plan_shapes.py",
+)
+def join_interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import (
+        interval_overlap_counts,
+    )
+
+    t = load_tables(spark, sf_dir)
+    sessions = (
+        t["events"]
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    return interval_overlap_counts(sessions, "day", "s", "e")
 
 
 @register(

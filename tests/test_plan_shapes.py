@@ -573,3 +573,72 @@ def test_video_pipeline_single_aggregate_shuffle(spark):
     plan = _plan(spark, "multimodal_video_pipeline")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 3
+
+
+def test_interval_overlap_count_sweep_on_planted_skew(spark):
+    """The O(n log n) sweep twin (r7: join_interval_overlap_count) must
+    match brute-force pair counting on PLANTED skew — one hot bucket
+    where all k intervals overlap (the worst case that makes the
+    pair-materializing join Θ(k²)), one bucket of strictly disjoint
+    chained intervals, one bucket mixing touching endpoints (e == s
+    counts as overlap under the <= predicate) — and its plan must hold
+    the one-exchange shape: a single hash shuffle on the bucket, no
+    join node, no pair row ever produced."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.operators.relational import (
+        interval_overlap_counts,
+    )
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = []
+    # hot bucket: 40 sessions all spanning [1:00, 20:00] → C(40,2) pairs
+    rows += [("hot", ts(1), ts(20)) for _ in range(40)]
+    # disjoint chain: [h, h+0:30] hourly → 0 pairs
+    rows += [("disjoint", ts(h), ts(h, 30)) for h in range(1, 21)]
+    # touching: e == next s exactly → each adjacent pair overlaps
+    rows += [("touch", ts(h), ts(h + 1)) for h in range(1, 11)]
+    sessions = spark.createDataFrame(rows, "day string, s timestamp, e timestamp")
+
+    got = {
+        r["day"]: (r["n_sessions"], r["overlap_pairs"])
+        for r in interval_overlap_counts(sessions, "day", "s", "e").collect()
+    }
+    # brute-force truth over the tiny planted set
+    a = sessions.select(
+        "day", F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+        F.monotonically_increasing_id().alias("ia"),
+    ).localCheckpoint()
+    b = a.select(
+        "day", F.col("s_a").alias("s_b"), F.col("e_a").alias("e_b"),
+        F.col("ia").alias("ib"),
+    )
+    brute = {
+        r["day"]: r["n"]
+        for r in a.join(b, "day")
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got["hot"] == (40, 40 * 39 // 2)
+    assert got["disjoint"] == (20, 0)
+    assert got["touch"] == (10, 9)
+    for day, (_, pairs) in got.items():
+        assert pairs == brute.get(day, 0), day
+
+    plan = (
+        interval_overlap_counts(sessions, "day", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # exactly one exchange subtree shape: hashpartitioning on the bucket
+    assert plan.count("hashpartitioning(day") <= 2  # window + reused agg
