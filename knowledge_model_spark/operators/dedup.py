@@ -1069,3 +1069,194 @@ def semantic_dedup_survivors(
         df, id_col, vec_col, n_clusters, threshold, n_iter
     ).select(F.col("id_a"), F.col("id_b"))
     return dedup_cluster_survivors(df, pairs, id_col)
+
+
+# ---------------------------------------- md5-keyed (oracle-checkable) LSH
+
+# Fixed-seed permutation constants for the md5 MinHash variant — shared
+# verbatim by the Spark plan and the generated DuckDB oracle SQL.
+_MD5_RNG = np.random.default_rng(20260815)
+MD5_MINHASH_A = [int(x) for x in _MD5_RNG.integers(1, _P31, size=N_HASHES)]
+MD5_MINHASH_B = [int(x) for x in _MD5_RNG.integers(0, _P31, size=N_HASHES)]
+
+
+def md5_hash31(col) -> "F.Column":
+    """md5-derived 31-bit integer hash of a string column — the
+    cross-engine keystone of the oracle-checkable LSH variants: Spark
+    ``conv(substr(md5(x),1,15),16,10) % p`` and DuckDB
+    ``CAST('0x' || substr(md5(x),1,15) AS BIGINT) % p`` produce
+    bit-identical values (both md5 implementations are RFC 1321; the
+    15-hex-char prefix is 60 bits, safely inside a signed long)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % _P31
+    )
+
+
+def md5_hash60(col) -> "F.Column":
+    """md5-derived 60-bit integer hash (no modulus) — the SimHash word
+    hash for the oracle-checkable variant."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = N_HASHES,
+    bands: int = 32,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with md5-derived shingle hashes — the
+    DuckDB-oracle-checkable twin of :func:`minhash_lsh_pairs` (r6
+    verdict item 4: the xxhash64/siphash fast path has no cross-engine
+    equivalent, so the driver could never certify it; md5 is RFC 1321
+    in both engines, making the ENTIRE pipeline — shingling, signature,
+    banding, bucket join, estimate — hash-identical end to end).
+
+    Same algebra as the fast path: signature i = min over shingles of
+    (a_i·h + b_i) mod p with h = md5-31(shingle) (constants from a
+    fixed seed, embedded verbatim in the generated oracle SQL); band
+    buckets key on md5 of the comma-joined 4-row slice (a string key
+    both engines render identically, replacing the fast path's
+    mod-p band mix); candidates from same-(band, bucket) groups capped
+    at ``max_bucket_size``; survivors verified by signature agreement
+    ≥ threshold_num/threshold_den (compared in INTEGERS —
+    n_match·den ≥ n_hashes·num — and emitted as the exact double
+    n_match/n_hashes, unrounded: k/128 is a terminating binary
+    fraction, bit-identical cross-engine, while round() at a decimal
+    tie is not).
+
+    Scale shape: identical to the fast path — explode shingles, ONE
+    partial-agg groupBy(doc) carrying 128 min aggregates, slim
+    (id, band, bucket) shuffle, in-bucket incremental pair expansion
+    (:func:`_bucket_pairs`), no self-join of the corpus.  The md5 cost
+    is one digest per shingle occurrence (vs one vectorized siphash
+    batch) — measured 3.7 s vs the fast path's 1.3 s full-query min at
+    sf0.1 (~2.8×), the price of driver certifiability; both variants
+    stay registered, the xxhash64 path remains the 100 TB default.
+    """
+    rows_per_band = n_hashes // bands
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    ).withColumn("h", md5_hash31(F.col("s")))
+    mins = sets.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(MD5_MINHASH_A[i]) * F.col("h") + F.lit(MD5_MINHASH_B[i]))
+                % F.lit(_P31)
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    sig = mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    ).localCheckpoint(eager=True)  # sig feeds banding + both verify sides
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[i].cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    cands = (
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cands.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn("n_match", n_match)
+        .filter(
+            F.col("n_match") * threshold_den >= F.lit(n_hashes * threshold_num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_match") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) 60-bit SimHash with md5-derived word hashes — the
+    oracle-checkable twin of :func:`simhash` (which uses xxhash64).
+    Same shape: explode words, ONE partial-agg groupBy(id) with one
+    ±1 sum per bit; 60 bits because the md5 15-hex-char prefix is 60
+    bits (still block-banded 4×16 by :func:`hash64_hamming_pairs` —
+    the top block carries 12 live bits, pigeonhole recall unchanged)."""
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    n_bits = 60
+    words = F.filter(
+        F.split(normalize_for_dedup(F.col(text_col)), " "),
+        lambda w: F.length(w) > 0,
+    )
+    exploded = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+        .withColumn("h", md5_hash60(F.col("w")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    agg = exploded.groupBy("id").agg(*bit_sums)
+    sig = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ max_distance over the
+    md5-derived 60-bit signature — rides the same block-banding
+    machinery as the fast path (:func:`hash64_hamming_pairs`)."""
+    return hash64_hamming_pairs(
+        simhash_md5(df, id_col, text_col), max_distance, max_bucket_size
+    )

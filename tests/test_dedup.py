@@ -412,3 +412,58 @@ def test_prefix_filter_equals_allpairs_with_max_df(spark, tables):
         ).collect()
     }
     assert fast == base
+
+
+def test_minhash_md5_twin_ground_truth(spark, docs, tables):
+    """The md5-oracled twin (r7) passes the SAME exact-Jaccard gates as
+    the fast path: identical docs estimate 1.0, near-dups are caught by
+    banding, unrelated docs never pair, and on corpus data every
+    exact-Jaccard ≥ 0.8 pair is found with the estimate within 0.2."""
+    from knowledge_model_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs_md5(
+            docs, "doc_id", "text", threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+    corpus = tables["documents"]
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs_md5(
+            corpus, "doc_id", "text", threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    for pair, j in exact.items():
+        if j >= 0.8:
+            assert pair in est, f"md5 LSH missed high-sim pair {pair} ({j})"
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.2
+
+
+def test_simhash_md5_twin_ground_truth(spark, docs):
+    from knowledge_model_spark.operators.dedup import simhash_pairs_md5
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in simhash_pairs_md5(
+            docs, "doc_id", "text", max_distance=8
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical text
+    assert (0, 5) in pairs and pairs[(0, 5)] <= 4  # case/punct variant
+    assert not any(4 in p for p in pairs)
