@@ -273,9 +273,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the library analog): documents become genuine PDFs whose page 1 "
     "embeds 1-2 image XObjects ROTATING the encoding per figure — "
     "/DCTDecode (REAL JPEGs from sources/jpeg.encode_jpeg, recovered "
-    "byte-identical), /FlateDecode raw RGB samples, and /LZWDecode "
-    "raw gray samples (both re-emitted as P6 PPM, r7 — every "
-    "raw-sample branch of decode_pdf_images now exercised "
+    "byte-identical), /FlateDecode raw RGB samples, /LZWDecode raw "
+    "gray samples, and /CCITTFaxDecode Group 4 1-bit scans (sources/"
+    "ccitt.py, r7 — all non-DCT kinds re-emitted as P6 PPM; every "
+    "raw-sample and fax branch of decode_pdf_images now exercised "
     "distributed), drawn with cm/Do operators.  sources/pdf."
     "decode_pdf_images recovers each in a second Arrow-batched stage "
     "and decode_image_any computes real pixel statistics — the "
@@ -318,30 +319,38 @@ def multimodal_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             axis=2,
         ).astype(np.uint8)
 
+    _KINDS = ("dct", "flate", "lzw-gray", "g4")
+
     def _entry(did: int, k: int):
         """Figure k of doc did as an encode_simple_pdf image entry,
         rotating the XObject encoding: /DCTDecode JPEG, /FlateDecode
-        raw RGB, /LZWDecode raw gray — content-addressed on (did, k)."""
-        kind = ("dct", "flate", "lzw-gray")[(did + k) % 3]
+        raw RGB, /LZWDecode raw gray, /CCITTFaxDecode Group 4 1-bit
+        (r7) — content-addressed on (did, k)."""
+        kind = _KINDS[(did + k) % 4]
         fig = _figure(did, k)
         if kind == "dct":
             return encode_jpeg(fig, 90)
         if kind == "flate":
             return ("flate", fig)
-        return ("lzw-gray", fig[:, :, 0])
+        if kind == "lzw-gray":
+            return ("lzw-gray", fig[:, :, 0])
+        return ("g4", fig[:, :, 0] >= 128)  # threshold → 1-bit scan
 
     def _expected(did: int, k: int) -> bytes:
         """The exact payload decode_pdf_images must re-emit for figure
-        (did, k): the JPEG bytes for DCT, P6 PPM for raw-sample."""
-        kind = ("dct", "flate", "lzw-gray")[(did + k) % 3]
+        (did, k): the JPEG bytes for DCT, P6 PPM otherwise."""
+        kind = _KINDS[(did + k) % 4]
         fig = _figure(did, k)
         h, w = fig.shape[:2]
         if kind == "dct":
             return encode_jpeg(fig, 90)
         if kind == "flate":
             return b"P6\n%d %d\n255\n" % (w, h) + fig.tobytes()
-        gray = np.repeat(fig[:, :, :1], 3, axis=2)
-        return b"P6\n%d %d\n255\n" % (w, h) + gray.tobytes()
+        if kind == "lzw-gray":
+            gray = np.repeat(fig[:, :, :1], 3, axis=2)
+            return b"P6\n%d %d\n255\n" % (w, h) + gray.tobytes()
+        luma = np.where(fig[:, :, 0] >= 128, 0, 255).astype(np.uint8)
+        return b"P6\n%d %d\n255\n" % (w, h) + np.repeat(luma, 3).tobytes()
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

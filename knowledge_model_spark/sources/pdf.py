@@ -615,15 +615,47 @@ _DECODABLE_FILTERS = (
 )
 
 
+def _decode_ccitt_image(data: bytes, head: bytes) -> bytes | None:
+    """A /CCITTFaxDecode image stream → P6 PPM, or None.  Group 4 only
+    (/K < 0 — the form scanned-document PDFs carry; G3 1-D/mixed is the
+    remaining seam).  The bit→gray mapping honors /BlackIs1 (default
+    false: black runs are 0 samples) and a /Decode [1 0] inversion, so
+    black pixels land at luma 0 for every writer convention."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import g4_decode
+
+    km = re.search(rb"/K\s+(-?\d+)", head)
+    if km is None or int(km.group(1)) >= 0:
+        return None  # G3: seam
+    cm = re.search(rb"/Columns\s+(\d+)", head)
+    rm = re.search(rb"/Rows\s+(\d+)", head)
+    hm = re.search(rb"/Height\s+(\d+)", head)
+    columns = int(cm.group(1)) if cm else 1728
+    rows = int(rm.group(1)) if rm else (int(hm.group(1)) if hm else None)
+    bitmap = g4_decode(bytes(data), columns, rows)
+    if bitmap is None:
+        return None
+    black_bit = 1 if re.search(rb"/BlackIs1\s+true", head) else 0
+    inverted = re.search(rb"/Decode\s*\[\s*1(?:\.0)?\s+0(?:\.0)?\s*\]", head)
+    # gray sample of a black pixel after the (default-identity) Decode map
+    black_gray = black_bit if not inverted else 1 - black_bit
+    luma = np.where(bitmap, black_gray, 1 - black_gray).astype(np.uint8) * 255
+    h, w = luma.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.repeat(luma, 3).tobytes()
+
+
 def decode_pdf_images(b: bytes) -> list[bytes] | None:
     """Embedded image XObjects of a PDF, in file order, each re-emitted
     as a payload the in-container image codecs decode: **/DCTDecode
     streams pass through as complete JPEG files** (the spec guarantees
     a DCT image stream is a standalone JPEG — sources/jpeg.py then
-    decodes it), and raw-sample images behind Flate/LZW/ASCII filters
-    with 8-bit /DeviceRGB or /DeviceGray become P6 PPM.  None when the
-    payload is not a PDF; JPX/CCITT/JBIG2, predictor-coded, indexed,
-    and CMYK images are skipped (the declared seam).
+    decodes it), raw-sample images behind Flate/LZW/ASCII filters
+    with 8-bit /DeviceRGB or /DeviceGray become P6 PPM, and
+    **/CCITTFaxDecode Group 4 images (r7 — the scanned-document fax
+    filter) decode through sources/ccitt.py to P6**.  None when the
+    payload is not a PDF; JPX/JBIG2, G3 CCITT, predictor-coded,
+    indexed, and CMYK images are skipped (the declared seam).
 
     This is the image half of the reference's PyMuPDF surface
     (parse_pdfs.py opens the same documents; ``page.get_images`` is
@@ -646,8 +678,13 @@ def decode_pdf_images(b: bytes) -> list[bytes] | None:
             if _jpeg_dims(jpg) is not None:
                 out.append(jpg)
             continue
+        if names == [b"CCITTFaxDecode"]:
+            ppm = _decode_ccitt_image(data, head)
+            if ppm is not None:
+                out.append(ppm)
+            continue
         if any(nm not in _DECODABLE_FILTERS for nm in names):
-            continue  # JPX/CCITT/JBIG2/...: the seam
+            continue  # JPX/JBIG2/...: the seam
         px = _apply_filters(data, head)
         wm = re.search(rb"/Width\s+(\d+)", head)
         hm = re.search(rb"/Height\s+(\d+)", head)
@@ -739,10 +776,11 @@ def encode_simple_pdf(
     figure-bearing article PDF has.  Each entry is either raw JPEG
     ``bytes`` (embedded as /DCTDecode, extracted back byte-identical by
     :func:`decode_pdf_images`) or a ``(kind, pixels)`` tuple with
-    ``kind`` in ``{"flate", "lzw-gray"}`` and ``pixels`` a uint8 numpy
-    array (HxWx3 RGB for flate, HxW gray for lzw-gray) — embedded as a
-    raw-sample image behind /FlateDecode or /LZWDecode, which
-    :func:`decode_pdf_images` re-emits as P6 PPM."""
+    ``kind`` in ``{"flate", "lzw-gray", "g4"}`` and ``pixels`` a numpy
+    array (HxWx3 uint8 RGB for flate, HxW uint8 gray for lzw-gray,
+    HxW bool True=black for g4) — embedded as a raw-sample image
+    behind /FlateDecode or /LZWDecode, or a /CCITTFaxDecode Group 4
+    1-bit image; :func:`decode_pdf_images` re-emits each as P6 PPM."""
 
     def esc(line: str) -> bytes:
         raw = line.encode("utf-8")
@@ -847,6 +885,22 @@ def encode_simple_pdf(
             )
             continue
         kind, px = img
+        if kind == "g4":
+            from knowledge_model_spark.sources.ccitt import g4_encode
+
+            data = g4_encode(px)
+            objs.append(
+                (
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    b"/Filter /CCITTFaxDecode /DecodeParms "
+                    b"<< /K -1 /Columns %d /Rows %d >> /Length %d >>\nstream\n"
+                    % (w, h, w, h, len(data))
+                )
+                + data
+                + b"\nendstream"
+            )
+            continue
         raw = px.astype("uint8").tobytes()
         if kind == "flate":
             data = zlib.compress(raw)

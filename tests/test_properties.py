@@ -788,3 +788,28 @@ def test_pdf_predictor_roundtrip_property(
     stride = columns * colors + (1 if predictor >= 10 else 0)
     if stride > 1:
         assert unfilter_rows(enc[:-1], predictor, columns, colors, 8) is None
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=96),
+    density=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_ccitt_g4_roundtrip_property(h, w, density, seed):
+    """g4_encode → g4_decode is the identity across geometries and ink
+    densities (dense noise forces horizontal-mode MH runs; sparse
+    images exercise vertical and pass modes) — encoder and decoder are
+    independently written, so identity is a real conformance check."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import g4_decode, g4_encode
+
+    img = np.random.RandomState(seed).rand(h, w) < density
+    enc = g4_encode(img)
+    got = g4_decode(enc, w)
+    assert got is not None and np.array_equal(got, img)
+    # rows hint (the PDF /Rows path) must agree
+    got2 = g4_decode(enc, w, rows=h)
+    assert got2 is not None and np.array_equal(got2, img)

@@ -2882,3 +2882,116 @@ def test_jpeg_malformed_payload_fuzz_never_raises():
         for payload in (bytes(b), bytes(b[:cut])):
             out = decode_jpeg(payload)  # must not raise
             assert out is None or out.ndim == 3
+
+
+def test_ccitt_g4_code_tables_structural():
+    """The T.4/T.6 code tables must be prefix-free within each decode
+    context (white runs, black runs, 2-D modes) — the structural
+    property that catches transcription typos — and carry the exact
+    spec anchors every G4 description reproduces (white-0 = 00110101,
+    black-0 = 0000110111, white-64 makeup = 11011, black-64 makeup =
+    0000001111, EOL = 000000000001)."""
+    from knowledge_model_spark.sources.ccitt import (
+        BLACK_MAKEUP,
+        BLACK_TERMINATING,
+        EOFB,
+        EXT_MAKEUP,
+        MODE_CODES,
+        WHITE_MAKEUP,
+        WHITE_TERMINATING,
+    )
+
+    def assert_prefix_free(codes, label):
+        codes = sorted(codes)
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), (label, a, b)
+
+    white = list(WHITE_TERMINATING.values()) + list(WHITE_MAKEUP.values()) + list(EXT_MAKEUP.values())
+    black = list(BLACK_TERMINATING.values()) + list(BLACK_MAKEUP.values()) + list(EXT_MAKEUP.values())
+    assert len(set(white)) == len(white) and len(set(black)) == len(black)
+    assert_prefix_free(white, "white")
+    assert_prefix_free(black, "black")
+    assert_prefix_free(list(MODE_CODES), "modes")
+    # spec anchors
+    assert WHITE_TERMINATING[0] == "00110101"
+    assert BLACK_TERMINATING[0] == "0000110111"
+    assert WHITE_MAKEUP[64] == "11011"
+    assert BLACK_MAKEUP[64] == "0000001111"
+    assert WHITE_MAKEUP[1728] == "010011011"
+    assert EXT_MAKEUP[2560] == "000000011111"
+    assert EOFB == "000000000001" * 2
+    # run-length coverage: every terminating 0-63, every makeup multiple
+    assert sorted(WHITE_TERMINATING) == list(range(64))
+    assert sorted(BLACK_TERMINATING) == list(range(64))
+    assert sorted(WHITE_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(BLACK_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(EXT_MAKEUP) == [1792 + 64 * i for i in range(13)]
+
+
+def test_ccitt_g4_hand_vectors():
+    """Hand-computed T.6 streams: an all-white page is one V0 bit per
+    line then EOFB; an all-black first line is horizontal mode with a
+    zero-length white run then the black width — bit patterns checked
+    against the spec tables, not against this repo's own decoder."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import EOFB, g4_decode, g4_encode
+
+    white = np.zeros((5, 64), bool)
+    bits = "".join(f"{b:08b}" for b in g4_encode(white))
+    assert bits.startswith("1" * 5 + EOFB)
+    assert set(bits[5 + len(EOFB):]) <= {"0"}
+
+    black = np.ones((1, 16), bool)
+    bits_b = "".join(f"{b:08b}" for b in g4_encode(black))
+    # H mode (001) + white run 0 (00110101) + black run 16 (0000010111)
+    assert bits_b.startswith("001" + "00110101" + "0000010111")
+
+    # decode side: hand-assemble "V0 V0 V0" for a 3-line white page
+    hand = "111" + EOFB
+    hand += "0" * (-len(hand) % 8)
+    data = bytes(int(hand[i : i + 8], 2) for i in range(0, len(hand), 8))
+    got = g4_decode(data, 40)
+    assert got is not None and got.shape == (3, 40) and not got.any()
+
+
+def test_ccitt_g4_pdf_image_extraction():
+    """A /CCITTFaxDecode K=-1 image XObject decodes through
+    decode_pdf_images to the exact P6 raster, honoring the BlackIs1
+    and /Decode [1 0] writer conventions."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import g4_encode
+    from knowledge_model_spark.sources.multimodal import decode_image_any
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_images,
+        encode_simple_pdf,
+    )
+
+    rng = np.random.RandomState(3)
+    bitmap = rng.rand(24, 40) < 0.4
+    pdf = encode_simple_pdf(["scanned page"], images=[("g4", bitmap)])
+    imgs = decode_pdf_images(pdf)
+    assert imgs is not None and len(imgs) == 1
+    luma = np.where(bitmap, 0, 255).astype(np.uint8)
+    expect = b"P6\n40 24\n255\n" + np.repeat(luma, 3).tobytes()
+    assert imgs[0] == expect
+    px = decode_image_any(imgs[0])
+    assert px is not None and px.shape == (24, 40, 3)
+    assert np.array_equal(px[..., 0] == 0, bitmap)
+
+    # BlackIs1 true (no Decode): the literal rendering pipeline inverts
+    data = g4_encode(bitmap)
+    xobj = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image "
+        b"/Width 40 /Height 24 /ColorSpace /DeviceGray "
+        b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+        b"/DecodeParms << /K -1 /Columns 40 /Rows 24 /BlackIs1 true >> "
+        b"/Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    inv = decode_pdf_images(xobj)
+    assert inv is not None and len(inv) == 1
+    luma_inv = np.where(bitmap, 255, 0).astype(np.uint8)
+    assert inv[0] == b"P6\n40 24\n255\n" + np.repeat(luma_inv, 3).tobytes()
