@@ -55,16 +55,18 @@ WHITELIST: dict[str, tuple[str, str]] = {
 }
 
 _AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_BOUNDED = _AGGS + ("LocalLimit", "TakeOrderedAndProject")
 # WindowGroupLimit (the node Spark 4 inserts under a rank<=k filter)
-# bounds its output to k rows PER GROUP — strictly global boundedness
-# would additionally need a bounded group count, which the plan text
-# cannot prove.  It is accepted as bounding because (a) per-group-limit
-# shortlists feeding a global window are exactly the top-k-then-
-# normalize shape (retrieval_hybrid_weighted: k=20 per retriever), and
-# (b) the alternative — a per-query whitelist entry — waives EVERY
-# single-partition check for that query, which is strictly weaker than
-# trusting the limit node (r5 verdict item 7).
-_BOUNDED = _AGGS + ("LocalLimit", "TakeOrderedAndProject", "WindowGroupLimit")
+# bounds its output to k rows PER GROUP; global boundedness
+# additionally needs a bounded GROUP COUNT.  r6 accepted the node
+# unconditionally; r7 (verdict item 7) tightens it: the node counts as
+# bounding only when its OWN subtree contains a genuine bounding
+# operator (an aggregate or limit — the node that caps how many groups
+# can exist, e.g. retrieval_hybrid_weighted's per-label
+# ObjectHashAggregate on the query side of its top-k shortlist).  A
+# WindowGroupLimit keyed directly on raw scan columns with no
+# aggregate anywhere below is per-group-bounded but globally unbounded
+# and now fails the lint, requiring an explicit whitelist entry.
 # single-child operators that preserve (never multiply) row counts, so
 # boundedness looks through them.  Window is row-preserving — it adds
 # COLUMNS over the same rows; the single-partition hazard of an
@@ -108,6 +110,18 @@ def _single_partition_violations(plan: str) -> list[str]:
             if any(b in nxt for b in _BOUNDED):
                 verdict = "ok"
                 break
+            if "WindowGroupLimit" in nxt:
+                # bounded per group; globally bounded only if the group
+                # count is — require a bounding node in ITS subtree
+                wbase = _indent(nxt)
+                verdict = "WindowGroupLimit with unbounded group count"
+                for sub in lines[j + 1 :]:
+                    if _indent(sub) <= wbase:
+                        break  # left the WindowGroupLimit's subtree
+                    if any(b in sub for b in _BOUNDED):
+                        verdict = "ok"
+                        break
+                break
             if any(p in nxt for p in _PASSTHROUGH):
                 continue
             verdict = nxt.strip()[:90]
@@ -140,3 +154,43 @@ def test_plan_lint(spark, name):
             f"{name}: Exchange SinglePartition over unbounded input "
             f"(serializes the corpus through one task at scale): {viol}"
         )
+
+
+def test_window_group_limit_rule_requires_bounded_group_count():
+    """The r7 tightening (verdict item 7): a WindowGroupLimit whose own
+    subtree contains no aggregate/limit is per-group-bounded but
+    globally unbounded — the lint must flag it; one with an aggregate
+    below (the group-count bound) passes.  Exercised on synthetic plan
+    text so the rule itself is pinned, not just its effect on today's
+    registry."""
+    unbounded = "\n".join([
+        "Sort [x ASC]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- WindowGroupLimit [k], [s DESC], row_number(), 20, Final",
+        "      +- Sort [k ASC, s DESC], false, 0",
+        "         +- FileScan parquet [k,s]",
+    ])
+    viol = _single_partition_violations(unbounded)
+    assert viol and "unbounded group count" in viol[0]
+
+    bounded = "\n".join([
+        "Sort [x ASC]",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- WindowGroupLimit [k], [s DESC], row_number(), 20, Final",
+        "      +- Sort [k ASC, s DESC], false, 0",
+        "         +- HashAggregate(keys=[k], functions=[max(s)])",
+        "            +- FileScan parquet [k,s]",
+    ])
+    assert not _single_partition_violations(bounded)
+
+    # a bounding node AFTER the subtree (sibling branch) must not count
+    escaped = "\n".join([
+        "Union",
+        ":- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        ":  +- WindowGroupLimit [k], [s DESC], row_number(), 20, Final",
+        ":     +- FileScan parquet [k,s]",
+        "+- HashAggregate(keys=[k], functions=[max(s)])",
+        "   +- FileScan parquet [k,s]",
+    ])
+    viol2 = _single_partition_violations(escaped)
+    assert viol2 and "unbounded group count" in viol2[0]
