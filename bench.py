@@ -371,7 +371,16 @@ def main() -> None:
             spark.catalog.clearCache()
         times.sort()
         timings[name] = round(times[0], 3)
-        medians[name] = round(times[len(times) // 2], 3)
+        # true median: average the two middle elements for even rep
+        # counts (times[n//2] alone is the UPPER middle — with reps=2
+        # it equals the max, biasing the recorded 'median' high)
+        mid = len(times) // 2
+        med = (
+            times[mid]
+            if len(times) % 2
+            else (times[mid - 1] + times[mid]) / 2
+        )
+        medians[name] = round(med, 3)
         total += times[0]
 
     line = {

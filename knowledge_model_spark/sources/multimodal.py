@@ -110,10 +110,19 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
     if kind in (1, 2, 3):  # ASCII rasters
         n_vals = w * h * (3 if kind == 3 else 1)
         if kind == 1:
-            # P1 digits may be unseparated; strip comments then digits
-            body = re.sub(rb"#[^\n]*", b"", b[i:])
-            vals = np.frombuffer(body, np.uint8)
-            vals = vals[(vals == 0x30) | (vals == 0x31)] - 0x30
+            # P1 digits may be unseparated; strip comments, then the
+            # body must contain ONLY '0'/'1'/whitespace — silently
+            # dropping other bytes would decode a shifted raster from a
+            # malformed payload instead of refusing (r6 ADVICE)
+            body = np.frombuffer(re.sub(rb"#[^\n]*", b"", b[i:]), np.uint8)
+            is_bit = (body == 0x30) | (body == 0x31)
+            is_ws = (
+                (body == 0x20) | (body == 0x09) | (body == 0x0A)
+                | (body == 0x0B) | (body == 0x0C) | (body == 0x0D)
+            )
+            if not (is_bit | is_ws).all():
+                return None
+            vals = body[is_bit] - 0x30
             if len(vals) < n_vals:
                 return None
             vals = vals[:n_vals].astype(np.int64)

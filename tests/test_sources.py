@@ -2995,3 +2995,19 @@ def test_ccitt_g4_pdf_image_extraction():
     assert inv is not None and len(inv) == 1
     luma_inv = np.where(bitmap, 255, 0).astype(np.uint8)
     assert inv[0] == b"P6\n40 24\n255\n" + np.repeat(luma_inv, 3).tobytes()
+
+
+def test_p1_ascii_rejects_non_bit_bytes():
+    """A malformed P1 whose body carries bytes other than '0'/'1'/
+    whitespace/comments must refuse (r6 ADVICE: the old filter silently
+    dropped them and decoded a SHIFTED raster)."""
+    from knowledge_model_spark.sources.multimodal import decode_ppm
+
+    good = b"P1\n# comment\n3 2\n0 1 0\n101\n"
+    px = decode_ppm(good)
+    assert px is not None and px.shape == (2, 3, 3)
+    assert decode_ppm(b"P1\n3 2\n0 2 1 0 1 0 1\n") is None  # stray digit
+    assert decode_ppm(b"P1\n3 2\nab0101x0\n") is None  # letters
+    assert decode_ppm(b"P1\n3 2\n010101 junk\n") is None  # trailing junk
+    # comments inside the raster stay legal
+    assert decode_ppm(b"P1\n3 2\n010# junk ok\n101\n") is not None
