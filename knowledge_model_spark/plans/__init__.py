@@ -27,276 +27,283 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Iteration-order priority for the driver's correctness gate.  The
 # driver samples the FIRST ~50 registry entries, so ordering is the
 # lever that decides which queries get a driver row each round.
-# Round-6 policy (regenerated from CORRECTNESS_r01-r05): (a) the 25
-# oracled queries that have NEVER had a driver row (r5 verdict item 1
-# names them) — covering these closes cumulative driver-green at
-# 232/232; (b) text_pdf_link_extract, whose anchor-text regex changed
-# this round (r5 ADVICE) — its r5 green row no longer certifies the
-# shipped code; (c) the 24 oracled queries whose only driver row is
-# from r1, oldest-certification-first; that fills the 50-slot window.
-# After the window: the two rows-only PDF queries whose decode changed
-# this round (blank-page retention) and the new agg_percentiles_kll
-# twin, then everything else in prior order.
+# Round-7 policy (r6 verdict item 5, regenerated from
+# CORRECTNESS_r01-r06): (a) the three NEW oracled queries
+# (dedup_minhash_lsh_md5 / dedup_simhash_md5 / join_interval_overlap_
+# count — code written this round, never certified) lead; (b) the rest
+# of the 50-slot window is all-oracled, oldest-certification-first
+# (the 43 queries whose newest green row dates from r2, then the
+# oldest r3 rows) so the window can go 50/50 green while retiring the
+# stalest certifications; (c) immediately after the window: the four
+# rows-only multimodal queries whose decode paths changed this round
+# (pdf predictors/CCITT, P1 strictness) in case the driver samples
+# deeper, then remaining oracled oldest-first, then rows-only.
+# Standing rule: any query whose implementation or shared-helper code
+# changed in a round sorts before unchanged ones; ties break
+# oldest-certification-first.
 _GATE_PRIORITY = [
-    "join_asof_cogrouped",
-    "agg_incremental_state",
-    "eval_ndcg_mrr_at_10",
-    "sample_kfold_assign",
-    "events_variant_props",
-    "sql_pipe_syntax_revenue",
-    "agg_heavy_hitter_terms",
-    "join_bloom_pruned",
-    "events_funnel_steps",
-    "text_url_normalize",
-    "quality_unigram_logppl",
-    "retrieval_mmr_rerank",
-    "sample_fixed_per_group",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "join_interval_overlap_count",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "chunk_sentence_budget",
+    "chunk_word_budget",
+    "corpus_dual_variant",
+    "corpus_weighted_merge",
+    "dedup_first_order_per_customer",
+    "embeddings_label_centroids",
+    "eval_recall_label_at_10",
+    "join_anti_customers_without_orders",
+    "join_asof_last_event_before_order",
+    "join_full_outer_nation_activity",
+    "join_left_outer_order_counts",
+    "join_range_acctbal_band",
+    "join_semi_orders_with_big_items",
+    "join_theta_price_above_retail",
+    "map_event_type_shares",
+    "pack_training_sequences",
+    "postprocess_unhelpful_flag",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "retrieval_build_prompt",
+    "retrieval_pack_context",
+    "retrieval_rerank_topk",
+    "retrieval_threshold_cascade",
+    "sample_train_split",
+    "setop_customer_only_nations",
+    "setop_nations_with_both",
+    "setop_union_all_keys",
+    "subquery_scalar_above_avg",
+    "text_page_furniture",
+    "text_top_terms",
+    "udaf_label_centroid",
+    "unpivot_flag_metrics",
+    "window_dense_rank_parts",
+    "window_lead_lag_order_gap",
+    "window_ntile_percent_rank",
+    "window_running_revenue",
+    "window_top3_orders_per_customer",
+    "agg_mode_quantity",
+    "corpus_crossdup_matrix",
+    "corpus_js_divergence",
+    "corpus_kl_divergence",
+    "multimodal_pdf_text",
+    "multimodal_pdf_passages",
+    "multimodal_pdf_images",
+    "multimodal_image_codec_matrix",
+    "corpus_zipf_slope",
+    "dedup_cluster_best_survivors",
+    "dedup_cluster_size_histogram",
+    "dedup_exact_groups",
+    "embeddings_jl_project",
+    "eval_recall_at_k_sweep",
+    "events_attribution_linear",
+    "events_funnel_latency",
+    "events_robust_zscore_mad",
+    "events_seasonal_profile",
+    "graph_bfs_hops",
+    "graph_degree_powerlaw",
+    "graph_kcore_decomposition",
+    "graph_ppr_customer_seeds",
+    "join_asof_nearest_event",
+    "join_null_safe_counts",
+    "postprocess_battery",
+    "quality_bigram_backoff",
+    "quality_char_entropy",
+    "quality_classifier_calibration",
+    "quality_luhn_audit",
+    "quality_readability_fk",
+    "retrieval_hybrid_weighted",
+    "sample_quality_budget",
+    "sql_array_hof_battery",
+    "sql_star_except_projection",
+    "stats_bh_fdr",
+    "stats_ks_test",
+    "stats_mannwhitney_u",
+    "stats_permutation_test",
+    "text_explode_outer_longtoks",
+    "text_keyword_tag",
+    "text_light_stem",
+    "text_phrase_search",
+    "text_vocab_build",
+    "training_chat_render",
+    "training_length_batching",
+    "training_preference_pairs",
+    "training_span_corruption",
+    "window_cume_dist_nth",
+    "ann_range_search",
+    "corpus_health_report",
+    "corpus_overlap_matrix",
+    "decontam_report",
+    "decontam_survivors",
+    "dedup_bow_cosine",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_curve",
+    "embeddings_single_link_clusters",
+    "er_name_clusters",
+    "events_cusum_changepoint",
+    "events_rolling_1h_value",
+    "events_twap_user",
+    "graph_link_prediction_jaccard",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "join_asof_forward_next_event",
+    "join_asof_tolerance_event_order",
+    "layout_zorder_keys",
+    "market_basket_rules",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_late_priority_counts",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_drift_trend",
+    "quality_l_diversity",
+    "sample_target_mixture",
+    "stats_anova_oneway",
+    "stats_equidepth_histogram",
+    "text_bpe_tokenize",
+    "text_dup_ngram_mass",
+    "text_mojibake_score",
+    "agg_bitmap_distinct_rollup",
+    "agg_cms_frequency",
+    "agg_hll_region_rollup",
+    "agg_hll_set_intersection",
+    "agg_kll_quantile_merge",
+    "agg_winsorized_mean",
+    "chunk_content_defined",
+    "corpus_token_drift",
+    "dedup_cdc_chunks",
+    "dedup_char_ngram_jaccard",
+    "dedup_cluster_survivors",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "dedup_spans_first_seen",
+    "diag_key_skew",
+    "embed_seam_parity",
+    "embeddings_standardize",
+    "events_attribution_last_touch",
+    "events_ewma_smooth",
+    "events_markov_transitions",
+    "events_ohlc_hourly",
+    "events_rolling_7d_distinct",
+    "events_scd2_user_type",
+    "events_sequence_pattern",
+    "events_sessionize_dynamic_gap",
+    "join_fuzzy_name_qgram",
+    "join_hot_key_salted",
+    "quality_dsir_weights",
+    "quality_gopher_rules",
+    "quality_repetition_rules",
+    "retrieval_hybrid_rrf",
+    "sample_group_holdout",
+    "sample_hard_negatives",
+    "sample_mixture_temperature",
+    "sample_stratified_lang",
+    "sample_time_split",
+    "sample_weighted_priority",
+    "sql_group_by_all_revenue",
+    "sql_recursive_chain_walk",
+    "stats_bootstrap_ci",
+    "stats_proportions_ztest",
+    "stats_welch_ttest",
+    "text_bm25_rank",
+    "text_boilerplate_scrub",
+    "text_pii_redact",
+    "text_pmi_cooccurrence",
+    "text_winnow_fingerprint",
+    "udtf_sentence_split",
+    "window_range_frame_revenue",
     "agg_corr_regression",
-    "events_retention_cohorts",
-    "cdc_apply_latest",
-    "cdc_snapshot_diff",
-    "events_anomaly_zscore",
-    "quality_k_anonymity",
-    "events_gap_fill_hourly",
-    "events_gap_interpolate_hourly",
-    "quality_classifier_score",
-    "stats_chi2_lang_source",
-    "sql_lateral_topk_per_group",
-    "setop_multiset_all",
-    "text_pdf_link_extract",
+    "agg_heavy_hitter_terms",
+    "agg_incremental_state",
     "ann_bruteforce_topk",
     "case_when_price_tiers",
+    "cdc_apply_latest",
+    "cdc_snapshot_diff",
     "date_functions_orders",
     "dedup_exact_survivors",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "eval_ndcg_mrr_at_10",
+    "events_anomaly_zscore",
+    "events_funnel_steps",
+    "events_gap_fill_hourly",
+    "events_gap_interpolate_hourly",
     "events_json_props",
+    "events_retention_cohorts",
     "events_sessionize_30m",
     "events_sliding_1h_30m",
     "events_time_rollup",
     "events_tumbling_1h",
     "events_type_pivot",
+    "events_variant_props",
+    "join_asof_cogrouped",
+    "join_bloom_pruned",
     "join_interval_overlap",
     "month_sequence_gap_scan",
+    "quality_classifier_score",
+    "quality_k_anonymity",
+    "quality_unigram_logppl",
+    "retrieval_mmr_rerank",
+    "sample_fixed_per_group",
+    "sample_kfold_assign",
+    "setop_multiset_all",
+    "sql_lateral_topk_per_group",
+    "sql_pipe_syntax_revenue",
+    "stats_chi2_lang_source",
     "text_accent_fold",
     "text_clean_battery",
     "text_fingerprint",
     "text_lang_id",
     "text_length_histogram",
+    "text_pdf_link_extract",
     "text_quality_score",
     "text_source_lang_matrix",
     "text_split_passages",
     "text_token_stats",
+    "text_url_normalize",
     "text_xml_extract",
-    "multimodal_pdf_text",
-    "multimodal_pdf_passages",
-    "multimodal_pdf_images",
-    "multimodal_image_codec_matrix",
-    "multimodal_audio_codec_matrix",
     "agg_percentiles_kll",
-    "stats_proportions_ztest",
-    "sample_time_split",
-    "events_sessionize_dynamic_gap",
-    "sql_recursive_chain_walk",
-    "text_bm25_rank",
-    "quality_gopher_rules",
-    "embeddings_standardize",
-    "stats_welch_ttest",
-    "events_sequence_pattern",
-    "agg_cms_frequency",
-    "agg_hll_set_intersection",
-    "chunk_content_defined",
-    "dedup_cdc_chunks",
-    "events_markov_transitions",
-    "text_pmi_cooccurrence",
-    "sql_group_by_all_revenue",
-    "stats_bootstrap_ci",
-    "agg_winsorized_mean",
-    "join_hot_key_salted",
-    "events_rolling_7d_distinct",
-    "events_ohlc_hourly",
-    "sample_group_holdout",
-    "diag_key_skew",
-    "agg_bitmap_distinct_rollup",
-    "events_attribution_last_touch",
-    "events_ewma_smooth",
-    "dedup_connected_components",
-    "dedup_cluster_survivors",
-    "embed_seam_parity",
-    "text_pii_redact",
-    "sample_stratified_lang",
-    "window_range_frame_revenue",
-    "dedup_char_ngram_jaccard",
-    "text_winnow_fingerprint",
-    "quality_repetition_rules",
-    "dedup_containment_pairs",
-    "text_boilerplate_scrub",
-    "dedup_spans_first_seen",
-    "sample_mixture_temperature",
-    "corpus_token_drift",
-    "join_fuzzy_name_qgram",
-    "retrieval_hybrid_rrf",
-    "quality_dsir_weights",
-    "sample_hard_negatives",
-    "sample_weighted_priority",
-    "udtf_sentence_split",
-    "events_scd2_user_type",
-    "agg_hll_region_rollup",
-    "agg_kll_quantile_merge",
-    "events_funnel_latency_kll",
     "agg_winsorized_mean_kll",
-    "multimodal_video_pipeline",
-    "text_bpe_learn_merges",
-    "multimodal_audio_vad",
-    "stats_mannwhitney_u_kll",
-    "stats_ks_test_kll",
-    "eval_dedup_recall_vs_exact",
-    "eval_ann_recall_vs_exact",
-    "ann_sq8_topk",
-    "multimodal_phash_dedup",
-    "dedup_semantic_pairs",
-    "ann_pq_topk",
     "ann_ivfpq_topk",
-    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_sq8_topk",
+    "dedup_semantic_pairs",
+    "eval_dedup_recall_vs_exact",
+    "events_funnel_latency_kll",
+    "multimodal_audio_codec_matrix",
+    "multimodal_audio_vad",
+    "multimodal_phash_dedup",
+    "multimodal_video_pipeline",
+    "stats_ks_test_kll",
+    "stats_mannwhitney_u_kll",
+    "text_bpe_learn_merges",
     "ann_ivf_topk",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
+    "ann_lsh_topk",
+    "eval_ann_recall_vs_exact",
     "multimodal_audio_features",
-    "ann_range_search",
-    "join_asof_tolerance_event_order",
-    "graph_link_prediction_jaccard",
-    "stats_anova_oneway",
-    "corpus_health_report",
-    "text_dup_ngram_mass",
-    "text_mojibake_score",
-    "quality_l_diversity",
-    "dedup_threshold_curve",
-    "quality_drift_trend",
-    "events_rolling_1h_value",
-    "dedup_ngram_jaccard",
-    "dedup_bow_cosine",
-    "dedup_embedding_cosine",
-    "events_cusum_changepoint",
-    "sample_target_mixture",
-    "corpus_overlap_matrix",
-    "decontam_survivors",
-    "decontam_report",
-    "embeddings_single_link_clusters",
-    "text_bpe_tokenize",
-    "er_name_clusters",
-    "graph_pagerank_trade",
-    "stats_equidepth_histogram",
-    "layout_zorder_keys",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_values",
-    "q12_late_priority_counts",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q15_top_supplier",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_orders",
-    "graph_triangle_count",
-    "market_basket_rules",
-    "events_twap_user",
-    "join_asof_forward_next_event",
-    "postprocess_battery",
-    "dedup_exact_groups",
-    "text_vocab_build",
-    "quality_bigram_backoff",
-    "text_phrase_search",
-    "training_chat_render",
-    "training_preference_pairs",
-    "graph_kcore_decomposition",
-    "graph_bfs_hops",
-    "stats_mannwhitney_u",
-    "quality_luhn_audit",
-    "stats_bh_fdr",
-    "join_null_safe_counts",
-    "text_explode_outer_longtoks",
-    "sql_array_hof_battery",
-    "text_light_stem",
-    "events_robust_zscore_mad",
-    "graph_ppr_customer_seeds",
-    "eval_recall_at_k_sweep",
-    "quality_readability_fk",
-    "events_attribution_linear",
-    "corpus_zipf_slope",
-    "window_cume_dist_nth",
-    "dedup_cluster_best_survivors",
-    "retrieval_hybrid_weighted",
-    "stats_ks_test",
-    "corpus_js_divergence",
-    "stats_permutation_test",
-    "quality_classifier_calibration",
-    "events_seasonal_profile",
-    "graph_degree_powerlaw",
-    "dedup_cluster_size_histogram",
-    "agg_mode_quantity",
-    "join_asof_nearest_event",
-    "sql_star_except_projection",
-    "events_funnel_latency",
-    "corpus_crossdup_matrix",
-    "quality_char_entropy",
-    "sample_quality_budget",
-    "training_length_batching",
-    "training_span_corruption",
-    "embeddings_jl_project",
-    "text_keyword_tag",
-    "corpus_kl_divergence",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "agg_distinct_counts",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "join_semi_orders_with_big_items",
-    "join_anti_customers_without_orders",
-    "join_left_outer_order_counts",
-    "join_full_outer_nation_activity",
-    "join_theta_price_above_retail",
-    "join_range_acctbal_band",
-    "join_asof_last_event_before_order",
-    "window_top3_orders_per_customer",
-    "window_lead_lag_order_gap",
-    "window_running_revenue",
-    "window_ntile_percent_rank",
-    "window_dense_rank_parts",
-    "setop_nations_with_both",
-    "setop_customer_only_nations",
-    "setop_union_all_keys",
-    "dedup_first_order_per_customer",
-    "embeddings_label_centroids",
-    "udaf_label_centroid",
-    "retrieval_threshold_cascade",
-    "retrieval_pack_context",
-    "retrieval_rerank_topk",
-    "eval_recall_label_at_10",
-    "corpus_dual_variant",
-    "corpus_weighted_merge",
-    "chunk_word_budget",
-    "chunk_sentence_budget",
-    "agg_percentiles",
-    "unpivot_flag_metrics",
-    "subquery_scalar_above_avg",
-    "map_event_type_shares",
-    "text_page_furniture",
-    "postprocess_unhelpful_flag",
-    "retrieval_build_prompt",
-    "sample_train_split",
-    "pack_training_sequences",
-    "text_top_terms",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 
