@@ -1,12 +1,13 @@
-"""CCITT Group 4 (ITU-T T.6) two-dimensional fax codec — pure stdlib.
+"""CCITT Group 4 (ITU-T T.6) and Group 3 1-D (T.4) fax codecs — pure stdlib.
 
 The most common remaining PDF image filter after the row predictors:
 fax-era scanned documents embed 1-bit /CCITTFaxDecode (K < 0) image
 XObjects, which the reference decodes transparently through PyMuPDF
 (knowledge_model/ingestion/parse_pdfs.py:57-88).  This module is the
-in-container decode: :func:`g4_decode` inflates a G4 bit stream to a
-boolean raster, :func:`g4_encode` is the independently-written encoder
-twin used for conformance (the LZW/ADPCM method: encode→decode
+in-container decode: :func:`g4_decode` / :func:`g3_1d_decode` inflate
+G4 (/K < 0) and G3 one-dimensional (/K 0) bit streams to boolean
+rasters; :func:`g4_encode` / :func:`g3_1d_encode` are the
+independently-written encoder twins used for conformance (the LZW/ADPCM method: encode→decode
 round-trip through two separate code paths, plus hand-computed spec
 vectors and structural prefix-freeness checks on the code tables in
 tests/test_sources.py).
@@ -338,6 +339,90 @@ def g4_encode(bitmap: np.ndarray) -> bytes:
             ci += 2
         ref = _transitions(bitmap[y]) + [columns, columns]
     bits.append(EOFB)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return np.packbits(
+        np.frombuffer(s.encode(), np.uint8) - ord("0")
+    ).tobytes()
+
+
+# ------------------------------------------------------- Group 3 one-dimensional
+
+
+def _consume_eols(r: _BitReader) -> bool:
+    """Consume any fill bits + EOL codes at the cursor (T.4 §2.2: EOL =
+    eleven+ zeros then a one; no run code carries more than 7 leading
+    zeros, so ≥11 zeros unambiguously starts an EOL).  Returns False on
+    a malformed zero-run that never terminates."""
+    while True:
+        zeros = 0
+        while r.pos + zeros < len(r.bits) and not r.bits[r.pos + zeros]:
+            zeros += 1
+        if zeros < 11 or r.pos + zeros >= len(r.bits):
+            return True  # no EOL here (or only trailing pad): done
+        r.pos += zeros + 1  # through the terminating 1
+
+
+def g3_1d_decode(
+    data: bytes, columns: int, rows: int | None = None
+) -> np.ndarray | None:
+    """CCITT Group 3 one-dimensional (T.4 MH, PDF ``/K 0``) → (rows,
+    columns) bool raster (True = black), or None.  Each line is a
+    white-first alternation of MH run codes summing exactly to
+    ``columns``; optional EOLs (with fill) between lines are consumed,
+    none are required (the PDF default EndOfLine=false)."""
+    if columns <= 0 or not data:
+        return None
+    r = _BitReader(data)
+    out: list[np.ndarray] = []
+    while rows is None or len(out) < rows:
+        if not _consume_eols(r):
+            return None
+        if r.pos >= len(r.bits) or not r.bits[r.pos :].any():
+            break  # stream end / zero padding
+        line = np.zeros(columns, bool)
+        pos = 0
+        white = True
+        while pos < columns:
+            run = _read_run(r, white=white)
+            if run is None or pos + run > columns:
+                return None
+            if not white:
+                line[pos : pos + run] = True
+            pos += run
+            white = not white
+        out.append(line)
+    if rows is not None and len(out) != rows:
+        return None
+    if not out:
+        return None
+    return np.stack(out)
+
+
+def g3_1d_encode(bitmap: np.ndarray, with_eol: bool = False) -> bytes:
+    """(rows, columns) bool raster → T.4 1-D MH stream (encoder twin of
+    :func:`g3_1d_decode`; ``with_eol`` prefixes every line with an EOL
+    the way tape-era G3 writers did, exercising the decoder's
+    fill/EOL tolerance)."""
+    bitmap = np.asarray(bitmap, bool)
+    _, columns = bitmap.shape
+    bits: list[str] = []
+    for row in bitmap:
+        if with_eol:
+            bits.append("000000000001")
+        trans = _transitions(row) + [columns]
+        pos = 0
+        white = True
+        ti = 0
+        while pos < columns:
+            nxt = trans[ti] if ti < len(trans) else columns
+            # runs alternate white-first; a line starting black gets a
+            # zero-length white run (a real MH code, not a hack)
+            bits.append(_encode_run(nxt - pos, white=white))
+            pos = nxt
+            white = not white
+            ti += 1
+        # a line ending mid-alternation is complete once pos == columns
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return np.packbits(

@@ -616,24 +616,27 @@ _DECODABLE_FILTERS = (
 
 
 def _decode_ccitt_image(data: bytes, head: bytes) -> bytes | None:
-    """A /CCITTFaxDecode image stream → P6 PPM, or None.  Group 4 only
-    (/K < 0 — the form scanned-document PDFs carry; G3 1-D/mixed is the
-    remaining seam).  The bit→gray mapping honors /BlackIs1 (default
+    """A /CCITTFaxDecode image stream → P6 PPM, or None.  Group 4
+    (/K < 0 — the form scanned-document PDFs carry) and Group 3
+    one-dimensional (/K 0, default); mixed-mode G3 (/K > 0) is the
+    remaining seam.  The bit→gray mapping honors /BlackIs1 (default
     false: black runs are 0 samples) and a /Decode [1 0] inversion, so
     black pixels land at luma 0 for every writer convention."""
     import numpy as np
 
-    from knowledge_model_spark.sources.ccitt import g4_decode
+    from knowledge_model_spark.sources.ccitt import g3_1d_decode, g4_decode
 
     km = re.search(rb"/K\s+(-?\d+)", head)
-    if km is None or int(km.group(1)) >= 0:
-        return None  # G3: seam
+    k = int(km.group(1)) if km else 0
+    if k > 0:
+        return None  # mixed-mode G3: seam
     cm = re.search(rb"/Columns\s+(\d+)", head)
     rm = re.search(rb"/Rows\s+(\d+)", head)
     hm = re.search(rb"/Height\s+(\d+)", head)
     columns = int(cm.group(1)) if cm else 1728
     rows = int(rm.group(1)) if rm else (int(hm.group(1)) if hm else None)
-    bitmap = g4_decode(bytes(data), columns, rows)
+    decode = g4_decode if k < 0 else g3_1d_decode
+    bitmap = decode(bytes(data), columns, rows)
     if bitmap is None:
         return None
     black_bit = 1 if re.search(rb"/BlackIs1\s+true", head) else 0
@@ -651,11 +654,13 @@ def decode_pdf_images(b: bytes) -> list[bytes] | None:
     streams pass through as complete JPEG files** (the spec guarantees
     a DCT image stream is a standalone JPEG — sources/jpeg.py then
     decodes it), raw-sample images behind Flate/LZW/ASCII filters
-    with 8-bit /DeviceRGB or /DeviceGray become P6 PPM, and
-    **/CCITTFaxDecode Group 4 images (r7 — the scanned-document fax
-    filter) decode through sources/ccitt.py to P6**.  None when the
-    payload is not a PDF; JPX/JBIG2, G3 CCITT, predictor-coded,
-    indexed, and CMYK images are skipped (the declared seam).
+    with 8-bit /DeviceRGB or /DeviceGray become P6 PPM (including
+    /DecodeParms predictor-coded samples — _apply_filters inverts the
+    row predictors since r7), and **/CCITTFaxDecode Group 4 (/K < 0)
+    and Group 3 1-D (/K 0) images (r7 — the scanned-document fax
+    filters) decode through sources/ccitt.py to P6**.  None when the
+    payload is not a PDF; JPX/JBIG2, mixed-mode G3 (/K > 0), indexed,
+    and CMYK images are skipped (the declared seam).
 
     This is the image half of the reference's PyMuPDF surface
     (parse_pdfs.py opens the same documents; ``page.get_images`` is
@@ -885,17 +890,21 @@ def encode_simple_pdf(
             )
             continue
         kind, px = img
-        if kind == "g4":
-            from knowledge_model_spark.sources.ccitt import g4_encode
+        if kind in ("g4", "g3"):
+            from knowledge_model_spark.sources.ccitt import (
+                g3_1d_encode,
+                g4_encode,
+            )
 
-            data = g4_encode(px)
+            data = g4_encode(px) if kind == "g4" else g3_1d_encode(px)
+            k = -1 if kind == "g4" else 0
             objs.append(
                 (
                     b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                     b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
                     b"/Filter /CCITTFaxDecode /DecodeParms "
-                    b"<< /K -1 /Columns %d /Rows %d >> /Length %d >>\nstream\n"
-                    % (w, h, w, h, len(data))
+                    b"<< /K %d /Columns %d /Rows %d >> /Length %d >>\nstream\n"
+                    % (w, h, k, w, h, len(data))
                 )
                 + data
                 + b"\nendstream"

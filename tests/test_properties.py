@@ -813,3 +813,26 @@ def test_ccitt_g4_roundtrip_property(h, w, density, seed):
     # rows hint (the PDF /Rows path) must agree
     got2 = g4_decode(enc, w, rows=h)
     assert got2 is not None and np.array_equal(got2, img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=96),
+    density=st.floats(min_value=0.0, max_value=1.0),
+    with_eol=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_ccitt_g3_1d_roundtrip_property(h, w, density, with_eol, seed):
+    """g3_1d_encode → g3_1d_decode identity, with and without per-line
+    EOL+fill (the decoder must tolerate both framings)."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import g3_1d_decode, g3_1d_encode
+
+    img = np.random.RandomState(seed).rand(h, w) < density
+    enc = g3_1d_encode(img, with_eol=with_eol)
+    got = g3_1d_decode(enc, w)
+    assert got is not None and np.array_equal(got, img)
+    got2 = g3_1d_decode(enc, w, rows=h)
+    assert got2 is not None and np.array_equal(got2, img)

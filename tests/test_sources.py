@@ -3011,3 +3011,59 @@ def test_p1_ascii_rejects_non_bit_bytes():
     assert decode_ppm(b"P1\n3 2\n010101 junk\n") is None  # trailing junk
     # comments inside the raster stay legal
     assert decode_ppm(b"P1\n3 2\n010# junk ok\n101\n") is not None
+
+
+def test_ccitt_g3_1d_pdf_image_extraction():
+    """Group 3 one-dimensional (/K 0, the PDF default) image XObjects
+    decode through decode_pdf_images; the G3 encoder twin's EOL mode
+    exercises the decoder's fill/EOL tolerance."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import g3_1d_decode, g3_1d_encode
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_images,
+        encode_simple_pdf,
+    )
+
+    rng = np.random.RandomState(9)
+    bitmap = rng.rand(12, 33) < 0.5
+    pdf = encode_simple_pdf(["fax page"], images=[("g3", bitmap)])
+    imgs = decode_pdf_images(pdf)
+    assert imgs is not None and len(imgs) == 1
+    luma = np.where(bitmap, 0, 255).astype(np.uint8)
+    assert imgs[0] == b"P6\n33 12\n255\n" + np.repeat(luma, 3).tobytes()
+    # EOL-per-line stream decodes identically (fill/EOL tolerance)
+    assert np.array_equal(
+        g3_1d_decode(g3_1d_encode(bitmap, with_eol=True), 33), bitmap
+    )
+
+
+def test_pdf_predictor_coded_raw_image_decodes():
+    """A raw-sample Flate image whose samples are ALSO predictor-coded
+    (/DecodeParms /Predictor 12 on the image stream — common for
+    screenshots) decodes through the shared predictor core instead of
+    being skipped (the r6 docstring's declared seam, now closed)."""
+    import zlib
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.pdf import decode_pdf_images
+    from knowledge_model_spark.sources.predictors import filter_rows
+
+    rng = np.random.RandomState(4)
+    w, h = 21, 9
+    px = rng.randint(0, 256, (h, w, 3), np.uint8)
+    filtered = filter_rows(px.tobytes(), 12, w, colors=3)
+    data = zlib.compress(filtered)
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image "
+        b"/Width %d /Height %d /ColorSpace /DeviceRGB "
+        b"/BitsPerComponent 8 /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Colors 3 /Columns %d >> /Length %d "
+        b">>\nstream\n" % (w, h, w, len(data))
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    imgs = decode_pdf_images(pdf)
+    assert imgs is not None and len(imgs) == 1
+    assert imgs[0] == b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
