@@ -349,17 +349,18 @@ def g4_encode(bitmap: np.ndarray) -> bytes:
 # ------------------------------------------------------- Group 3 one-dimensional
 
 
-def _consume_eols(r: _BitReader) -> bool:
+def _consume_eols(r: _BitReader) -> None:
     """Consume any fill bits + EOL codes at the cursor (T.4 §2.2: EOL =
     eleven+ zeros then a one; no run code carries more than 7 leading
-    zeros, so ≥11 zeros unambiguously starts an EOL).  Returns False on
-    a malformed zero-run that never terminates."""
+    zeros, so ≥11 zeros unambiguously starts an EOL).  A zero-run that
+    reaches stream end is left in place — the caller's all-zero check
+    treats it as trailing pad."""
     while True:
         zeros = 0
         while r.pos + zeros < len(r.bits) and not r.bits[r.pos + zeros]:
             zeros += 1
         if zeros < 11 or r.pos + zeros >= len(r.bits):
-            return True  # no EOL here (or only trailing pad): done
+            return  # no EOL here (or only trailing pad): done
         r.pos += zeros + 1  # through the terminating 1
 
 
@@ -376,8 +377,7 @@ def g3_1d_decode(
     r = _BitReader(data)
     out: list[np.ndarray] = []
     while rows is None or len(out) < rows:
-        if not _consume_eols(r):
-            return None
+        _consume_eols(r)
         if r.pos >= len(r.bits) or not r.bits[r.pos :].any():
             break  # stream end / zero padding
         line = np.zeros(columns, bool)
