@@ -46,6 +46,7 @@ HEADLINE: dict[str, bool] = {
     "text_token_stats": False,
     "dedup_exact_survivors": False,
     "dedup_minhash_lsh": False,
+    "dedup_minhash_lsh_md5": False,
     "dedup_embedding_cosine": False,
     "dedup_connected_components": False,
     "embed_seam_parity": False,
@@ -215,6 +216,7 @@ HEADLINE: dict[str, bool] = {
     "sample_weighted_priority": False,
     "udtf_sentence_split": False,
     "dedup_simhash": True,
+    "dedup_simhash_md5": True,
     "eval_ann_recall_vs_exact": True,
     "date_functions_orders": False,
     "month_sequence_gap_scan": True,
@@ -232,6 +234,7 @@ HEADLINE: dict[str, bool] = {
     "events_type_pivot": True,
     "events_time_rollup": False,
     "join_interval_overlap": False,
+    "join_interval_overlap_count": False,
     "ann_ivf_topk": True,
     "multimodal_image_features": False,
     "multimodal_frame_sample": False,
