@@ -235,6 +235,7 @@ HEADLINE: dict[str, bool] = {
     "events_time_rollup": False,
     "join_interval_overlap": False,
     "join_interval_overlap_count": False,
+    "events_interval_union": True,
     "ann_ivf_topk": True,
     "multimodal_image_features": False,
     "multimodal_frame_sample": False,

@@ -1063,3 +1063,68 @@ def interval_overlap_counts(
             ).cast("long").alias("overlap_pairs"),
         )
     )
+
+
+def interval_union_length(
+    sessions: DataFrame,
+    bucket_col: str = "day",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Per-bucket UNION LENGTH of (possibly overlapping) intervals via
+    the same boundary sweep as :func:`interval_overlap_counts` — the
+    coverage-audit companion: "how much of each day is covered by at
+    least one session", computed without materializing overlaps.
+
+    Sweep: starts are +1 / ends are −1 boundary events; at each
+    boundary the gap to the previous boundary contributes to the
+    covered total iff the running active count BEFORE this boundary is
+    positive.  Ties order (t, delta DESC) so a start sorts before an
+    end at the same instant — touching intervals ([a,b],[b,c]) stay
+    continuous and closed-interval semantics hold.  Ties among equal
+    (t, delta) rows are inert: a zero-length gap contributes nothing
+    either way.  Durations are exact epoch-microsecond integers.
+
+    Scale shape: one hash shuffle on the bucket (the window); groupBy
+    reuses the partitioning; parallelism grows with the time span, the
+    same argument as interval_overlap_counts.  Output: (bucket,
+    n_sessions, covered_us).
+    """
+    us = lambda c: (F.unix_micros(F.col(c).cast("timestamp")))  # noqa: E731
+    ev = sessions.select(
+        F.col(bucket_col).alias("__b"),
+        us(start_col).alias("__t"),
+        F.lit(1).alias("__d"),
+    ).unionAll(
+        sessions.select(
+            F.col(bucket_col).alias("__b"),
+            us(end_col).alias("__t"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    w_ord = Window.partitionBy("__b").orderBy(F.col("__t"), F.col("__d").desc())
+    run = (
+        ev.withColumn("__prev_t", F.lag("__t").over(w_ord))
+        .withColumn(
+            "__active_before",
+            F.coalesce(
+                F.sum("__d").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        run.groupBy(F.col("__b").alias(bucket_col))
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_sessions"),
+            F.sum(
+                F.when(
+                    (F.col("__active_before") > 0)
+                    & F.col("__prev_t").isNotNull(),
+                    F.col("__t") - F.col("__prev_t"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("covered_us"),
+        )
+    )

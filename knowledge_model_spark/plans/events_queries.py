@@ -312,6 +312,58 @@ def join_interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_union",
+    """
+    WITH sessions AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT day, epoch_us(s) AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT day, epoch_us(e) AS t, -1 AS d FROM sessions
+    ),
+    scan AS (
+      SELECT day, t, d,
+             lag(t) OVER w AS prev_t,
+             coalesce(sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS active_before
+      FROM ev
+      WINDOW w AS (PARTITION BY day ORDER BY t, d DESC)
+    )
+    SELECT day,
+           CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN active_before > 0 AND prev_t IS NOT NULL
+                         THEN t - prev_t ELSE 0 END) AS BIGINT) AS covered_us
+    FROM scan GROUP BY day
+    """,
+    doc="per-day UNION LENGTH of user activity intervals (coverage "
+    "audit: microseconds of the day covered by ≥1 active session) via "
+    "the same O(n log n) boundary sweep as join_interval_overlap_count "
+    "— +1/−1 boundary events, gap contributes iff active-before > 0, "
+    "start-before-end tie order keeps touching intervals continuous.  "
+    "One hash shuffle on day, exact integer microseconds; operators/"
+    "relational.py::interval_union_length",
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import (
+        interval_union_length,
+    )
+
+    t = load_tables(spark, sf_dir)
+    sessions = (
+        t["events"]
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    return interval_union_length(sessions, "day", "s", "e")
+
+
+@register(
     "events_scd2_user_type",
     """
     WITH ordered AS (

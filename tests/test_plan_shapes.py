@@ -642,3 +642,39 @@ def test_interval_overlap_count_sweep_on_planted_skew(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     # exactly one exchange subtree shape: hashpartitioning on the bucket
     assert plan.count("hashpartitioning(day") <= 2  # window + reused agg
+
+
+def test_interval_union_length_planted_cases(spark):
+    """interval_union_length (r7): overlapping intervals merge, touching
+    intervals stay continuous (closed-interval semantics), zero-length
+    intervals contribute nothing — against hand-computed truth; plan
+    holds the one-exchange no-join sweep shape."""
+    import datetime
+
+    from knowledge_model_spark.operators.relational import (
+        interval_union_length,
+    )
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        ("a", ts(1), ts(3)), ("a", ts(2), ts(5)),  # union [1,5] = 4h
+        ("a", ts(7), ts(8)),                        # +1h → 5h
+        ("b", ts(1), ts(2)), ("b", ts(2), ts(3)),  # touching → 2h
+        ("c", ts(4), ts(4)),                        # zero-length → 0
+    ]
+    df = spark.createDataFrame(rows, "day string, s timestamp, e timestamp")
+    got = {
+        r["day"]: (r["n_sessions"], r["covered_us"])
+        for r in interval_union_length(df).collect()
+    }
+    H = 3_600_000_000
+    assert got["a"] == (3, 5 * H)
+    assert got["b"] == (2, 2 * H)
+    assert got["c"] == (1, 0)
+    plan = (
+        interval_union_length(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan

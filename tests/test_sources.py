@@ -3067,3 +3067,61 @@ def test_pdf_predictor_coded_raw_image_decodes():
     imgs = decode_pdf_images(pdf)
     assert imgs is not None and len(imgs) == 1
     assert imgs[0] == b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_ccitt_predictor_malformed_payload_fuzz_never_raises():
+    """Same None-on-garbage contract for the r7 decoders: byte
+    mutations and truncations of valid G4/G3 streams, predictor-coded
+    PDF streams, and fax-bearing PDFs must never escape as exceptions
+    from g4_decode / g3_1d_decode / unfilter_rows / decode_pdf_pages /
+    decode_pdf_images."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import (
+        g3_1d_decode,
+        g3_1d_encode,
+        g4_decode,
+        g4_encode,
+    )
+    from knowledge_model_spark.sources.pdf import (
+        decode_pdf_images,
+        decode_pdf_pages,
+        encode_simple_pdf,
+    )
+    from knowledge_model_spark.sources.predictors import (
+        filter_rows,
+        unfilter_rows,
+    )
+
+    rng = np.random.RandomState(23)
+    bitmap = rng.rand(15, 37) < 0.45
+    rowdata = rng.randint(0, 256, 12 * 20, np.uint8).tobytes()
+    goods = [
+        ("g4", g4_encode(bitmap)),
+        ("g3", g3_1d_encode(bitmap, with_eol=True)),
+        ("pred", filter_rows(rowdata, 12, 20)),
+        ("pdf", encode_simple_pdf(
+            ["fax page", "pred page"],
+            compress="flate-pred12",
+            images=[("g4", bitmap), ("g3", bitmap)],
+        )),
+    ]
+    for kind, good in goods:
+        for trial in range(150):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            cut = rng.randint(0, len(b) + 1)
+            for payload in (bytes(b), bytes(b[:cut])):
+                if kind == "g4":
+                    out = g4_decode(payload, 37)
+                    assert out is None or out.ndim == 2
+                elif kind == "g3":
+                    out = g3_1d_decode(payload, 37)
+                    assert out is None or out.ndim == 2
+                elif kind == "pred":
+                    out = unfilter_rows(payload, 12, 20)
+                    assert out is None or isinstance(out, bytes)
+                else:
+                    decode_pdf_pages(payload)
+                    decode_pdf_images(payload)
