@@ -236,6 +236,7 @@ HEADLINE: dict[str, bool] = {
     "join_interval_overlap": False,
     "join_interval_overlap_count": False,
     "events_interval_union": True,
+    "eval_answer_token_f1": False,
     "ann_ivf_topk": True,
     "multimodal_image_features": False,
     "multimodal_frame_sample": False,

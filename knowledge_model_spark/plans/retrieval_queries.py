@@ -816,3 +816,100 @@ _REG["retrieval_hybrid_weighted"] = QuerySpec(
     oracle=_weighted_oracle(),
     doc=_REG["retrieval_hybrid_weighted"].doc,
 )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "eval_answer_token_f1",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_NORM_SQL}, ' '),
+                         w -> len(w) > 0) AS words
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, words[1:30] AS pred, words[11:40] AS gold FROM norm
+    ),
+    pt AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(pred) AS w FROM pairs) GROUP BY 1, 2
+    ),
+    gt AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(gold) AS w FROM pairs) GROUP BY 1, 2
+    ),
+    ov AS (
+      SELECT pt.doc_id, sum(least(pt.c, gt.c)) AS n_overlap
+      FROM pt JOIN gt ON pt.doc_id = gt.doc_id AND pt.w = gt.w
+      GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(len(p.pred) AS BIGINT) AS n_pred,
+           CAST(len(p.gold) AS BIGINT) AS n_gold,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN len(p.pred) + len(p.gold) = 0 THEN 0.0
+                ELSE 2.0 * coalesce(ov.n_overlap, 0)
+                     / (len(p.pred) + len(p.gold))
+           END AS f1
+    FROM pairs p LEFT JOIN ov ON p.doc_id = ov.doc_id
+    """,
+    doc="SQuAD-style answer token F1 (the standard generative-RAG eval "
+    "the reference's eval_snapshot recall check stops short of): "
+    "multiset token overlap → F1 = 2·|p∩g| / (|p|+|g|) per document, "
+    "predictions and golds derived deterministically from the text "
+    "(word windows 1-30 vs 11-40 of the normalized doc — overlapping "
+    "but not equal, so the score distribution is non-trivial).  F1 is "
+    "one shared integer division emitted UNROUNDED (bit-identical "
+    "cross-engine).  Scale shape: two explode→count aggs + one "
+    "(doc, token) equi-join — token-sharded, no driver state; at "
+    "100 TB the prediction table is a real model-output scan with the "
+    "identical plan",
+)
+def eval_answer_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.text_analysis import (
+        normalize_for_dedup,
+    )
+
+    t = load_tables(spark, sf_dir)
+    words = F.filter(
+        F.split(normalize_for_dedup(F.col("text")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    pairs = t["documents"].select(
+        "doc_id",
+        F.slice(words, 1, 30).alias("pred"),
+        F.slice(words, 11, 30).alias("gold"),
+    )
+    pt = (
+        pairs.select("doc_id", F.explode("pred").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cp"))
+    )
+    gt = (
+        pairs.select("doc_id", F.explode("gold").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cg"))
+    )
+    ov = (
+        pt.join(gt, ["doc_id", "w"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("cp", "cg")).alias("n_overlap"))
+    )
+    return (
+        pairs.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("pred").cast("long").alias("n_pred"),
+            F.size("gold").cast("long").alias("n_gold"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.when(
+                F.size("pred") + F.size("gold") == 0, F.lit(0.0)
+            ).otherwise(
+                2.0 * F.coalesce(F.col("n_overlap"), F.lit(0))
+                / (F.size("pred") + F.size("gold"))
+            ).alias("f1"),
+        )
+    )
