@@ -237,6 +237,7 @@ HEADLINE: dict[str, bool] = {
     "join_interval_overlap_count": False,
     "events_interval_union": True,
     "eval_answer_token_f1": False,
+    "dedup_duplicate_substring_spans": False,
     "ann_ivf_topk": True,
     "multimodal_image_features": False,
     "multimodal_frame_sample": False,

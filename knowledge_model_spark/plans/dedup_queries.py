@@ -733,3 +733,126 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+@register(
+    "dedup_duplicate_substring_spans",
+    f"""
+    WITH win AS (
+      SELECT doc_id, i AS pos, md5(substr(text, i + 1, 50)) AS h
+      FROM documents, unnest(range(0, len(text) - 49)) AS t(i)
+      WHERE len(text) >= 50
+    ),
+    duph AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+    flagged AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM duph)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER w <= 50 THEN 0 ELSE 1 END AS chg
+      FROM flagged
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 50 AS e
+      FROM grp GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.text) AS BIGINT) AS n_chars,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CASE WHEN len(d.text) = 0 THEN 0.0
+                ELSE coalesce(p.dup_chars, 0) * 1.0 / len(d.text)
+           END AS dup_frac
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc="EXACT duplicate-substring spans, the Lee et al. 2022 "
+    "('Deduplicating Training Data Makes Language Models Better') "
+    "sliding-window formulation the reference never implements: every "
+    "position whose 50-char window recurs ANYWHERE in the corpus is "
+    "flagged (the distributed stand-in for their suffix array — "
+    "stride-1 md5 50-grams, a partial-agg groupBy count + semi join), flagged "
+    "positions merge to maximal spans by gaps-and-islands (a new span "
+    "when the position gap exceeds the window length), per-doc span "
+    "count / duplicated chars / fraction (ONE shared division, "
+    "unrounded).  Complements dedup_spans_first_seen (non-overlapping "
+    "block dedup) with position-exact span GEOMETRY.  Scale shape: "
+    "explode is ×~len rows but uniformly md5-keyed; the hash-count "
+    "window and the per-doc islands window are two shuffles, no "
+    "collect, no skew (windows are near-unique except true dups)",
+)
+def dedup_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 50
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    win = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - k)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.substr("text", F.col("pos") + 1, F.lit(k))).alias("h"),
+        )
+        # two consumers (dup-hash agg + the semi-join probe): materialize
+        # the exploded window table once, or the ×len explode and md5
+        # recompute for each — the minhash sketch-table pattern
+        .localCheckpoint(eager=True)
+    )
+    # duplicated-hash set via groupBy (map-side partial agg — the
+    # skew-resistant shape; a count-over-window by h would shuffle
+    # every row to its hash partition with no combine, so a universal
+    # boilerplate 50-gram becomes a hot partition at 100 TB), then a
+    # semi join flags positions.  The dup set is tiny relative to the
+    # corpus (only truly duplicated windows survive the HAVING).
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    flagged = win.join(dup_h, "h", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        flagged.withColumn(
+            "chg",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1),
+        )
+        .withColumn(
+            "island",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+            F.coalesce("dup_chars", F.lit(0)) * 1.0 / F.length("text")
+        ).alias("dup_frac"),
+    )

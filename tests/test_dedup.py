@@ -467,3 +467,52 @@ def test_simhash_md5_twin_ground_truth(spark, docs):
     assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical text
     assert (0, 5) in pairs and pairs[(0, 5)] <= 4  # case/punct variant
     assert not any(4 in p for p in pairs)
+
+
+def test_duplicate_substring_spans_planted_geometry(spark, tmp_path):
+    """dedup_duplicate_substring_spans (r7, the Lee et al. exact
+    substring formulation): planted shared substrings produce
+    position-exact span geometry — a 70-char string shared by two docs
+    flags exactly the 70-char span in both (21 windows of 50 merge to
+    one island), unique text flags nothing, and two separated shared
+    regions stay two spans."""
+    import pandas as pd
+
+    from knowledge_model_spark.plans import load_registry
+
+    import random
+
+    rng = random.Random(42)
+
+    def rand_text(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    dup70 = rand_text(70)
+    dup50a = rand_text(50)
+    dup50b = rand_text(50)
+    docs = [
+        (0, rand_text(100) + dup70 + rand_text(80)),       # dup at [100,170)
+        (1, dup70 + rand_text(200)),                        # dup at [0,70)
+        (2, rand_text(260)),                                # clean
+        (3, dup50a + rand_text(120) + dup50b),              # two spans
+        (4, rand_text(60) + dup50a + rand_text(90) + dup50b + rand_text(30)),
+        (5, "short"),                                       # < k chars
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    R = load_registry()
+    rows = {
+        r["doc_id"]: r
+        for r in R["dedup_duplicate_substring_spans"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["n_dup_spans"] == 1 and rows[0]["dup_chars"] == 70
+    assert rows[1]["n_dup_spans"] == 1 and rows[1]["dup_chars"] == 70
+    assert rows[2]["n_dup_spans"] == 0 and rows[2]["dup_chars"] == 0
+    assert rows[3]["n_dup_spans"] == 2 and rows[3]["dup_chars"] == 100
+    assert rows[4]["n_dup_spans"] == 2 and rows[4]["dup_chars"] == 100
+    assert rows[5]["n_dup_spans"] == 0 and rows[5]["dup_frac"] == 0.0

@@ -61,6 +61,7 @@ SLOPE_QUERIES = [
     "chunk_content_defined",
     "text_winnow_fingerprint",
     "dedup_cdc_chunks",
+    "dedup_duplicate_substring_spans",  # r7: stride-1 window explode
     "market_basket_rules",          # pairwise co-occurrence within baskets
     "stats_permutation_test",       # replicated resamples
     "ann_ivfpq_topk",               # train + LUT-ADC scan
