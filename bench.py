@@ -238,6 +238,7 @@ HEADLINE: dict[str, bool] = {
     "events_interval_union": True,
     "eval_answer_token_f1": False,
     "dedup_duplicate_substring_spans": False,
+    "multimodal_image_resize": False,
     "ann_ivf_topk": True,
     "multimodal_image_features": False,
     "multimodal_frame_sample": False,

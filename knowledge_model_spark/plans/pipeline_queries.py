@@ -1208,3 +1208,120 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = make_synthetic_media(spark, n=128, kind="audio")
     return audio_vad_segments(media, decode="DETERMINISTIC")
+
+
+@register(
+    "multimodal_image_resize",
+    None,  # binary payloads built in a pandas kernel — no SQL twin;
+    # the in-plan resize_ok column is an exact pixel-equality gate and
+    # the resize kernels themselves are hand-pinned in tests (NN
+    # integer-factor downscale == strided slice, bilinear constancy /
+    # ramp preservation / identity)
+    doc="the RESIZE stage of a multimodal preprocessing pipeline "
+    "(thumbnails / model-input normalization — torchvision Resize is "
+    "the library analog): content-addressed synthetic images encode "
+    "through a rotating lossless codec (PPM / TIFF-LZW / Sun Raster "
+    "RLE), then a second Arrow-batched stage REAL-decodes each payload "
+    "(decode_image_any) and resizes to 48×64 with BOTH center-aligned "
+    "nearest-neighbor and half-pixel bilinear (sources/multimodal."
+    "resize_image, pure numpy).  resize_ok compares each output "
+    "against the resize of the figure regenerated from media_id — the "
+    "gate rides the plan with zero joins; mean-luma drift between "
+    "input and output is bounded in tests (resampling preserves "
+    "brightness).  Scale shape: two mapInPandas over a range scan, "
+    "zero shuffle, payloads never leave the executors",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_image_any,
+        encode_simple_ras,
+        encode_simple_tiff,
+        resize_image,
+    )
+
+    load_tables(spark, sf_dir)
+    out_h, out_w = 48, 64
+
+    def _img(mid: int) -> "np.ndarray":
+        h = 56 + 16 * (mid % 3)
+        w = 72 + 24 * (mid % 2)
+        yy, xx = np.mgrid[0:h, 0:w]
+        a, c = 3 + mid % 4, (mid * 53) % 256
+        return np.stack(
+            [(xx * a + c) % 256, (yy * (a + 2) + c) % 256, ((xx * yy) // 7 + c) % 256],
+            axis=2,
+        ).astype(np.uint8)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "payload": []}
+            for mid in pdf["id"]:
+                img = _img(int(mid))
+                h, w = img.shape[:2]
+                enc = (
+                    b"P6\n%d %d\n255\n" % (w, h) + img.tobytes(),
+                    encode_simple_tiff(img, "lzw", 2, 16),
+                    encode_simple_ras(img, rle=True),
+                )[int(mid) % 3]
+                rows["media_id"].append(int(mid))
+                rows["payload"].append(enc)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "payload": rows["payload"],
+                }
+            )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "method": [], "width": [], "height": [],
+                "out_bytes": [], "resize_ok": [], "mean_luma_out": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image_any(bytes(payload))
+                want_src = _img(int(mid))
+                for method in ("nearest", "bilinear"):
+                    got = (
+                        None if px is None
+                        else resize_image(px, out_h, out_w, method)
+                    )
+                    want = resize_image(want_src, out_h, out_w, method)
+                    ok = got is not None and bool((got == want).all())
+                    out["media_id"].append(int(mid))
+                    out["method"].append(method)
+                    out["width"].append(0 if px is None else px.shape[1])
+                    out["height"].append(0 if px is None else px.shape[0])
+                    out["out_bytes"].append(
+                        0 if got is None else int(got.nbytes)
+                    )
+                    out["resize_ok"].append(ok)
+                    out["mean_luma_out"].append(
+                        0.0 if got is None
+                        else round(float(got.astype(np.float64).mean()), 4)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "method": out["method"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "out_bytes": pd.Series(out["out_bytes"], dtype="int64"),
+                    "resize_ok": pd.Series(out["resize_ok"], dtype="bool"),
+                    "mean_luma_out": pd.Series(
+                        out["mean_luma_out"], dtype="float64"
+                    ),
+                }
+            )
+
+    media = spark.range(64).mapInPandas(build, "media_id long, payload binary")
+    return media.mapInPandas(
+        check,
+        "media_id long, method string, width int, height int, "
+        "out_bytes long, resize_ok boolean, mean_luma_out double",
+    )

@@ -3125,3 +3125,41 @@ def test_ccitt_predictor_malformed_payload_fuzz_never_raises():
                 else:
                     decode_pdf_pages(payload)
                     decode_pdf_images(payload)
+
+
+def test_resize_image_hand_pinned_kernels():
+    """resize_image (r7): nearest on an integer-factor downscale picks
+    exactly the strided center pixels; bilinear is exact on constant
+    images, identity at equal size, and keeps a linear ramp linear —
+    hand-computed anchors independent of the query's self-comparison."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import resize_image
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(resize_image(img, 2, 2, "nearest"), img[1::2, 1::2])
+    up = resize_image(img, 8, 8, "nearest")
+    assert np.array_equal(up[::2, ::2], img) and np.array_equal(up[1::2, 1::2], img)
+    const = np.full((7, 5, 3), 77, np.uint8)
+    assert (resize_image(const, 3, 9, "bilinear") == 77).all()
+    assert np.array_equal(resize_image(img, 4, 4, "bilinear"), img)
+    ramp = np.tile(np.arange(0, 160, 10, dtype=np.uint8)[None, :, None], (4, 1, 3))
+    out = resize_image(ramp, 4, 8, "bilinear")
+    diffs = np.diff(out[0, :, 0].astype(int))
+    assert (diffs[1:-1] == diffs[1]).all()
+
+
+def test_image_resize_query_gate(spark):
+    """multimodal_image_resize end to end: every row's resize output is
+    pixel-identical to the resize of the regenerated source, for both
+    methods over all three rotating codecs, and resampling keeps mean
+    luma within 1.5 of the source image's."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["multimodal_image_resize"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64 * 2
+    for r in rows:
+        assert r["resize_ok"], (r["media_id"], r["method"])
+        assert r["width"] > 0 and r["height"] > 0
+        assert r["out_bytes"] == 48 * 64 * 3
