@@ -1,4 +1,4 @@
-"""CCITT Group 4 (ITU-T T.6) and Group 3 1-D (T.4) fax codecs — pure stdlib.
+"""CCITT Group 4 (T.6) and Group 3 1-D + mixed 2-D (T.4) fax codecs — pure stdlib.
 
 The most common remaining PDF image filter after the row predictors:
 fax-era scanned documents embed 1-bit /CCITTFaxDecode (K < 0) image
@@ -217,10 +217,90 @@ def _next_b1_b2(ref: list[int], a0: int, color_black: bool) -> tuple[int, int]:
     return b1, b2
 
 
-def g4_decode(data: bytes, columns: int, rows: int | None = None) -> np.ndarray | None:
+def _decode_2d_line(
+    r: _BitReader, ref: list[int], columns: int
+) -> list[int] | None:
+    """Decode ONE 2-D coded line (T.6 §4.2.1 — also the 2-D line form
+    of mixed-mode T.4) against ``ref``; returns the coded transition
+    list, or None on malformed input."""
+    cur: list[int] = []
+    a0 = -1
+    black = False
+    while a0 < columns:
+        mode = _read_mode(r)
+        if mode is None:
+            return None
+        kind, delta = mode
+        if kind == "EOFB":
+            return None  # EOFB/EOL mid-line: malformed
+        b1, b2 = _next_b1_b2(ref, a0, black)
+        if kind == "P":
+            a0 = b2
+            continue
+        if kind == "V":
+            a1 = b1 + delta
+            if a1 < 0 or a1 < a0:
+                return None
+            cur.append(a1)
+            a0 = a1
+            black = not black
+            continue
+        # horizontal: two explicit runs of (current, opposite) color
+        r1 = _read_run(r, white=not black)
+        if r1 is None:
+            return None
+        r2 = _read_run(r, white=black)
+        if r2 is None:
+            return None
+        start = max(a0, 0)
+        a1 = start + r1
+        a2 = a1 + r2
+        if a2 < a1 or a1 < start:
+            return None
+        cur.append(a1)
+        cur.append(a2)
+        a0 = a2
+    return cur
+
+
+def _decode_1d_line(r: _BitReader, columns: int) -> np.ndarray | None:
+    """Decode ONE 1-D MH line (white-first run alternation summing to
+    exactly ``columns``)."""
+    line = np.zeros(columns, bool)
+    pos = 0
+    white = True
+    while pos < columns:
+        run = _read_run(r, white=white)
+        if run is None or pos + run > columns:
+            return None
+        if not white:
+            line[pos : pos + run] = True
+        pos += run
+        white = not white
+    return line
+
+
+def _line_from_flips(cur: list[int], columns: int) -> np.ndarray:
+    """Coded transition list → bool line (True = black)."""
+    line = np.zeros(columns, bool)
+    flips = [t for t in cur if t < columns]
+    for i in range(0, len(flips) - len(flips) % 2, 2):
+        line[flips[i] : flips[i + 1]] = True
+    if len(flips) % 2:
+        line[flips[-1] :] = True
+    return line
+
+
+def g4_decode(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> np.ndarray | None:
     """G4 bit stream → (rows, columns) bool raster (True = black), or
     None for a malformed stream.  Decodes until EOFB, stream end, or
-    ``rows`` lines when given (PDF /Rows)."""
+    ``rows`` lines when given (PDF /Rows); ``byte_align`` consumes the
+    per-line fill bits ``/EncodedByteAlign true`` writers insert."""
     if columns <= 0 or not data:
         return None
     r = _BitReader(data)
@@ -231,51 +311,13 @@ def g4_decode(data: bytes, columns: int, rows: int | None = None) -> np.ndarray 
             break
         if not r.bits[r.pos :].any():
             break  # zero padding to the byte boundary, no further lines
-        cur: list[int] = []
-        a0 = -1
-        black = False
-        while a0 < columns:
-            mode = _read_mode(r)
-            if mode is None:
-                return None
-            kind, delta = mode
-            if kind == "EOFB":
-                return None  # EOFB mid-line: malformed
-            b1, b2 = _next_b1_b2(ref, a0, black)
-            if kind == "P":
-                a0 = b2
-                continue
-            if kind == "V":
-                a1 = b1 + delta
-                if a1 < 0 or a1 < a0:
-                    return None
-                cur.append(a1)
-                a0 = a1
-                black = not black
-                continue
-            # horizontal: two explicit runs of (current, opposite) color
-            r1 = _read_run(r, white=not black)
-            if r1 is None:
-                return None
-            r2 = _read_run(r, white=black)
-            if r2 is None:
-                return None
-            start = max(a0, 0)
-            a1 = start + r1
-            a2 = a1 + r2
-            if a2 < a1 or a1 < start:
-                return None
-            cur.append(a1)
-            cur.append(a2)
-            a0 = a2
-        line = np.zeros(columns, bool)
-        flips = [t for t in cur if t < columns]
-        for i in range(0, len(flips) - len(flips) % 2, 2):
-            line[flips[i] : flips[i + 1]] = True
-        if len(flips) % 2:
-            line[flips[-1] :] = True
-        out.append(line)
+        cur = _decode_2d_line(r, ref, columns)
+        if cur is None:
+            return None
+        out.append(_line_from_flips(cur, columns))
         ref = [t for t in cur if t <= columns] + [columns, columns]
+        if byte_align:
+            r.pos += -r.pos % 8
     if rows is not None and len(out) != rows:
         return None
     if not out:
@@ -298,52 +340,85 @@ def _encode_run(run: int, white: bool) -> str:
     return bits + term[run]
 
 
-def g4_encode(bitmap: np.ndarray) -> bytes:
+def _encode_2d_line(row: np.ndarray, ref: list[int], columns: int) -> str:
+    """ONE line 2-D coded against ``ref`` (greedy mode choice per T.6
+    §4.2.1: pass when b2 < a1, vertical within ±3, horizontal
+    otherwise)."""
+    cur = _transitions(row) + [columns, columns]
+    bits: list[str] = []
+    a0 = -1
+    black = False
+    ci = 0  # index into cur of the next coding change a1
+    while a0 < columns:
+        a1 = cur[ci] if ci < len(cur) else columns
+        b1, b2 = _next_b1_b2(ref, a0, black)
+        if b2 < a1:
+            bits.append("0001")  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            bits.append(
+                {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                 -1: "010", -2: "000010", -3: "0000010"}[d]
+            )
+            a0 = a1
+            black = not black
+            ci += 1
+            continue
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+        start = max(a0, 0)
+        bits.append("001")
+        bits.append(_encode_run(a1 - start, white=not black))
+        bits.append(_encode_run(a2 - a1, white=black))
+        a0 = a2
+        ci += 2
+    return "".join(bits)
+
+
+def _encode_1d_line(row: np.ndarray, columns: int) -> str:
+    """ONE line 1-D MH coded (white-first alternation; a line starting
+    black gets a zero-length white run — a real MH code, not a hack)."""
+    trans = _transitions(row) + [columns]
+    bits: list[str] = []
+    pos = 0
+    white = True
+    ti = 0
+    while pos < columns:
+        nxt = trans[ti] if ti < len(trans) else columns
+        bits.append(_encode_run(nxt - pos, white=white))
+        pos = nxt
+        white = not white
+        ti += 1
+    return "".join(bits)
+
+
+def _pack_bits(s: str) -> bytes:
+    s += "0" * (-len(s) % 8)
+    return np.packbits(np.frombuffer(s.encode(), np.uint8) - ord("0")).tobytes()
+
+
+def g4_encode(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
     """(rows, columns) bool raster (True = black) → G4 stream ending in
     EOFB, zero-padded to a byte boundary.  Written independently of the
-    decoder (greedy mode choice per T.6 §4.2.1: pass when b2 < a1,
-    vertical within ±3, horizontal otherwise) so round-trip identity is
-    a real conformance check, not a shared-code tautology."""
+    decoder so round-trip identity is a real conformance check, not a
+    shared-code tautology.  ``byte_align`` zero-fills each line to a
+    byte boundary (the /EncodedByteAlign writer convention)."""
     bitmap = np.asarray(bitmap, bool)
     rows, columns = bitmap.shape
     bits: list[str] = []
+    n = 0
     ref = [columns, columns]
     for y in range(rows):
-        cur = _transitions(bitmap[y]) + [columns, columns]
-        a0 = -1
-        black = False
-        ci = 0  # index into cur of the next coding change a1
-        while a0 < columns:
-            a1 = cur[ci] if ci < len(cur) else columns
-            b1, b2 = _next_b1_b2(ref, a0, black)
-            if b2 < a1:
-                bits.append("0001")  # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                bits.append(
-                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
-                     -1: "010", -2: "000010", -3: "0000010"}[d]
-                )
-                a0 = a1
-                black = not black
-                ci += 1
-                continue
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
-            start = max(a0, 0)
-            bits.append("001")
-            bits.append(_encode_run(a1 - start, white=not black))
-            bits.append(_encode_run(a2 - a1, white=black))
-            a0 = a2
-            ci += 2
+        line = _encode_2d_line(bitmap[y], ref, columns)
+        bits.append(line)
+        n += len(line)
+        if byte_align and n % 8:
+            bits.append("0" * (-n % 8))
+            n += -n % 8
         ref = _transitions(bitmap[y]) + [columns, columns]
     bits.append(EOFB)
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return np.packbits(
-        np.frombuffer(s.encode(), np.uint8) - ord("0")
-    ).tobytes()
+    return _pack_bits("".join(bits))
 
 
 # ------------------------------------------------------- Group 3 one-dimensional
@@ -365,13 +440,17 @@ def _consume_eols(r: _BitReader) -> None:
 
 
 def g3_1d_decode(
-    data: bytes, columns: int, rows: int | None = None
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
 ) -> np.ndarray | None:
     """CCITT Group 3 one-dimensional (T.4 MH, PDF ``/K 0``) → (rows,
     columns) bool raster (True = black), or None.  Each line is a
     white-first alternation of MH run codes summing exactly to
     ``columns``; optional EOLs (with fill) between lines are consumed,
-    none are required (the PDF default EndOfLine=false)."""
+    none are required (the PDF default EndOfLine=false); ``byte_align``
+    consumes the per-line fill of /EncodedByteAlign writers."""
     if columns <= 0 or not data:
         return None
     r = _BitReader(data)
@@ -380,18 +459,12 @@ def g3_1d_decode(
         _consume_eols(r)
         if r.pos >= len(r.bits) or not r.bits[r.pos :].any():
             break  # stream end / zero padding
-        line = np.zeros(columns, bool)
-        pos = 0
-        white = True
-        while pos < columns:
-            run = _read_run(r, white=white)
-            if run is None or pos + run > columns:
-                return None
-            if not white:
-                line[pos : pos + run] = True
-            pos += run
-            white = not white
+        line = _decode_1d_line(r, columns)
+        if line is None:
+            return None
         out.append(line)
+        if byte_align:
+            r.pos += -r.pos % 8
     if rows is not None and len(out) != rows:
         return None
     if not out:
@@ -399,32 +472,87 @@ def g3_1d_decode(
     return np.stack(out)
 
 
-def g3_1d_encode(bitmap: np.ndarray, with_eol: bool = False) -> bytes:
+def g3_1d_encode(
+    bitmap: np.ndarray, with_eol: bool = False, byte_align: bool = False
+) -> bytes:
     """(rows, columns) bool raster → T.4 1-D MH stream (encoder twin of
     :func:`g3_1d_decode`; ``with_eol`` prefixes every line with an EOL
-    the way tape-era G3 writers did, exercising the decoder's
-    fill/EOL tolerance)."""
+    the way tape-era G3 writers did, ``byte_align`` zero-fills each
+    line to a byte boundary — both exercising the decoder's framing
+    tolerance)."""
     bitmap = np.asarray(bitmap, bool)
     _, columns = bitmap.shape
     bits: list[str] = []
+    n = 0
     for row in bitmap:
         if with_eol:
             bits.append("000000000001")
-        trans = _transitions(row) + [columns]
-        pos = 0
-        white = True
-        ti = 0
-        while pos < columns:
-            nxt = trans[ti] if ti < len(trans) else columns
-            # runs alternate white-first; a line starting black gets a
-            # zero-length white run (a real MH code, not a hack)
-            bits.append(_encode_run(nxt - pos, white=white))
-            pos = nxt
-            white = not white
-            ti += 1
-        # a line ending mid-alternation is complete once pos == columns
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return np.packbits(
-        np.frombuffer(s.encode(), np.uint8) - ord("0")
-    ).tobytes()
+            n += 12
+        line = _encode_1d_line(row, columns)
+        bits.append(line)
+        n += len(line)
+        if byte_align and n % 8:
+            bits.append("0" * (-n % 8))
+            n += -n % 8
+    return _pack_bits("".join(bits))
+
+
+# --------------------------------------------------- Group 3 mixed (K > 0)
+
+
+def g3_mixed_decode(
+    data: bytes, columns: int, rows: int | None = None
+) -> np.ndarray | None:
+    """CCITT Group 3 two-dimensional / mixed mode (T.4 §4.2, PDF
+    ``/K > 0``): every line is framed by EOL + one tag bit — 1 selects
+    a 1-D MH line, 0 a 2-D line coded against the previous line (the
+    same vertical/pass/horizontal modes as G4).  K itself only bounds
+    how many 2-D lines may follow a 1-D line; the tag bits carry the
+    actual per-line choice, so the decoder needs no K."""
+    if columns <= 0 or not data:
+        return None
+    r = _BitReader(data)
+    out: list[np.ndarray] = []
+    ref: list[int] = [columns, columns]
+    while rows is None or len(out) < rows:
+        _consume_eols(r)
+        if r.pos >= len(r.bits) or not r.bits[r.pos :].any():
+            break  # stream end / RTC-style trailing zeros
+        tag = r.read_bit()
+        if tag is None:
+            break
+        if tag == 1:  # 1-D line
+            line = _decode_1d_line(r, columns)
+            if line is None:
+                return None
+        else:  # 2-D line against the previous line
+            cur = _decode_2d_line(r, ref, columns)
+            if cur is None:
+                return None
+            line = _line_from_flips(cur, columns)
+        out.append(line)
+        ref = _transitions(line) + [columns, columns]
+    if rows is not None and len(out) != rows:
+        return None
+    if not out:
+        return None
+    return np.stack(out)
+
+
+def g3_mixed_encode(bitmap: np.ndarray, k: int = 4) -> bytes:
+    """Encoder twin of :func:`g3_mixed_decode`: every K-th line 1-D
+    (starting with line 0, as T.4 requires after each EOL-reset), the
+    rest 2-D against the previous line; each line framed EOL + tag."""
+    bitmap = np.asarray(bitmap, bool)
+    rows, columns = bitmap.shape
+    bits: list[str] = []
+    ref = [columns, columns]
+    for y in range(rows):
+        one_d = y % max(1, k) == 0
+        bits.append("000000000001" + ("1" if one_d else "0"))
+        if one_d:
+            bits.append(_encode_1d_line(bitmap[y], columns))
+        else:
+            bits.append(_encode_2d_line(bitmap[y], ref, columns))
+        ref = _transitions(bitmap[y]) + [columns, columns]
+    return _pack_bits("".join(bits))

@@ -616,27 +616,37 @@ _DECODABLE_FILTERS = (
 
 
 def _decode_ccitt_image(data: bytes, head: bytes) -> bytes | None:
-    """A /CCITTFaxDecode image stream → P6 PPM, or None.  Group 4
-    (/K < 0 — the form scanned-document PDFs carry) and Group 3
-    one-dimensional (/K 0, default); mixed-mode G3 (/K > 0) is the
-    remaining seam.  The bit→gray mapping honors /BlackIs1 (default
-    false: black runs are 0 samples) and a /Decode [1 0] inversion, so
-    black pixels land at luma 0 for every writer convention."""
+    """A /CCITTFaxDecode image stream → P6 PPM, or None — the FULL
+    /K family (r7): Group 4 (/K < 0, the form scanned-document PDFs
+    carry), Group 3 one-dimensional (/K 0, default), and Group 3 mixed
+    two-dimensional (/K > 0, EOL+tag framed), plus /EncodedByteAlign
+    per-line fill for the K ≤ 0 forms.  The bit→gray mapping honors
+    /BlackIs1 (default false: black runs are 0 samples) and a
+    /Decode [1 0] inversion, so black pixels land at luma 0 for every
+    writer convention."""
     import numpy as np
 
-    from knowledge_model_spark.sources.ccitt import g3_1d_decode, g4_decode
+    from knowledge_model_spark.sources.ccitt import (
+        g3_1d_decode,
+        g3_mixed_decode,
+        g4_decode,
+    )
 
     km = re.search(rb"/K\s+(-?\d+)", head)
     k = int(km.group(1)) if km else 0
-    if k > 0:
-        return None  # mixed-mode G3: seam
     cm = re.search(rb"/Columns\s+(\d+)", head)
     rm = re.search(rb"/Rows\s+(\d+)", head)
     hm = re.search(rb"/Height\s+(\d+)", head)
     columns = int(cm.group(1)) if cm else 1728
     rows = int(rm.group(1)) if rm else (int(hm.group(1)) if hm else None)
-    decode = g4_decode if k < 0 else g3_1d_decode
-    bitmap = decode(bytes(data), columns, rows)
+    aligned = re.search(rb"/EncodedByteAlign\s+true", head) is not None
+    if k > 0:
+        # per-line EOL+fill framing subsumes byte alignment
+        bitmap = g3_mixed_decode(bytes(data), columns, rows)
+    elif k < 0:
+        bitmap = g4_decode(bytes(data), columns, rows, byte_align=aligned)
+    else:
+        bitmap = g3_1d_decode(bytes(data), columns, rows, byte_align=aligned)
     if bitmap is None:
         return None
     black_bit = 1 if re.search(rb"/BlackIs1\s+true", head) else 0

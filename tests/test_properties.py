@@ -836,3 +836,27 @@ def test_ccitt_g3_1d_roundtrip_property(h, w, density, with_eol, seed):
     assert got is not None and np.array_equal(got, img)
     got2 = g3_1d_decode(enc, w, rows=h)
     assert got2 is not None and np.array_equal(got2, img)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=96),
+    density=st.floats(min_value=0.0, max_value=1.0),
+    k=st.sampled_from([1, 2, 4, 8]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_ccitt_g3_mixed_roundtrip_property(h, w, density, k, seed):
+    """g3_mixed_encode → g3_mixed_decode identity across K values
+    (every-K-th-line 1-D, the rest 2-D against the previous line)."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import (
+        g3_mixed_decode,
+        g3_mixed_encode,
+    )
+
+    img = np.random.RandomState(seed).rand(h, w) < density
+    enc = g3_mixed_encode(img, k=k)
+    got = g3_mixed_decode(enc, w)
+    assert got is not None and np.array_equal(got, img)

@@ -3096,9 +3096,15 @@ def test_ccitt_predictor_malformed_payload_fuzz_never_raises():
     rng = np.random.RandomState(23)
     bitmap = rng.rand(15, 37) < 0.45
     rowdata = rng.randint(0, 256, 12 * 20, np.uint8).tobytes()
+    from knowledge_model_spark.sources.ccitt import (
+        g3_mixed_decode,
+        g3_mixed_encode,
+    )
+
     goods = [
         ("g4", g4_encode(bitmap)),
         ("g3", g3_1d_encode(bitmap, with_eol=True)),
+        ("g3m", g3_mixed_encode(bitmap, k=4)),
         ("pred", filter_rows(rowdata, 12, 20)),
         ("pdf", encode_simple_pdf(
             ["fax page", "pred page"],
@@ -3118,6 +3124,9 @@ def test_ccitt_predictor_malformed_payload_fuzz_never_raises():
                     assert out is None or out.ndim == 2
                 elif kind == "g3":
                     out = g3_1d_decode(payload, 37)
+                    assert out is None or out.ndim == 2
+                elif kind == "g3m":
+                    out = g3_mixed_decode(payload, 37)
                     assert out is None or out.ndim == 2
                 elif kind == "pred":
                     out = unfilter_rows(payload, 12, 20)
@@ -3163,3 +3172,45 @@ def test_image_resize_query_gate(spark):
         assert r["resize_ok"], (r["media_id"], r["method"])
         assert r["width"] > 0 and r["height"] > 0
         assert r["out_bytes"] == 48 * 64 * 3
+
+
+def test_ccitt_g3_mixed_and_byte_align_pdf_extraction():
+    """The full /CCITTFaxDecode /K family (r7): mixed-mode K>0 image
+    XObjects (EOL + tag-bit framing, 2-D lines against the previous
+    line) and /EncodedByteAlign per-line fill both decode through
+    decode_pdf_images."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import (
+        g3_mixed_encode,
+        g4_encode,
+    )
+    from knowledge_model_spark.sources.pdf import decode_pdf_images
+
+    rng = np.random.RandomState(13)
+    bitmap = rng.rand(17, 41) < 0.5
+    luma = np.where(bitmap, 0, 255).astype(np.uint8)
+    want = b"P6\n41 17\n255\n" + np.repeat(luma, 3).tobytes()
+
+    def xobj(parms: bytes, data: bytes) -> bytes:
+        return (
+            b"%%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image "
+            b"/Width 41 /Height 17 /ColorSpace /DeviceGray "
+            b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+            b"/DecodeParms << %s >> /Length %d >>\nstream\n"
+            % (parms, len(data))
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    # K > 0 mixed mode
+    data = g3_mixed_encode(bitmap, k=4)
+    imgs = decode_pdf_images(xobj(b"/K 4 /Columns 41 /Rows 17", data))
+    assert imgs is not None and len(imgs) == 1 and imgs[0] == want
+
+    # K = -1 with EncodedByteAlign
+    data2 = g4_encode(bitmap, byte_align=True)
+    imgs2 = decode_pdf_images(
+        xobj(b"/K -1 /Columns 41 /Rows 17 /EncodedByteAlign true", data2)
+    )
+    assert imgs2 is not None and len(imgs2) == 1 and imgs2[0] == want
