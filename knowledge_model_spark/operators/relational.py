@@ -1058,7 +1058,14 @@ def interval_overlap_counts(
             bucket_col,
             "n_sessions",
             (
-                (F.col("n_sessions") * (F.col("n_sessions") - 1) / 2).cast("long")
+                # C(n,2) stays integral end to end: n*(n-1) is a long
+                # product (always even), halved with shiftright — the
+                # double-division form diverges from the oracle's
+                # integer // once n*(n-1) exceeds 2^53, i.e. ~9.5e7
+                # intervals in one bucket at 100 TB.
+                F.shiftright(
+                    F.col("n_sessions") * (F.col("n_sessions") - F.lit(1)), 1
+                )
                 - F.col("__disjoint")
             ).cast("long").alias("overlap_pairs"),
         )

@@ -522,6 +522,17 @@ def g3_mixed_decode(
         if tag is None:
             break
         if tag == 1:  # 1-D line
+            # RTC trailer (T.4 §2.2.3: six EOL+tag-1 sequences): after
+            # a tag-1 that is part of the trailer, the next bits are
+            # another EOL (≥11 zeros — no MH run code carries more
+            # than 7 leading zeros) or only trailing pad.  Treat that
+            # as end-of-data instead of a malformed 1-D line, so
+            # rows=None streams with a spec-legal RTC still decode.
+            rest = r.bits[r.pos :]
+            if rest.size == 0 or not rest.any():
+                break
+            if int(np.argmax(rest)) >= 11:
+                break
             line = _decode_1d_line(r, columns)
             if line is None:
                 return None

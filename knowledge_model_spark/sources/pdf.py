@@ -112,10 +112,10 @@ _FILTER_SPEC_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
 
 def _decode_parms(head: bytes) -> tuple[int, int, int, int]:
     """(predictor, columns, colors, bpc) from a stream dictionary's
-    /DecodeParms (spec defaults 1/1/1/8).  The regex scans the whole
-    head, which also finds the params inside the array form
-    ``/DecodeParms [null << ... >>]`` — predictor params only ever
-    parameterize the Flate/LZW stage, so attribution is unambiguous."""
+    /DecodeParms, scalar form (spec defaults 1/1/1/8): the regex scans
+    the whole head.  The array form is handled positionally by
+    :func:`_decode_parms_list` — a parm dict at array index *i*
+    parameterizes /Filter stage *i* only (PDF 32000-1 §7.3.8.2)."""
     def _int(key: bytes, default: int) -> int:
         m = re.search(rb"/%s\s+(\d+)" % key, head)
         return int(m.group(1)) if m else default
@@ -126,6 +126,58 @@ def _decode_parms(head: bytes) -> tuple[int, int, int, int]:
         _int(b"Colors", 1),
         _int(b"BitsPerComponent", 8),
     )
+
+
+_NO_PARMS = (1, 1, 1, 8)
+
+
+def _decode_parms_list(
+    head: bytes, n_filters: int
+) -> list[tuple[int, int, int, int]]:
+    """Per-filter-stage (predictor, columns, colors, bpc), index-
+    aligned with the /Filter chain.  Array form ``/DecodeParms [null
+    << ... >>]`` is parsed positionally (``null`` → defaults, ``<<
+    ... >>`` balanced-scanned) so a predictor attached to one stage of
+    a legal multi-stage chain inverts at exactly that stage — never
+    twice, never at the wrong point.  Scalar form keeps the pre-r8
+    whole-head scan applied at every stage (single-filter streams,
+    the overwhelmingly common shape, are unaffected either way)."""
+    m = re.search(rb"/DecodeParms\s*", head)
+    if not m:
+        return [_NO_PARMS] * n_filters
+    i = m.end()
+    if head[i : i + 1] != b"[":
+        return [_decode_parms(head)] * n_filters
+    entries: list[tuple[int, int, int, int]] = []
+    j = i + 1
+    while j < len(head) and len(entries) < n_filters:
+        while j < len(head) and head[j] in _WHITESPACE:
+            j += 1
+        if head[j : j + 1] == b"]":
+            break
+        if head[j : j + 4] == b"null":
+            entries.append(_NO_PARMS)
+            j += 4
+        elif head[j : j + 2] == b"<<":
+            depth, k = 0, j
+            while k < len(head):
+                if head[k : k + 2] == b"<<":
+                    depth += 1
+                    k += 2
+                elif head[k : k + 2] == b">>":
+                    depth -= 1
+                    k += 2
+                    if depth == 0:
+                        break
+                else:
+                    k += 1
+            entries.append(_decode_parms(head[j:k]))
+            j = k
+        else:
+            break  # unexpected token: stop, pad with defaults
+    while len(entries) < n_filters:
+        entries.append(_NO_PARMS)
+    return entries
 
 
 def _apply_filters(data: bytes, head: bytes) -> bytes | None:
@@ -146,21 +198,22 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
     if not fm:
         return data  # no filter: raw stream
     names = re.findall(rb"/(\w+)", fm.group(1))
-    predictor, columns, colors, bpc = _decode_parms(head)
+    parms = _decode_parms_list(head, len(names))
 
-    def _unpredict(decoded: bytes | None) -> bytes | None:
+    def _unpredict(decoded: bytes | None, stage: int) -> bytes | None:
+        predictor, columns, colors, bpc = parms[stage]
         if decoded is None or predictor <= 1:
             return decoded
         from knowledge_model_spark.sources.predictors import unfilter_rows
 
         return unfilter_rows(decoded, predictor, columns, colors, bpc)
 
-    for name in names:
+    for stage, name in enumerate(names):
         if data is None:
             return None
         if name == b"FlateDecode":
             try:
-                data = _unpredict(zlib.decompress(data))
+                data = _unpredict(zlib.decompress(data), stage)
             except zlib.error:
                 return None  # corrupt stream: skip, don't lie
         elif name == b"LZWDecode":
@@ -170,7 +223,8 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
             data = _unpredict(
                 lzw_decode_pdf(
                     data, early_change=int(em.group(1)) if em else 1
-                )
+                ),
+                stage,
             )
         elif name == b"ASCIIHexDecode":
             import binascii
@@ -666,11 +720,13 @@ def decode_pdf_images(b: bytes) -> list[bytes] | None:
     decodes it), raw-sample images behind Flate/LZW/ASCII filters
     with 8-bit /DeviceRGB or /DeviceGray become P6 PPM (including
     /DecodeParms predictor-coded samples — _apply_filters inverts the
-    row predictors since r7), and **/CCITTFaxDecode Group 4 (/K < 0)
-    and Group 3 1-D (/K 0) images (r7 — the scanned-document fax
-    filters) decode through sources/ccitt.py to P6**.  None when the
-    payload is not a PDF; JPX/JBIG2, mixed-mode G3 (/K > 0), indexed,
-    and CMYK images are skipped (the declared seam).
+    row predictors since r7), and **/CCITTFaxDecode images across the
+    full /K family — Group 4 (/K < 0), Group 3 1-D (/K 0), and mixed
+    2-D G3 (/K > 0), with /EncodedByteAlign honored — decode through
+    sources/ccitt.py to P6** (asserted end to end by
+    test_ccitt_g3_mixed_and_byte_align_pdf_extraction).  None when the
+    payload is not a PDF; JPX/JBIG2, indexed, and CMYK images are
+    skipped (the declared seam).
 
     This is the image half of the reference's PyMuPDF surface
     (parse_pdfs.py opens the same documents; ``page.get_images`` is

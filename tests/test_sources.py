@@ -3214,3 +3214,113 @@ def test_ccitt_g3_mixed_and_byte_align_pdf_extraction():
         xobj(b"/K -1 /Columns 41 /Rows 17 /EncodedByteAlign true", data2)
     )
     assert imgs2 is not None and len(imgs2) == 1 and imgs2[0] == want
+
+
+def test_ccitt_g3_mixed_rtc_trailer_rows_none():
+    """r8 (driver advice): a spec-legal RTC trailer — six EOL+tag-1
+    sequences (T.4 §2.2.3) — at the end of a G3 mixed-mode stream is
+    end-of-data, not a malformed 1-D line, even when the caller
+    supplies no row count (rows=None): after the trailer's tag-1 the
+    next bits are another EOL, which no MH run code can open."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.ccitt import (
+        _encode_1d_line,
+        _encode_2d_line,
+        _pack_bits,
+        _transitions,
+        g3_mixed_decode,
+    )
+
+    rng = np.random.RandomState(31)
+    bitmap = rng.rand(11, 29) < 0.4
+    bits = []
+    ref = [29, 29]
+    for y in range(11):
+        one_d = y % 4 == 0
+        bits.append("000000000001" + ("1" if one_d else "0"))
+        if one_d:
+            bits.append(_encode_1d_line(bitmap[y], 29))
+        else:
+            bits.append(_encode_2d_line(bitmap[y], ref, 29))
+        ref = _transitions(bitmap[y]) + [29, 29]
+    bits.append(("000000000001" + "1") * 6)  # RTC trailer
+    payload = _pack_bits("".join(bits))
+
+    out = g3_mixed_decode(payload, 29, rows=None)
+    assert out is not None and np.array_equal(out, bitmap)
+    # rows supplied still decodes (loop stops before the trailer)
+    out2 = g3_mixed_decode(payload, 29, rows=11)
+    assert out2 is not None and np.array_equal(out2, bitmap)
+
+
+def test_pdf_decode_parms_array_positional():
+    """r8 (driver advice): the array form of /DecodeParms is index-
+    aligned with /Filter — a predictor entry inverts only at the stage
+    it parameterizes.  A double-Flate chain whose predictor belongs to
+    the SECOND stage must not unpredict the intermediate zlib bytes."""
+    import zlib as _z
+
+    from knowledge_model_spark.sources.pdf import decode_pdf_text
+    from knowledge_model_spark.sources.predictors import filter_rows
+
+    def one_obj(head: bytes, data: bytes) -> bytes:
+        return (
+            b"%%PDF-1.4\n1 0 obj\n<< /Length %d %s >>\nstream\n"
+            % (len(data), head)
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    body = b"BT (array parms) Tj 0 -14 Td (stage aligned) Tj ET"
+    cols = 16
+    padded = body + b" " * (-len(body) % cols)
+
+    # decode order: Flate(stage 0, no parms) -> Flate(stage 1, pred 12)
+    data = _z.compress(_z.compress(filter_rows(padded, 12, cols)))
+    pdf = one_obj(
+        b"/Filter [/FlateDecode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 12 /Columns %d >>]" % cols,
+        data,
+    )
+    assert decode_pdf_text(pdf) == "array parms\nstage aligned"
+
+    # ASCII85 outer stage, predictor on the inner Flate stage
+    import base64
+
+    data2 = base64.a85encode(
+        _z.compress(filter_rows(padded, 12, cols))
+    ) + b"~>"
+    pdf2 = one_obj(
+        b"/Filter [/ASCII85Decode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 12 /Columns %d >>]" % cols,
+        data2,
+    )
+    assert decode_pdf_text(pdf2) == "array parms\nstage aligned"
+
+    # scalar form on a single filter: unchanged behavior
+    data3 = _z.compress(filter_rows(padded, 12, cols))
+    pdf3 = one_obj(
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns %d >>" % cols,
+        data3,
+    )
+    assert decode_pdf_text(pdf3) == "array parms\nstage aligned"
+
+
+def test_predictor_tiff_sub_byte_refusal():
+    """r8 (verdict item 8): TIFF predictor 2 differencing acts on
+    packed sub-byte samples — unfilter_rows refuses bpc<8 (and any
+    non-8-bit depth) rather than risk a silent misdecode.  Pin the
+    refusal so a future change can't quietly flip it to wrong output."""
+    from knowledge_model_spark.sources.predictors import (
+        filter_rows,
+        unfilter_rows,
+    )
+
+    data = bytes(range(64))
+    assert unfilter_rows(data, 2, 16, colors=1, bpc=8) is not None
+    for bpc in (1, 2, 4, 16):
+        assert unfilter_rows(data, 2, 16, colors=1, bpc=bpc) is None
+    # the encoder twin refuses symmetrically (8-bit only)
+    assert filter_rows(data, 2, 16) is not None
