@@ -201,6 +201,143 @@ def lsh_bucket_top_k(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_bucket_top_k_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 12,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_tables: int = 12,
+    n_probe_bits: int = 4,
+) -> DataFrame:
+    """Driver-certifiable twin of :func:`lsh_bucket_top_k` (r7 verdict
+    item 1, the dedup-md5-twin pattern): the Gaussian hyperplanes have
+    no DuckDB equivalent, so this variant draws RADEMACHER hyperplanes
+    whose ±1 components are the parity of the content-addressed 60-bit
+    md5 hash of ``"table-plane-dim"`` — a valid sign-LSH family
+    (Achlioptas 2001 sparse/± projections preserve the random-
+    hyperplane collision bound) that BOTH engines can generate from
+    literals, making the entire bucket→multiprobe→candidate→exact-
+    cosine-verify pipeline oracle-checkable end to end.
+
+    Same structure and parameters as the production path: ``n_tables``
+    independent tables unioned for recall, queries additionally probe
+    the ``n_probe_bits`` LOWEST-|projection| sign flips per table
+    (margin-guided multiprobe).  Differences are the certification
+    trade, documented like ``dedup_minhash_lsh_md5``: plane projections
+    are codegen'd array folds instead of one numpy matmul per Arrow
+    batch (T×P×D multiply-adds per row), and bucketing runs over RAW
+    embeddings cast to double (sign-LSH is scale-invariant; skipping
+    the normalize keeps the cross-engine doubles bit-identical —
+    float→double widening is exact).  xxhash64+Gaussian stays the
+    100 TB default.
+    """
+    from knowledge_model_spark.operators.dedup import md5_hash60
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    spark = corpus.sparkSession
+    planes = spark.range(n_tables * n_planes).select(
+        F.expr(f"CAST(id DIV {n_planes} AS INT)").alias("tbl"),
+        F.expr(f"CAST(id % {n_planes} AS INT)").alias("plane"),
+        F.expr(
+            f"CAST(shiftleft(1, CAST(id % {n_planes} AS INT)) AS BIGINT)"
+        ).alias("w"),
+    ).select(
+        "tbl",
+        "plane",
+        "w",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                md5_hash60(
+                    F.concat_ws(
+                        "-",
+                        F.col("tbl").cast("string"),
+                        F.col("plane").cast("string"),
+                        d.cast("string"),
+                    )
+                )
+                % 2
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("sign_vec"),
+    )
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), F.col(corpus_vec).cast("array<double>").alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(query_vec).cast("array<double>").alias("__qv")
+    )
+
+    zero = F.lit(0).cast("long")
+    cproj = c.crossJoin(broadcast(planes)).select(
+        F.col(corpus_id),
+        "tbl",
+        "plane",
+        "w",
+        dot(F.col("sign_vec"), F.col("__cv")).alias("proj"),
+    )
+    cb = cproj.groupBy(corpus_id, "tbl").agg(
+        F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(zero)).alias("bkt")
+    )
+
+    qproj = q.crossJoin(broadcast(planes)).select(
+        F.col(query_id),
+        "tbl",
+        "plane",
+        "w",
+        dot(F.col("sign_vec"), F.col("__qv")).alias("proj"),
+    )
+    qhome = qproj.groupBy(query_id, "tbl").agg(
+        F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(zero)).alias("home")
+    )
+    n_probe_bits = max(0, min(n_probe_bits, n_planes))
+    wm = Window.partitionBy(query_id, "tbl").orderBy(
+        F.abs(F.col("proj")).asc(), F.col("plane").asc()
+    )
+    qflip = (
+        qproj.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= n_probe_bits)
+        .select(query_id, "tbl", "w")
+    )
+    qb = qhome.select(F.col(query_id), F.col("tbl"), F.col("home").alias("bkt")).unionByName(
+        qflip.join(qhome, [query_id, "tbl"]).select(
+            F.col(query_id),
+            F.col("tbl"),
+            F.col("home").bitwiseXOR(F.col("w")).alias("bkt"),
+        )
+    )
+
+    cand = (
+        cb.join(broadcast(qb), ["tbl", "bkt"])
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    scored = (
+        cand.join(c, corpus_id)
+        .join(broadcast(q), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(
+                dot(l2_normalize(F.col("__cv")), l2_normalize(F.col("__qv"))), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -212,6 +349,7 @@ def ivf_top_k(
     n_centroids: int = 16,
     n_probe: int = 6,
     n_assign: int = 3,
+    seed_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF-style ANN: deterministic hash-sampled centroids; corpus rows
     multi-assigned to their ``n_assign`` nearest centroids (recall lever —
@@ -219,6 +357,11 @@ def ivf_top_k(
     queries probe ``n_probe`` nearest lists.  Centroid table is tiny →
     broadcast everywhere; corpus shuffle is one repartition by centroid —
     amortizable across query batches.
+
+    ``seed_hash`` picks the centroid-sampling hash: ``"xxhash64"`` (the
+    100 TB default — one vectorized JVM hash) or ``"md5"`` (the 60-bit
+    md5 prefix, bit-identical in DuckDB — the r8 certification twin;
+    everything downstream of the seed is already SQL-expressible).
     """
     from knowledge_model_spark.session import ensure_min_partitions
 
@@ -228,10 +371,16 @@ def ivf_top_k(
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
 
     # Deterministic "centroids": the n corpus vectors with smallest
-    # xxhash64(id) — a seedless uniform sample.
+    # hash(id) — a seedless uniform sample.
+    if seed_hash == "md5":
+        from knowledge_model_spark.operators.dedup import md5_hash60
+
+        seed = md5_hash60(F.col(corpus_id).cast("string"))
+    else:
+        seed = F.xxhash64(F.col(corpus_id).cast("string"))
     cents = (
-        c.withColumn("__h", F.xxhash64(F.col(corpus_id).cast("string")))
-        .orderBy("__h")
+        c.withColumn("__h", seed)
+        .orderBy("__h", corpus_id)
         .limit(n_centroids)
         .select(F.col(corpus_id).alias("cent_id"), F.col("__cv").alias("cent_vec"))
     )

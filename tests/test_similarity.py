@@ -87,6 +87,33 @@ def test_ivf_recall_gate(corpus, queries, exact_hits):
     assert _recall(approx, exact_hits) >= 0.8
 
 
+def test_lsh_md5_twin_recall_gate_and_determinism(corpus, queries, exact_hits):
+    """r8 (r7 verdict item 1): the driver-certifiable md5-Rademacher
+    LSH twin must hold the same 0.80 recall gate as the production
+    Gaussian path, and be stable across runs (content-addressed
+    randomness, no session state)."""
+    from knowledge_model_spark.operators.similarity import lsh_bucket_top_k_md5
+
+    approx = lsh_bucket_top_k_md5(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K
+    ).collect()
+    assert _recall(approx, exact_hits) >= 0.8
+    again = lsh_bucket_top_k_md5(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ivf_md5_twin_recall_gate(corpus, queries, exact_hits):
+    """r8: ivf_top_k(seed_hash='md5') — same pipeline, md5-sampled
+    centroids — holds the 0.80 gate."""
+    approx = ivf_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K,
+        n_centroids=16, n_probe=8, seed_hash="md5",
+    ).collect()
+    assert _recall(approx, exact_hits) >= 0.8
+
+
 def test_hard_negatives_excludes_query_label_and_outranks_postfilter(spark, tables):
     from knowledge_model_spark.operators.similarity import (
         brute_force_top_k,
