@@ -1082,12 +1082,46 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_phash_dedup",
-    None,  # sha256/aHash signatures — no SQL equivalent; rows-only
+    """
+    WITH media AS (
+      SELECT id AS media_id,
+             sha256(CAST(id % 32 AS VARCHAR)) AS payload_hex
+      FROM range(64) r(id)
+    ),
+    sigs AS (
+      SELECT media_id AS id,
+             CAST(CAST(('0x' || substr(sha256(payload_hex), 1, 16)) AS UBIGINT)
+                  & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS simhash
+      FROM media
+    ),
+    blocks AS (
+      SELECT id, simhash, t AS blk, (simhash >> (16 * t)) & 65535 AS blkval
+      FROM sigs, range(4) r(t)
+    ),
+    bsz AS (SELECT blk, blkval, count(*) AS n FROM blocks GROUP BY 1, 2),
+    okb AS (
+      SELECT blocks.* FROM blocks JOIN bsz USING (blk, blkval)
+      WHERE bsz.n BETWEEN 2 AND 1000
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, x.simhash AS sa, y.id AS id_b, y.simhash AS sb
+      FROM okb x JOIN okb y USING (blk, blkval) WHERE x.id < y.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS distance
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
     doc="image dedup by perceptual hash: binary payloads → 63-bit "
     "signature (mapInPandas kernel; REAL aHash for numpy-decodable "
     "formats, sha256-derived otherwise) → the SAME 4x16-bit block-banded "
     "Hamming pair machinery as text SimHash; synthetic input plants "
-    "payload twins (media_id mod 32) so exact dups surface at distance 0",
+    "payload twins (media_id mod 32) so exact dups surface at distance 0. "
+    "Oracled since r8 (r7 verdict item 7): the DETERMINISTIC signature "
+    "is pure sha256 arithmetic (Spark sha2 hex → utf8 bytes → sha256 → "
+    "top-63-bit mask) and the banding is hash-free bit-slicing, so the "
+    "whole sketch→band→bucket→verify pipeline is DuckDB-expressible "
+    "from range(64) — no Spark-side change, the kernel was already "
+    "content-addressed; the REAL-aHash path stays pytest-gated "
+    "(tests/test_multimodal.py)",
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.operators.dedup import hash64_hamming_pairs
