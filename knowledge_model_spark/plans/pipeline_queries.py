@@ -582,7 +582,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encodes it as P6 PPM, strip TIFF (none / LZW / PackBits — r6 "
     "codec, shared early-change LZW core), Sun Raster (standard + "
     "byte-RLE), SGI (verbatim + RLE — both r6, external-file-"
-    "anchored), and JPEG(q90), and a second "
+    "anchored), JPEG(q90), and (r8) the three CCITT fax TIFF "
+    "shapes — G4, multi-strip 2-D G3, inverted-photometric MH — over "
+    "the thresholded bilevel page, and a second "
     "Arrow-batched stage decodes each payload through the SAME "
     "decode_image_any dispatcher the ingest path uses, comparing "
     "against the expected pixels regenerated from media_id (zero "
@@ -600,6 +602,7 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     from knowledge_model_spark.sources.jpeg import encode_jpeg
     from knowledge_model_spark.sources.multimodal import (
         decode_image_any,
+        encode_bilevel_tiff,
         encode_simple_ras,
         encode_simple_sgi,
         encode_simple_tiff,
@@ -621,6 +624,16 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         h, w = img.shape[:2]
         return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
 
+    def _bilevel(img: "np.ndarray") -> "np.ndarray":
+        # integer threshold on the channel sum: deterministic, content-
+        # addressed bilevel twin of the RGB test image (fax codecs are
+        # 1-bit; their expected reconstruction is the thresholded page)
+        return (img.astype(np.uint32).sum(axis=2) // 3) > 127
+
+    def _bilevel_rgb(img: "np.ndarray") -> "np.ndarray":
+        g = np.where(_bilevel(img), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {"media_id": [], "codec": [], "payload": []}
@@ -636,6 +649,16 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
                     ("sgi", encode_simple_sgi(img, rle=False)),
                     ("sgi_rle", encode_simple_sgi(img, rle=True)),
                     ("jpeg", encode_jpeg(img, 90)),
+                    # r8: CCITT fax TIFFs (r7 verdict item 4) — the
+                    # bilevel page thresholded from the same image;
+                    # multi-strip 2-D G3 and inverted-sense MH exercise
+                    # the strip restart and PhotometricInterpretation
+                    # paths
+                    ("ccitt_g4", encode_bilevel_tiff(_bilevel(img), "g4")),
+                    ("ccitt_g3_2d", encode_bilevel_tiff(
+                        _bilevel(img), "g3_2d", rows_per_strip=7)),
+                    ("ccitt_mh", encode_bilevel_tiff(
+                        _bilevel(img), "mh", photometric=1)),
                 ):
                     rows["media_id"].append(int(mid))
                     rows["codec"].append(codec)
@@ -658,6 +681,8 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
                 pdf["media_id"], pdf["codec"], pdf["payload"]
             ):
                 want = _img(int(mid))
+                if str(codec).startswith("ccitt_"):
+                    want = _bilevel_rgb(want)
                 got = decode_image_any(bytes(payload))
                 ok = got is not None and got.shape == want.shape
                 exact = bool(ok and (got == want).all())

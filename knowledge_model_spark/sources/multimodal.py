@@ -711,14 +711,18 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     """Baseline TIFF → RGB uint8.  Supports both endiannesses, 8-bit
     samples, 1/3/4 samples per pixel (alpha dropped), photometric
     WhiteIsZero / BlackIsZero / RGB, strip layout, compression none /
-    LZW / PackBits, and horizontal differencing (Predictor 2).  TIFF
-    LZW IS the PDF early-change variant (MSB-first, grows one code
-    early — the historic off-by-one PDF inherited), so the shared core
-    in sources/lzw.py decodes both.  Tiled, palette, planar, 16-bit,
-    and JPEG-in-TIFF files return None (the declared seam).
-    Conformance anchor: the stdlib-shipped externally-written
-    ``python.tiff`` must match the same image's external PNG/BMP/PPM
-    pixel-for-pixel through this repo's decoders."""
+    LZW / PackBits, horizontal differencing (Predictor 2), and — r8,
+    the scanned-document shapes — 1-bit CCITT fax strips: compression
+    2 (G3 MH), 3 (T.4 G3 1-D/2-D per T4Options), 4 (T.6 G4), through
+    the shared ``sources/ccitt.py`` decoders.  TIFF LZW IS the PDF
+    early-change variant (MSB-first, grows one code early — the
+    historic off-by-one PDF inherited), so the shared core in
+    sources/lzw.py decodes both.  Tiled, palette, planar, 16-bit,
+    JPEG-in-TIFF, LSB FillOrder, and CCITT uncompressed-mode files
+    return None (the declared seam).  Conformance anchor: the
+    stdlib-shipped externally-written ``python.tiff`` must match the
+    same image's external PNG/BMP/PPM pixel-for-pixel through this
+    repo's decoders."""
     import struct
 
     if len(b) < 8 or b[:2] not in (b"II", b"MM"):
@@ -760,12 +764,58 @@ def decode_tiff(b: bytes) -> np.ndarray | None:
     w, h = one(256), one(257)
     comp, photo = one(259, 1), one(262)
     spp = one(277, 1)
-    bits = tags.get(258, (8,) * spp)
     pred = one(317, 1)
     rps = one(278, h)
     offs, cnts = tags.get(273), tags.get(279)
     if not (w and h and offs and cnts) or photo not in (0, 1, 2):
         return None
+    if comp in (2, 3, 4):
+        # CCITT fax strips (r8, r7 verdict item 4): compression 2 = G3
+        # MH with byte-aligned rows (TIFF 6 §10), 3 = T.4 G3 (T4Options
+        # bit 0 selects 2-D mode, bit 2 fill-to-byte — both framed by
+        # the EOLs sources/ccitt.py already consumes), 4 = T.6 G4.
+        # Each strip is an independent fax stream of exactly its strip
+        # rows.  Seams (honest refusal): uncompressed-mode option bit,
+        # LSB FillOrder, tiles, palette/multi-sample bilevel.
+        bits = tags.get(258, (1,) * spp)
+        if photo not in (0, 1) or spp != 1 or tuple(bits) != (1,):
+            return None
+        if pred != 1 or one(322) or one(266, 1) != 1:
+            return None
+        t4, t6 = one(292, 0), one(293, 0)
+        if (comp == 3 and t4 & 0b10) or (comp == 4 and t6 & 0b10):
+            return None  # uncompressed mode: seam
+        from knowledge_model_spark.sources.ccitt import (
+            g3_1d_decode,
+            g3_mixed_decode,
+            g4_decode,
+        )
+
+        parts: list[np.ndarray] = []
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            data = b[o : o + c]
+            if len(data) < c:
+                return None
+            nrows = min(rps, h - si * rps)
+            if comp == 2:
+                bm = g3_1d_decode(data, w, rows=nrows, byte_align=True)
+            elif comp == 3 and (t4 & 1):
+                bm = g3_mixed_decode(data, w, rows=nrows)
+            elif comp == 3:
+                bm = g3_1d_decode(data, w, rows=nrows)
+            else:
+                bm = g4_decode(data, w, rows=nrows)
+            if bm is None:
+                return None
+            parts.append(bm)
+        bm = np.concatenate(parts, axis=0)
+        if bm.shape != (h, w):
+            return None
+        # fax sense: a "black" run is display-black under the standard
+        # WhiteIsZero (0); under BlackIsZero (1) the sense inverts
+        g = np.where(bm, 0, 255) if photo == 0 else np.where(bm, 255, 0)
+        return np.repeat(g.astype(np.uint8)[..., None], 3, axis=2)
+    bits = tags.get(258, (8,) * spp)
     if any(x != 8 for x in bits) or spp not in (1, 3, 4):
         return None
     if comp not in (1, 5, 32773) or pred not in (1, 2) or one(322):
@@ -877,6 +927,80 @@ def encode_simple_tiff(
     for s in strips:
         out += s
     out += struct.pack("<3H", 8, 8, 8)
+    out += struct.pack("<%dI" % n_strips, *strip_offs)
+    out += struct.pack("<%dI" % n_strips, *[len(s) for s in strips])
+    out += struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", 0)
+    return bytes(out)
+
+
+def encode_bilevel_tiff(
+    bitmap: np.ndarray,
+    compression: str = "g4",
+    rows_per_strip: int | None = None,
+    photometric: int = 0,
+) -> bytes:
+    """Minimal bilevel (1-bit) little-endian strip TIFF writer — the
+    encoder twin of decode_tiff's CCITT branch (fixtures and
+    round-trip tests): ``compression`` one of ``"mh"`` (tag 2, G3 MH
+    with byte-aligned rows), ``"g3_1d"`` / ``"g3_2d"`` (tag 3 with
+    T4Options bit 0 selecting 2-D), ``"g4"`` (tag 4).  ``bitmap`` is
+    display-black=True; ``photometric`` 1 inverts the stored run sense
+    the way the decoder expects."""
+    import struct
+
+    from knowledge_model_spark.sources.ccitt import (
+        g3_1d_encode,
+        g3_mixed_encode,
+        g4_encode,
+    )
+
+    bitmap = np.asarray(bitmap, bool)
+    h, w = bitmap.shape
+    rps = rows_per_strip or h
+    sense = bitmap if photometric == 0 else ~bitmap
+    strips: list[bytes] = []
+    for y0 in range(0, h, rps):
+        blk = sense[y0 : y0 + rps]
+        if compression == "mh":
+            strips.append(g3_1d_encode(blk, byte_align=True))
+        elif compression == "g3_1d":
+            strips.append(g3_1d_encode(blk, with_eol=True))
+        elif compression == "g3_2d":
+            strips.append(g3_mixed_encode(blk, k=4))
+        elif compression == "g4":
+            strips.append(g4_encode(blk))
+        else:
+            raise ValueError(f"unknown bilevel compression {compression!r}")
+    comp_tag = {"mh": 2, "g3_1d": 3, "g3_2d": 3, "g4": 4}[compression]
+    n_strips = len(strips)
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    offs_at, cnts_at = pos, pos + 4 * n_strips
+    pos += 8 * n_strips
+    ifd_at = pos
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    ents = [
+        entry(256, 3, 1, w),
+        entry(257, 3, 1, h),
+        entry(258, 3, 1, 1),
+        entry(259, 3, 1, comp_tag),
+        entry(262, 3, 1, photometric),
+        entry(273, 4, n_strips, strip_offs[0] if n_strips == 1 else offs_at),
+        entry(277, 3, 1, 1),
+        entry(278, 3, 1, rps),
+        entry(279, 4, n_strips, len(strips[0]) if n_strips == 1 else cnts_at),
+    ]
+    if comp_tag == 3:
+        ents.append(entry(292, 4, 1, 1 if compression == "g3_2d" else 0))
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    for s in strips:
+        out += s
     out += struct.pack("<%dI" % n_strips, *strip_offs)
     out += struct.pack("<%dI" % n_strips, *[len(s) for s in strips])
     out += struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", 0)

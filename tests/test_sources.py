@@ -1390,15 +1390,17 @@ def test_tiff_roundtrip_all_paths_and_external_conformance():
 
 def test_image_codec_matrix_query_gate(spark):
     """multimodal_image_codec_matrix end to end: every lossless codec
-    (PPM, TIFF none/LZW/PackBits, RAS ±RLE, SGI ±RLE) decodes
-    pixel-EXACT through the same decode_image_any dispatcher, and
-    JPEG(q90) lands above 28 dB PSNR, for all 64 media rows × 9
-    codecs."""
+    (PPM, TIFF none/LZW/PackBits, RAS ±RLE, SGI ±RLE, and the r8
+    CCITT fax TIFFs — G4, multi-strip 2-D G3, inverted-photometric
+    MH) decodes pixel-EXACT through the same decode_image_any
+    dispatcher, and JPEG(q90) lands above 28 dB PSNR, for all 64
+    media rows × 12 codecs."""
     from knowledge_model_spark.plans import load_registry
 
     R = load_registry()
     rows = R["multimodal_image_codec_matrix"].fn(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 64 * 9
+    assert len(rows) == 64 * 12
+    assert {r["codec"] for r in rows} >= {"ccitt_g4", "ccitt_g3_2d", "ccitt_mh"}
     for r in rows:
         assert r["width"] > 0 and r["height"] > 0, (r["media_id"], r["codec"])
         if r["codec"] == "jpeg":
@@ -3101,10 +3103,16 @@ def test_ccitt_predictor_malformed_payload_fuzz_never_raises():
         g3_mixed_encode,
     )
 
+    from knowledge_model_spark.sources.multimodal import (
+        decode_tiff as _dec_tiff,
+        encode_bilevel_tiff as _enc_btiff,
+    )
+
     goods = [
         ("g4", g4_encode(bitmap)),
         ("g3", g3_1d_encode(bitmap, with_eol=True)),
         ("g3m", g3_mixed_encode(bitmap, k=4)),
+        ("ctiff", _enc_btiff(bitmap, compression="g3_2d", rows_per_strip=5)),
         ("pred", filter_rows(rowdata, 12, 20)),
         ("pdf", encode_simple_pdf(
             ["fax page", "pred page"],
@@ -3131,6 +3139,9 @@ def test_ccitt_predictor_malformed_payload_fuzz_never_raises():
                 elif kind == "pred":
                     out = unfilter_rows(payload, 12, 20)
                     assert out is None or isinstance(out, bytes)
+                elif kind == "ctiff":
+                    out = _dec_tiff(payload)
+                    assert out is None or out.ndim == 3
                 else:
                     decode_pdf_pages(payload)
                     decode_pdf_images(payload)
@@ -3324,3 +3335,45 @@ def test_predictor_tiff_sub_byte_refusal():
         assert unfilter_rows(data, 2, 16, colors=1, bpc=bpc) is None
     # the encoder twin refuses symmetrically (8-bit only)
     assert filter_rows(data, 2, 16) is not None
+
+
+def test_ccitt_tiff_roundtrip_all_compressions():
+    """r8 (r7 verdict item 4): CCITT payloads inside TIFF — compression
+    tags 2 (G3 MH, byte-aligned rows), 3 (T.4 G3, 1-D and 2-D via
+    T4Options bit 0), 4 (T.6 G4) — decode through decode_tiff /
+    decode_image_any via the encoder twin encode_bilevel_tiff, across
+    strip layouts and both PhotometricInterpretation senses; the
+    uncompressed-mode option bit is refused honestly."""
+    import struct
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_image_any,
+        decode_tiff,
+        encode_bilevel_tiff,
+    )
+
+    rng = np.random.RandomState(7)
+    bitmap = rng.rand(23, 41) < 0.4
+    want = np.where(bitmap, 0, 255).astype(np.uint8)
+    for comp in ("mh", "g3_1d", "g3_2d", "g4"):
+        for rps in (None, 7):
+            for photo in (0, 1):
+                tif = encode_bilevel_tiff(
+                    bitmap, compression=comp, rows_per_strip=rps,
+                    photometric=photo,
+                )
+                img = decode_tiff(tif)
+                assert img is not None, (comp, rps, photo)
+                assert np.array_equal(img[..., 0], want), (comp, rps, photo)
+                assert np.array_equal(img[..., 0], img[..., 1])
+                assert decode_image_any(tif) is not None
+
+    # honest refusal: T4Options uncompressed-mode bit
+    tif = encode_bilevel_tiff(bitmap, compression="g3_1d")
+    b = bytearray(tif)
+    idx = b.rfind(struct.pack("<HHII", 292, 4, 1, 0))
+    assert idx >= 0
+    b[idx : idx + 12] = struct.pack("<HHII", 292, 4, 1, 0b10)
+    assert decode_tiff(bytes(b)) is None
