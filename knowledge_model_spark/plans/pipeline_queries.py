@@ -1041,17 +1041,23 @@ def multimodal_pdf_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_video_pipeline",
     None,  # binary mux/demux in pandas kernels — no SQL twin; frame
     # counts and feature values are deterministic (content-addressed
-    # RNG per media_id), and the codecs are pixel-exact-tested
+    # RNG per media_id), and the pixel gate is asserted in-plan
     doc="REAL video→frames→features composition, all three codec hops "
     "in one distributed plan: deterministic frames are muxed into a "
-    "genuine uncompressed-DIB AVI per media row (sources/multimodal."
-    "encode_simple_avi), demuxed by sample_frames REAL (real RIFF "
-    "parse; sampled frames re-emitted as PPM), and featurized by "
-    "image_features REAL (real pixel statistics).  The full video "
-    "branch of a multimodal training pipeline, executor-side end to "
-    "end; at 100 TB only the codec kernels swap for ffmpeg — the plan "
-    "shape (three chained mapInPandas over a scan, zero shuffle until "
-    "the final per-video aggregate) is already the production shape",
+    "genuine AVI per media row (sources/multimodal.encode_simple_avi "
+    "— even media_id uncompressed DIB, odd media_id MOTION JPEG, the "
+    "r8 composition of the existing demux with sources/jpeg.py), "
+    "demuxed by sample_frames REAL (real RIFF parse; sampled frames "
+    "re-emitted as PPM), featurized by image_features REAL (real "
+    "pixel statistics), and pixel-GATED in-plan: each sampled frame "
+    "is compared against its content-addressed source — DIB must be "
+    "bit-exact (psnr 99), MJPEG ≥ 25 dB on the worst-case random-"
+    "noise frames (measured 29.7 at q90).  The full video branch of "
+    "a multimodal training pipeline, executor-side end to end; at "
+    "100 TB only the codec kernels swap for ffmpeg — the plan shape "
+    "(chained mapInPandas over a scan, demux checkpointed once, a "
+    "32-row broadcast join of the two per-video aggregates) is "
+    "already the production shape",
 )
 def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -1066,17 +1072,20 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = spark.range(32).select(F.col("id").alias("media_id"))
 
-    def mux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _frames(mid: int):
         import numpy as np
 
+        rng = np.random.RandomState(int(mid))
+        return [rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(4)]
+
+    def mux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, durs = [], []
             for mid in pdf["media_id"]:
-                rng = np.random.RandomState(int(mid))
-                frames = [
-                    rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(4)
-                ]
-                payloads.append(encode_simple_avi(frames, fps=2.0))  # 2 s
+                codec = "dib" if int(mid) % 2 == 0 else "mjpg"
+                payloads.append(
+                    encode_simple_avi(_frames(int(mid)), fps=2.0, codec=codec)
+                )  # 2 s
                 durs.append(2000)
             yield pd.DataFrame(
                 {
@@ -1087,7 +1096,10 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = base.mapInPandas(mux, "media_id long, payload binary, duration_ms long")
-    frames = sample_frames(media, every_ms=500, decode="REAL")
+    # two consumers (featurize + pixel gate): demux once
+    frames = sample_frames(media, every_ms=500, decode="REAL").localCheckpoint(
+        eager=True
+    )
     per_frame = frames.select(
         (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
         F.col("frame_payload").alias("payload"),
@@ -1095,12 +1107,66 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("height"),
     )
     feats = image_features(per_frame, decode="REAL")
-    return (
+    per_video = (
         feats.withColumn("video_id", F.floor(F.col("media_id") / 100))
         .groupBy("video_id")
         .agg(
             F.count("*").cast("long").alias("n_frames"),
             F.round(F.avg(F.element_at("features", 7)), 6).alias("avg_luma"),
+        )
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from knowledge_model_spark.sources.multimodal import decode_ppm
+
+        for pdf in batches:
+            vids, psnrs = [], []
+            for mid, fi, payload in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["frame_payload"]
+            ):
+                got = decode_ppm(bytes(payload))
+                want = _frames(int(mid))[min(3, int(fi))]
+                if got is None or got.shape != want.shape:
+                    psnr = 0.0
+                else:
+                    mse = float(
+                        np.mean((got.astype(np.float64) - want) ** 2)
+                    )
+                    psnr = 99.0 if mse == 0 else min(
+                        99.0, 10 * np.log10(255.0**2 / mse)
+                    )
+                vids.append(int(mid))
+                psnrs.append(round(psnr, 2))
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.Series(vids, dtype="int64"),
+                    "psnr": pd.Series(psnrs, dtype="float64"),
+                }
+            )
+
+    gates = (
+        frames.select("media_id", "frame_index", "frame_payload")
+        .mapInPandas(gate, "video_id long, psnr double")
+        .groupBy("video_id")
+        .agg(F.min("psnr").alias("min_psnr"))
+    )
+    codec = F.when(F.col("video_id") % 2 == 0, F.lit("dib")).otherwise(
+        F.lit("mjpg")
+    )
+    return (
+        per_video.join(F.broadcast(gates), "video_id")
+        .select(
+            "video_id",
+            codec.alias("codec"),
+            "n_frames",
+            "avg_luma",
+            "min_psnr",
+            (
+                ((F.col("video_id") % 2 == 0) & (F.col("min_psnr") == 99.0))
+                | ((F.col("video_id") % 2 == 1) & (F.col("min_psnr") >= 25.0))
+            ).alias("pixel_gate_ok"),
         )
     )
 

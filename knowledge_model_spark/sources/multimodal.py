@@ -1376,14 +1376,18 @@ def decode_audio_any(b: bytes) -> tuple[np.ndarray, int] | None:
 
 
 def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
-    """RIFF AVI with uncompressed DIB video ('00db' chunks, 24-bit
-    BI_RGB bottom-up BGR rows padded to 4 bytes — the BMP raster) →
-    (frames as (H, W, 3) uint8 RGB, fps).  None for non-AVI payloads
-    or compressed codecs ('00dc' with a fourcc) — the ffmpeg seam.
+    """RIFF AVI video demux → (frames as (H, W, 3) uint8 RGB, fps):
+    uncompressed DIB ('00db' chunks, 24-bit BI_RGB bottom-up BGR rows
+    padded to 4 bytes — the BMP raster) and — r8, r7 verdict item 5 —
+    MJPEG ('00dc' chunks whose body is a complete JPEG file, decoded
+    by the in-repo sources/jpeg.py; pure composition of the existing
+    demux and the existing JPEG decoder).  None for non-AVI payloads
+    or other compressed codecs ('00dc' without a JPEG SOI: H.264/VP9)
+    — the ffmpeg seam.
 
-    This makes video demux REAL in-container for the one container
-    format stdlib arithmetic can parse; real-world H.264/VP9 stays on
-    the ffmpeg seam, same rule as progressive JPEG.
+    This makes video demux REAL in-container for the two container
+    layouts stdlib+numpy arithmetic can parse; real-world H.264/VP9
+    stays on the ffmpeg seam, same rule as arithmetic-coded JPEG.
     """
     import struct
 
@@ -1413,6 +1417,15 @@ def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
                     ).reshape(abs(h), row)
                     img = rows[:, : w * 3].reshape(abs(h), w, 3)[..., ::-1]
                     frames.append(img[::-1] if h > 0 else img)
+            elif (
+                cid.endswith(b"dc")
+                and b[body_at : body_at + 2] == b"\xff\xd8"
+            ):
+                from knowledge_model_spark.sources.jpeg import decode_jpeg
+
+                img = decode_jpeg(bytes(b[body_at : body_at + size]))
+                if img is not None:
+                    frames.append(img)
             i = body_at + size + (size & 1)  # chunks pad to even
         return frames
 
@@ -1422,10 +1435,18 @@ def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
     return frames, 1e6 / us_per_frame
 
 
-def encode_simple_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
-    """Minimal well-formed uncompressed AVI writer (fixtures): avih +
-    one 'vids'/DIB stream header + '00db' frames, the layout
-    :func:`decode_avi_frames` and any standard player read."""
+def encode_simple_avi(
+    frames: list[np.ndarray],
+    fps: float = 10.0,
+    codec: str = "dib",
+    quality: int = 90,
+) -> bytes:
+    """Minimal well-formed AVI writer (fixtures): avih + one 'vids'
+    stream header + frame chunks, the layout :func:`decode_avi_frames`
+    and any standard player read.  ``codec`` ``"dib"`` writes
+    uncompressed '00db' BGR rasters; ``"mjpg"`` (r8) writes Motion
+    JPEG — each frame a complete JPEG file in a '00dc' chunk, encoded
+    by the in-repo sources/jpeg.py at ``quality``."""
     import struct
 
     h, w = frames[0].shape[:2]
@@ -1439,27 +1460,47 @@ def encode_simple_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     def lst(typ: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", typ + body)
 
+    if codec == "mjpg":
+        from knowledge_model_spark.sources.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(np.ascontiguousarray(f[..., :3]), quality)
+                    for f in frames]
+        fourcc, strf_comp, cid = b"MJPG", struct.unpack("<I", b"MJPG")[0], b"00dc"
+        buf_size = max(len(p) for p in payloads)
+    elif codec == "dib":
+        payloads = None
+        fourcc, strf_comp, cid = b"DIB ", 0, b"00db"
+        buf_size = row * h
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r}")
+
     avih = struct.pack(
-        "<10I", us, row * h * int(fps), 0, 0x10, len(frames), 0, 1,
-        row * h, w, h,
+        "<10I", us, buf_size * int(fps), 0, 0x10, len(frames), 0, 1,
+        buf_size, w, h,
     ) + b"\x00" * 16
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
-        int(round(fps)), 0, len(frames), row * h, 0xFFFFFFFF, 0)
+        b"vids" + fourcc + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+        int(round(fps)), 0, len(frames), buf_size, 0xFFFFFFFF, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, strf_comp, buf_size, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
     movi_body = b""
-    for f in frames:
-        raster = bytearray()
-        for y in range(h - 1, -1, -1):  # bottom-up BGR, rows pad to 4
-            r = f[y][:, ::-1].tobytes()
-            raster += r + b"\x00" * (row - len(r))
-        movi_body += chunk(b"00db", bytes(raster))
+    if codec == "mjpg":
+        for p in payloads:
+            movi_body += chunk(cid, p)
+    else:
+        for f in frames:
+            raster = bytearray()
+            for y in range(h - 1, -1, -1):  # bottom-up BGR, rows pad to 4
+                r = f[y][:, ::-1].tobytes()
+                raster += r + b"\x00" * (row - len(r))
+            movi_body += chunk(cid, bytes(raster))
     movi = lst(b"movi", movi_body)
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -568,11 +568,15 @@ def test_pdf_passages_pipeline_is_shuffle_free(spark):
 
 
 def test_video_pipeline_single_aggregate_shuffle(spark):
-    """mux -> demux -> featurize are narrow mapInPandas stages; the
-    ONLY shuffle is the final per-video aggregate."""
+    """mux -> demux are narrow mapInPandas stages behind one demux
+    checkpoint; featurize and the r8 pixel gate are narrow stages over
+    it; the ONLY shuffles are the two tiny per-video aggregates (32
+    rows each), stitched by a broadcast join — never a shuffled one."""
     plan = _plan(spark, "multimodal_video_pipeline")
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_interval_overlap_count_sweep_on_planted_skew(spark):

@@ -3377,3 +3377,42 @@ def test_ccitt_tiff_roundtrip_all_compressions():
     assert idx >= 0
     b[idx : idx + 12] = struct.pack("<HHII", 292, 4, 1, 0b10)
     assert decode_tiff(bytes(b)) is None
+
+
+def test_avi_mjpeg_roundtrip_and_seam():
+    """r8 (r7 verdict item 5): Motion-JPEG AVI — '00dc' chunks each a
+    complete JPEG — demuxes through decode_avi_frames via the existing
+    sources/jpeg.py decoder; DIB stays bit-exact; a '00dc' chunk that
+    is NOT a JPEG (H.264-style) still returns None (the ffmpeg seam)."""
+    import struct
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_avi_frames,
+        encode_simple_avi,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(4)]
+    avi = encode_simple_avi(frames, fps=2.0, codec="mjpg", quality=90)
+    dec = decode_avi_frames(avi)
+    assert dec is not None
+    got, fps = dec
+    assert len(got) == 4 and fps == 2.0
+    for a, b in zip(frames, got):
+        assert a.shape == b.shape
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        assert 10 * np.log10(255.0**2 / mse) >= 25.0  # q90 on noise
+
+    # non-JPEG compressed chunks stay on the seam: swap every JPEG SOI
+    # for fake H.264-ish bytes -> no decodable frames -> None
+    b = bytearray(avi)
+    i = 0
+    while True:
+        i = b.find(b"\xff\xd8\xff", i)
+        if i < 0:
+            break
+        b[i : i + 3] = b"\x00\x00\x01"
+        i += 3
+    assert decode_avi_frames(bytes(b)) is None
