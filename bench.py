@@ -304,6 +304,10 @@ HEADLINE: dict[str, bool] = {
     "multimodal_pdf_images": False,
     "multimodal_image_codec_matrix": False,
     "multimodal_audio_codec_matrix": False,
+    # new in r8: the ANN certification twins (md5-derived randomness,
+    # oracle-checked end to end; xxhash64 stays the production default)
+    "ann_lsh_topk_md5": True,
+    "ann_ivf_topk_md5": True,
 }
 
 
@@ -351,13 +355,14 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name, force_collect in HEADLINE.items():
         spec = registry.get(name)
         if spec is None:
             continue
-        times: list[float] = []
-        for _ in range(max(1, reps)):
+
+        def one_rep() -> float:
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
             if force_collect:
@@ -370,13 +375,32 @@ def main() -> None:
                 # only 8 bytes to the driver.  bit_xor (not sum): ANSI-safe —
                 # no int64 overflow — and order-independent.
                 df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             # queries that persist() intermediates (minhash/cosine-LSH
             # sketches) would otherwise hand rep 2 a warm cache via the
             # CacheManager's canonicalized-plan matching — every rep must
             # pay the full plan, or min-of-reps overstates
             spark.catalog.clearCache()
-        times.sort()
+            return dt
+
+        times = sorted(one_rep() for _ in range(max(1, reps)))
+        # Adaptive extra reps (r8, r7 verdict item 6): the r8 diagnostic
+        # pinned the cross-session ±40% swings on UNTOUCHED code
+        # (ann_pq/ivfpq) to JIT warm-up state — a cold session's first
+        # rep of a codegen-heavy plan runs up to 4× its heated cost
+        # (measured 9.9 s → 2.4 s within one session), and min-of-3
+        # converges only after enough heat.  When the rep spread says
+        # the JIT was still warming (max/min > 1.5), buy up to two more
+        # reps so the recorded min is the plan's warm cost, not an
+        # artifact of where the query sits in the run order.
+        if reps > 1 and times[-1] > 1.5 * times[0]:
+            for _ in range(2):
+                t = one_rep()
+                improved = t < times[0] * 0.98
+                times = sorted(times + [t])
+                if not improved:
+                    break  # converged: the min is the warm cost
+        spreads[name] = round(times[-1] / max(times[0], 1e-9), 2)
         timings[name] = round(times[0], 3)
         # true median: average the two middle elements for even rep
         # counts (times[n//2] alone is the UPPER middle — with reps=2
@@ -426,6 +450,24 @@ def main() -> None:
                         "reps": max(1, reps),
                         "queries": timings,  # per-query MIN of reps
                         "queries_median": medians,
+                        # r8 variance record (r7 verdict item 6): per-
+                        # query max/min rep spread.  A spread > 1.5
+                        # marks a JIT-warmup-sensitive query — its
+                        # cross-SESSION min can swing ±40% on untouched
+                        # code (diagnosed r8: cold-session first rep of
+                        # ann_pq_topk 9.9 s vs 2.4 s heated), so a
+                        # round-over-round delta on a flagged query is
+                        # warmup state, not growth, unless the slope
+                        # harness agrees.
+                        "queries_rep_spread": spreads,
+                        # only flag queries whose WARM cost is non-
+                        # trivial: spread on a sub-half-second query is
+                        # scheduler noise, not JIT signal
+                        "warmup_sensitive": sorted(
+                            q
+                            for q, s in spreads.items()
+                            if s > 1.5 and timings.get(q, 0.0) >= 0.5
+                        ),
                     }
                 )
                 + "\n"
