@@ -27,79 +27,34 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Iteration-order priority for the driver's correctness gate.  The
 # driver samples the FIRST ~50 registry entries, so ordering is the
 # lever that decides which queries get a driver row each round.
-# Round-7 policy (r6 verdict item 5, regenerated from
-# CORRECTNESS_r01-r06): (a) the three NEW oracled queries
-# (dedup_minhash_lsh_md5 / dedup_simhash_md5 / join_interval_overlap_
-# count — code written this round, never certified) lead; (b) the rest
-# of the 50-slot window is all-oracled, oldest-certification-first
-# (the 43 queries whose newest green row dates from r2, then the
-# oldest r3 rows) so the window can go 50/50 green while retiring the
-# stalest certifications; (c) immediately after the window: the four
-# rows-only multimodal queries whose decode paths changed this round
-# (pdf predictors/CCITT, P1 strictness) in case the driver samples
-# deeper, then remaining oracled oldest-first, then rows-only.
+# Round-8 policy (r7 verdict item 2, regenerated from
+# CORRECTNESS_r01-r07): (a) the five oracled queries whose code or
+# oracle is NEW or CHANGED this round lead (the two ANN md5 twins,
+# the newly-oracled multimodal_phash_dedup, the reworked
+# dedup_duplicate_substring_spans, the integral-arithmetic
+# join_interval_overlap_count); (b) the rest of the 50-slot window is
+# all-oracled, oldest-certification-first — all 43 queries whose
+# newest green row dates from r3, then the two oldest r4 rows — so
+# the window can go 50/50 green while retiring the stalest
+# certifications (backlog after r8: the remaining r4 cohort, cleared
+# next round); (c) immediately after the window: the rows-only
+# multimodal/ANN queries whose decode or seed paths changed this
+# round (CCITT-in-TIFF codec matrix, MJPEG video pipeline, the
+# /DecodeParms-positional pdf queries, the centroid-tiebreak ivf) in
+# case the driver samples deeper, then remaining oracled
+# oldest-first, then rows-only.
 # Standing rule: any query whose implementation or shared-helper code
 # changed in a round sorts before unchanged ones; ties break
 # oldest-certification-first.
 _GATE_PRIORITY = [
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "join_interval_overlap_count",
-    "events_interval_union",
-    "eval_answer_token_f1",
+    "ann_lsh_topk_md5",
+    "ann_ivf_topk_md5",
+    "multimodal_phash_dedup",
     "dedup_duplicate_substring_spans",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "chunk_sentence_budget",
-    "chunk_word_budget",
-    "corpus_dual_variant",
-    "corpus_weighted_merge",
-    "dedup_first_order_per_customer",
-    "embeddings_label_centroids",
-    "eval_recall_label_at_10",
-    "join_anti_customers_without_orders",
-    "join_asof_last_event_before_order",
-    "join_full_outer_nation_activity",
-    "join_left_outer_order_counts",
-    "join_range_acctbal_band",
-    "join_semi_orders_with_big_items",
-    "join_theta_price_above_retail",
-    "map_event_type_shares",
-    "pack_training_sequences",
-    "postprocess_unhelpful_flag",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "retrieval_build_prompt",
-    "retrieval_pack_context",
-    "retrieval_rerank_topk",
-    "retrieval_threshold_cascade",
-    "sample_train_split",
-    "setop_customer_only_nations",
-    "setop_nations_with_both",
-    "setop_union_all_keys",
-    "subquery_scalar_above_avg",
-    "text_page_furniture",
-    "text_top_terms",
-    "udaf_label_centroid",
-    "unpivot_flag_metrics",
-    "window_dense_rank_parts",
-    "window_lead_lag_order_gap",
-    "window_ntile_percent_rank",
-    "window_running_revenue",
-    "window_top3_orders_per_customer",
-    "agg_mode_quantity",
+    "join_interval_overlap_count",
     "corpus_crossdup_matrix",
     "corpus_js_divergence",
     "corpus_kl_divergence",
-    "multimodal_pdf_text",
-    "multimodal_pdf_passages",
-    "multimodal_pdf_images",
-    "multimodal_image_codec_matrix",
-    "multimodal_image_resize",
     "corpus_zipf_slope",
     "dedup_cluster_best_survivors",
     "dedup_cluster_size_histogram",
@@ -142,6 +97,12 @@ _GATE_PRIORITY = [
     "window_cume_dist_nth",
     "ann_range_search",
     "corpus_health_report",
+    "multimodal_image_codec_matrix",
+    "multimodal_video_pipeline",
+    "multimodal_pdf_text",
+    "multimodal_pdf_images",
+    "ann_ivf_topk",
+    "eval_ann_recall_vs_exact",
     "corpus_overlap_matrix",
     "decontam_report",
     "decontam_survivors",
@@ -285,6 +246,56 @@ _GATE_PRIORITY = [
     "text_token_stats",
     "text_url_normalize",
     "text_xml_extract",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_mode_quantity",
+    "agg_percentiles",
+    "agg_rollup",
+    "chunk_sentence_budget",
+    "chunk_word_budget",
+    "corpus_dual_variant",
+    "corpus_weighted_merge",
+    "dedup_first_order_per_customer",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "embeddings_label_centroids",
+    "eval_answer_token_f1",
+    "eval_recall_label_at_10",
+    "events_interval_union",
+    "join_anti_customers_without_orders",
+    "join_asof_last_event_before_order",
+    "join_full_outer_nation_activity",
+    "join_left_outer_order_counts",
+    "join_range_acctbal_band",
+    "join_semi_orders_with_big_items",
+    "join_theta_price_above_retail",
+    "map_event_type_shares",
+    "pack_training_sequences",
+    "postprocess_unhelpful_flag",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "retrieval_build_prompt",
+    "retrieval_pack_context",
+    "retrieval_rerank_topk",
+    "retrieval_threshold_cascade",
+    "sample_train_split",
+    "setop_customer_only_nations",
+    "setop_nations_with_both",
+    "setop_union_all_keys",
+    "subquery_scalar_above_avg",
+    "text_page_furniture",
+    "text_top_terms",
+    "udaf_label_centroid",
+    "unpivot_flag_metrics",
+    "window_dense_rank_parts",
+    "window_lead_lag_order_gap",
+    "window_ntile_percent_rank",
+    "window_running_revenue",
+    "window_top3_orders_per_customer",
+    "multimodal_pdf_passages",
+    "multimodal_image_resize",
     "agg_percentiles_kll",
     "agg_winsorized_mean_kll",
     "ann_ivfpq_topk",
@@ -295,14 +306,10 @@ _GATE_PRIORITY = [
     "events_funnel_latency_kll",
     "multimodal_audio_codec_matrix",
     "multimodal_audio_vad",
-    "multimodal_phash_dedup",
-    "multimodal_video_pipeline",
     "stats_ks_test_kll",
     "stats_mannwhitney_u_kll",
     "text_bpe_learn_merges",
-    "ann_ivf_topk",
     "ann_lsh_topk",
-    "eval_ann_recall_vs_exact",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "multimodal_image_features",
