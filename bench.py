@@ -308,6 +308,7 @@ HEADLINE: dict[str, bool] = {
     # oracle-checked end to end; xxhash64 stays the production default)
     "ann_lsh_topk_md5": True,
     "ann_ivf_topk_md5": True,
+    "ann_pq_topk_md5": True,
 }
 
 

@@ -33,8 +33,14 @@ Spark-first shape:
   recovers near-exact recall while only ever reading full vectors for
   the shortlist.
 
-Like LSH/IVF, not oracle-expressible (float argmin across engines);
-gated by recall ≥ 0.8 vs the exact baseline and determinism tests.
+The Lloyd-trained production paths are rows-only (per-Arrow-batch
+float partial sums no other engine can reproduce); since r8 the
+UNTRAINED md5-seeded variant is the driver-certifiable twin
+(``ann_pq_topk_md5``: n_iter=0 → codebooks are exactly the md5-smallest
+rows' subvectors, and codes/ADC/refine are plain arithmetic DuckDB
+mirrors end to end), and SQ8 — which has no hash and no Lloyd at all —
+is oracle-checked directly.  All paths stay gated by recall ≥ 0.8 vs
+the exact baseline and determinism tests.
 """
 
 from __future__ import annotations
@@ -492,8 +498,10 @@ def sq8_top_k(
     crosses the Arrow boundary.  Shortlist of k·refine by approximate
     dot, exact cosine re-rank on the shortlist only.
 
-    Not oracle-expressible (float argmin ordering across engines);
-    recall-gated vs brute force in tests/test_quantization.py.
+    Oracled directly since r8 (min/max train is order-independent and
+    the affine encode / ordered-fold dot are cross-engine-identical
+    arithmetic); also recall-gated vs brute force in
+    tests/test_quantization.py.
     """
     from knowledge_model_spark.functions.vectors import dot, l2_normalize
     from knowledge_model_spark.session import ensure_min_partitions

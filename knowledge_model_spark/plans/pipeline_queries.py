@@ -943,9 +943,34 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    None,  # payload-slicing stub — rows-only
+    """
+    WITH m AS (
+      SELECT id AS media_id,
+             (id % 7) * 1000 + 3000 AS duration_ms,
+             64 AS plen
+      FROM range(128) r(id)
+    ),
+    f AS (
+      SELECT media_id, plen,
+             greatest(1, duration_ms // 1000) AS n_frames,
+             greatest(1, plen // greatest(1, duration_ms // 1000)) AS step
+      FROM m
+    ),
+    fr AS (
+      SELECT media_id,
+             least(plen, (i + 1) * step) - least(plen, i * step) AS nb
+      FROM f, unnest(range(0, n_frames)) t(i)
+    )
+    SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(nb) AS BIGINT) AS total_bytes
+    FROM fr GROUP BY media_id
+    """,
     doc="multimodal 1-to-N frame sampling via mapInPandas (ffmpeg seam "
-    "stubbed; row explosion + batch shapes are real)",
+    "stubbed; row explosion + batch shapes are real).  Oracled since "
+    "r8: the DETERMINISTIC payload slicing is pure integer arithmetic "
+    "over the content-addressed 64-byte payload (duration → frame "
+    "count → clamped byte slices), so the kernel's fan-out and slice "
+    "geometry are DuckDB-checked end to end from range(128)",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.sources.multimodal import (
