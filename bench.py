@@ -309,6 +309,7 @@ HEADLINE: dict[str, bool] = {
     "ann_lsh_topk_md5": True,
     "ann_ivf_topk_md5": True,
     "ann_pq_topk_md5": True,
+    "eval_ann_recall_vs_exact_md5": True,
 }
 
 

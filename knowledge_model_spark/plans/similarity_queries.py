@@ -571,6 +571,107 @@ def ann_pq_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _eval_md5_oracle() -> str:
+    """DuckDB mirror of eval_ann_recall_vs_exact_md5: the three md5
+    ANN twins' oracles nested as subqueries, semi-joined against the
+    exact top-k, one recall row per method (shared unrounded
+    division)."""
+    bf = f"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < {N_QUERIES}),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(q.qv, e.embedding) AS s
+        FROM embeddings e CROSS JOIN q
+      ),
+      ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, vec_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, vec_id FROM ranked WHERE rank <= {K}
+    """
+    denom = float(N_QUERIES * K)
+    per_method = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method, count(*) AS n_hit
+        FROM exact e JOIN {cte} a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id"""
+        for name, cte in
+        (("lsh_md5", "lshr"), ("ivf_md5", "ivfr"), ("pq_md5", "pqr"))
+    )
+    return f"""
+    WITH exact AS (FROM ({bf})),
+    lshr AS (FROM ({_lsh_md5_oracle()})),
+    ivfr AS (FROM ({_ivf_md5_oracle()})),
+    pqr AS (FROM ({_pq_md5_oracle()})),
+    m AS ({per_method})
+    SELECT method, CAST(n_hit AS BIGINT) AS n_hit,
+           n_hit / {denom} AS recall,
+           n_hit / {denom} >= 0.80 AS passes_gate
+    FROM m
+    """
+
+
+@register(
+    "eval_ann_recall_vs_exact_md5",
+    _eval_md5_oracle(),
+    doc="the ANN quality gate over the CERTIFIED twins, itself "
+    "driver-certifiable (r8, extends r7 verdict item 1): recall@10 of "
+    "ann_lsh_topk_md5 / ann_ivf_topk_md5 / ann_pq_topk_md5 against "
+    "the exact brute-force top-10, one row per method with the "
+    "0.80-gate flag — every stage of the gate computation (the three "
+    "twin pipelines, the exact truth, the semi-join hit count, the "
+    "shared unrounded division) is DuckDB-checked end to end.  The "
+    "production gate over the xxhash64 fast paths stays registered as "
+    "eval_ann_recall_vs_exact (rows-only by design)",
+)
+def eval_ann_recall_vs_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.quantization import pq_top_k
+    from knowledge_model_spark.operators.similarity import (
+        lsh_bucket_top_k_md5,
+    )
+
+    t = load_tables(spark, sf_dir)
+    q = _queries(t)
+    kw = dict(
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    )
+    exact = (
+        brute_force_top_k(t["embeddings"], q, **kw)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    methods = (
+        ("lsh_md5", lambda: lsh_bucket_top_k_md5(t["embeddings"], q, **kw)),
+        ("ivf_md5", lambda: ivf_top_k(t["embeddings"], q, seed_hash="md5", **kw)),
+        ("pq_md5", lambda: pq_top_k(t["embeddings"], q, n_iter=0, **kw)),
+    )
+    denom = F.lit(float(N_QUERIES * K))
+    out = []
+    for method, fn in methods:
+        hit = exact.join(
+            fn().select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_semi",
+        )
+        out.append(
+            hit.agg(
+                F.lit(method).alias("method"),
+                F.count("*").cast("long").alias("n_hit"),
+                (F.count("*") / denom).alias("recall"),
+                (F.count("*") / denom >= 0.80).alias("passes_gate"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 @register(
     "retrieval_mmr_rerank",
     f"""
