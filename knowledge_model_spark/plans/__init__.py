@@ -28,20 +28,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # driver samples the FIRST ~50 registry entries, so ordering is the
 # lever that decides which queries get a driver row each round.
 # Round-8 policy (r7 verdict item 2, regenerated from
-# CORRECTNESS_r01-r07): (a) the five oracled queries whose code or
-# oracle is NEW or CHANGED this round lead (the two ANN md5 twins,
-# the newly-oracled multimodal_phash_dedup, the reworked
-# dedup_duplicate_substring_spans, the integral-arithmetic
-# join_interval_overlap_count); (b) the rest of the 50-slot window is
-# all-oracled, oldest-certification-first — all 43 queries whose
-# newest green row dates from r3, then the two oldest r4 rows — so
-# the window can go 50/50 green while retiring the stalest
-# certifications (backlog after r8: the remaining r4 cohort, cleared
-# next round); (c) immediately after the window: the rows-only
+# CORRECTNESS_r01-r07): (a) the nine oracled queries whose code or
+# oracle is NEW or CHANGED this round lead — the three ANN md5 twins,
+# the directly-oracled ann_sq8_topk, the certified gate
+# eval_ann_recall_vs_exact_md5, the newly-oracled
+# multimodal_phash_dedup and multimodal_frame_sample, the reworked
+# dedup_duplicate_substring_spans, and the integral-arithmetic
+# join_interval_overlap_count; (b) the rest of the 50-slot window is
+# all-oracled, oldest-certification-first (41 of the 43 r3-era rows)
+# so the window can go 50/50 green while retiring the stalest
+# certifications; (c) immediately after the window: the rows-only
 # multimodal/ANN queries whose decode or seed paths changed this
 # round (CCITT-in-TIFF codec matrix, MJPEG video pipeline, the
-# /DecodeParms-positional pdf queries, the centroid-tiebreak ivf) in
-# case the driver samples deeper, then remaining oracled
+# /DecodeParms-positional pdf queries, the centroid-tiebreak ivf/pq)
+# in case the driver samples deeper, then remaining oracled
 # oldest-first, then rows-only.
 # Standing rule: any query whose implementation or shared-helper code
 # changed in a round sorts before unchanged ones; ties break
@@ -49,7 +49,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 _GATE_PRIORITY = [
     "ann_lsh_topk_md5",
     "ann_ivf_topk_md5",
+    "ann_pq_topk_md5",
+    "ann_sq8_topk",
+    "eval_ann_recall_vs_exact_md5",
     "multimodal_phash_dedup",
+    "multimodal_frame_sample",
     "dedup_duplicate_substring_spans",
     "join_interval_overlap_count",
     "corpus_crossdup_matrix",
@@ -93,16 +97,17 @@ _GATE_PRIORITY = [
     "training_chat_render",
     "training_length_batching",
     "training_preference_pairs",
-    "training_span_corruption",
-    "window_cume_dist_nth",
-    "ann_range_search",
-    "corpus_health_report",
     "multimodal_image_codec_matrix",
     "multimodal_video_pipeline",
     "multimodal_pdf_text",
     "multimodal_pdf_images",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "eval_ann_recall_vs_exact",
+    "training_span_corruption",
+    "window_cume_dist_nth",
+    "ann_range_search",
+    "corpus_health_report",
     "corpus_overlap_matrix",
     "decontam_report",
     "decontam_survivors",
@@ -299,8 +304,6 @@ _GATE_PRIORITY = [
     "agg_percentiles_kll",
     "agg_winsorized_mean_kll",
     "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "ann_sq8_topk",
     "dedup_semantic_pairs",
     "eval_dedup_recall_vs_exact",
     "events_funnel_latency_kll",
@@ -311,7 +314,6 @@ _GATE_PRIORITY = [
     "text_bpe_learn_merges",
     "ann_lsh_topk",
     "multimodal_audio_features",
-    "multimodal_frame_sample",
     "multimodal_image_features",
     "dedup_minhash_lsh",
     "dedup_simhash",
