@@ -307,7 +307,7 @@ def lsh_bucket_top_k_md5(
         .select(query_id, "tbl", "w")
     )
     qb = qhome.select(F.col(query_id), F.col("tbl"), F.col("home").alias("bkt")).unionByName(
-        qflip.join(qhome, [query_id, "tbl"]).select(
+        qflip.join(broadcast(qhome), [query_id, "tbl"]).select(
             F.col(query_id),
             F.col("tbl"),
             F.col("home").bitwiseXOR(F.col("w")).alias("bkt"),
@@ -319,8 +319,11 @@ def lsh_bucket_top_k_md5(
         .select(query_id, corpus_id)
         .distinct()
     )
+    # candidate set is bounded by query-batch × bucket occupancy —
+    # broadcast it and STREAM the corpus (the big side) through the
+    # scoring join; without the hint the pre-AQE plan sort-merges
     scored = (
-        cand.join(c, corpus_id)
+        c.join(broadcast(cand), corpus_id)
         .join(broadcast(q), query_id)
         .select(
             F.col(query_id),

@@ -682,3 +682,20 @@ def test_interval_union_length_planted_cases(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_ann_md5_twins_broadcast_only_no_python(spark):
+    """r8 certified ANN twins: every join broadcasts (the plane table,
+    query buckets, and query batch are all tiny), no SortMergeJoin or
+    CartesianProduct anywhere, and the LSH twin's projections are pure
+    JVM expressions — zero Python in the plan."""
+    plan = _plan(spark, "ann_lsh_topk_md5")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+    plan_ivf = _plan(spark, "ann_ivf_topk_md5")
+    assert "SortMergeJoin" not in plan_ivf
+    assert "CartesianProduct" not in plan_ivf
