@@ -310,6 +310,7 @@ HEADLINE: dict[str, bool] = {
     "ann_ivf_topk_md5": True,
     "ann_pq_topk_md5": True,
     "eval_ann_recall_vs_exact_md5": True,
+    "ann_ivfpq_topk_md5": True,
 }
 
 

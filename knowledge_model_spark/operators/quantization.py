@@ -338,9 +338,18 @@ def ivfpq_top_k(
     ksub: int = 32,
     refine: int = 24,
     n_iter: int = 2,
+    seed_unique_residuals: bool = False,
 ) -> DataFrame:
     """FAISS-IVFPQ-shaped composite index: coarse k-means cells + PQ
     codes of the RESIDUAL (v − centroid), probed ADC, exact re-rank.
+
+    ``seed_unique_residuals`` (r8, the certification twin's knob):
+    residual-codebook seeds order by md5 of ``id#cell`` instead of
+    md5(id).  The production seeding ties across the ``n_assign``
+    residual rows that share one id (harmless under Lloyd, which
+    washes seeds out), but with ``n_iter=0`` the seeds ARE the
+    codebooks, so the twin needs a total order both engines can
+    reproduce — see ``ann_ivfpq_topk_md5``.
 
     Why the composition beats either part alone at 100 TB: IVF's cell
     pruning means a query touches n_probe/n_cells of the codes table
@@ -388,10 +397,22 @@ def ivfpq_top_k(
 
     # 2) residual codebooks (NO normalization — residual magnitude is
     # the signal)
-    Mr = np.asarray(
-        pq_train(resid, "id", "r", m=m, ksub=ksub, n_iter=n_iter,
-                 normalize=False)
-    )
+    if seed_unique_residuals:
+        resid_seed_src = resid.withColumn(
+            "uid",
+            F.concat_ws(
+                "#", F.col("id").cast("string"), F.col("cell").cast("string")
+            ),
+        )
+        Mr = np.asarray(
+            pq_train(resid_seed_src, "uid", "r", m=m, ksub=ksub,
+                     n_iter=n_iter, normalize=False)
+        )
+    else:
+        Mr = np.asarray(
+            pq_train(resid, "id", "r", m=m, ksub=ksub, n_iter=n_iter,
+                     normalize=False)
+        )
     dsub = dim // m
     codes = resid.select(
         "id", "cell", "v", _pq_codes_udf(Mr, normalize=False)(F.col("r")).alias("__codes")

@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "ann_lsh_topk_md5",
     "ann_ivf_topk_md5",
     "ann_pq_topk_md5",
+    "ann_ivfpq_topk_md5",
     "ann_sq8_topk",
     "eval_ann_recall_vs_exact_md5",
     "multimodal_phash_dedup",

@@ -571,6 +571,154 @@ def ann_pq_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _ivfpq_md5_oracle(n_cells: int = 16, n_probe: int = 6, n_assign: int = 3,
+                      m: int = 8, ksub: int = 32, refine: int = 24,
+                      dim: int = 64) -> str:
+    """DuckDB mirror of ivfpq_top_k(n_iter=0, seed_unique_residuals=
+    True): md5-seeded coarse cells, stable 3-way multi-assignment,
+    residuals, md5('id#cell')-seeded residual codebooks, per-subspace
+    argmin codes, probed ADC (qc + ordered-fold LUT sum), k·refine
+    shortlist over the multi-assigned rows, pair dedup, exact-cosine
+    re-rank."""
+    dsub = dim // m
+    return f"""
+    WITH en AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norm AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / CASE WHEN n = 0 THEN 1 ELSE n END) AS nv
+      FROM (SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+            FROM en)
+    ),
+    coarse AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             nv AS cv
+      FROM norm
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_cells}
+    ),
+    cass AS (
+      SELECT vec_id, cell, nv,
+             list_transform(range(1, {dim + 1}), j -> nv[j] - cv[j]) AS rvec
+      FROM (
+        SELECT e.vec_id, c.cell, e.nv, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, {dim + 1}), j ->
+                   (e.nv[j] - c.cv[j]) ^ 2)), c.cell) AS rn
+        FROM norm e CROSS JOIN coarse c) WHERE rn <= {n_assign}
+    ),
+    rseed AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || '#' ||
+                            CAST(cell AS VARCHAR)),
+                        CAST(vec_id AS VARCHAR) || '#' ||
+                        CAST(cell AS VARCHAR)) - 1 AS code,
+             rvec AS rv
+      FROM cass
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || '#' || CAST(cell AS VARCHAR)),
+               CAST(vec_id AS VARCHAR) || '#' || CAST(cell AS VARCHAR)
+      LIMIT {ksub}
+    ),
+    codes AS (
+      SELECT vec_id, cell, list(code ORDER BY mi) AS codes FROM (
+        SELECT a.vec_id, a.cell, t.mi, s.code,
+               row_number() OVER (PARTITION BY a.vec_id, a.cell, t.mi
+                 ORDER BY list_sum(list_transform(range(1, {dsub + 1}), j ->
+                   (a.rvec[t.mi * {dsub} + j] - s.rv[t.mi * {dsub} + j]) ^ 2)),
+                   s.code) AS rn
+        FROM cass a, range({m}) t(mi), rseed s) WHERE rn = 1
+      GROUP BY vec_id, cell
+    ),
+    q AS (SELECT vec_id AS query_id, nv AS qv FROM norm
+          WHERE vec_id < {N_QUERIES}),
+    qprobe AS (
+      SELECT query_id, cell,
+             list_sum(list_transform(range(1, {dim + 1}), j ->
+               qv[j] * cv[j])) AS qc
+      FROM (
+        SELECT q.query_id, c.cell, q.qv, c.cv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(range(1, {dim + 1}), j ->
+                   (q.qv[j] - c.cv[j]) ^ 2)), c.cell) AS rn
+        FROM q CROSS JOIN coarse c) WHERE rn <= {n_probe}
+    ),
+    lut AS (
+      SELECT query_id, list(ip ORDER BY mi, code) AS lut FROM (
+        SELECT q.query_id, t.mi, s.code,
+               list_sum(list_transform(range(1, {dsub + 1}), j ->
+                 s.rv[t.mi * {dsub} + j] * q.qv[t.mi * {dsub} + j])) AS ip
+        FROM q, range({m}) t(mi), rseed s) i
+      GROUP BY query_id
+    ),
+    adc AS (
+      SELECT p.query_id, c.vec_id,
+             p.qc + list_sum(list_transform(range(0, {m}), mi ->
+               l.lut[mi * {ksub} + c.codes[mi + 1] + 1])) AS s_adc
+      FROM codes c
+      JOIN qprobe p ON p.cell = c.cell
+      JOIN lut l ON l.query_id = p.query_id
+    ),
+    short AS (
+      SELECT DISTINCT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s_adc DESC, vec_id) AS rn
+        FROM adc) WHERE rn <= {10 * refine}
+    ),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             list_cosine_similarity(qe.embedding, ce.embedding) AS sc
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ce ON ce.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sc DESC, vec_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {K}
+    """
+
+
+@register(
+    "ann_ivfpq_topk_md5",
+    _ivfpq_md5_oracle(),
+    doc="composite IVF-PQ (IVFADC) approximate top-10 with md5-seeded "
+    "coarse cells and UNTRAINED residual codebooks — the driver-"
+    "certifiable twin of ann_ivfpq_topk, completing the certified ANN "
+    "family (extends r7 verdict item 1): with n_iter=0 the coarse "
+    "cells are the 16 md5-smallest normalized rows, and the residual "
+    "codebook seeds order by md5('id#cell') (seed_unique_residuals — "
+    "production's md5(id) ties across the 3 multi-assigned residual "
+    "rows per id, harmless under Lloyd but ambiguous as a seed order), "
+    "so assignment → residuals → codes → probed ADC (qc + ordered-"
+    "fold LUT) → shortlist → dedup → exact re-rank is oracle-checked "
+    "end to end; Lloyd-trained cells/codebooks stay the production "
+    "default; operators/quantization.py::ivfpq_top_k",
+)
+def ann_ivfpq_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k
+
+    t = load_tables(spark, sf_dir)
+    return ivfpq_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+        n_iter=0,
+        seed_unique_residuals=True,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _eval_md5_oracle() -> str:
     """DuckDB mirror of eval_ann_recall_vs_exact_md5: the three md5
     ANN twins' oracles nested as subqueries, semi-joined against the

