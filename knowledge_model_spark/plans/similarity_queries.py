@@ -746,13 +746,15 @@ def _eval_md5_oracle() -> str:
         FROM exact e JOIN {cte} a
           ON e.query_id = a.query_id AND e.vec_id = a.vec_id"""
         for name, cte in
-        (("lsh_md5", "lshr"), ("ivf_md5", "ivfr"), ("pq_md5", "pqr"))
+        (("lsh_md5", "lshr"), ("ivf_md5", "ivfr"), ("pq_md5", "pqr"),
+         ("ivfpq_md5", "ivfpqr"))
     )
     return f"""
     WITH exact AS (FROM ({bf})),
     lshr AS (FROM ({_lsh_md5_oracle()})),
     ivfr AS (FROM ({_ivf_md5_oracle()})),
     pqr AS (FROM ({_pq_md5_oracle()})),
+    ivfpqr AS (FROM ({_ivfpq_md5_oracle()})),
     m AS ({per_method})
     SELECT method, CAST(n_hit AS BIGINT) AS n_hit,
            n_hit / {denom} AS recall,
@@ -766,7 +768,8 @@ def _eval_md5_oracle() -> str:
     _eval_md5_oracle(),
     doc="the ANN quality gate over the CERTIFIED twins, itself "
     "driver-certifiable (r8, extends r7 verdict item 1): recall@10 of "
-    "ann_lsh_topk_md5 / ann_ivf_topk_md5 / ann_pq_topk_md5 against "
+    "ann_lsh_topk_md5 / ann_ivf_topk_md5 / ann_pq_topk_md5 / "
+    "ann_ivfpq_topk_md5 against "
     "the exact brute-force top-10, one row per method with the "
     "0.80-gate flag — every stage of the gate computation (the three "
     "twin pipelines, the exact truth, the semi-join hit count, the "
@@ -794,10 +797,14 @@ def eval_ann_recall_vs_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
+    from knowledge_model_spark.operators.quantization import ivfpq_top_k
+
     methods = (
         ("lsh_md5", lambda: lsh_bucket_top_k_md5(t["embeddings"], q, **kw)),
         ("ivf_md5", lambda: ivf_top_k(t["embeddings"], q, seed_hash="md5", **kw)),
         ("pq_md5", lambda: pq_top_k(t["embeddings"], q, n_iter=0, **kw)),
+        ("ivfpq_md5", lambda: ivfpq_top_k(
+            t["embeddings"], q, n_iter=0, seed_unique_residuals=True, **kw)),
     )
     denom = F.lit(float(N_QUERIES * K))
     out = []
