@@ -311,6 +311,14 @@ HEADLINE: dict[str, bool] = {
     "ann_pq_topk_md5": True,
     "eval_ann_recall_vs_exact_md5": True,
     "ann_ivfpq_topk_md5": True,
+    # new in r8 (second batch): late-interaction retrieval, interval
+    # peak concurrency, RFM segmentation, best-of-n selection, CCNet
+    # perplexity buckets — all oracled
+    "retrieval_maxsim_topk": True,
+    "events_peak_concurrency": True,
+    "events_rfm_scores": True,
+    "training_best_of_n": True,
+    "quality_ppl_buckets": True,
 }
 
 

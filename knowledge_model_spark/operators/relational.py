@@ -1072,6 +1072,62 @@ def interval_overlap_counts(
     )
 
 
+def interval_peak_concurrency(
+    sessions: DataFrame,
+    bucket_col: str = "day",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Per-bucket PEAK CONCURRENCY of (possibly overlapping) intervals —
+    the capacity-planning companion of :func:`interval_union_length`:
+    "how many sessions were simultaneously active at the busiest
+    instant of each day", plus the first instant that peak is reached.
+
+    Sweep: starts are +1 / ends are −1 boundary events; the running sum
+    INCLUDING the current row is the active count just after the
+    boundary; the peak is its per-bucket max.  Ties order
+    (t, delta DESC) so a start sorts before an end at the same instant
+    — closed-interval semantics: a session ending at t and one starting
+    at t ARE momentarily concurrent, consistent with the union-length
+    sweep.  Tied starts at one t reach the same final running value in
+    any order and the max over the tied group is that final value, so
+    the peak is deterministic under any partitioning; the first-peak
+    instant is a min over t, equally order-free.
+
+    Scale shape: one hash shuffle on the bucket (the window sort), the
+    follow-up groupBy reuses the partitioning; parallelism grows with
+    the time span — the same argument as interval_overlap_counts.
+    Output: (bucket, n_sessions, peak_concurrency, first_peak_us).
+    """
+    us = lambda c: (F.unix_micros(F.col(c).cast("timestamp")))  # noqa: E731
+    ev = sessions.select(
+        F.col(bucket_col).alias("__b"),
+        us(start_col).alias("__t"),
+        F.lit(1).alias("__d"),
+    ).unionAll(
+        sessions.select(
+            F.col(bucket_col).alias("__b"),
+            us(end_col).alias("__t"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__t"), F.col("__d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.withColumn("__active", F.sum("__d").over(w_run)).withColumn(
+        "__peak", F.max("__active").over(Window.partitionBy("__b"))
+    )
+    return run.groupBy(F.col("__b").alias(bucket_col)).agg(
+        (F.count("*") / 2).cast("long").alias("n_sessions"),
+        F.max("__active").cast("long").alias("peak_concurrency"),
+        F.min(
+            F.when(F.col("__active") == F.col("__peak"), F.col("__t"))
+        ).alias("first_peak_us"),
+    )
+
+
 def interval_union_length(
     sessions: DataFrame,
     bucket_col: str = "day",

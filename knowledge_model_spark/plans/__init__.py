@@ -47,6 +47,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # changed in a round sorts before unchanged ones; ties break
 # oldest-certification-first.
 _GATE_PRIORITY = [
+    # second r8 batch — brand-new oracled queries lead the window
+    "retrieval_maxsim_topk",
+    "events_peak_concurrency",
+    "events_rfm_scores",
+    "training_best_of_n",
+    "quality_ppl_buckets",
     "ann_lsh_topk_md5",
     "ann_ivf_topk_md5",
     "ann_pq_topk_md5",

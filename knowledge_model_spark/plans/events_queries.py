@@ -1643,3 +1643,140 @@ def events_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH sessions AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT day, epoch_us(s) AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT day, epoch_us(e) AS t, -1 AS d FROM sessions
+    ),
+    scan AS (
+      SELECT day, t,
+             sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS active
+      FROM ev
+    ),
+    peaks AS (
+      SELECT day, t, active,
+             max(active) OVER (PARTITION BY day) AS peak
+      FROM scan
+    )
+    SELECT day,
+           CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+           CAST(max(active) AS BIGINT) AS peak_concurrency,
+           min(CASE WHEN active = peak THEN t END) AS first_peak_us
+    FROM peaks GROUP BY day
+    """,
+    doc="per-day PEAK CONCURRENCY of user activity intervals (capacity "
+    "audit: maximum simultaneously-active sessions, plus the first "
+    "microsecond instant the peak is reached) via the same O(n log n) "
+    "+1/−1 boundary sweep as events_interval_union — running active "
+    "count inclusive of the boundary, start-before-end tie order for "
+    "closed-interval semantics.  One hash shuffle on day; the peak "
+    "window and the groupBy both reuse that partitioning — "
+    "operators/relational.py::interval_peak_concurrency",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.relational import (
+        interval_peak_concurrency,
+    )
+
+    t = load_tables(spark, sf_dir)
+    sessions = (
+        t["events"]
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    return interval_peak_concurrency(sessions, "day", "s", "e")
+
+
+@register(
+    "events_rfm_scores",
+    """
+    WITH anchor AS (SELECT max(ts) AS t_max FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(max(ts) AS DATE),
+                            CAST(any_value(t_max) AS DATE)) AS BIGINT)
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(floor(value * 1000000) AS BIGINT)) AS monetary_micros
+      FROM events CROSS JOIN anchor GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary_micros,
+             CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INTEGER)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_micros DESC, user_id) AS INTEGER)
+               AS m_score
+      FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary_micros,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm_segment
+    FROM scored
+    """,
+    doc="RFM (recency/frequency/monetary) quintile segmentation per "
+    "user — the classic cohort-scoring operator.  Quintile = best (1) "
+    "to worst (5).  Monetary folds as exact micro-units (floor of "
+    "value×1e6 is bit-identical IEEE math on both engines, then an "
+    "order-free integer sum) so the ntile sort key is never an "
+    "order-sensitive float accumulation.  The global ntile windows are "
+    "single-partition by semantics — acceptable because their input is "
+    "ONE ROW PER USER (the heavy per-event work is the groupBy before "
+    "them); at 100 TB the per-user table is still ~millions of rows, "
+    "and the drop-in scale twin is ntile over pre-aggregated "
+    "equi-depth bucket boundaries (stats_equidepth_histogram)",
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    anchor = ev.agg(F.max("ts").alias("t_max"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.to_date(F.any_value("t_max")), F.to_date(F.max("ts"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+                "monetary_micros"
+            ),
+        )
+    )
+    w_r = Window.orderBy("recency_days", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary_micros").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -14,7 +14,7 @@ same reason.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from knowledge_model_spark.functions.pii import oracle_sql_redact, redact_pii
@@ -1969,4 +1969,82 @@ def quality_drift_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / (n * sxx - sx.cast("double") * sx),
             6,
         ).alias("slope_per_month"),
+    )
+
+
+@register(
+    "quality_ppl_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    stats AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS v, sum(c) AS tot FROM stats),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((s.c + 1.0) / CAST(t.tot + t.v AS DOUBLE)) AS contrib
+      FROM tf JOIN stats s USING (term) CROSS JOIN tot t
+    ),
+    ppl AS (
+      SELECT doc_id, round(-sum(contrib ORDER BY term) / sum(tf), 6) AS logppl
+      FROM contrib GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, ppl.logppl,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY ppl.logppl, ppl.doc_id) AS tercile
+      FROM ppl JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(logppl), 6) AS min_logppl,
+           round(max(logppl), 6) AS max_logppl
+    FROM bucketed GROUP BY lang, tercile
+    """,
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al., "
+    "LREC'20 §4.3): per-language terciles of the unigram log-"
+    "perplexity score, the standard keep-the-head corpus filter.  "
+    "Reuses the order-deterministic logppl fold of "
+    "quality_unigram_logppl (sorted-term sum on both engines), "
+    "tercile assignment via ntile over the (logppl, doc_id) total "
+    "order.  The per-lang ntile window is the only global-ish sort; "
+    "its input is one row per document AFTER the heavy token "
+    "aggregation, and at 100 TB the drop-in replacement is bucketing "
+    "against pre-computed per-lang quantile boundaries "
+    "(agg_percentiles_kll) — the exact window here is the oracle "
+    "anchor for that twin",
+)
+def quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.importance import unigram_log_ppl
+
+    t = load_tables(spark, sf_dir)
+    ppl = unigram_log_ppl(t["documents_spread"], "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "logppl"
+    )
+    docs = t["documents"].select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("logppl", "doc_id")
+    bucketed = ppl.join(docs, "doc_id").select(
+        "lang", "logppl", F.ntile(3).over(w).alias("tercile")
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("lang", "tercile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.min("logppl"), 6).alias("min_logppl"),
+        F.round(F.max("logppl"), 6).alias("max_logppl"),
+    ).select(
+        "lang",
+        bucket.alias("bucket"),
+        "n_docs",
+        "min_logppl",
+        "max_logppl",
     )

@@ -913,3 +913,106 @@ def eval_answer_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+N_MAXSIM_QUERIES = 5
+MAXSIM_TOKENS = 8  # pseudo-token count: the 64-dim vector as 8 × 8-dim tokens
+MAXSIM_CAND = 50  # coarse-stage candidates re-ranked by late interaction
+MAXSIM_K = 10
+
+
+@register(
+    "retrieval_maxsim_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_MAXSIM_QUERIES}),
+    coarse AS (
+      SELECT q.query_id, e.vec_id, e.embedding, q.qv,
+             list_dot_product(q.qv, e.embedding) AS s
+      FROM embeddings e CROSS JOIN q
+    ),
+    cand AS (
+      SELECT query_id, vec_id, embedding, qv FROM (
+        SELECT query_id, vec_id, embedding, qv,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, vec_id) AS crn
+        FROM coarse) WHERE crn <= {MAXSIM_CAND}
+    ),
+    tok AS (
+      SELECT c.query_id, c.vec_id, i.i AS qi,
+             max(list_dot_product(c.qv[CAST(i.i*8+1 AS BIGINT):CAST(i.i*8+8 AS BIGINT)],
+                                  c.embedding[CAST(j.j*8+1 AS BIGINT):CAST(j.j*8+8 AS BIGINT)]))
+               AS mx
+      FROM cand c
+      CROSS JOIN range({MAXSIM_TOKENS}) i(i)
+      CROSS JOIN range({MAXSIM_TOKENS}) j(j)
+      GROUP BY c.query_id, c.vec_id, i.i
+    ),
+    msim AS (
+      SELECT query_id, vec_id, sum(mx ORDER BY qi) AS maxsim
+      FROM tok GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, vec_id) AS BIGINT)
+               AS rank
+      FROM msim) WHERE rank <= {MAXSIM_K}
+    """,
+    doc="ColBERT-style late-interaction retrieval (Khattab & Zaharia, "
+    "SIGIR'20): each 64-dim vector is read as 8 pseudo-token vectors "
+    "of 8 dims; stage 1 prunes to the top-50 candidates per query by "
+    "the cheap full-vector inner product (broadcast query batch × "
+    "corpus scan, the ann_bruteforce plan), stage 2 re-ranks ONLY the "
+    "candidates by MaxSim = Σ_qtoken max_dtoken ⟨q_t, d_t⟩.  All "
+    "token math is higher-order array expressions in codegen — no "
+    "explode, so the 8×8 interaction never materializes rows; the "
+    "per-query-token sum folds in token-index order on both engines.  "
+    "At 100 TB the expensive late interaction is candidate-bounded "
+    "(50/query) while the corpus-wide stage stays one cheap scan — "
+    "the standard two-stage serving split (reference analog: "
+    "vector_store.py:129-162 overfetch-then-rerank)",
+)
+def retrieval_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    t = load_tables(spark, sf_dir)
+    emb = ensure_min_partitions(t["embeddings"])
+    q = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < N_MAXSIM_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    coarse = emb.crossJoin(broadcast(q)).select(
+        "query_id", "vec_id", "embedding", "qv",
+        dot(F.col("qv"), F.col("embedding")).alias("s"),
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(w_c))
+        .filter(F.col("crn") <= MAXSIM_CAND)
+        .drop("crn", "s")
+    )
+    toks = lambda v: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(MAXSIM_TOKENS - 1)),
+        lambda i: F.slice(v, i * 8 + 1, 8),
+    )
+    maxsim = F.aggregate(
+        toks(F.col("qv")),
+        F.lit(0.0),
+        lambda acc, qt: acc
+        + F.array_max(
+            F.transform(toks(F.col("embedding")), lambda dt: dot(qt, dt))
+        ),
+    )
+    scored = cand.select("query_id", "vec_id", maxsim.alias("maxsim"))
+    w_m = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_m).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_K)
+        .select("query_id", "vec_id", "rank")
+    )

@@ -884,3 +884,84 @@ def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("min_us"),
         F.max(F.unix_micros("ts")).alias("max_us"),
     )
+
+
+@register(
+    "training_best_of_n",
+    """
+    WITH cand AS (
+      SELECT doc_id, doc_id % 125 AS prompt_id,
+             len(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1))) AS n_distinct,
+             len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS n_tok
+      FROM documents
+    ),
+    scored AS (
+      SELECT prompt_id, doc_id,
+             CASE WHEN n_tok > 0
+                  THEN n_distinct / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS score,
+             row_number() OVER (
+               PARTITION BY prompt_id
+               ORDER BY CASE WHEN n_tok > 0
+                             THEN n_distinct / CAST(n_tok AS DOUBLE)
+                             ELSE 0.0 END DESC, doc_id) AS rn
+      FROM cand
+    )
+    SELECT prompt_id,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS best_doc_id,
+           round(max(CASE WHEN rn = 1 THEN score END), 6) AS best_score,
+           round(max(CASE WHEN rn = 2 THEN score END), 6) AS second_score,
+           round(max(CASE WHEN rn = 1 THEN score END)
+                 - max(CASE WHEN rn = 2 THEN score END), 6) AS margin
+    FROM scored GROUP BY prompt_id
+    """,
+    doc="best-of-n rejection sampling: candidate documents group by a "
+    "deterministic prompt key (doc_id mod 125 stands in for the prompt "
+    "hash of a sampled-generations table), a reward model scores each "
+    "candidate (here: type-token ratio — the seam where a learned "
+    "reward plugs in), and the argmax with key tiebreak survives, with "
+    "the best-vs-runner-up margin kept for selection-quality audits.  "
+    "Score is ONE division of two exact integers (never an "
+    "order-sensitive float fold); one hash shuffle on prompt_id, the "
+    "window and groupBy reuse it.  At 100 TB prompts are the natural "
+    "partition key — no global state, no skew beyond candidates-per-"
+    "prompt (bounded by the sampler's n)",
+)
+def training_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda w: F.length(w) > 1,
+    )
+    cand = t["documents_spread"].select(
+        "doc_id",
+        (F.col("doc_id") % 125).alias("prompt_id"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_tok"),
+    )
+    score = F.when(
+        F.col("n_tok") > 0,
+        F.col("n_distinct") / F.col("n_tok").cast("double"),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("prompt_id").orderBy(
+        score.desc(), F.col("doc_id")
+    )
+    scored = cand.select(
+        "prompt_id",
+        "doc_id",
+        score.alias("score"),
+        F.row_number().over(w).alias("rn"),
+    )
+    rn1 = F.when(F.col("rn") == 1, F.col("score"))
+    rn2 = F.when(F.col("rn") == 2, F.col("score"))
+    return scored.groupBy("prompt_id").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("best_doc_id"),
+        F.round(F.max(rn1), 6).alias("best_score"),
+        F.round(F.max(rn2), 6).alias("second_score"),
+        F.round(F.max(rn1) - F.max(rn2), 6).alias("margin"),
+    )

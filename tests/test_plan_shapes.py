@@ -699,3 +699,148 @@ def test_ann_md5_twins_broadcast_only_no_python(spark):
     plan_ivf = _plan(spark, "ann_ivf_topk_md5")
     assert "SortMergeJoin" not in plan_ivf
     assert "CartesianProduct" not in plan_ivf
+
+
+def test_interval_peak_concurrency_planted_cases(spark):
+    """interval_peak_concurrency (r8): peak = max simultaneous intervals
+    under closed-interval semantics (touching counts as concurrent at
+    the shared instant); first_peak_us is the earliest attaining
+    boundary; plan holds the one-exchange no-join sweep shape."""
+    import datetime
+
+    from knowledge_model_spark.operators.relational import (
+        interval_peak_concurrency,
+    )
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    def us(h, m=0):
+        return int(ts(h, m).timestamp() * 1_000_000)
+
+    rows = [
+        # a: [1,4] [2,5] [3,6] → 3 concurrent in [3,4]; first at t=3
+        ("a", ts(1), ts(4)), ("a", ts(2), ts(5)), ("a", ts(3), ts(6)),
+        # b: touching [1,2] [2,3] → concurrent exactly at t=2 (closed)
+        ("b", ts(1), ts(2)), ("b", ts(2), ts(3)),
+        # c: disjoint [1,2] [3,4] → peak 1, first at t=1
+        ("c", ts(1), ts(2)), ("c", ts(3), ts(4)),
+    ]
+    df = spark.createDataFrame(rows, "day string, s timestamp, e timestamp")
+    got = {
+        r["day"]: (r["n_sessions"], r["peak_concurrency"], r["first_peak_us"])
+        for r in interval_peak_concurrency(df).collect()
+    }
+    assert got["a"] == (3, 3, us(3))
+    assert got["b"] == (2, 2, us(2))
+    assert got["c"] == (2, 1, us(1))
+    plan = (
+        interval_peak_concurrency(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_events_rfm_scores_quintiles_balanced(spark):
+    """events_rfm_scores (r8): every score is a 1..5 quintile whose
+    bucket sizes differ by at most one (ntile contract), the segment
+    string is the score concatenation, and monetary is an exact
+    integer micro-unit sum (no float fold in the sort key)."""
+    from collections import Counter
+
+    rows = REGISTRY["events_rfm_scores"].fn(spark, SF_DIR).collect()
+    assert rows
+    for col in ("r_score", "f_score", "m_score"):
+        counts = Counter(r[col] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r["rfm_segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        assert isinstance(r["monetary_micros"], int)
+        assert r["frequency"] >= 1 and r["recency_days"] >= 0
+
+
+def test_training_best_of_n_argmax_contract(spark):
+    """training_best_of_n (r8): the winner belongs to its prompt group,
+    candidates partition the corpus, the margin is best−second, and the
+    winner's score is the true per-group max (re-derived independently
+    from the raw documents)."""
+    from knowledge_model_spark.session import load_tables
+    import re
+
+    rows = REGISTRY["training_best_of_n"].fn(spark, SF_DIR).collect()
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "text"
+    ).collect()
+    assert sum(r["n_candidates"] for r in rows) == len(docs)
+
+    def score(text):
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if len(w) > 1]
+        return len(set(toks)) / len(toks) if toks else 0.0
+
+    best = {}
+    for d in docs:
+        pid = d["doc_id"] % 125
+        key = (-score(d["text"]), d["doc_id"])
+        if pid not in best or key < best[pid]:
+            best[pid] = key
+    for r in rows:
+        assert r["best_doc_id"] % 125 == r["prompt_id"]
+        assert r["best_doc_id"] == best[r["prompt_id"]][1]
+        assert abs(r["best_score"] - round(-best[r["prompt_id"]][0], 6)) < 1e-9
+        if r["second_score"] is not None:
+            assert r["best_score"] >= r["second_score"]
+            assert abs(r["margin"] - round(r["best_score"] - r["second_score"], 6)) < 1e-5
+
+
+def test_quality_ppl_buckets_terciles_ordered(spark):
+    """quality_ppl_buckets (r8): per language the three buckets
+    partition the documents with balanced sizes and non-overlapping
+    logppl ranges ordered head ≤ middle ≤ tail."""
+    rows = REGISTRY["quality_ppl_buckets"].fn(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        sizes = [b["n_docs"] for b in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, lang
+        assert buckets["head"]["max_logppl"] <= buckets["middle"]["min_logppl"]
+        assert buckets["middle"]["max_logppl"] <= buckets["tail"]["min_logppl"]
+
+
+def test_retrieval_maxsim_topk_matches_numpy(spark):
+    """retrieval_maxsim_topk (r8): the two-stage Spark plan reproduces a
+    numpy re-implementation of coarse-prune + MaxSim re-rank exactly
+    (ranks per query), and the plan broadcasts the query batch with no
+    Python on the hot path."""
+    import numpy as np
+
+    from knowledge_model_spark.session import load_tables
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_tables(spark, SF_DIR)["embeddings"].collect()
+    }
+    queries = {i: emb[i] for i in sorted(emb) if i < 5}
+    expected = {}
+    for qid, qv in queries.items():
+        coarse = sorted(emb, key=lambda v: (-float(qv @ emb[v]), v))[:50]
+        qt = qv.reshape(8, 8)
+
+        def maxsim(v):
+            dt = emb[v].reshape(8, 8)
+            return float(sum((qt @ dt.T).max(axis=1)))
+
+        top = sorted(coarse, key=lambda v: (-maxsim(v), v))[:10]
+        expected[qid] = top
+    got = {}
+    for r in REGISTRY["retrieval_maxsim_topk"].fn(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    for qid, top in expected.items():
+        assert [got[qid][i + 1] for i in range(10)] == top, qid
+
+    plan = _plan(spark, "retrieval_maxsim_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
