@@ -319,6 +319,7 @@ HEADLINE: dict[str, bool] = {
     "events_rfm_scores": True,
     "training_best_of_n": True,
     "quality_ppl_buckets": True,
+    "multimodal_exif_extract": True,
 }
 
 

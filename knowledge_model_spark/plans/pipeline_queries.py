@@ -1475,3 +1475,137 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, method string, width int, height int, "
         "out_bytes long, resize_ok boolean, mean_luma_out double",
     )
+
+
+@register(
+    "multimodal_exif_extract",
+    None,  # binary payloads built in a pandas kernel — no SQL twin;
+    # the in-plan exif_ok column is an exact gate, all-true-pinned
+    doc="EXIF metadata extraction from JPEG binaries WITHOUT decoding "
+    "pixels — the metadata-conditioned filter/sample stage of an image "
+    "corpus pipeline (orientation normalization, capture-time splits, "
+    "camera-model dedup keys).  Each media row builds a content-"
+    "addressed JPEG and injects an APP1 'Exif' TIFF block (IFD0: make/"
+    "model/orientation/datetime; Exif sub-IFD via tag 34665: iso/"
+    "exposure RATIONAL/pixel dims) with the byte order alternating "
+    "II/MM per row plus a no-APP1 control row; a second Arrow-batched "
+    "stage re-parses every payload through sources/multimodal.py::"
+    "parse_exif and exif_ok compares each extracted field against the "
+    "expected values regenerated from media_id (zero joins, zero "
+    "shuffle — metadata scan cost is header-bounded, never pixel-"
+    "bounded, which is why this stage runs BEFORE any decode at "
+    "100 TB).  Round-trip + truncation/bitflip fuzz (never raises) in "
+    "tests/test_sources.py",
+)
+def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import (
+        build_exif_app1,
+        insert_jpeg_app1,
+        parse_exif,
+    )
+
+    load_tables(spark, sf_dir)
+
+    def _fields(mid: int) -> dict:
+        return {
+            "make": "CAM%d" % (mid % 3),
+            "model": "KM-%03d" % (100 + mid % 7),
+            "orientation": 1 + mid % 8,
+            "datetime": "2024:%02d:%02d 0%d:00:00"
+            % (1 + mid % 12, 1 + mid % 28, mid % 10),
+            "iso": 100 * (1 + mid % 4),
+            "exposure_num": 1,
+            "exposure_den": 1 << (2 + mid % 6),
+            "pixel_x": 32,
+            "pixel_y": 24,
+        }
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "variant": [], "payload": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                yy, xx = np.mgrid[0:24, 0:32]
+                img = np.stack(
+                    [(xx * (2 + mid % 5)) % 256, (yy * 3 + mid) % 256,
+                     ((xx + yy) + mid * 37) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                jpg = encode_jpeg(img, 90)
+                endian = "<" if mid % 2 == 0 else ">"
+                rows["media_id"].append(mid)
+                rows["variant"].append("exif_ii" if endian == "<" else "exif_mm")
+                rows["payload"].append(
+                    insert_jpeg_app1(jpg, build_exif_app1(_fields(mid), endian))
+                )
+                if mid % 8 == 0:  # control: no APP1 → parse must say None
+                    rows["media_id"].append(mid)
+                    rows["variant"].append("plain")
+                    rows["payload"].append(jpg)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "variant": rows["variant"],
+                    "payload": rows["payload"],
+                }
+            )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "variant": [], "byte_order": [],
+                "make": [], "orientation": [], "iso": [],
+                "exposure_den": [], "exif_ok": [],
+            }
+            for mid, variant, payload in zip(
+                pdf["media_id"], pdf["variant"], pdf["payload"]
+            ):
+                mid = int(mid)
+                got = parse_exif(bytes(payload))
+                if str(variant) == "plain":
+                    ok = got is None
+                    got = {}
+                else:
+                    want = _fields(mid)
+                    ok = got is not None and all(
+                        got.get(k) == want[k]
+                        for k in ("make", "model", "orientation", "datetime",
+                                  "iso", "exposure_num", "exposure_den",
+                                  "pixel_x", "pixel_y")
+                    ) and got["byte_order"] == ("II" if mid % 2 == 0 else "MM")
+                    got = got or {}
+                out["media_id"].append(mid)
+                out["variant"].append(str(variant))
+                out["byte_order"].append(got.get("byte_order"))
+                out["make"].append(got.get("make"))
+                out["orientation"].append(got.get("orientation"))
+                out["iso"].append(got.get("iso"))
+                out["exposure_den"].append(got.get("exposure_den"))
+                out["exif_ok"].append(bool(ok))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "variant": out["variant"],
+                    "byte_order": out["byte_order"],
+                    "make": out["make"],
+                    "orientation": pd.Series(out["orientation"], dtype="Int32"),
+                    "iso": pd.Series(out["iso"], dtype="Int32"),
+                    "exposure_den": pd.Series(out["exposure_den"], dtype="Int64"),
+                    "exif_ok": pd.Series(out["exif_ok"], dtype="bool"),
+                }
+            )
+
+    media = spark.range(64).mapInPandas(
+        build, "media_id long, variant string, payload binary"
+    )
+    return media.mapInPandas(
+        extract,
+        "media_id long, variant string, byte_order string, make string, "
+        "orientation int, iso int, exposure_den long, exif_ok boolean",
+    )

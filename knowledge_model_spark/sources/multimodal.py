@@ -1007,6 +1007,188 @@ def encode_bilevel_tiff(
     return bytes(out)
 
 
+_EXIF_IFD0_TAGS = {271: "make", 272: "model", 274: "orientation", 306: "datetime"}
+_EXIF_SUB_TAGS = {33434: "exposure", 34855: "iso", 40962: "pixel_x", 40963: "pixel_y"}
+_EXIF_POINTER_TAG = 34665
+
+
+def _parse_tiff_ifd(b: bytes, e: str, off: int) -> dict[int, tuple]:
+    """One TIFF IFD at ``off`` → {tag: value-tuple}.  Types BYTE/ASCII/
+    SHORT/LONG/RATIONAL; anything else (or any out-of-bounds offset) is
+    skipped, never raised — EXIF blocks in the wild are routinely
+    truncated and a metadata scan must not fail the row."""
+    import struct
+
+    if off + 2 > len(b):
+        return {}
+    (n_ent,) = struct.unpack(e + "H", b[off : off + 2])
+    tags: dict[int, tuple] = {}
+    for i in range(n_ent):
+        ent = b[off + 2 + 12 * i : off + 14 + 12 * i]
+        if len(ent) < 12:
+            break
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0 or cnt > 1 << 20:
+            continue
+        if size <= 4:
+            raw = ent[8 : 8 + size]
+        else:
+            (voff,) = struct.unpack(e + "I", ent[8:12])
+            raw = b[voff : voff + size]
+            if len(raw) < size:
+                continue
+        if typ == 2:  # ASCII, NUL-terminated
+            tags[tag] = (raw.split(b"\0", 1)[0].decode("ascii", "replace"),)
+        elif typ == 3:
+            tags[tag] = struct.unpack(e + "%dH" % cnt, raw)
+        elif typ == 4:
+            tags[tag] = struct.unpack(e + "%dI" % cnt, raw)
+        elif typ == 5:  # RATIONAL: (num, den) pairs
+            vals = struct.unpack(e + "%dI" % (2 * cnt), raw)
+            tags[tag] = tuple(zip(vals[0::2], vals[1::2]))
+        elif typ == 1:
+            tags[tag] = tuple(raw)
+    return tags
+
+
+def parse_exif(b: bytes) -> dict | None:
+    """EXIF metadata from a JPEG (APP1 "Exif\\0\\0" segment) or a bare
+    TIFF byte string → flat dict, or None when no EXIF block exists.
+
+    Fields: byte_order ("II"/"MM"), make, model, orientation, datetime
+    (IFD0) and iso, pixel_x, pixel_y, exposure_num/exposure_den (Exif
+    sub-IFD via tag 34665).  Absent tags are None.  Malformed payloads
+    degrade to partial dicts or None — never an exception (same honest
+    contract as every decoder in this module).  The training-pipeline
+    use is metadata-conditioned filtering/sampling (orientation
+    normalization, capture-time splits) without decoding pixels.
+    """
+    import struct
+
+    tiff = None
+    if b[:2] == b"\xff\xd8":  # JPEG: scan segments for the EXIF APP1
+        pos = 2
+        while pos + 4 <= len(b) and b[pos] == 0xFF:
+            marker, ln = b[pos + 1], struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+            if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = b[pos + 10 : pos + 2 + ln]
+                break
+            if marker == 0xDA:  # start of scan — no more metadata
+                break
+            pos += 2 + ln
+    elif b[:2] in (b"II", b"MM"):
+        tiff = b
+    if tiff is None or len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if tiff[:2] == b"II" else ">"
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return None
+    (ifd0_off,) = struct.unpack(e + "I", tiff[4:8])
+    ifd0 = _parse_tiff_ifd(tiff, e, ifd0_off)
+    out: dict = {"byte_order": tiff[:2].decode()}
+    for tag, name in _EXIF_IFD0_TAGS.items():
+        v = ifd0.get(tag)
+        out[name] = v[0] if v else None
+    sub: dict[int, tuple] = {}
+    if _EXIF_POINTER_TAG in ifd0:
+        sub = _parse_tiff_ifd(tiff, e, ifd0[_EXIF_POINTER_TAG][0])
+    for tag, name in _EXIF_SUB_TAGS.items():
+        v = sub.get(tag)
+        out[name] = v[0] if v else None
+    exp = out.pop("exposure", None)
+    out["exposure_num"], out["exposure_den"] = (
+        (int(exp[0]), int(exp[1])) if exp else (None, None)
+    )
+    return out
+
+
+def build_exif_app1(fields: dict, endian: str = "<") -> bytes:
+    """Encoder twin of :func:`parse_exif`: EXIF fields → an APP1 segment
+    body ("Exif\\0\\0" + TIFF block with IFD0 and the Exif sub-IFD).
+    Layout: header(8) | IFD0 | ExifIFD | value area.  Both byte orders,
+    so the parser's "MM" path has a genuine producer in tests."""
+    import struct
+
+    e = endian
+    order = b"II" if e == "<" else b"MM"
+
+    def ifd0_entries():
+        ents = []
+        for tag, name in sorted(_EXIF_IFD0_TAGS.items()):
+            v = fields.get(name)
+            if v is None:
+                continue
+            if isinstance(v, str):
+                ents.append((tag, 2, v.encode("ascii") + b"\0"))
+            else:
+                ents.append((tag, 3, struct.pack(e + "H", int(v))))
+        return ents
+
+    def sub_entries():
+        ents = []
+        if fields.get("exposure_num") is not None:
+            ents.append(
+                (33434, 5, struct.pack(
+                    e + "II",
+                    int(fields["exposure_num"]), int(fields["exposure_den"]),
+                ))
+            )
+        for tag, name in ((34855, "iso"),):
+            if fields.get(name) is not None:
+                ents.append((tag, 3, struct.pack(e + "H", int(fields[name]))))
+        for tag, name in ((40962, "pixel_x"), (40963, "pixel_y")):
+            if fields.get(name) is not None:
+                ents.append((tag, 4, struct.pack(e + "I", int(fields[name]))))
+        return ents
+
+    i0, i1 = ifd0_entries(), sub_entries()
+    n0 = len(i0) + 1  # + the ExifIFD pointer entry
+    ifd0_at = 8
+    sub_at = ifd0_at + 2 + 12 * n0 + 4
+    val_at = sub_at + 2 + 12 * len(i1) + 4
+    values = bytearray()
+
+    def pack_entries(ents, extra=()):
+        nonlocal values
+        packed = []
+        for tag, typ, raw in ents:
+            cnt = len(raw) // _TIFF_TYPE_SIZE[typ] if typ != 2 else len(raw)
+            if typ == 5:
+                cnt = len(raw) // 8
+            if len(raw) <= 4:
+                field = raw + b"\0" * (4 - len(raw))
+            else:
+                field = struct.pack(e + "I", val_at + len(values))
+                values += raw
+            packed.append(struct.pack(e + "HHI", tag, typ, cnt) + field)
+        for tag, typ, cnt, val in extra:
+            packed.append(
+                struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + "I", val)
+            )
+        packed.sort(key=lambda p: struct.unpack(e + "H", p[:2])[0])
+        return packed
+
+    p0 = pack_entries(i0, extra=[(_EXIF_POINTER_TAG, 4, 1, sub_at)])
+    p1 = pack_entries(i1)
+    tiff = bytearray(order + struct.pack(e + "HI", 42, ifd0_at))
+    tiff += struct.pack(e + "H", len(p0)) + b"".join(p0) + struct.pack(e + "I", 0)
+    tiff += struct.pack(e + "H", len(p1)) + b"".join(p1) + struct.pack(e + "I", 0)
+    tiff += values
+    return b"Exif\x00\x00" + bytes(tiff)
+
+
+def insert_jpeg_app1(jpeg: bytes, app1_body: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI — where camera firmware
+    writes it (CIPA DC-008 §4.5.4)."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    seg = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return jpeg[:2] + seg + jpeg[2:]
+
+
 def decode_image_any(b: bytes) -> np.ndarray | None:
     """Try every in-container REAL image codec in cheapest-probe order
     (each starts with a magic-byte check): Netpbm P1-P6, BMP, PNG, GIF,

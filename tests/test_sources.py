@@ -3416,3 +3416,84 @@ def test_avi_mjpeg_roundtrip_and_seam():
         b[i : i + 3] = b"\x00\x00\x01"
         i += 3
     assert decode_avi_frames(bytes(b)) is None
+
+
+def test_exif_round_trip_both_endians():
+    """parse_exif inverts build_exif_app1 for every field in both byte
+    orders, through a real JPEG APP1 insertion; a bare TIFF block
+    parses identically; a JPEG without APP1 yields None."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import (
+        build_exif_app1,
+        insert_jpeg_app1,
+        parse_exif,
+    )
+
+    fields = {
+        "make": "CAM2", "model": "KM-100", "orientation": 6,
+        "datetime": "2024:03:01 12:34:56", "iso": 400,
+        "pixel_x": 32, "pixel_y": 24, "exposure_num": 1, "exposure_den": 125,
+    }
+    jpg = encode_jpeg(np.zeros((24, 32, 3), np.uint8), 90)
+    for endian, order in (("<", "II"), (">", "MM")):
+        app1 = build_exif_app1(fields, endian)
+        got = parse_exif(insert_jpeg_app1(jpg, app1))
+        assert got is not None and got["byte_order"] == order
+        for k, v in fields.items():
+            assert got[k] == v, (endian, k)
+        # the TIFF block alone (after the 6-byte Exif header) also parses
+        assert parse_exif(app1[6:])["model"] == "KM-100"
+    assert parse_exif(jpg) is None  # no APP1
+    # partial fields: absent tags come back None, present ones intact
+    got = parse_exif(build_exif_app1({"orientation": 3})[6:])
+    assert got["orientation"] == 3 and got["make"] is None
+    assert got["iso"] is None and got["exposure_num"] is None
+
+
+def test_exif_malformed_never_raises():
+    """Bit-flipped and truncated EXIF payloads parse to None or a
+    partial dict — never an exception (the decoder-contract fuzz)."""
+    import hashlib
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import (
+        build_exif_app1,
+        insert_jpeg_app1,
+        parse_exif,
+    )
+
+    fields = {"make": "CAM0", "orientation": 1, "iso": 200,
+              "exposure_num": 1, "exposure_den": 64}
+    base = insert_jpeg_app1(
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90),
+        build_exif_app1(fields),
+    )
+    for i in range(400):
+        h = hashlib.md5(b"exif%d" % i).digest()
+        payload = bytearray(base)
+        payload[h[0] % len(payload)] = h[1]
+        payload[(h[2] | h[3] << 8) % len(payload)] = h[4]
+        parse_exif(bytes(payload))
+        parse_exif(bytes(payload[: max(2, h[5] * len(payload) // 255)]))
+
+
+def test_multimodal_exif_extract_gate(spark):
+    """The registered query's exif_ok gate holds for every variant
+    (II, MM, and the no-APP1 control), and the plan is two mapInPandas
+    over a range scan with zero shuffle."""
+    from knowledge_model_spark.plans import load_registry
+
+    df = load_registry()["multimodal_exif_extract"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) == 64 + 8  # one exif row each + every-8th control
+    assert all(r["exif_ok"] for r in rows)
+    variants = {r["variant"] for r in rows}
+    assert variants == {"exif_ii", "exif_mm", "plain"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
