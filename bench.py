@@ -320,6 +320,8 @@ HEADLINE: dict[str, bool] = {
     "training_best_of_n": True,
     "quality_ppl_buckets": True,
     "multimodal_exif_extract": True,
+    "eval_pass_at_k": True,
+    "sample_coreset_kcenter": True,
 }
 
 

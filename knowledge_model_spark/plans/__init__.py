@@ -48,6 +48,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # oldest-certification-first.
 _GATE_PRIORITY = [
     # second r8 batch — brand-new oracled queries lead the window
+    "eval_pass_at_k",
+    "sample_coreset_kcenter",
     "retrieval_maxsim_topk",
     "events_peak_concurrency",
     "events_rfm_scores",

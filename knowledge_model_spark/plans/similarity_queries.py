@@ -1175,3 +1175,103 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine_sim(F.col("qv"), F.col("embedding")) >= RANGE_TAU)
         .select("query_id", "vec_id")
     )
+
+
+K_CENTERS = 4
+
+
+def _kcenter_oracle(k: int = K_CENTERS) -> str:
+    """Unrolled greedy farthest-point CTE chain (the MMR trick): every
+    compared quantity is round-6 cosine with smallest-id tiebreak, so
+    both engines walk the identical greedy sequence."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        # seed: content-addressed md5 argmin — no RNG state
+        "s1 AS (SELECT vec_id, v FROM ("
+        "SELECT vec_id, v, row_number() OVER ("
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r FROM e)"
+        " WHERE r = 1)",
+    ]
+    for step in range(2, k + 1):
+        sel = [f"s{j}" for j in range(1, step)]
+        sims = ", ".join(
+            f"round(list_cosine_similarity(e.v, {s}.v), 6)" for s in sel
+        )
+        ms = f"greatest({sims})" if len(sel) > 1 else sims
+        joins = " ".join(f"CROSS JOIN {s}" for s in sel)
+        notin = " AND ".join(f"e.vec_id <> {s}.vec_id" for s in sel)
+        parts.append(
+            f"p{step} AS (SELECT e.vec_id, e.v, {ms} AS ms"
+            f" FROM e {joins} WHERE {notin})"
+        )
+        parts.append(
+            f"s{step} AS (SELECT vec_id, v, ms FROM ("
+            f"SELECT vec_id, v, ms, row_number() OVER ("
+            f"ORDER BY ms, vec_id) AS r FROM p{step}) WHERE r = 1)"
+        )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS center_rank, vec_id,"
+        " CAST(NULL AS DOUBLE) AS max_sim_to_selected FROM s1"
+    ] + [
+        f"SELECT CAST({j} AS BIGINT), vec_id, ms FROM s{j}"
+        for j in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "sample_coreset_kcenter",
+    _kcenter_oracle(),
+    doc="greedy k-center coreset selection (Gonzalez'85 farthest-point "
+    "traversal; Sener & Savarese ICLR'18 use it for training-data "
+    "core-sets): md5-argmin seed, then each step picks the point with "
+    "the SMALLEST max-cosine to the already-selected centers — the "
+    "most-novel remaining example.  Every comparison is round-6 with "
+    "id tiebreak, so the DuckDB oracle unrolls the identical greedy "
+    "steps.  Scale shape: per step ONE corpus scan against the ≤k "
+    "broadcast-size selected set (codegen HOF cosine, no shuffle "
+    "beyond the 1-row argmin agg) with a bounded ≤k driver fetch — "
+    "the standard distributed greedy k-center; k scans total, corpus "
+    "never pairs with itself",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.vectors import cosine_sim
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    t = load_tables(spark, sf_dir)
+    e = ensure_min_partitions(
+        t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    seed = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [(seed["vec_id"], seed["v"], None)]
+    for _ in range(2, K_CENTERS + 1):
+        sims = [
+            F.round(
+                cosine_sim(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                ),
+                6,
+            )
+            for _, cv, _ in centers
+        ]
+        ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        nxt = (
+            e.filter(~F.col("vec_id").isin([cid for cid, _, _ in centers]))
+            .select("vec_id", "v", ms.alias("ms"))
+            .orderBy("ms", "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((nxt["vec_id"], nxt["v"], float(nxt["ms"])))
+    rows = [
+        (i + 1, cid, msv) for i, (cid, _, msv) in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        rows, "center_rank long, vec_id long, max_sim_to_selected double"
+    )

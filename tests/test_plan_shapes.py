@@ -844,3 +844,60 @@ def test_retrieval_maxsim_topk_matches_numpy(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_eval_pass_at_k_matches_comb(spark):
+    """eval_pass_at_k (r8): the unrolled ratio chain equals the exact
+    combinatorial 1 − C(n−c,k)/C(n,k) for every task, and pass@1 is
+    exactly c/n."""
+    import math
+
+    rows = REGISTRY["eval_pass_at_k"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n, c, k = r["n"], r["c"], r["k"]
+        want = (
+            1.0
+            if n - c < k
+            else 1.0 - math.comb(n - c, k) / math.comb(n, k)
+        )
+        assert abs(r["pass_at_k"] - want) < 1e-12, (n, c, k)
+        if k == 1:
+            assert abs(r["pass_at_k"] - c / n) < 1e-12
+
+
+def test_sample_coreset_kcenter_matches_numpy(spark):
+    """sample_coreset_kcenter (r8): the distributed greedy walk equals
+    a numpy re-implementation of Gonzalez farthest-point traversal
+    (round-6 cosine, md5 seed, id tiebreak) step for step."""
+    import hashlib
+
+    import numpy as np
+
+    from knowledge_model_spark.session import load_tables
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_tables(spark, SF_DIR)["embeddings"].collect()
+    }
+
+    def cos(a, b):
+        den = np.sqrt(a @ a) * np.sqrt(b @ b)
+        return round(float(a @ b) / den, 6) if den else 0.0
+
+    seed = min(emb, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+    sel = [(seed, None)]
+    while len(sel) < 4:
+        cands = [
+            (vid, max(cos(emb[vid], emb[s]) for s, _ in sel))
+            for vid in emb
+            if vid not in {s for s, _ in sel}
+        ]
+        vid, ms = min(cands, key=lambda t: (t[1], t[0]))
+        sel.append((vid, ms))
+    got = sorted(
+        REGISTRY["sample_coreset_kcenter"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert [(r["vec_id"], r["max_sim_to_selected"]) for r in got] == sel
+    assert len({r["vec_id"] for r in got}) == 4

@@ -69,6 +69,12 @@ SLOPE_QUERIES = [
     "eval_ann_recall_vs_exact",     # five ANN methods + exact truth
     "graph_triangle_count",         # wedge enumeration ∝ Σdeg²
     "decontam_survivors",           # broadcast shingle-index anti join
+    # r8 second batch: the two new queries with any growth surface —
+    # the MaxSim coarse stage scans the corpus per query (candidates
+    # are capped at 50, so the late interaction must NOT grow), and
+    # ppl bucketing rides the full token aggregation
+    "retrieval_maxsim_topk",
+    "quality_ppl_buckets",
 ]
 
 # slope threshold on the last decade: 10^1.5 ≈ 31.6× for 10× rows
