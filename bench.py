@@ -322,6 +322,7 @@ HEADLINE: dict[str, bool] = {
     "multimodal_exif_extract": True,
     "eval_pass_at_k": True,
     "sample_coreset_kcenter": True,
+    "ann_nsw_topk": True,
 }
 
 

@@ -565,3 +565,122 @@ def ivf_index_search(
     ).dropDuplicates([query_id, "vec_id"])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def nsw_graph_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 12,
+    n_shards: int = 8,
+    m_edges: int = 8,
+    ef: int = 24,
+    n_hops: int = 8,
+) -> DataFrame:
+    """Graph-based ANN: per-shard navigable-small-world search — the
+    sharded-graph pattern of HNSW/DiskANN serving (Malkov & Yashunin
+    TPAMI'18; Subramanya et al. NeurIPS'19), the family member LSH/IVF/
+    PQ don't cover (graph walks adapt to local density; hash/cell
+    methods can't).
+
+    Index: corpus rows hash to ``n_shards`` md5 shards (content-
+    addressed — shard membership survives repartitioning and corpus
+    growth); within a shard every node keeps edges to its ``m_edges``
+    exact nearest neighbors (the build cost, one vectorized matmul per
+    shard here; at 100 TB this is the standard one-time index-build
+    job, incremental inserts append to the shard's edge list).
+
+    Search: every query enters each shard at the md5-min node and runs
+    ``n_hops`` rounds of deterministic beam expansion (keep the best
+    ``ef`` found, expand all their neighbors) — work per shard is
+    O(ef·m·hops), NOT O(n_shard): the sublinearity that makes graph
+    ANN the serving default.  Per-shard top-k merge globally.  The
+    query batch is collected to the driver (bounded — it is the
+    broadcast side of every ANN operator here) and closed over by the
+    Arrow kernel.
+
+    Determinism: float64 scoring, md5 entry points, id tiebreaks,
+    fixed expansion order — byte-stable across partitionings.  Scale
+    shape: ONE corpus shuffle (the shard groupBy), then a tiny
+    (shards×queries×k) candidate table; a routing stage that probes
+    only the most promising shards is the documented seam (route on
+    the IVF centroid table), traded here for exhaustive-shard recall.
+    """
+    import hashlib
+
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    q_rows = (
+        queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
+        .collect()
+    )
+    q_ids = np.asarray([r[query_id] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([np.asarray(r["__qv"], dtype=np.float64) for r in q_rows])
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id).alias("__cid"),
+        l2_normalize(F.col(corpus_vec)).alias("__cv"),
+        (
+            F.conv(F.substring(F.md5(F.col(corpus_id).cast("string")), 1, 8), 16, 10)
+            .cast("long") % n_shards
+        ).alias("__shard"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__cid"].to_numpy(dtype=np.int64)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+        n = len(ids)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        # exact m-NN graph within the shard (one matmul build)
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        m = min(m_edges, max(n - 1, 1))
+        nbrs = np.argsort(-sims, axis=1, kind="stable")[:, :m]
+        # md5-min entry node (content-addressed, like every seed here)
+        entry = min(
+            range(n),
+            key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+        )
+        out = {"query_id": [], "vec_id": [], "score": []}
+        for qi in range(len(q_ids)):
+            qv = q_mat[qi]
+            found: dict[int, float] = {entry: float(mat[entry] @ qv)}
+            for _ in range(n_hops):
+                beam = sorted(found, key=lambda i: (-found[i], ids[i]))[:ef]
+                fresh = False
+                for node in beam:
+                    for nb in nbrs[node]:
+                        nb = int(nb)
+                        if nb not in found:
+                            found[nb] = float(mat[nb] @ qv)
+                            fresh = True
+                if not fresh:
+                    break
+            top = sorted(found, key=lambda i: (-found[i], ids[i]))[:k]
+            out["query_id"].extend([int(q_ids[qi])] * len(top))
+            out["vec_id"].extend(int(ids[i]) for i in top)
+            out["score"].extend(round(found[i], 6) for i in top)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="int64"),
+                "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
+
+    cands = c.groupBy("__shard").applyInPandas(
+        kernel, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("query_id", query_id)
+        .withColumnRenamed("vec_id", corpus_id)
+    )

