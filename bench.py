@@ -323,6 +323,8 @@ HEADLINE: dict[str, bool] = {
     "eval_pass_at_k": True,
     "sample_coreset_kcenter": True,
     "ann_nsw_topk": True,
+    "quality_ppl_buckets_kll": True,
+    "graph_modularity_lang": True,
 }
 
 

@@ -733,3 +733,113 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     from knowledge_model_spark.operators.graph import link_prediction_jaccard
 
     return link_prediction_jaccard(e0, "a", "b", k=20)
+
+
+@register(
+    "graph_modularity_lang",
+    f"""
+    WITH edges AS ({_EDGE_SQL}),
+    lab AS (SELECT doc_id, lang FROM documents),
+    typed AS (
+      SELECT la.lang AS lang_a, lb.lang AS lang_b
+      FROM edges e
+      JOIN lab la ON la.doc_id = e.a
+      JOIN lab lb ON lb.doc_id = e.b
+    ),
+    m AS (SELECT count(*) AS m FROM typed),
+    intra AS (
+      SELECT lang_a AS lang, count(*) AS intra_edges
+      FROM typed WHERE lang_a = lang_b GROUP BY lang_a
+    ),
+    deg AS (
+      SELECT lang, CAST(sum(d) AS BIGINT) AS degree_sum FROM (
+        SELECT lang_a AS lang, count(*) AS d FROM typed GROUP BY lang_a
+        UNION ALL
+        SELECT lang_b AS lang, count(*) AS d FROM typed GROUP BY lang_b
+      ) GROUP BY lang
+    ),
+    nodes AS (
+      SELECT lang, count(*) AS n_nodes FROM (
+        SELECT DISTINCT la.lang, e.a AS node FROM edges e
+          JOIN lab la ON la.doc_id = e.a
+        UNION
+        SELECT DISTINCT lb.lang, e.b AS node FROM edges e
+          JOIN lab lb ON lb.doc_id = e.b
+      ) GROUP BY lang
+    )
+    SELECT n.lang, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           d.degree_sum,
+           (coalesce(i.intra_edges, 0) / CAST(m.m AS DOUBLE))
+             - (d.degree_sum / (2.0 * m.m)) * (d.degree_sum / (2.0 * m.m))
+             AS q_contrib
+    FROM nodes n
+    JOIN deg d USING (lang)
+    LEFT JOIN intra i USING (lang)
+    CROSS JOIN m
+    """,
+    doc="Newman modularity of the LANGUAGE partition over the dup-pair "
+    "graph — per community c: Q_c = m_c/m − (d_c/2m)², the standard "
+    "'does this attribute explain the graph' diagnostic (a corpus "
+    "whose dup clusters align with language partitions cleanly for "
+    "per-lang dedup; Q≈0 means cross-lingual dups dominate).  All "
+    "inputs are exact integer counts; each Q_c is two divisions and "
+    "one multiply of identical doubles — no order-sensitive fold, "
+    "per-community rows so no global float sum.  Scale: edges join "
+    "the broadcast node→lang map twice, two count shuffles on the "
+    "lang key — never materializes anything larger than the edge list",
+)
+def graph_modularity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    lab = docs.select("doc_id", "lang")
+    edges = _edges(docs)
+    typed = (
+        edges.join(
+            lab.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")),
+            "id_a",
+        )
+        .join(
+            lab.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "lang_a", "lang_b")
+    )
+    m = typed.agg(F.count("*").alias("m"))
+    intra = (
+        typed.filter(F.col("lang_a") == F.col("lang_b"))
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    deg = (
+        typed.select(F.col("lang_a").alias("lang"))
+        .unionAll(typed.select(F.col("lang_b").alias("lang")))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("degree_sum"))
+    )
+    nodes = (
+        typed.select(F.col("lang_a").alias("lang"), F.col("id_a").alias("node"))
+        .unionAll(typed.select(F.col("lang_b").alias("lang"), F.col("id_b").alias("node")))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    return (
+        nodes.join(deg, "lang")
+        .join(intra, "lang", "left")
+        .crossJoin(broadcast(m))
+        .select(
+            "lang",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.coalesce(F.col("intra_edges"), F.lit(0))
+                / F.col("m").cast("double")
+                - (F.col("degree_sum") / (F.lit(2.0) * F.col("m")))
+                * (F.col("degree_sum") / (F.lit(2.0) * F.col("m")))
+            ).alias("q_contrib"),
+        )
+    )

@@ -2048,3 +2048,59 @@ def quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_logppl",
         "max_logppl",
     )
+
+
+@register(
+    "quality_ppl_buckets_kll",
+    None,  # KLL quantile boundaries — approximate by design; bucket
+    # counts are rank-error-gated against the exact twin in
+    # tests/test_sketches.py
+    doc="the 100 TB twin of quality_ppl_buckets: per-language tercile "
+    "BOUNDARIES from one mergeable KLL(2048) sketch (single map-side-"
+    "combinable agg — no per-doc ntile window), then every document "
+    "buckets by two broadcast comparisons at scan speed.  Rank error "
+    "≤~0.7% at k=2048, so bucket membership can differ from exact "
+    "only within the quantile neighborhood — gated per (lang, bucket) "
+    "against the exact window twin.  Same run-determinism boundary as "
+    "every KLL twin here (compaction coin-flips once a language "
+    "exceeds ~k buffered items — at sf0.1 'en' holds 2057 > 2048 and "
+    "one boundary doc may swap buckets between runs), so the bound "
+    "test, not value equality, is the contract; the row COUNT (lang × "
+    "3 buckets) is stable.  This is the executable form at corpus "
+    "scale: the sketch agg shuffles one sketch per lang, not one row "
+    "per document",
+)
+def quality_ppl_buckets_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from knowledge_model_spark.operators.importance import unigram_log_ppl
+
+    t = load_tables(spark, sf_dir)
+    ppl = unigram_log_ppl(t["documents_spread"], "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "logppl"
+    )
+    scored = ppl.join(t["documents"].select("doc_id", "lang"), "doc_id")
+    bounds = scored.groupBy("lang").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(logppl, 2048), "
+            "array(0.3333333333333333D, 0.6666666666666666D))"
+        ).alias("__qs")
+    ).select(
+        "lang", F.col("__qs")[0].alias("q33"), F.col("__qs")[1].alias("q67")
+    )
+    bucket = (
+        F.when(F.col("logppl") <= F.col("q33"), "head")
+        .when(F.col("logppl") <= F.col("q67"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(broadcast(bounds), "lang")
+        .select("lang", "logppl", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("logppl"), 6).alias("min_logppl"),
+            F.round(F.max("logppl"), 6).alias("max_logppl"),
+        )
+    )

@@ -901,3 +901,41 @@ def test_sample_coreset_kcenter_matches_numpy(spark):
     )
     assert [(r["vec_id"], r["max_sim_to_selected"]) for r in got] == sel
     assert len({r["vec_id"] for r in got}) == 4
+
+
+def test_graph_modularity_lang_invariants(spark):
+    """graph_modularity_lang (r8): degree sums total 2m, intra edges
+    never exceed m, node counts match the graph, and every q_contrib
+    equals an independent python recompute from the raw tables."""
+    from knowledge_model_spark.session import load_tables
+
+    rows = REGISTRY["graph_modularity_lang"].fn(spark, SF_DIR).collect()
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "lang"
+    ).collect()
+    lang = {d["doc_id"]: d["lang"] for d in docs}
+    edges = [
+        (d["doc_id"], d["doc_id"] + 1)
+        for d in docs
+        if d["doc_id"] % 10 < 4 and d["doc_id"] + 1 in lang
+    ]
+    m = len(edges)
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    assert sum(r["intra_edges"] for r in rows) <= m
+    want_nodes = {}
+    want_intra = {}
+    want_deg = {}
+    for a, b in edges:
+        want_nodes.setdefault(lang[a], set()).add(a)
+        want_nodes.setdefault(lang[b], set()).add(b)
+        want_deg[lang[a]] = want_deg.get(lang[a], 0) + 1
+        want_deg[lang[b]] = want_deg.get(lang[b], 0) + 1
+        if lang[a] == lang[b]:
+            want_intra[lang[a]] = want_intra.get(lang[a], 0) + 1
+    for r in rows:
+        lg = r["lang"]
+        assert r["n_nodes"] == len(want_nodes[lg])
+        assert r["intra_edges"] == want_intra.get(lg, 0)
+        assert r["degree_sum"] == want_deg[lg]
+        q = want_intra.get(lg, 0) / m - (want_deg[lg] / (2.0 * m)) ** 2
+        assert abs(r["q_contrib"] - q) < 1e-12

@@ -842,3 +842,29 @@ def test_mwu_p_kll_within_rank_error_bound_vs_exact(spark):
         assert abs(approx["p_a_gt_b"] - p_exact) <= bound, (
             sf, approx["p_a_gt_b"], p_exact, bound,
         )
+
+
+def test_ppl_buckets_kll_twin_rank_error_gate(spark):
+    """quality_ppl_buckets_kll (r8): per-(lang,bucket) counts may differ
+    from the exact ntile twin only within the KLL rank-error
+    neighborhood — gate at max(2, 2% of the language total) at two SFs,
+    and the bucket sets must agree exactly."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            (r["lang"], r["bucket"]): r["n_docs"]
+            for r in R["quality_ppl_buckets"].fn(spark, sf).collect()
+        }
+        approx = {
+            (r["lang"], r["bucket"]): r["n_docs"]
+            for r in R["quality_ppl_buckets_kll"].fn(spark, sf).collect()
+        }
+        assert set(exact) == set(approx), sf
+        lang_total: dict[str, int] = {}
+        for (lang, _), n in exact.items():
+            lang_total[lang] = lang_total.get(lang, 0) + n
+        for key, n in exact.items():
+            tol = max(2, int(0.02 * lang_total[key[0]]))
+            assert abs(n - approx[key]) <= tol, (sf, key, n, approx[key])
