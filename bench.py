@@ -325,6 +325,7 @@ HEADLINE: dict[str, bool] = {
     "ann_nsw_topk": True,
     "quality_ppl_buckets_kll": True,
     "graph_modularity_lang": True,
+    "eval_bleu_components": False,
 }
 
 

@@ -1099,3 +1099,161 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+BLEU_MAX_N = 4
+
+
+@register(
+    "eval_bleu_components",
+    f"""
+    WITH pairs AS (
+      SELECT c.doc_id AS cand_id, c.doc_id + 1 AS ref_id
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 10 < 4
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n.n AS n,
+             unnest(CASE WHEN len(t) >= n.n
+                    THEN list_transform(generate_series(1, len(t) - n.n + 1),
+                                        i -> array_to_string(t[i:i+n.n-1], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM toks CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
+    ),
+    gcounts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+    ),
+    clip AS (
+      SELECT p.cand_id, c.n, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS clipped
+      FROM pairs p
+      JOIN gcounts c ON c.doc_id = p.cand_id
+      JOIN gcounts r ON r.doc_id = p.ref_id AND r.n = c.n AND r.gram = c.gram
+      GROUP BY p.cand_id, c.n
+    ),
+    lens AS (SELECT doc_id, len(t) AS L FROM toks),
+    grid AS (
+      SELECT p.cand_id, p.ref_id, lc.L AS cl, lr.L AS rl, n.n AS n,
+             coalesce(cp.clipped, 0) AS clipped,
+             greatest(lc.L - n.n + 1, 0) AS total
+      FROM pairs p
+      JOIN lens lc ON lc.doc_id = p.cand_id
+      JOIN lens lr ON lr.doc_id = p.ref_id
+      CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
+      LEFT JOIN clip cp ON cp.cand_id = p.cand_id AND cp.n = n.n
+    )
+    SELECT cand_id, ref_id,
+           CAST(any_value(cl) AS BIGINT) AS cand_len,
+           CAST(any_value(rl) AS BIGINT) AS ref_len,
+           any_value(cl) / CAST(any_value(rl) AS DOUBLE) AS brevity_ratio,
+           max(CASE WHEN n = 1 AND total > 0
+                    THEN clipped / CAST(total AS DOUBLE) END) AS p1,
+           max(CASE WHEN n = 2 AND total > 0
+                    THEN clipped / CAST(total AS DOUBLE) END) AS p2,
+           max(CASE WHEN n = 3 AND total > 0
+                    THEN clipped / CAST(total AS DOUBLE) END) AS p3,
+           max(CASE WHEN n = 4 AND total > 0
+                    THEN clipped / CAST(total AS DOUBLE) END) AS p4
+    FROM grid GROUP BY cand_id, ref_id
+    """,
+    doc="BLEU components (Papineni et al., ACL'02): per candidate/"
+    "reference pair the four CLIPPED modified n-gram precisions "
+    "p1..p4 (Σ min(count_cand, count_ref) over shared n-grams ÷ "
+    "(len − n + 1)) plus the brevity ratio — every emitted value one "
+    "exact integer division, so no cross-engine float drift and no "
+    "ln/exp ulp hazard (the final geometric-mean combine is one "
+    "scalar op downstream; the DISTRIBUTED work is exactly the "
+    "clipping).  Pairs ride the dup-chain fixture (doc → doc+1).  "
+    "Scale shape: one (doc, n, gram) count shuffle, the clip join is "
+    "gram-sharded equi-join ∝ shared-gram postings, never a pair "
+    "cross product",
+)
+def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: F.length(w) > 1,
+        ).alias("t"),
+    )
+    pairs = (
+        docs.filter(F.col("doc_id") % 10 < 4)
+        .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
+        .join(
+            docs.select(F.col("doc_id").alias("ref_id")), "ref_id"
+        )
+    )
+    ns = spark.range(1, BLEU_MAX_N + 1).select(F.col("id").cast("int").alias("n"))
+    grams = (
+        toks.crossJoin(F.broadcast(ns))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.when(
+                    F.size("t") >= F.col("n"),
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - F.col("n") + 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.col("n"))),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    gcounts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    clip = (
+        pairs.join(
+            gcounts.withColumnRenamed("doc_id", "cand_id"), "cand_id"
+        )
+        .join(
+            gcounts.select(
+                F.col("doc_id").alias("ref_id"),
+                F.col("n"),
+                F.col("gram"),
+                F.col("cnt").alias("rcnt"),
+            ),
+            ["ref_id", "n", "gram"],
+        )
+        .groupBy("cand_id", "n")
+        .agg(F.sum(F.least("cnt", "rcnt")).cast("long").alias("clipped"))
+    )
+    lens = toks.select("doc_id", F.size("t").alias("L"))
+    grid = (
+        pairs.join(lens.withColumnRenamed("doc_id", "cand_id").withColumnRenamed("L", "cl"), "cand_id")
+        .join(lens.withColumnRenamed("doc_id", "ref_id").withColumnRenamed("L", "rl"), "ref_id")
+        .crossJoin(F.broadcast(ns))
+        .join(clip, ["cand_id", "n"], "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            "cl",
+            "rl",
+            "n",
+            F.coalesce(F.col("clipped"), F.lit(0)).alias("clipped"),
+            F.greatest(F.col("cl") - F.col("n") + 1, F.lit(0)).alias("total"),
+        )
+    )
+    def prec(n):
+        return F.max(
+            F.when(
+                (F.col("n") == n) & (F.col("total") > 0),
+                F.col("clipped") / F.col("total").cast("double"),
+            )
+        ).alias(f"p{n}")
+
+    return grid.groupBy("cand_id", "ref_id").agg(
+        F.any_value("cl").cast("long").alias("cand_len"),
+        F.any_value("rl").cast("long").alias("ref_len"),
+        (F.any_value("cl") / F.any_value("rl").cast("double")).alias("brevity_ratio"),
+        prec(1),
+        prec(2),
+        prec(3),
+        prec(4),
+    )

@@ -939,3 +939,41 @@ def test_graph_modularity_lang_invariants(spark):
         assert r["degree_sum"] == want_deg[lg]
         q = want_intra.get(lg, 0) / m - (want_deg[lg] / (2.0 * m)) ** 2
         assert abs(r["q_contrib"] - q) < 1e-12
+
+
+def test_eval_bleu_components_matches_python(spark):
+    """eval_bleu_components (r8): clipped precisions re-derived
+    independently (collections.Counter clipping) match every pair, and
+    each p_n is a valid [0,1] ratio."""
+    import re
+    from collections import Counter
+
+    from knowledge_model_spark.session import load_tables
+
+    docs = {
+        d["doc_id"]: [
+            w for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if len(w) > 1
+        ]
+        for d in load_tables(spark, SF_DIR)["documents"].collect()
+    }
+
+    def ngrams(t, n):
+        return Counter(
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        )
+
+    rows = REGISTRY["eval_bleu_components"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        c, ref = docs[r["cand_id"]], docs[r["ref_id"]]
+        assert r["cand_len"] == len(c) and r["ref_len"] == len(ref)
+        assert abs(r["brevity_ratio"] - len(c) / len(ref)) < 1e-12
+        for n in range(1, 5):
+            total = max(len(c) - n + 1, 0)
+            if total == 0:
+                assert r[f"p{n}"] is None
+                continue
+            cg, rg = ngrams(c, n), ngrams(ref, n)
+            clipped = sum(min(cnt, rg[g]) for g, cnt in cg.items())
+            assert abs(r[f"p{n}"] - clipped / total) < 1e-12, (r["cand_id"], n)
+            assert 0.0 <= r[f"p{n}"] <= 1.0
