@@ -326,6 +326,7 @@ HEADLINE: dict[str, bool] = {
     "quality_ppl_buckets_kll": True,
     "graph_modularity_lang": True,
     "eval_bleu_components": False,
+    "eval_rouge_l": False,
 }
 
 

@@ -1257,3 +1257,93 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prec(3),
         prec(4),
     )
+
+
+@register(
+    "eval_rouge_l",
+    None,  # LCS is a sequential DP — not SQL-expressible; exact python
+    # recompute asserted pair-for-pair in tests/test_plan_shapes.py
+    doc="ROUGE-L (Lin, 2004): longest-common-subsequence precision/"
+    "recall/F1 per candidate/reference pair (the dup-chain fixture, "
+    "doc → doc+1) — completes the generation-eval family next to "
+    "eval_bleu_components and eval_answer_token_f1.  The LCS DP is "
+    "inherently sequential per pair, so it runs as ONE numpy kernel "
+    "per Arrow batch inside mapInPandas over the joined pair rows — "
+    "token payloads never leave executors, zero shuffle after the "
+    "pair join; per-pair cost O(len_c·len_r) is bounded by chunked "
+    "document length at 100 TB.  F1 = 2pr/(p+r) from the exact "
+    "integer lcs/len ratios",
+)
+def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: F.length(w) > 1,
+        ).alias("t"),
+    )
+    pairs = (
+        toks.filter(F.col("doc_id") % 10 < 4)
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            (F.col("doc_id") + 1).alias("ref_id"),
+            F.col("t").alias("ct"),
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("ref_id"), F.col("t").alias("rt")),
+            "ref_id",
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"cand_id": [], "ref_id": [], "lcs_len": [],
+                   "rouge_l_p": [], "rouge_l_r": [], "rouge_l_f1": []}
+            for cid, rid, ct, rt in zip(
+                pdf["cand_id"], pdf["ref_id"], pdf["ct"], pdf["rt"]
+            ):
+                c, r = list(ct), list(rt)
+                # row-rolling LCS DP.  Per candidate token the row
+                # update is cur[j] = max(prev[j], cur[j-1],
+                # prev[j-1]+match) — the cur[j-1] term is a running
+                # max, so the whole row vectorizes as
+                # maximum.accumulate(max(prev[j], prev[j-1]+match)).
+                r_arr = np.asarray(r, dtype=object)
+                prev = np.zeros(len(r) + 1, dtype=np.int64)
+                for tok in c:
+                    match = (r_arr == tok).astype(np.int64)
+                    a = np.maximum(prev[1:], prev[:-1] + match)
+                    prev[1:] = np.maximum.accumulate(a)
+                lcs = int(prev[-1])
+                p = lcs / len(c) if c else 0.0
+                rr = lcs / len(r) if r else 0.0
+                f1 = 2 * p * rr / (p + rr) if p + rr > 0 else 0.0
+                out["cand_id"].append(int(cid))
+                out["ref_id"].append(int(rid))
+                out["lcs_len"].append(lcs)
+                out["rouge_l_p"].append(p)
+                out["rouge_l_r"].append(rr)
+                out["rouge_l_f1"].append(f1)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pd.Series(out["cand_id"], dtype="int64"),
+                    "ref_id": pd.Series(out["ref_id"], dtype="int64"),
+                    "lcs_len": pd.Series(out["lcs_len"], dtype="int64"),
+                    "rouge_l_p": pd.Series(out["rouge_l_p"], dtype="float64"),
+                    "rouge_l_r": pd.Series(out["rouge_l_r"], dtype="float64"),
+                    "rouge_l_f1": pd.Series(out["rouge_l_f1"], dtype="float64"),
+                }
+            )
+
+    return pairs.mapInPandas(
+        kernel,
+        "cand_id long, ref_id long, lcs_len long, "
+        "rouge_l_p double, rouge_l_r double, rouge_l_f1 double",
+    )

@@ -977,3 +977,45 @@ def test_eval_bleu_components_matches_python(spark):
             clipped = sum(min(cnt, rg[g]) for g, cnt in cg.items())
             assert abs(r[f"p{n}"] - clipped / total) < 1e-12, (r["cand_id"], n)
             assert 0.0 <= r[f"p{n}"] <= 1.0
+
+
+def test_eval_rouge_l_matches_python(spark):
+    """eval_rouge_l (r8): the vectorized rolling-row LCS equals a
+    textbook O(mn) python DP for every pair, determinism holds, and
+    the plan keeps the kernel shuffle-free after the pair join."""
+    import re
+
+    from knowledge_model_spark.session import load_tables
+
+    docs = {
+        d["doc_id"]: [
+            w for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if len(w) > 1
+        ]
+        for d in load_tables(spark, SF_DIR)["documents"].collect()
+    }
+
+    def lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[-1][-1]
+
+    rows = REGISTRY["eval_rouge_l"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        c, ref = docs[r["cand_id"]], docs[r["ref_id"]]
+        want = lcs(c, ref)
+        assert r["lcs_len"] == want, (r["cand_id"], r["ref_id"])
+        p = want / len(c) if c else 0.0
+        rr = want / len(ref) if ref else 0.0
+        assert abs(r["rouge_l_p"] - p) < 1e-12
+        assert abs(r["rouge_l_r"] - rr) < 1e-12
+        f1 = 2 * p * rr / (p + rr) if p + rr else 0.0
+        assert abs(r["rouge_l_f1"] - f1) < 1e-12
+    again = REGISTRY["eval_rouge_l"].fn(spark, SF_DIR).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
