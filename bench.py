@@ -327,6 +327,7 @@ HEADLINE: dict[str, bool] = {
     "graph_modularity_lang": True,
     "eval_bleu_components": False,
     "eval_rouge_l": False,
+    "sql_scalar_udf_revenue": True,
 }
 
 

@@ -228,3 +228,50 @@ def sql_star_except_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * EXCEPT (l_tax, l_discount, l_extendedprice) "
         "FROM lineitem WHERE l_orderkey % 1000 = 0"
     )
+
+
+@register(
+    "sql_scalar_udf_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))), 2)
+                AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="SQL scalar UDF (Spark 4, CREATE TEMPORARY FUNCTION ... RETURN "
+    "expr): the discounted-revenue business rule defined ONCE as a "
+    "catalog function and reused by name — Catalyst inlines the body, "
+    "so the physical plan is the identical whole-stage-codegen "
+    "aggregate as the handwritten expression (zero Python, no UDF "
+    "call overhead; plan-guarded in tests).  The body uses the exact-"
+    "decimal money recipe shared with the TPC-H queries, so the sum "
+    "is fold-order-exact; the exact sum rounds (round(x,2) on the DECIMAL — half-up on both engines; a decimal CAST would truncate in DuckDB) "
+    "BEFORE the double cast — at sf0.1 the raw 8-dp sum carries 17 "
+    "significant digits and the engines' decimal→double conversions "
+    "differ by one ulp there, while the 2-dp value converts "
+    "identically.  Oracle states the inlined form",
+)
+def sql_scalar_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(22,8)
+        RETURN CAST(p AS DECIMAL(18,6)) * CAST(1 - d AS DECIMAL(4,2))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(disc_rev(l_extendedprice, l_discount)), 2)
+                 AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -1019,3 +1019,13 @@ def test_eval_rouge_l_matches_python(spark):
         assert abs(r["rouge_l_f1"] - f1) < 1e-12
     again = REGISTRY["eval_rouge_l"].fn(spark, SF_DIR).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_sql_scalar_udf_inlines_to_codegen(spark):
+    """sql_scalar_udf_revenue (r8): the SQL UDF body must be INLINED by
+    Catalyst — no Python evaluation nodes anywhere, the decimal
+    multiply visible inside the HashAggregate."""
+    plan = _plan(spark, "sql_scalar_udf_revenue")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "promote_precision" in plan or "decimal" in plan.lower()
