@@ -328,6 +328,7 @@ HEADLINE: dict[str, bool] = {
     "eval_bleu_components": False,
     "eval_rouge_l": False,
     "sql_scalar_udf_revenue": True,
+    "embeddings_zca_whitening": True,
 }
 
 

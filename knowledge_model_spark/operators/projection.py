@@ -163,3 +163,94 @@ def jl_project_sql(
         chain = " + ".join(terms)
         outs.append(f"({chain}) * {scale} AS {prefix}{j}")
     return ",\n           ".join(outs)
+
+
+def zca_whitening_audit(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, eps: float = 1e-9
+) -> DataFrame:
+    """ZCA whitening of an embedding column with an in-plan audit — the
+    standard preprocessing before cosine-sensitive ANN/dedup when the
+    embedding model leaves correlated dimensions (W = U diag(1/√(λ+ε)) Uᵀ
+    over the corpus covariance; ZCA = the whitening closest to identity,
+    Bell & Sejnowski '97).
+
+    Two distributed passes + one bounded driver step:
+    pass 1 collects per-Arrow-batch moment partials (Σv, ΣvvT, n — a
+    ~(dim²+dim+1)-float row per batch, summed on the driver in sorted
+    batch order so the float fold is reproducible); the 64×64 eigh runs
+    on the driver (bounded, like every ≤k collect here); pass 2 applies
+    the broadcast W to every vector and re-accumulates the WHITENED
+    moments the same way — proving the transform path end to end, not
+    just algebra on the driver.  Output: one row per dimension with the
+    whitened mean, variance (≈1), and that row's max |off-diagonal|
+    covariance (≈0) — the audit a pipeline gates on before swapping the
+    whitened table in.
+
+    Scale shape: both passes are map-only (zero shuffle; the collect
+    moves #batches × ~4 KB).  Determinism: fixed batch order per scan +
+    sorted driver fold + deterministic LAPACK eigh on identical input.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    def partials(frames: Iterator[pd.DataFrame], transform=None, shift=None):
+        def gen(batches):
+            for bi, pdf in enumerate(batches):
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                if mat.size == 0:
+                    continue
+                if shift is not None:
+                    mat = mat - shift
+                if transform is not None:
+                    mat = mat @ transform.T
+                yield pd.DataFrame(
+                    {
+                        "part_key": pd.Series(
+                            [f"{pdf[id_col].iloc[0]}#{bi}"], dtype="string"
+                        ),
+                        "n": pd.Series([len(mat)], dtype="int64"),
+                        "s": [mat.sum(axis=0)],
+                        "ss": [(mat.T @ mat).reshape(-1)],
+                    }
+                )
+
+        return gen(frames)
+
+    schema = "part_key string, n long, s array<double>, ss array<double>"
+
+    def fold(rows):
+        import numpy as np
+
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for r in sorted(rows, key=lambda r: r["part_key"]):
+            n += r["n"]
+            s = s + np.asarray(r["s"])
+            ss = ss + np.asarray(r["ss"]).reshape(dim, dim)
+        mean = s / n
+        cov = ss / n - np.outer(mean, mean)
+        return n, mean, cov
+
+    n, mean, cov = fold(emb.mapInPandas(partials, schema).collect())
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
+
+    def pass2(frames):
+        # center THEN rotate executor-side: whitened = W(v − mean), so
+        # the measured whitened mean is genuinely ≈0, not W·mean
+        return partials(frames, transform=w, shift=mean)
+
+    n2, mean_w, cov_w = fold(emb.mapInPandas(pass2, schema).collect())
+    spark = emb.sparkSession
+    off = np.abs(cov_w - np.diag(np.diag(cov_w)))
+    rows = [
+        (int(d), float(mean_w[d]), float(cov_w[d, d]), float(off[d].max()))
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, mean_w double, var_w double, max_abs_offdiag double"
+    )

@@ -1302,3 +1302,29 @@ def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "embeddings_zca_whitening",
+    None,  # eigendecomposition — not SQL-expressible; the output IS the
+    # audit (whitened mean ≈0, var ≈1, off-diag ≈0), gated in tests
+    doc="ZCA whitening audit of the embedding table: two map-only "
+    "moment passes (per-Arrow-batch Σv/ΣvvT partials, driver-folded "
+    "in sorted batch order), bounded 64×64 eigh on the driver, then "
+    "the broadcast W = U diag(1/√(λ+ε)) Uᵀ applied executor-side with "
+    "centering and the WHITENED moments re-measured distributedly — "
+    "output is one row per dimension (mean≈0, var≈1, max off-diag≈0), "
+    "the gate a pipeline checks before swapping the whitened table "
+    "into cosine-sensitive ANN/dedup; zero shuffle in either pass — "
+    "operators/projection.py::zca_whitening_audit",
+)
+def embeddings_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.projection import (
+        zca_whitening_audit,
+    )
+    from knowledge_model_spark.session import ensure_min_partitions
+
+    t = load_tables(spark, sf_dir)
+    return zca_whitening_audit(
+        ensure_min_partitions(t["embeddings"]), "vec_id", "embedding", 64
+    )

@@ -270,3 +270,21 @@ def test_jl_large_dims_auto_fall_back_past_codegen_limit(spark):
     # under the threshold the codegen path is kept
     small = jl_project(t["embeddings"].limit(1), in_dim=64, out_dim=16)
     assert "EvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zca_whitening_audit_gates(spark, tables):
+    """embeddings_zca_whitening (r8): the whitened table's measured
+    moments must be identity-like (mean ~0, var ~1, off-diag ~0), the
+    result is byte-stable across runs, and W is verified ZCA on the
+    driver (symmetric, whitens the measured covariance)."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["embeddings_zca_whitening"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert abs(r["mean_w"]) < 1e-9
+        assert abs(r["var_w"] - 1.0) < 1e-6
+        assert r["max_abs_offdiag"] < 1e-6
+    again = R["embeddings_zca_whitening"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
