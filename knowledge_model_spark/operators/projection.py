@@ -235,7 +235,13 @@ def zca_whitening_audit(
         cov = ss / n - np.outer(mean, mean)
         return n, mean, cov
 
-    n, mean, cov = fold(emb.mapInPandas(partials, schema).collect())
+    part_rows = emb.mapInPandas(partials, schema).collect()
+    spark = emb.sparkSession
+    if not part_rows:  # empty corpus → empty audit, not a NaN eigh
+        return spark.createDataFrame(
+            [], "dim long, mean_w double, var_w double, max_abs_offdiag double"
+        )
+    n, mean, cov = fold(part_rows)
     lam, u = np.linalg.eigh(cov)
     w = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
 
@@ -245,7 +251,6 @@ def zca_whitening_audit(
         return partials(frames, transform=w, shift=mean)
 
     n2, mean_w, cov_w = fold(emb.mapInPandas(pass2, schema).collect())
-    spark = emb.sparkSession
     off = np.abs(cov_w - np.diag(np.diag(cov_w)))
     rows = [
         (int(d), float(mean_w[d]), float(cov_w[d, d]), float(off[d].max()))

@@ -1243,11 +1243,15 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_min_partitions(
         t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    seed = (
+    schema = "center_rank long, vec_id long, max_sim_to_selected double"
+    seed_rows = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:  # empty corpus → empty selection, not IndexError
+        return spark.createDataFrame([], schema)
+    seed = seed_rows[0]
     centers = [(seed["vec_id"], seed["v"], None)]
     for _ in range(2, K_CENTERS + 1):
         sims = [
@@ -1261,20 +1265,21 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _, cv, _ in centers
         ]
         ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        nxt = (
+        nxt_rows = (
             e.filter(~F.col("vec_id").isin([cid for cid, _, _ in centers]))
             .select("vec_id", "v", ms.alias("ms"))
             .orderBy("ms", "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not nxt_rows:  # corpus smaller than k → stop early
+            break
+        nxt = nxt_rows[0]
         centers.append((nxt["vec_id"], nxt["v"], float(nxt["ms"])))
     rows = [
         (i + 1, cid, msv) for i, (cid, _, msv) in enumerate(centers)
     ]
-    return spark.createDataFrame(
-        rows, "center_rank long, vec_id long, max_sim_to_selected double"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
