@@ -329,6 +329,7 @@ HEADLINE: dict[str, bool] = {
     "eval_rouge_l": False,
     "sql_scalar_udf_revenue": True,
     "embeddings_zca_whitening": True,
+    "sample_stratified_neyman": True,
 }
 
 

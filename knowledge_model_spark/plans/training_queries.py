@@ -965,3 +965,78 @@ def training_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(rn2), 6).alias("second_score"),
         F.round(F.max(rn1) - F.max(rn2), 6).alias("margin"),
     )
+
+
+NEYMAN_BUDGET = 100
+
+
+@register(
+    "sample_stratified_neyman",
+    f"""
+    WITH strata AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY lang
+    ),
+    scored AS (
+      SELECT lang, n_h,
+             sqrt(greatest(s2 / CAST(n_h AS DOUBLE)
+                           - (s1 / CAST(n_h AS DOUBLE))
+                             * (s1 / CAST(n_h AS DOUBLE)), 0.0)) AS sd_h
+      FROM strata
+    ),
+    tot AS (SELECT sum(n_h * sd_h ORDER BY lang) AS w FROM scored)
+    SELECT s.lang, s.n_h, round(s.sd_h, 6) AS sd_h,
+           CAST(floor({NEYMAN_BUDGET} * (s.n_h * s.sd_h) / t.w) AS BIGINT)
+             AS alloc
+    FROM scored s CROSS JOIN tot t
+    """,
+    doc="Neyman-optimal stratified sample allocation (Neyman 1934): "
+    "per-stratum budget n_h ∝ N_h·S_h — variable strata get more "
+    "budget than proportional allocation gives them; the principled "
+    "alternative to the fixed per-group samplers when strata variances "
+    "differ.  Moments are exact integer sums (order-free), S_h is one "
+    "sqrt of identical doubles, the normalizer folds in sorted-lang "
+    "order on both engines, and the final allocation is floor of one "
+    "shared expression — engine-identical end to end.  One lang-key "
+    "shuffle; the strata table is dimension-sized",
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    strata = t["documents"].groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_h").cast("double")
+    var = F.greatest(
+        F.col("s2") / F.col("n_h").cast("double") - mean * mean, F.lit(0.0)
+    )
+    scored = strata.select(
+        "lang", "n_h", F.sqrt(var).alias("sd_h")
+    )
+    # sorted-lang fold for the float normalizer (the repo's standard
+    # determinism trick — sum(x ORDER BY lang) on the oracle side)
+    tot = (
+        scored.select(
+            F.struct("lang", (F.col("n_h") * F.col("sd_h")).alias("x")).alias("p")
+        )
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select(
+            F.aggregate(
+                "ps", F.lit(0.0), lambda acc, p: acc + p["x"]
+            ).alias("w")
+        )
+    )
+    from pyspark.sql.functions import broadcast
+
+    return scored.crossJoin(broadcast(tot)).select(
+        "lang",
+        "n_h",
+        F.round("sd_h", 6).alias("sd_h"),
+        F.floor(
+            NEYMAN_BUDGET * (F.col("n_h") * F.col("sd_h")) / F.col("w")
+        ).cast("long").alias("alloc"),
+    )
