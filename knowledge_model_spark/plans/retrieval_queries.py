@@ -999,15 +999,25 @@ def retrieval_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(MAXSIM_TOKENS - 1)),
         lambda i: F.slice(v, i * 8 + 1, 8),
     )
+    # materialize both token lists as columns BEFORE the fold: an
+    # expression referenced from inside an aggregate() lambda is
+    # re-evaluated once per element (8× re-slicing here) — the
+    # measured quality_luhn_audit hazard
+    tokenized = cand.select(
+        "query_id",
+        "vec_id",
+        toks(F.col("qv")).alias("qtoks"),
+        toks(F.col("embedding")).alias("dtoks"),
+    )
     maxsim = F.aggregate(
-        toks(F.col("qv")),
+        F.col("qtoks"),
         F.lit(0.0),
         lambda acc, qt: acc
         + F.array_max(
-            F.transform(toks(F.col("embedding")), lambda dt: dot(qt, dt))
+            F.transform(F.col("dtoks"), lambda dt: dot(qt, dt))
         ),
     )
-    scored = cand.select("query_id", "vec_id", maxsim.alias("maxsim"))
+    scored = tokenized.select("query_id", "vec_id", maxsim.alias("maxsim"))
     w_m = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("vec_id")
     )
