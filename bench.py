@@ -330,6 +330,8 @@ HEADLINE: dict[str, bool] = {
     "sql_scalar_udf_revenue": True,
     "embeddings_zca_whitening": True,
     "sample_stratified_neyman": True,
+    "sample_bottomk_mergeable": True,
+    "eval_chrf": False,
 }
 
 

@@ -1186,7 +1186,9 @@ BLEU_MAX_N = 4
 def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents_spread"]
-    toks = docs.select(
+    # only docs that participate in a pair (cand %10<4, ref %10 in 1..4
+    # = doc_id%10 <= 4) feed the n-gram explosion — half the corpus
+    toks = docs.filter(F.col("doc_id") % 10 <= 4).select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -1217,7 +1219,14 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    gcounts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    # the counts table feeds BOTH sides of the clip join; without a
+    # plan barrier the explode+groupBy runs twice (the dedup queries'
+    # localCheckpoint trick)
+    gcounts = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     clip = (
         pairs.join(
             gcounts.withColumnRenamed("doc_id", "cand_id"), "cand_id"
@@ -1356,4 +1365,187 @@ def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "cand_id long, ref_id long, lcs_len long, "
         "rouge_l_p double, rouge_l_r double, rouge_l_f1 double",
+    )
+
+
+CHRF_MAX_N = 6
+CHRF_BETA2 = 4  # β=2 per Popović 2015
+
+
+def _chrf_avg(col: str) -> str:
+    """Fixed-order 6-term average — the shared-literal-chain trick."""
+    terms = " + ".join(
+        f"max(CASE WHEN n = {n} THEN {col} ELSE 0.0 END)"
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    return f"(((((({terms})))))) / {CHRF_MAX_N}.0"
+
+
+@register(
+    "eval_chrf",
+    f"""
+    WITH pairs AS (
+      SELECT c.doc_id AS cand_id, c.doc_id + 1 AS ref_id
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 10 < 4
+    ),
+    chars AS (
+      SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n.n AS n,
+             unnest(CASE WHEN len(s) >= n.n
+                    THEN list_transform(generate_series(1, len(s) - n.n + 1),
+                                        i -> s[i:i+n.n-1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM chars CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) n(n)
+    ),
+    gcounts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+    ),
+    clip AS (
+      SELECT p.cand_id, c.n, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS clipped
+      FROM pairs p
+      JOIN gcounts c ON c.doc_id = p.cand_id
+      JOIN gcounts r ON r.doc_id = p.ref_id AND r.n = c.n AND r.gram = c.gram
+      GROUP BY p.cand_id, c.n
+    ),
+    lens AS (SELECT doc_id, len(s) AS L FROM chars),
+    grid AS (
+      SELECT p.cand_id, p.ref_id, n.n AS n,
+             coalesce(cp.clipped, 0) AS clipped,
+             greatest(lc.L - n.n + 1, 0) AS ct,
+             greatest(lr.L - n.n + 1, 0) AS rt
+      FROM pairs p
+      JOIN lens lc ON lc.doc_id = p.cand_id
+      JOIN lens lr ON lr.doc_id = p.ref_id
+      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) n(n)
+      LEFT JOIN clip cp ON cp.cand_id = p.cand_id AND cp.n = n.n
+    ),
+    ratios AS (
+      SELECT cand_id, ref_id, n,
+             CASE WHEN ct > 0 THEN clipped / CAST(ct AS DOUBLE) ELSE 0.0 END AS pn,
+             CASE WHEN rt > 0 THEN clipped / CAST(rt AS DOUBLE) ELSE 0.0 END AS rn
+      FROM grid
+    ),
+    scored AS (
+      SELECT cand_id, ref_id,
+             {_chrf_avg('pn')} AS chrp,
+             {_chrf_avg('rn')} AS chrr
+      FROM ratios GROUP BY cand_id, ref_id
+    )
+    SELECT cand_id, ref_id, chrp, chrr,
+           CASE WHEN {CHRF_BETA2} * chrp + chrr > 0
+                THEN (1 + {CHRF_BETA2}) * chrp * chrr
+                     / ({CHRF_BETA2} * chrp + chrr)
+                ELSE 0.0 END AS chrf2
+    FROM scored
+    """,
+    doc="chrF2 (Popović, WMT'15): character n-gram F-score, n = 1..6 "
+    "over whitespace-stripped lowercase text, β = 2 — the MT metric "
+    "that correlates with human judgment better than BLEU on "
+    "morphology-rich languages; completes the generation-eval family "
+    "(BLEU components, ROUGE-L, token F1).  Every per-order ratio is "
+    "one exact integer division; the 6-order averages and the F-beta "
+    "combine are fixed literal chains of identical doubles — no "
+    "rounding needed anywhere.  Same scale shape as BLEU: one "
+    "(doc, n, gram) count shuffle, gram-sharded clip join",
+)
+def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"]
+    # pair participants only (see eval_bleu_components) — halves the
+    # char-gram explosion
+    chars = docs.filter(F.col("doc_id") % 10 <= 4).select(
+        "doc_id",
+        F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("")).alias("s"),
+    )
+    pairs = (
+        docs.filter(F.col("doc_id") % 10 < 4)
+        .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
+        .join(docs.select(F.col("doc_id").alias("ref_id")), "ref_id")
+    )
+    ns = spark.range(1, CHRF_MAX_N + 1).select(F.col("id").cast("int").alias("n"))
+    grams = (
+        chars.crossJoin(F.broadcast(ns))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.when(
+                    F.length("s") >= F.col("n"),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("s") - F.col("n") + 1),
+                        lambda i: F.col("s").substr(i, F.col("n")),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    # plan barrier: the counts table feeds both clip-join sides
+    gcounts = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    clip = (
+        pairs.join(gcounts.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .join(
+            gcounts.select(
+                F.col("doc_id").alias("ref_id"), "n", "gram",
+                F.col("cnt").alias("rcnt"),
+            ),
+            ["ref_id", "n", "gram"],
+        )
+        .groupBy("cand_id", "n")
+        .agg(F.sum(F.least("cnt", "rcnt")).cast("long").alias("clipped"))
+    )
+    lens = chars.select("doc_id", F.length("s").alias("L"))
+    grid = (
+        pairs.join(lens.withColumnRenamed("doc_id", "cand_id").withColumnRenamed("L", "cl"), "cand_id")
+        .join(lens.withColumnRenamed("doc_id", "ref_id").withColumnRenamed("L", "rl"), "ref_id")
+        .crossJoin(F.broadcast(ns))
+        .join(clip, ["cand_id", "n"], "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            "n",
+            F.coalesce(F.col("clipped"), F.lit(0)).alias("clipped"),
+            F.greatest(F.col("cl") - F.col("n") + 1, F.lit(0)).alias("ct"),
+            F.greatest(F.col("rl") - F.col("n") + 1, F.lit(0)).alias("rt"),
+        )
+    )
+    pn = F.when(
+        F.col("ct") > 0, F.col("clipped") / F.col("ct").cast("double")
+    ).otherwise(F.lit(0.0))
+    rn = F.when(
+        F.col("rt") > 0, F.col("clipped") / F.col("rt").cast("double")
+    ).otherwise(F.lit(0.0))
+    ratios = grid.select("cand_id", "ref_id", "n", pn.alias("pn"), rn.alias("rn"))
+
+    def avg6(col):
+        acc = None
+        for n in range(1, CHRF_MAX_N + 1):
+            term = F.max(
+                F.when(F.col("n") == n, F.col(col)).otherwise(F.lit(0.0))
+            )
+            acc = term if acc is None else acc + term
+        return acc / float(CHRF_MAX_N)
+
+    scored = ratios.groupBy("cand_id", "ref_id").agg(
+        avg6("pn").alias("chrp"), avg6("rn").alias("chrr")
+    )
+    b2 = float(CHRF_BETA2)
+    return scored.select(
+        "cand_id",
+        "ref_id",
+        "chrp",
+        "chrr",
+        F.when(
+            b2 * F.col("chrp") + F.col("chrr") > 0,
+            (1 + b2) * F.col("chrp") * F.col("chrr")
+            / (b2 * F.col("chrp") + F.col("chrr")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chrf2"),
     )

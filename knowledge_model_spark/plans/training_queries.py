@@ -1040,3 +1040,45 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             NEYMAN_BUDGET * (F.col("n_h") * F.col("sd_h")) / F.col("w")
         ).cast("long").alias("alloc"),
     )
+
+
+BOTTOMK_K = 8
+
+
+@register(
+    "sample_bottomk_mergeable",
+    f"""
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      FROM documents) WHERE rank <= {BOTTOMK_K}
+    """,
+    doc="mergeable uniform sample via the bottom-k sketch (the KMV "
+    "trick, Bar-Yossef et al. 2002): keep the k smallest md5(id) "
+    "priorities.  bottom_k(A ∪ B) = bottom_k(bottom_k(A) ∪ "
+    "bottom_k(B)), so per-shard/per-source sketches merge without "
+    "resampling — the distributed-sample property random_split lacks.  "
+    "The SPARK side deliberately computes through the merge path "
+    "(per-source bottom-k → union of the tiny sketches → global "
+    "bottom-k) while the ORACLE computes the direct global bottom-k: "
+    "their hash-equality IS the mergeability proof, driver-checked "
+    "every round.  One row_number window per source (source-key "
+    "shuffle), then a k×n_sources-row merge — the corpus never "
+    "sorts globally",
+)
+def sample_bottomk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__p")
+    )
+    w_src = Window.partitionBy("source").orderBy("__p", "doc_id")
+    sketches = docs.withColumn("__r", F.row_number().over(w_src)).filter(
+        F.col("__r") <= BOTTOMK_K
+    )
+    w_all = Window.orderBy("__p", "doc_id")
+    return (
+        sketches.withColumn("rank", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("rank") <= BOTTOMK_K)
+        .select("rank", "doc_id", "source")
+    )

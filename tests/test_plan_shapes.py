@@ -1029,3 +1029,60 @@ def test_sql_scalar_udf_inlines_to_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
     assert "promote_precision" in plan or "decimal" in plan.lower()
+
+
+def test_sample_bottomk_mergeable_identity(spark):
+    """sample_bottomk_mergeable (r8): the merge-path result equals the
+    direct global bottom-k (KMV mergeability), ranks are 1..k in md5
+    order, and a python recompute agrees."""
+    import hashlib
+
+    from knowledge_model_spark.session import load_tables
+
+    rows = sorted(
+        REGISTRY["sample_bottomk_mergeable"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id").collect()
+    want = sorted(
+        (hashlib.md5(str(d["doc_id"]).encode()).hexdigest(), d["doc_id"])
+        for d in docs
+    )[: len(rows)]
+    assert [r["doc_id"] for r in rows] == [d for _, d in want]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_eval_chrf_matches_python(spark):
+    """eval_chrf (r8): chrP/chrR/chrF2 re-derived independently with
+    Counter clipping over character n-grams match every pair."""
+    from collections import Counter
+
+    from knowledge_model_spark.session import load_tables
+
+    docs = {
+        d["doc_id"]: d["text"].lower().replace(" ", "")
+        for d in load_tables(spark, SF_DIR)["documents"].collect()
+    }
+
+    def grams(s, n):
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    rows = REGISTRY["eval_chrf"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        c, ref = docs[r["cand_id"]], docs[r["ref_id"]]
+        ps, rs = 0.0, 0.0
+        for n in range(1, 7):
+            cg, rg = grams(c, n), grams(ref, n)
+            clipped = sum(min(v, rg[g]) for g, v in cg.items())
+            ct, rt = max(len(c) - n + 1, 0), max(len(ref) - n + 1, 0)
+            ps += clipped / ct if ct else 0.0
+            rs += clipped / rt if rt else 0.0
+        chrp, chrr = ps / 6, rs / 6
+        chrf2 = (
+            5 * chrp * chrr / (4 * chrp + chrr) if 4 * chrp + chrr > 0 else 0.0
+        )
+        assert abs(r["chrp"] - chrp) < 1e-12
+        assert abs(r["chrr"] - chrr) < 1e-12
+        assert abs(r["chrf2"] - chrf2) < 1e-12
+        assert 0.0 <= r["chrf2"] <= 1.0
