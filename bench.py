@@ -332,6 +332,7 @@ HEADLINE: dict[str, bool] = {
     "sample_stratified_neyman": True,
     "sample_bottomk_mergeable": True,
     "eval_chrf": False,
+    "text_rake_keyphrases": False,
 }
 
 

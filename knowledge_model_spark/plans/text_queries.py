@@ -10,7 +10,7 @@ collapse) is expanded per-character in the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from knowledge_model_spark.functions.chunking import explode_passages
@@ -1564,3 +1564,133 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     ).select(F.lit("lang_entropy").alias("metric"), "value")
     return tall.unionByName(ent)
+
+
+RAKE_STOPWORDS = ("a", "the", "of", "and", "to", "in")
+RAKE_TOP = 3
+
+
+@register(
+    "text_rake_keyphrases",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 0) AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS pos
+      FROM toks
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             w IN {RAKE_STOPWORDS} AS stop,
+             sum(CASE WHEN w IN {RAKE_STOPWORDS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM pos
+    ),
+    content AS (
+      SELECT doc_id, phrase_id, pos, w,
+             count(*) OVER (PARTITION BY doc_id, phrase_id) AS n_w
+      FROM marked WHERE NOT stop
+    ),
+    wstats AS (
+      SELECT doc_id, w,
+             count(*) AS freq,
+             CAST(sum(n_w) AS BIGINT) AS deg
+      FROM content GROUP BY doc_id, w
+    ),
+    scored AS (
+      SELECT c.doc_id, c.phrase_id, c.pos, c.w,
+             s.deg / CAST(s.freq AS DOUBLE) AS wscore
+      FROM content c JOIN wstats s ON s.doc_id = c.doc_id AND s.w = c.w
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             sum(wscore ORDER BY pos) AS score
+      FROM scored GROUP BY doc_id, phrase_id
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, n_words, score
+    FROM (
+      SELECT doc_id, phrase, n_words, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase, phrase_id)
+               AS rank
+      FROM phrases) WHERE rank <= {RAKE_TOP}
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+    "phrases are maximal stopword-free token runs; word score = "
+    "degree/frequency within the document (degree = Σ length of the "
+    "phrases the word occurs in); phrase score = position-ordered sum "
+    "of its word scores — the unsupervised keyword extractor beside "
+    "text_top_terms (tf/df) and text_pmi_cooccurrence.  All counts "
+    "exact; word score one integer division; the phrase fold is "
+    "position-ordered on both engines.  Per-document computation, so "
+    "the only shuffles are doc-keyed windows/groupBys — "
+    "embarrassingly parallel at 100 TB",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents_spread"].select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: F.length(w) > 0,
+        ).alias("t"),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    stop = F.col("w").isin(*RAKE_STOPWORDS)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = pos.select(
+        "doc_id", "pos", "w", stop.alias("stop"),
+        F.sum(F.when(stop, 1).otherwise(0)).over(w_run).alias("phrase_id"),
+    )
+    content = marked.filter(~F.col("stop")).withColumn(
+        "n_w", F.count("*").over(Window.partitionBy("doc_id", "phrase_id"))
+    )
+    wstats = content.groupBy("doc_id", "w").agg(
+        F.count("*").alias("freq"),
+        F.sum("n_w").cast("long").alias("deg"),
+    )
+    scored = content.join(wstats, ["doc_id", "w"]).select(
+        "doc_id", "phrase_id", "pos", "w",
+        (F.col("deg") / F.col("freq").cast("double")).alias("wscore"),
+    )
+    phrases = (
+        scored.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "w", "wscore"))
+            ).alias("ps")
+        )
+        .select(
+            "doc_id",
+            "phrase_id",
+            F.concat_ws(
+                " ", F.transform("ps", lambda p: p["w"])
+            ).alias("phrase"),
+            F.size("ps").cast("long").alias("n_words"),
+            F.aggregate(
+                "ps", F.lit(0.0), lambda acc, p: acc + p["wscore"]
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "phrase", "phrase_id"
+    )
+    return (
+        phrases.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= RAKE_TOP)
+        .select("doc_id", "rank", "phrase", "n_words", "score")
+    )

@@ -1086,3 +1086,52 @@ def test_eval_chrf_matches_python(spark):
         assert abs(r["chrr"] - chrr) < 1e-12
         assert abs(r["chrf2"] - chrf2) < 1e-12
         assert 0.0 <= r["chrf2"] <= 1.0
+
+
+def test_text_rake_keyphrases_matches_python(spark):
+    """text_rake_keyphrases (r8): top phrases re-derived with a
+    textbook RAKE implementation (stopword splits, degree/frequency
+    word scores, position-ordered phrase sums) match rank-for-rank."""
+    import re
+
+    from knowledge_model_spark.plans.text_queries import (
+        RAKE_STOPWORDS,
+        RAKE_TOP,
+    )
+    from knowledge_model_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"].collect()
+    got = {}
+    for r in REGISTRY["text_rake_keyphrases"].fn(spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], {})[r["rank"]] = (
+            r["phrase"], r["n_words"], r["score"]
+        )
+    stop = set(RAKE_STOPWORDS)
+    for d in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        phrases, cur = [], []
+        for w in toks:
+            if w in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        freq, deg = {}, {}
+        for p in phrases:
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(p)
+        scored = sorted(
+            ((sum(deg[w] / freq[w] for w in p), " ".join(p), len(p)) for p in phrases),
+            key=lambda t: (-t[0], t[1]),
+        )[:RAKE_TOP]
+        want = {i + 1: (ph, n, sc) for i, (sc, ph, n) in enumerate(scored)}
+        have = got.get(d["doc_id"], {})
+        assert set(have) == set(want), d["doc_id"]
+        for rank, (ph, n, sc) in want.items():
+            gph, gn, gsc = have[rank]
+            assert gph == ph and gn == n, (d["doc_id"], rank)
+            assert abs(gsc - sc) < 1e-9, (d["doc_id"], rank)
