@@ -333,6 +333,7 @@ HEADLINE: dict[str, bool] = {
     "sample_bottomk_mergeable": True,
     "eval_chrf": False,
     "text_rake_keyphrases": False,
+    "graph_hits_trade": False,
 }
 
 

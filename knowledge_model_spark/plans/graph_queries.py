@@ -843,3 +843,105 @@ def graph_modularity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+# HITS fixed-point recurrence, unrolled.  Scale 1e6; every round
+# renormalizes by the integer MAX (not the L2 norm — a float sqrt
+# would break bit-determinism), so values stay in [0, 1e6] and int64
+# sums never overflow: a = Σ h over in-edges (≤ indeg·1e6), then
+# a·1e6 // max(a).
+_HITS_SQL = """
+    WITH e AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    a1r AS (SELECT e.dst AS node, CAST(sum(h0.h) AS BIGINT) AS a
+            FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+    a1 AS (SELECT node, a * 1000000 // (SELECT max(a) FROM a1r) AS a FROM a1r),
+    h1r AS (SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+            FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+    h1 AS (SELECT node, h * 1000000 // (SELECT max(h) FROM h1r) AS h FROM h1r),
+    a2r AS (SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+            FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+    a2 AS (SELECT node, a * 1000000 // (SELECT max(a) FROM a2r) AS a FROM a2r),
+    h2r AS (SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+            FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+    h2 AS (SELECT node, h * 1000000 // (SELECT max(h) FROM h2r) AS h FROM h2r)
+    SELECT n.node,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_e6,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_e6
+    FROM nodes n
+    LEFT JOIN h2 ON h2.node = n.node
+    LEFT JOIN a2 ON a2.node = n.node
+"""
+
+
+@register(
+    "graph_hits_trade",
+    _HITS_SQL,
+    doc="HITS hubs & authorities (Kleinberg '99; 2 synchronous rounds) "
+    "over the DIRECTED customer→supplier trade graph: customers score "
+    "as hubs (buy from many strong suppliers), suppliers as "
+    "authorities — completes the link-analysis family beside pagerank "
+    "and personalized PageRank.  Same bit-determinism recipe as "
+    "graph_pagerank_trade: int64 fixed-point scores, integer-MAX "
+    "renormalization each half-step (no float norm anywhere), the "
+    "oracle unrolls the identical integer recurrence.  Per round: one "
+    "edge-key join + one dst-key agg + a 1-row broadcast max — "
+    "edge-count bound, O(rounds) BSP",
+)
+def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # edges feed every half-step
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
+    a = None
+    for _ in range(2):
+        ar = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        amax = ar.agg(F.max("a").alias("m"))
+        # integral DIV, not double /: at 1e15-scale numerators a double
+        # quotient one ulp below an integer would cast UP where // floors
+        a = ar.crossJoin(broadcast(amax)).select(
+            "node", F.expr("(a * 1000000) DIV m").alias("a")
+        )
+        hr = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hmax = hr.agg(F.max("h").alias("m"))
+        h = hr.crossJoin(broadcast(hmax)).select(
+            "node", F.expr("(h * 1000000) DIV m").alias("h")
+        )
+    return (
+        nodes.join(h.withColumnRenamed("h", "hub_e6"), "node", "left")
+        .join(a.withColumnRenamed("a", "auth_e6"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_e6", F.lit(0)).cast("long").alias("hub_e6"),
+            F.coalesce("auth_e6", F.lit(0)).cast("long").alias("auth_e6"),
+        )
+    )

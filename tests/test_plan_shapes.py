@@ -1135,3 +1135,47 @@ def test_text_rake_keyphrases_matches_python(spark):
             gph, gn, gsc = have[rank]
             assert gph == ph and gn == n, (d["doc_id"], rank)
             assert abs(gsc - sc) < 1e-9, (d["doc_id"], rank)
+
+
+def test_graph_hits_trade_semantics(spark):
+    """graph_hits_trade (r8): customers (even ids) carry hub scores and
+    zero authority, suppliers (odd ids) the reverse; scores are
+    max-normalized fixed-point (max == 1e6 on each side); a python
+    recompute of the integer recurrence matches node-for-node."""
+    from knowledge_model_spark.session import load_tables
+
+    rows = REGISTRY["graph_hits_trade"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["node"] % 2 == 0:
+            assert r["auth_e6"] == 0, r
+        else:
+            assert r["hub_e6"] == 0, r
+    assert max(r["hub_e6"] for r in rows) == 1_000_000
+    assert max(r["auth_e6"] for r in rows) == 1_000_000
+
+    t = load_tables(spark, SF_DIR)
+    edges = {
+        (r["o_custkey"] * 2, r["l_suppkey"] * 2 + 1)
+        for r in t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    h = {n: 1_000_000 for n in nodes}
+    a = {}
+    for _ in range(2):
+        a = {}
+        for s, d in edges:
+            a[d] = a.get(d, 0) + h.get(s, 0)
+        am = max(a.values())
+        a = {n: v * 1_000_000 // am for n, v in a.items()}
+        h = {}
+        for s, d in edges:
+            h[s] = h.get(s, 0) + a.get(d, 0)
+        hm = max(h.values())
+        h = {n: v * 1_000_000 // hm for n, v in h.items()}
+    for r in rows:
+        assert r["hub_e6"] == h.get(r["node"], 0), r["node"]
+        assert r["auth_e6"] == a.get(r["node"], 0), r["node"]

@@ -75,6 +75,11 @@ SLOPE_QUERIES = [
     # ppl bucketing rides the full token aggregation
     "retrieval_maxsim_topk",
     "quality_ppl_buckets",
+    # r8 third batch: the gram-metric pair — clip joins ∝ shared-gram
+    # postings have the same pair-expansion risk class as the
+    # inverted-index dedup queries
+    "eval_bleu_components",
+    "eval_chrf",
 ]
 
 # slope threshold on the last decade: 10^1.5 ≈ 31.6× for 10× rows
