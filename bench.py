@@ -334,6 +334,7 @@ HEADLINE: dict[str, bool] = {
     "eval_chrf": False,
     "text_rake_keyphrases": False,
     "graph_hits_trade": False,
+    "stats_spearman_rho": True,
 }
 
 

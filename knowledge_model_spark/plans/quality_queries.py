@@ -2104,3 +2104,82 @@ def quality_ppl_buckets_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("logppl"), 6).alias("max_logppl"),
         )
     )
+
+
+@register(
+    "stats_spearman_rho",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                  - 1 AS DECIMAL(19,0)) AS rx2,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                  - 1 AS DECIMAL(19,0)) AS ry2
+      FROM lineitem
+    ),
+    moments AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(rx2) AS sx, sum(ry2) AS sy,
+             sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+             sum(rx2 * ry2) AS sxy
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS rho
+    FROM moments
+    """,
+    doc="Spearman rank correlation with tie-corrected average ranks "
+    "(rho = Pearson over midranks), per return-flag group — the "
+    "monotone-association companion of agg_corr_regression (linear) "
+    "and stats_mannwhitney_u (two-sample).  Midranks are kept as "
+    "DOUBLED integers (2·rank + ties − 1, exact), moments accumulate "
+    "as DECIMAL(19,0) products into exact decimal sums — "
+    "order-independent with no int64 overflow at any corpus size — "
+    "and only the final O(1)-magnitude rho touches floats (round-6 "
+    "absorbs the decimal→double conversion ulp).  Two rank windows "
+    "per group + one grouped aggregate; the group key is the shuffle",
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+
+    def rank2(col):
+        w_r = Window.partitionBy("l_returnflag").orderBy(col)
+        w_t = Window.partitionBy("l_returnflag", col)
+        return (
+            2 * F.rank().over(w_r) + F.count("*").over(w_t) - 1
+        ).cast("decimal(19,0)")
+
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        rank2("l_quantity").alias("rx2"),
+        rank2("l_extendedprice").alias("ry2"),
+    )
+    m = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "grp",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("rho"),
+    )

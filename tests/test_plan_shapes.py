@@ -1179,3 +1179,53 @@ def test_graph_hits_trade_semantics(spark):
     for r in rows:
         assert r["hub_e6"] == h.get(r["node"], 0), r["node"]
         assert r["auth_e6"] == a.get(r["node"], 0), r["node"]
+
+
+def test_stats_spearman_rho_matches_scipy_style(spark):
+    """stats_spearman_rho (r8): the midrank/decimal-moment pipeline
+    equals a direct python Spearman (average ranks + Pearson) per
+    group, and rho is in [-1, 1]."""
+    from collections import defaultdict
+
+    from knowledge_model_spark.session import load_tables
+
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append((r["l_quantity"], r["l_extendedprice"]))
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    def pearson(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = n * sxy - sx * sy
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        return num / den
+
+    rows = {r["grp"]: r for r in REGISTRY["stats_spearman_rho"].fn(spark, SF_DIR).collect()}
+    for grp, pairs in groups.items():
+        rx = midranks([p[0] for p in pairs])
+        ry = midranks([p[1] for p in pairs])
+        want = pearson(rx, ry)
+        got = rows[grp]
+        assert got["n"] == len(pairs)
+        assert abs(got["rho"] - round(want, 6)) < 1e-6, grp
+        assert -1.0 <= got["rho"] <= 1.0
