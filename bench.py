@@ -335,6 +335,7 @@ HEADLINE: dict[str, bool] = {
     "text_rake_keyphrases": False,
     "graph_hits_trade": False,
     "stats_spearman_rho": True,
+    "stats_kendall_tau": True,
 }
 
 

@@ -2183,3 +2183,114 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho"),
     )
+
+
+@register(
+    "stats_kendall_tau",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS grp, l_quantity AS x, l_linenumber AS y,
+             CAST(count(*) AS DECIMAL(19,0)) AS c
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    cd AS (
+      SELECT a.grp,
+             sum(CASE WHEN b.x > a.x AND b.y > a.y THEN a.c * b.c
+                      ELSE CAST(0 AS DECIMAL(19,0)) END) AS conc,
+             sum(CASE WHEN b.x > a.x AND b.y < a.y THEN a.c * b.c
+                      ELSE CAST(0 AS DECIMAL(19,0)) END) AS disc
+      FROM cells a JOIN cells b ON a.grp = b.grp
+      GROUP BY a.grp
+    ),
+    nx AS (
+      SELECT grp, sum(m * (m - 1) / 2) AS n1 FROM (
+        SELECT grp, x, CAST(sum(c) AS DECIMAL(19,0)) AS m
+        FROM cells GROUP BY grp, x) GROUP BY grp
+    ),
+    ny AS (
+      SELECT grp, sum(m * (m - 1) / 2) AS n2 FROM (
+        SELECT grp, y, CAST(sum(c) AS DECIMAL(19,0)) AS m
+        FROM cells GROUP BY grp, y) GROUP BY grp
+    ),
+    nn AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c) AS DECIMAL(19,0))
+               * (CAST(sum(c) AS DECIMAL(19,0)) - 1) / 2 AS n0
+      FROM cells GROUP BY grp
+    )
+    SELECT nn.grp, nn.n,
+           round((CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+                 / sqrt((CAST(nn.n0 AS DOUBLE) - CAST(nx.n1 AS DOUBLE))
+                        * (CAST(nn.n0 AS DOUBLE) - CAST(ny.n2 AS DOUBLE))),
+                 6) AS tau_b
+    FROM nn JOIN cd USING (grp) JOIN nx USING (grp) JOIN ny USING (grp)
+    """,
+    doc="Kendall tau-b rank correlation (tie-corrected) per return-flag "
+    "group over the DISCRETE pair (l_quantity, l_linenumber) via the "
+    "contingency-table identity: concordant/discordant mass from the "
+    "|cells|² cell-pair join — cost depends on value CARDINALITY "
+    "(≤ 50×7 cells per group), never on row count, which is why this "
+    "is the tau that runs at 100 TB.  All masses are exact decimal "
+    "products of integer counts (order-free, no int64 overflow); only "
+    "the O(1) tau touches floats, round-6 absorbing conversion ulp.  "
+    "One cell groupBy (the only corpus-sized shuffle) + a tiny "
+    "group-keyed self-join",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_linenumber").alias("y"),
+        )
+        .agg(F.count("*").cast("decimal(19,0)").alias("c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(b, F.col("a.grp") == F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0).cast("decimal(19,0)"))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0).cast("decimal(19,0)"))
+            ).alias("disc"),
+        )
+    )
+    def tie_mass(key, out):
+        return (
+            cells.groupBy("grp", key)
+            .agg(F.sum("c").cast("decimal(19,0)").alias("m"))
+            .groupBy("grp")
+            .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias(out))
+        )
+
+    nx, ny = tie_mass("x", "n1"), tie_mass("y", "n2")
+    nn = cells.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        (
+            F.sum("c").cast("decimal(19,0)")
+            * (F.sum("c").cast("decimal(19,0)") - 1)
+            / 2
+        ).alias("n0"),
+    )
+    out = (
+        nn.join(cd, "grp").join(nx, "grp").join(ny, "grp")
+    )
+    conc, disc = F.col("conc").cast("double"), F.col("disc").cast("double")
+    n0 = F.col("n0").cast("double")
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return out.select(
+        "grp",
+        "n",
+        F.round((conc - disc) / F.sqrt((n0 - n1) * (n0 - n2)), 6).alias("tau_b"),
+    )

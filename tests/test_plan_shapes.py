@@ -1229,3 +1229,46 @@ def test_stats_spearman_rho_matches_scipy_style(spark):
         assert got["n"] == len(pairs)
         assert abs(got["rho"] - round(want, 6)) < 1e-6, grp
         assert -1.0 <= got["rho"] <= 1.0
+
+
+def test_stats_kendall_tau_matches_bruteforce(spark):
+    """stats_kendall_tau (r8): the contingency-table tau-b equals the
+    O(n²) pairwise definition (concordant − discordant over the
+    tie-corrected normalizer) per group."""
+    from collections import defaultdict
+
+    from knowledge_model_spark.session import load_tables
+
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_returnflag", "l_quantity", "l_linenumber"
+    ).collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append((r["l_quantity"], r["l_linenumber"]))
+
+    rows = {r["grp"]: r for r in REGISTRY["stats_kendall_tau"].fn(spark, SF_DIR).collect()}
+    for grp, pairs in groups.items():
+        n = len(pairs)
+        conc = disc = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = (pairs[i][0] > pairs[j][0]) - (pairs[i][0] < pairs[j][0])
+                dy = (pairs[i][1] > pairs[j][1]) - (pairs[i][1] < pairs[j][1])
+                if dx == 0 and dy == 0:
+                    tx += 1
+                    ty += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif dx == dy:
+                    conc += 1
+                else:
+                    disc += 1
+        n0 = n * (n - 1) // 2
+        # tie masses per definition: n1 = pairs tied on x, n2 tied on y
+        want = (conc - disc) / (((n0 - tx) * (n0 - ty)) ** 0.5)
+        got = rows[grp]
+        assert got["n"] == n
+        assert abs(got["tau_b"] - round(want, 6)) < 1e-6, grp
+        assert -1.0 <= got["tau_b"] <= 1.0
