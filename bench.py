@@ -336,6 +336,8 @@ HEADLINE: dict[str, bool] = {
     "graph_hits_trade": False,
     "stats_spearman_rho": True,
     "stats_kendall_tau": True,
+    "corpus_gini_concentration": True,
+    "graph_assortativity_trade": True,
 }
 
 

@@ -945,3 +945,83 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("auth_e6", F.lit(0)).cast("long").alias("auth_e6"),
         )
     )
+
+
+@register(
+    "graph_assortativity_trade",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS DECIMAL(19,0)) AS d
+            FROM e GROUP BY src),
+    pairs AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT m AS m_edges,
+           round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS assortativity
+    FROM m
+    """,
+    doc="degree assortativity (Newman 2002): Pearson correlation of "
+    "endpoint degrees over the symmetrized trade graph — negative for "
+    "hub-and-spoke topologies (high-degree customers trade with "
+    "low-degree suppliers), the structural diagnostic that decides "
+    "whether degree-based partitioning/salting will face hub-hub "
+    "hotspots.  Degrees are exact integers; the five moments "
+    "accumulate as DECIMAL(19,0) products (order-free, no overflow); "
+    "one O(1) float formula at the end, round-6.  Two edge-key joins "
+    "against the broadcast-size degree table + one global agg",
+)
+def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e0 = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("decimal(19,0)").alias("d")
+    )
+    pairs = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    mm = F.col("m")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        F.col("m").alias("m_edges"),
+        F.round(
+            (mm * sxy - sx * sy)
+            / F.sqrt((mm * sxx - sx * sx) * (mm * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1694,3 +1694,72 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RAKE_TOP)
         .select("doc_id", "rank", "phrase", "n_words", "score")
     )
+
+
+@register(
+    "corpus_gini_concentration",
+    """
+    WITH terms AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> len(w) > 1)) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, term, CAST(count(*) AS DECIMAL(19,0)) AS c
+      FROM terms GROUP BY lang, term
+    ),
+    indexed AS (
+      SELECT lang, c,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY c, term)
+                  AS DECIMAL(19,0)) AS i,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM counts
+    )
+    SELECT lang, CAST(any_value(n) AS BIGINT) AS n_terms,
+           round(CAST(sum((2 * i - n - 1) * c) AS DOUBLE)
+                 / CAST(any_value(n) * sum(c) AS DOUBLE), 6) AS gini
+    FROM indexed GROUP BY lang
+    """,
+    doc="Gini coefficient of the per-language term-frequency "
+    "distribution — vocabulary-concentration audit beside "
+    "corpus_zipf_slope (a template/boilerplate corpus concentrates "
+    "mass in few terms → Gini near 1; natural text sits lower).  "
+    "Computed by the sorted-index identity Σ(2i−n−1)·c / (n·Σc): "
+    "every term is an exact decimal integer until the ONE final "
+    "division (round-6 absorbs conversion ulp).  The sort/window runs "
+    "on the |V|-sized vocab table only (Heaps' law — dimension-sized, "
+    "like text_vocab_build), never the corpus",
+)
+def corpus_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    terms = t["documents_spread"].select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: F.length(w) > 1,
+            )
+        ).alias("term"),
+    )
+    counts = terms.groupBy("lang", "term").agg(
+        F.count("*").cast("decimal(19,0)").alias("c")
+    )
+    w_i = Window.partitionBy("lang").orderBy("c", "term")
+    w_n = Window.partitionBy("lang")
+    indexed = counts.select(
+        "lang",
+        "c",
+        F.row_number().over(w_i).cast("decimal(19,0)").alias("i"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return indexed.groupBy("lang").agg(
+        F.any_value("n").cast("long").alias("n_terms"),
+        F.round(
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("c")
+            ).cast("double")
+            / (F.any_value("n") * F.sum("c")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

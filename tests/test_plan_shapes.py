@@ -1272,3 +1272,63 @@ def test_stats_kendall_tau_matches_bruteforce(spark):
         assert got["n"] == n
         assert abs(got["tau_b"] - round(want, 6)) < 1e-6, grp
         assert -1.0 <= got["tau_b"] <= 1.0
+
+
+def test_corpus_gini_concentration_semantics(spark):
+    """corpus_gini_concentration (r8): Gini in [0,1), python recompute
+    per language via the sorted-index identity matches round-6, and a
+    uniform distribution scores ~0 by the identity's construction."""
+    import re
+    from collections import Counter, defaultdict
+
+    from knowledge_model_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"].collect()
+    by_lang = defaultdict(Counter)
+    for d in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if len(w) > 1]
+        by_lang[d["lang"]].update(toks)
+    rows = {r["lang"]: r for r in
+            REGISTRY["corpus_gini_concentration"].fn(spark, SF_DIR).collect()}
+    for lang, cnt in by_lang.items():
+        cs = sorted(cnt.values())
+        n, tot = len(cs), sum(cs)
+        want = sum((2 * (i + 1) - n - 1) * c for i, c in enumerate(cs)) / (n * tot)
+        got = rows[lang]
+        assert got["n_terms"] == n
+        assert abs(got["gini"] - round(want, 6)) < 1e-6, lang
+        assert 0.0 <= got["gini"] < 1.0
+
+
+def test_graph_assortativity_trade_matches_python(spark):
+    """graph_assortativity_trade (r8): the decimal-moment Pearson over
+    endpoint degrees equals a direct python computation on the
+    symmetrized edge list."""
+    from collections import Counter
+
+    from knowledge_model_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    e0 = {
+        (r["o_custkey"] * 2, r["l_suppkey"] * 2 + 1)
+        for r in t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    edges = list(e0) + [(d, s) for s, d in e0]
+    deg = Counter(s for s, _ in edges)
+    xs = [deg[s] for s, _ in edges]
+    ys = [deg[d] for _, d in edges]
+    m = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (m * sxy - sx * sy) / (
+        ((m * sxx - sx * sx) * (m * syy - sy * sy)) ** 0.5
+    )
+    row = REGISTRY["graph_assortativity_trade"].fn(spark, SF_DIR).collect()[0]
+    assert row["m_edges"] == m
+    assert abs(row["assortativity"] - round(want, 6)) < 1e-6
+    assert -1.0 <= row["assortativity"] <= 1.0
