@@ -386,6 +386,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     total = 0.0
     for name, force_collect in HEADLINE.items():
         spec = registry.get(name)
@@ -432,6 +433,7 @@ def main() -> None:
                     break  # converged: the min is the warm cost
         spreads[name] = round(times[-1] / max(times[0], 1e-9), 2)
         timings[name] = round(times[0], 3)
+        rep_counts[name] = len(times)
         # true median: average the two middle elements for even rep
         # counts (times[n//2] alone is the UPPER middle — with reps=2
         # it equals the max, biasing the recorded 'median' high)
@@ -477,7 +479,14 @@ def main() -> None:
                         "total": line["value"],
                         "sf": sf,
                         "n_queries": len(timings),
+                        # BASE rep count; queries whose spread
+                        # tripped the adaptive-warm-up rule ran more —
+                        # per-query truth is queries_reps (the r8
+                        # review found the flat field misstated the
+                        # sample size behind min/median for exactly
+                        # the flagged queries)
                         "reps": max(1, reps),
+                        "queries_reps": rep_counts,
                         "queries": timings,  # per-query MIN of reps
                         "queries_median": medians,
                         # r8 variance record (r7 verdict item 6): per-

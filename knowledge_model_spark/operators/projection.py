@@ -243,7 +243,9 @@ def zca_whitening_audit(
         )
     n, mean, cov = fold(part_rows)
     lam, u = np.linalg.eigh(cov)
-    w = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
+    # the E[vvT] − mean·meanT form can cancel to eigenvalues slightly
+    # BELOW zero (−1e-8 beats −eps) — clamp before the sqrt or W goes NaN
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
 
     def pass2(frames):
         # center THEN rotate executor-side: whitened = W(v − mean), so

@@ -847,9 +847,12 @@ def graph_modularity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # HITS fixed-point recurrence, unrolled.  Scale 1e6; every round
 # renormalizes by the integer MAX (not the L2 norm — a float sqrt
-# would break bit-determinism), so values stay in [0, 1e6] and int64
-# sums never overflow: a = Σ h over in-edges (≤ indeg·1e6), then
-# a·1e6 // max(a).
+# would break bit-determinism), so values stay in [0, 1e6]: a = Σ h
+# over in-edges (≤ indeg·1e6), then a·1e6 // max(a).  Overflow bound:
+# the renorm product a·1e6 ≤ indeg·1e12, so int64 holds up to ~9.2e6
+# distinct in-edges on one node — far above this graph's fan-in; a
+# graph beyond that drops the fixed-point scale to 1e3 (bound halves
+# per decade of degree), the documented knob.
 _HITS_SQL = """
     WITH e AS (
       SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,

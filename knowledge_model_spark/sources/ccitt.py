@@ -514,9 +514,14 @@ def g3_mixed_decode(
     r = _BitReader(data)
     out: list[np.ndarray] = []
     ref: list[int] = [columns, columns]
+    # position of the last set bit, computed ONCE — the loop-top
+    # trailing-zeros test and the RTC test below would otherwise scan
+    # the whole remaining stream per line (O(rows × bits))
+    _ones = np.flatnonzero(r.bits)
+    last_one = int(_ones[-1]) if _ones.size else -1
     while rows is None or len(out) < rows:
         _consume_eols(r)
-        if r.pos >= len(r.bits) or not r.bits[r.pos :].any():
+        if r.pos >= len(r.bits) or r.pos > last_one:
             break  # stream end / RTC-style trailing zeros
         tag = r.read_bit()
         if tag is None:
@@ -528,10 +533,9 @@ def g3_mixed_decode(
             # than 7 leading zeros) or only trailing pad.  Treat that
             # as end-of-data instead of a malformed 1-D line, so
             # rows=None streams with a spec-legal RTC still decode.
-            rest = r.bits[r.pos :]
-            if rest.size == 0 or not rest.any():
-                break
-            if int(np.argmax(rest)) >= 11:
+            # An 11-bit window is exact: first-one-at-≥11 and
+            # no-one-at-all both mean "not a decodable 1-D line".
+            if not r.bits[r.pos : r.pos + 11].any():
                 break
             line = _decode_1d_line(r, columns)
             if line is None:

@@ -985,15 +985,21 @@ def encode_bilevel_tiff(
     def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
         return struct.pack("<HHII", tag, typ, cnt, val)
 
+    def dim_entry(tag: int, val: int) -> bytes:
+        # SHORT silently wraps at 65536 (the 4-byte field holds the
+        # value, but a conforming reader takes only 2 bytes for type
+        # 3) — emit LONG for large dimensions, SHORT otherwise
+        return entry(tag, 4 if val > 0xFFFF else 3, 1, val)
+
     ents = [
-        entry(256, 3, 1, w),
-        entry(257, 3, 1, h),
+        dim_entry(256, w),
+        dim_entry(257, h),
         entry(258, 3, 1, 1),
         entry(259, 3, 1, comp_tag),
         entry(262, 3, 1, photometric),
         entry(273, 4, n_strips, strip_offs[0] if n_strips == 1 else offs_at),
         entry(277, 3, 1, 1),
-        entry(278, 3, 1, rps),
+        dim_entry(278, rps),
         entry(279, 4, n_strips, len(strips[0]) if n_strips == 1 else cnts_at),
     ]
     if comp_tag == 3:
@@ -1069,8 +1075,18 @@ def parse_exif(b: bytes) -> dict | None:
     tiff = None
     if b[:2] == b"\xff\xd8":  # JPEG: scan segments for the EXIF APP1
         pos = 2
-        while pos + 4 <= len(b) and b[pos] == 0xFF:
-            marker, ln = b[pos + 1], struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        while pos + 2 <= len(b) and b[pos] == 0xFF:
+            marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte — resync on the next 0xFF
+                pos += 1
+                continue
+            # standalone markers carry NO length field (TEM, RSTn, SOI)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                break
+            ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
             if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
                 tiff = b[pos + 10 : pos + 2 + ln]
                 break
@@ -1091,15 +1107,20 @@ def parse_exif(b: bytes) -> dict | None:
         v = ifd0.get(tag)
         out[name] = v[0] if v else None
     sub: dict[int, tuple] = {}
-    if _EXIF_POINTER_TAG in ifd0:
-        sub = _parse_tiff_ifd(tiff, e, ifd0[_EXIF_POINTER_TAG][0])
+    # type-confused pointers (a bitflipped type field can make the value
+    # a str or rational tuple) must degrade, not raise — the
+    # never-raises contract
+    ptr = ifd0.get(_EXIF_POINTER_TAG, (None,))[0]
+    if isinstance(ptr, int):
+        sub = _parse_tiff_ifd(tiff, e, ptr)
     for tag, name in _EXIF_SUB_TAGS.items():
         v = sub.get(tag)
         out[name] = v[0] if v else None
     exp = out.pop("exposure", None)
-    out["exposure_num"], out["exposure_den"] = (
-        (int(exp[0]), int(exp[1])) if exp else (None, None)
-    )
+    if isinstance(exp, tuple) and len(exp) == 2:
+        out["exposure_num"], out["exposure_den"] = int(exp[0]), int(exp[1])
+    else:  # absent, or type-confused into a scalar/str
+        out["exposure_num"], out["exposure_den"] = None, None
     return out
 
 
@@ -1563,9 +1584,10 @@ def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
     padded to 4 bytes — the BMP raster) and — r8, r7 verdict item 5 —
     MJPEG ('00dc' chunks whose body is a complete JPEG file, decoded
     by the in-repo sources/jpeg.py; pure composition of the existing
-    demux and the existing JPEG decoder).  None for non-AVI payloads
-    or other compressed codecs ('00dc' without a JPEG SOI: H.264/VP9)
-    — the ffmpeg seam.
+    demux and the existing JPEG decoder).  None for non-AVI payloads,
+    other compressed codecs ('00dc' without a JPEG SOI: H.264/VP9 —
+    the ffmpeg seam), or an MJPEG clip ANY of whose frames fails to
+    decode (skipping it would misalign every later frame index).
 
     This makes video demux REAL in-container for the two container
     layouts stdlib+numpy arithmetic can parse; real-world H.264/VP9
@@ -1576,9 +1598,10 @@ def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
     if not b or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     us_per_frame = w = h = None
+    bad_jpeg = False  # a frame we RECOGNIZED but could not decode
 
     def walk(start: int, end: int):
-        nonlocal us_per_frame, w, h
+        nonlocal us_per_frame, w, h, bad_jpeg
         frames: list[np.ndarray] = []
         i = start
         while i + 8 <= end:
@@ -1608,11 +1631,17 @@ def decode_avi_frames(b: bytes) -> tuple[list[np.ndarray], float] | None:
                 img = decode_jpeg(bytes(b[body_at : body_at + size]))
                 if img is not None:
                     frames.append(img)
+                else:
+                    # honest refusal: silently skipping a recognized
+                    # MJPEG frame would misalign every later frame
+                    # index/timestamp (sample_frames maps sampled
+                    # times onto list positions)
+                    bad_jpeg = True
             i = body_at + size + (size & 1)  # chunks pad to even
         return frames
 
     frames = walk(12, len(b))
-    if not frames or not us_per_frame:
+    if bad_jpeg or not frames or not us_per_frame:
         return None
     return frames, 1e6 / us_per_frame
 

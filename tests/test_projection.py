@@ -288,3 +288,25 @@ def test_zca_whitening_audit_gates(spark, tables):
         assert r["max_abs_offdiag"] < 1e-6
     again = R["embeddings_zca_whitening"].fn(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_zca_whitening_rank_deficient_no_nan(spark):
+    """r8 review fix: the cancellation-prone covariance form can hand
+    eigh a tiny NEGATIVE eigenvalue; the clamp must keep W finite on
+    rank-deficient, large-mean data."""
+    import math
+
+    from knowledge_model_spark.operators.projection import (
+        zca_whitening_audit,
+    )
+
+    base = [1000.0 + (d % 3) for d in range(8)]
+    rows = [
+        (i, [v + (i % 2) * 1e-6 for v in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = zca_whitening_audit(df, "vec_id", "embedding", 8).collect()
+    assert len(out) == 8
+    for r in out:
+        for c in ("mean_w", "var_w", "max_abs_offdiag"):
+            assert math.isfinite(r[c]), (r["dim"], c)

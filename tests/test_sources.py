@@ -3497,3 +3497,116 @@ def test_multimodal_exif_extract_gate(spark):
     assert variants == {"exif_ii", "exif_mm", "plain"}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_exif_type_confused_tags_never_raise():
+    """r8 review fix: a bitflipped TYPE field can make the Exif pointer
+    a str/rational or the exposure a scalar — parse_exif must degrade
+    to a partial dict, never raise (the documented contract)."""
+    from knowledge_model_spark.sources.multimodal import (
+        build_exif_app1,
+        parse_exif,
+    )
+
+    fields = {"make": "CAM1", "orientation": 3, "iso": 200,
+              "exposure_num": 1, "exposure_den": 64}
+    tiff = bytearray(build_exif_app1(fields)[6:])
+    # walk IFD0 entries and corrupt the TYPE of tags 34665 and 33434
+    import struct
+
+    def corrupt(buf, target_tag, new_type):
+        (ifd0,) = struct.unpack("<I", buf[4:8])
+        (n,) = struct.unpack("<H", buf[ifd0 : ifd0 + 2])
+        for i in range(n):
+            at = ifd0 + 2 + 12 * i
+            tag = struct.unpack("<H", buf[at : at + 2])[0]
+            if tag == target_tag:
+                buf[at + 2 : at + 4] = struct.pack("<H", new_type)
+
+    for bad_type in (2, 5):
+        b1 = bytearray(tiff)
+        corrupt(b1, 34665, bad_type)  # Exif pointer as ASCII / RATIONAL
+        got = parse_exif(bytes(b1))
+        assert got is None or got.get("make") == "CAM1"
+    # exposure stored as SHORT (scalar) — must not raise on exp[0]
+    app1 = bytearray(build_exif_app1(fields))
+    sub_area = bytes(app1)
+    # easiest: corrupt EVERY type-5 entry to type 3 anywhere in the blob
+    b2 = bytearray(sub_area)
+    for i in range(0, len(b2) - 12, 2):
+        if b2[i : i + 2] == struct.pack("<H", 33434):
+            b2[i + 2 : i + 4] = struct.pack("<H", 3)
+    got = parse_exif(bytes(b2[6:]))
+    assert got is None or got["exposure_num"] in (None, 1)
+
+
+def test_exif_walk_skips_standalone_markers():
+    """r8 review fix: TEM/RSTn standalone markers and 0xFF fill bytes
+    carry no length field — the APP1 behind them must still be found."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.multimodal import (
+        build_exif_app1,
+        insert_jpeg_app1,
+        parse_exif,
+    )
+
+    fields = {"make": "CAM9", "orientation": 5}
+    jpg = insert_jpeg_app1(
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90),
+        build_exif_app1(fields),
+    )
+    # inject fill + TEM + RST0 right after SOI, before the APP1
+    noisy = jpg[:2] + b"\xff" + b"\xff\x01" + b"\xff\xd0" + jpg[2:]
+    got = parse_exif(noisy)
+    assert got is not None and got["make"] == "CAM9" and got["orientation"] == 5
+
+
+def test_mjpeg_avi_refuses_undecodable_frame():
+    """r8 review fix: an MJPEG clip with one recognized-but-undecodable
+    frame must refuse the WHOLE clip (None) — silently dropping the
+    frame would misalign every later index/timestamp."""
+    import struct
+
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_avi_frames,
+        encode_simple_avi,
+    )
+
+    frames = [
+        np.full((16, 16, 3), 40 * (i + 1), np.uint8) for i in range(3)
+    ]
+    avi = bytearray(encode_simple_avi(frames, fps=5.0, codec="mjpg"))
+    # find the SECOND 00dc chunk and truncate its JPEG body to garbage
+    # (keep the SOI so it is RECOGNIZED as MJPEG, not the codec seam)
+    first = avi.find(b"00dc")
+    second = avi.find(b"00dc", first + 4)
+    assert second > 0
+    size = struct.unpack_from("<I", avi, second + 4)[0]
+    body = second + 8
+    avi[body + 2 : body + size] = b"\x00" * (size - 2)  # SOI kept, rest zeroed
+    assert decode_avi_frames(bytes(avi)) is None
+    # the intact clip still decodes
+    ok = decode_avi_frames(encode_simple_avi(frames, fps=5.0, codec="mjpg"))
+    assert ok is not None and len(ok[0]) == 3
+
+
+def test_bilevel_tiff_large_dimension_uses_long_type():
+    """r8 review fix: dimensions above 65535 must be written as LONG —
+    SHORT silently wraps; a 70000-px-wide strip round-trips exactly."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        decode_tiff,
+        encode_bilevel_tiff,
+    )
+
+    bitmap = (np.arange(70000) % 97 == 0).reshape(1, 70000)
+    t = encode_bilevel_tiff(bitmap, "g4")
+    img = decode_tiff(t)
+    assert img is not None and img.shape == (1, 70000, 3)
+    want = np.where(bitmap[0], 0, 255)
+    assert (img[0, :, 0] == want).all()
