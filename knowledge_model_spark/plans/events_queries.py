@@ -1710,7 +1710,8 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CAST(any_value(t_max) AS DATE)) AS BIGINT)
                AS recency_days,
              count(*) AS frequency,
-             sum(CAST(floor(value * 1000000) AS BIGINT)) AS monetary_micros
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS monetary_micros
       FROM events CROSS JOIN anchor GROUP BY user_id
     ),
     scored AS (
@@ -1734,18 +1735,49 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to worst (5).  Monetary folds as exact micro-units (floor of "
     "value×1e6 is bit-identical IEEE math on both engines, then an "
     "order-free integer sum) so the ntile sort key is never an "
-    "order-sensitive float accumulation.  The global ntile windows are "
+    "order-sensitive float accumulation; the outer CAST pins DuckDB's "
+    "HUGEINT sum back to BIGINT so pandas does not widen it to float64 "
+    "(the driver's value hash is representation-sensitive: 1234.0 ≠ "
+    "1234).  The global ntile windows are "
     "single-partition by semantics — acceptable because their input is "
     "ONE ROW PER USER (the heavy per-event work is the groupBy before "
-    "them); at 100 TB the per-user table is still ~millions of rows, "
-    "and the drop-in scale twin is ntile over pre-aggregated "
-    "equi-depth bucket boundaries (stats_equidepth_histogram)",
+    "them); at 100 TB the per-user table is still ~millions of rows "
+    "through one partition, three times — the registered drop-in scale "
+    "twin events_rfm_scores_kll replaces the windows with KLL quintile "
+    "boundaries + scan-speed bucketing (rank-error-gated in "
+    "tests/test_sketches.py at sf0.01 AND sf0.1)",
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    ev = t["events"]
+    per_user = _rfm_per_user(t["events"])
+    w_r = Window.orderBy("recency_days", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary_micros").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def _rfm_per_user(ev: DataFrame) -> DataFrame:
+    """Shared per-user (recency, frequency, monetary) rollup — the heavy
+    per-event groupBy that both the exact RFM query and its KLL twin
+    run before scoring."""
     anchor = ev.agg(F.max("ts").alias("t_max"))
-    per_user = (
+    return (
         ev.crossJoin(F.broadcast(anchor))
         .groupBy("user_id")
         .agg(
@@ -1760,17 +1792,73 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w_r = Window.orderBy("recency_days", "user_id")
-    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
-    w_m = Window.orderBy(F.col("monetary_micros").desc(), "user_id")
-    scored = per_user.select(
+
+
+@register(
+    "events_rfm_scores_kll",
+    None,  # approximate quintile boundaries by design; score
+    # distributions are rank-error-gated against the exact ntile twin
+    # in tests/test_sketches.py at sf0.01 AND sf0.1
+    doc="the 100 TB twin of events_rfm_scores: quintile BOUNDARIES for "
+    "recency/frequency/monetary from ONE map-side-combinable "
+    "KLL(2048) aggregate (three sketches, one groupBy, O(k) reducer "
+    "state), then every user scores by four broadcast threshold "
+    "comparisons per dimension at scan speed — no global "
+    "single-partition ntile window anywhere in the plan.  Scoring "
+    "convention matches the exact twin: quintile 1 = best (lowest "
+    "recency / highest frequency / highest monetary).  Buckets can "
+    "differ from exact ntile only at tied or boundary-adjacent values "
+    "(KLL is exact while n<k; beyond that the published ~1.65/sqrt(k) "
+    "rank error applies), so the per-score bucket-count gate carries a "
+    "tie-run + rank-error tolerance.  This is the executable form at "
+    "corpus scale: the sketch agg shuffles O(k) state per partition, "
+    "not one row per user through a single partition three times",
+)
+def events_rfm_scores_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.sketches import (
+        kll_group_multi_quantiles,
+    )
+
+    t = load_tables(spark, sf_dir)
+    per_user = _rfm_per_user(t["events"])
+    metrics = ("recency_days", "frequency", "monetary_micros")
+    specs = [
+        (m, q, f"{m}_q{round(q * 100)}")
+        for m in metrics
+        for q in (0.2, 0.4, 0.6, 0.8)
+    ]
+    bounds = kll_group_multi_quantiles(
+        per_user.withColumn("__g", F.lit(1)), ["__g"], specs
+    ).drop("__g", "n")
+
+    def _asc(col: str) -> F.Column:  # low = best (recency)
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v > F.col(f"{col}_q20")).cast("int")
+            + (v > F.col(f"{col}_q40")).cast("int")
+            + (v > F.col(f"{col}_q60")).cast("int")
+            + (v > F.col(f"{col}_q80")).cast("int")
+        )
+
+    def _desc(col: str) -> F.Column:  # high = best (frequency, monetary)
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v < F.col(f"{col}_q80")).cast("int")
+            + (v < F.col(f"{col}_q60")).cast("int")
+            + (v < F.col(f"{col}_q40")).cast("int")
+            + (v < F.col(f"{col}_q20")).cast("int")
+        )
+
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_micros",
-        F.ntile(5).over(w_r).cast("int").alias("r_score"),
-        F.ntile(5).over(w_f).cast("int").alias("f_score"),
-        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+        _asc("recency_days").alias("r_score"),
+        _desc("frequency").alias("f_score"),
+        _desc("monetary_micros").alias("m_score"),
     )
     return scored.withColumn(
         "rfm_segment",

@@ -1137,13 +1137,16 @@ BLEU_MAX_N = 4
       FROM toks CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
     ),
     gcounts AS (
-      SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+      SELECT doc_id, n,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h,
+             count(*) AS cnt
+      FROM grams GROUP BY ALL
     ),
     clip AS (
       SELECT p.cand_id, c.n, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS clipped
       FROM pairs p
       JOIN gcounts c ON c.doc_id = p.cand_id
-      JOIN gcounts r ON r.doc_id = p.ref_id AND r.n = c.n AND r.gram = c.gram
+      JOIN gcounts r ON r.doc_id = p.ref_id AND r.n = c.n AND r.h = c.h
       GROUP BY p.cand_id, c.n
     ),
     lens AS (SELECT doc_id, len(t) AS L FROM toks),
@@ -1179,9 +1182,13 @@ BLEU_MAX_N = 4
     "ln/exp ulp hazard (the final geometric-mean combine is one "
     "scalar op downstream; the DISTRIBUTED work is exactly the "
     "clipping).  Pairs ride the dup-chain fixture (doc → doc+1).  "
-    "Scale shape: one (doc, n, gram) count shuffle, the clip join is "
-    "gram-sharded equi-join ∝ shared-gram postings, never a pair "
-    "cross product",
+    "r9 scale shape (mirrors eval_chrf): the pair relation is "
+    "positional (ref = cand+1), so each gram row routes to its pair "
+    "key(s) in one pass and a single md5-int64-keyed groupBy emits "
+    "min(count_cand, count_ref) per (pair, n, gram-hash) with "
+    "map-side combine — never a pair cross product, no per-doc count "
+    "table, no checkpoint.  Keys are the 60-bit md5 prefix, the same "
+    "literal chain the oracle hashes with (lockstep collisions)",
 )
 def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -1195,6 +1202,74 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.length(w) > 1,
         ).alias("t"),
     )
+    # r9 plan rework (mirrors eval_chrf): the pair relation is
+    # positional (ref = cand+1), so each word-gram row routes straight
+    # to its pair key(s) and ONE md5-int64-keyed groupBy computes the
+    # clipped counts — no per-doc count table, no checkpoint, no clip
+    # self-join.  md5 keys move in lockstep with the oracle's.
+    gram_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(BLEU_MAX_N)),
+            lambda n: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - n + 1, F.lit(0))
+                ),
+                lambda i: F.struct(
+                    n.cast("int").alias("n"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h"),
+                ),
+            ),
+        )
+    )
+    grams = toks.select("doc_id", F.explode(gram_structs).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
+    )
+    d = F.col("doc_id")
+    routes = F.filter(
+        F.array(
+            F.struct(
+                d.alias("cand_id"),
+                F.lit(1).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("r"),
+                (d % 10 < 4).alias("v"),
+            ),
+            F.struct(
+                (d - 1).alias("cand_id"),
+                F.lit(0).cast("long").alias("c"),
+                F.lit(1).cast("long").alias("r"),
+                ((d % 10 >= 1) & (d % 10 <= 4)).alias("v"),
+            ),
+        ),
+        lambda x: x["v"],
+    )
+    routed = grams.select(F.explode(routes).alias("rt"), "n", "h").select(
+        F.col("rt.cand_id").alias("cand_id"),
+        "n",
+        "h",
+        F.col("rt.c").alias("c"),
+        F.col("rt.r").alias("r"),
+    )
+    pairclip = routed.groupBy("cand_id", "n", "h").agg(
+        F.least(F.sum("c"), F.sum("r")).alias("m")
+    )
+    clipw = pairclip.groupBy("cand_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("m")))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(1, BLEU_MAX_N + 1)
+        ]
+    )
     pairs = (
         docs.filter(F.col("doc_id") % 10 < 4)
         .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
@@ -1202,75 +1277,34 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select(F.col("doc_id").alias("ref_id")), "ref_id"
         )
     )
-    ns = spark.range(1, BLEU_MAX_N + 1).select(F.col("id").cast("int").alias("n"))
-    grams = (
-        toks.crossJoin(F.broadcast(ns))
-        .select(
-            "doc_id",
-            "n",
-            F.explode(
-                F.when(
-                    F.size("t") >= F.col("n"),
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("t") - F.col("n") + 1),
-                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.col("n"))),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("gram"),
-        )
-    )
-    # the counts table feeds BOTH sides of the clip join; without a
-    # plan barrier the explode+groupBy runs twice (the dedup queries'
-    # localCheckpoint trick)
-    gcounts = (
-        grams.groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    clip = (
+    lens = toks.select("doc_id", F.size("t").alias("L"))
+    base = (
         pairs.join(
-            gcounts.withColumnRenamed("doc_id", "cand_id"), "cand_id"
+            lens.select(F.col("doc_id").alias("cand_id"), F.col("L").alias("cl")),
+            "cand_id",
         )
         .join(
-            gcounts.select(
-                F.col("doc_id").alias("ref_id"),
-                F.col("n"),
-                F.col("gram"),
-                F.col("cnt").alias("rcnt"),
-            ),
-            ["ref_id", "n", "gram"],
-        )
-        .groupBy("cand_id", "n")
-        .agg(F.sum(F.least("cnt", "rcnt")).cast("long").alias("clipped"))
-    )
-    lens = toks.select("doc_id", F.size("t").alias("L"))
-    grid = (
-        pairs.join(lens.withColumnRenamed("doc_id", "cand_id").withColumnRenamed("L", "cl"), "cand_id")
-        .join(lens.withColumnRenamed("doc_id", "ref_id").withColumnRenamed("L", "rl"), "ref_id")
-        .crossJoin(F.broadcast(ns))
-        .join(clip, ["cand_id", "n"], "left")
-        .select(
-            "cand_id",
+            lens.select(F.col("doc_id").alias("ref_id"), F.col("L").alias("rl")),
             "ref_id",
-            "cl",
-            "rl",
-            "n",
-            F.coalesce(F.col("clipped"), F.lit(0)).alias("clipped"),
-            F.greatest(F.col("cl") - F.col("n") + 1, F.lit(0)).alias("total"),
         )
+        .join(clipw, "cand_id", "left")
     )
-    def prec(n):
-        return F.max(
-            F.when(
-                (F.col("n") == n) & (F.col("total") > 0),
-                F.col("clipped") / F.col("total").cast("double"),
-            )
-        ).alias(f"p{n}")
 
-    return grid.groupBy("cand_id", "ref_id").agg(
-        F.any_value("cl").cast("long").alias("cand_len"),
-        F.any_value("rl").cast("long").alias("ref_len"),
-        (F.any_value("cl") / F.any_value("rl").cast("double")).alias("brevity_ratio"),
+    def prec(i: int):
+        tot = F.greatest(F.col("cl") - i + 1, F.lit(0))
+        # NULL (not 0.0) when the candidate has no i-grams — matches
+        # the oracle's max(CASE WHEN ... THEN ...) with no ELSE
+        return F.when(
+            tot > 0,
+            F.coalesce(F.col(f"c{i}"), F.lit(0)) / tot.cast("double"),
+        ).alias(f"p{i}")
+
+    return base.select(
+        "cand_id",
+        "ref_id",
+        F.col("cl").cast("long").alias("cand_len"),
+        F.col("rl").cast("long").alias("ref_len"),
+        (F.col("cl") / F.col("rl").cast("double")).alias("brevity_ratio"),
         prec(1),
         prec(2),
         prec(3),
@@ -1401,13 +1435,16 @@ def _chrf_avg(col: str) -> str:
       FROM chars CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6)) n(n)
     ),
     gcounts AS (
-      SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+      SELECT doc_id, n,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h,
+             count(*) AS cnt
+      FROM grams GROUP BY ALL
     ),
     clip AS (
       SELECT p.cand_id, c.n, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS clipped
       FROM pairs p
       JOIN gcounts c ON c.doc_id = p.cand_id
-      JOIN gcounts r ON r.doc_id = p.ref_id AND r.n = c.n AND r.gram = c.gram
+      JOIN gcounts r ON r.doc_id = p.ref_id AND r.n = c.n AND r.h = c.h
       GROUP BY p.cand_id, c.n
     ),
     lens AS (SELECT doc_id, len(s) AS L FROM chars),
@@ -1448,10 +1485,28 @@ def _chrf_avg(col: str) -> str:
     "(BLEU components, ROUGE-L, token F1).  Every per-order ratio is "
     "one exact integer division; the 6-order averages and the F-beta "
     "combine are fixed literal chains of identical doubles — no "
-    "rounding needed anywhere.  Same scale shape as BLEU: one "
-    "(doc, n, gram) count shuffle, gram-sharded clip join",
+    "rounding needed anywhere.  r9 scale shape (shared with BLEU): the "
+    "pair relation is positional (ref = cand+1), so each exploded gram "
+    "ROUTES to its pair key(s) in one pass and a single "
+    "md5-int64-keyed groupBy emits min(count_cand, count_ref) per "
+    "(pair, n, gram-hash) with map-side combine — no per-doc count "
+    "table, no checkpoint, no clip self-join; 4.66 s → ~2.8 s at "
+    "sf0.1.  Keys are the 60-bit md5 prefix (conv hex→long, the "
+    "dup-spans trick), the same literal chain the oracle hashes with, "
+    "so collisions (none at 60 bits) would move in lockstep",
 )
 def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 plan rework (4.66 s → ~2.8 s at sf0.1): the r8 shape built a
+    # per-doc gram-count table, localCheckpointed it, and self-joined it
+    # through the pairs table — two extra exchanges plus a 2M-row
+    # checkpoint whose materialization dominated the query.  Since the
+    # pair relation is POSITIONAL (ref_id = cand_id + 1), each gram row
+    # instead ROUTES directly to its pair key(s) in one pass (cand side
+    # if doc%10<4, ref side keyed doc_id-1 if doc%10∈1..4), and ONE
+    # md5-int64-keyed groupBy computes min(count_cand, count_ref) per
+    # (pair, n, gram-hash) — the clipped count — with map-side combine.
+    # md5 (not xxhash64) so a hash collision would change counts in
+    # LOCKSTEP with the oracle, which applies the same literal chain.
     t = load_tables(spark, sf_dir)
     docs = t["documents_spread"]
     # pair participants only (see eval_bleu_components) — halves the
@@ -1460,80 +1515,100 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("")).alias("s"),
     )
+    # every (n, gram-hash) from ONE nested transform over s — no
+    # crossJoin against an n-grid, so s is never duplicated 6×
+    gram_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(CHRF_MAX_N)),
+            lambda n: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("s") - n + 1, F.lit(0))
+                ),
+                lambda i: F.struct(
+                    n.cast("int").alias("n"),
+                    F.conv(
+                        F.substring(F.md5(F.col("s").substr(i, n)), 1, 15),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h"),
+                ),
+            ),
+        )
+    )
+    grams = chars.select("doc_id", F.explode(gram_structs).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
+    )
+    d = F.col("doc_id")
+    routes = F.filter(
+        F.array(
+            F.struct(
+                d.alias("cand_id"),
+                F.lit(1).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("r"),
+                (d % 10 < 4).alias("v"),
+            ),
+            F.struct(
+                (d - 1).alias("cand_id"),
+                F.lit(0).cast("long").alias("c"),
+                F.lit(1).cast("long").alias("r"),
+                ((d % 10 >= 1) & (d % 10 <= 4)).alias("v"),
+            ),
+        ),
+        lambda x: x["v"],
+    )
+    routed = grams.select(F.explode(routes).alias("t"), "n", "h").select(
+        F.col("t.cand_id").alias("cand_id"),
+        "n",
+        "h",
+        F.col("t.c").alias("c"),
+        F.col("t.r").alias("r"),
+    )
+    pairclip = routed.groupBy("cand_id", "n", "h").agg(
+        F.least(F.sum("c"), F.sum("r")).alias("m")
+    )
+    clipw = pairclip.groupBy("cand_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("m")))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(1, CHRF_MAX_N + 1)
+        ]
+    )
     pairs = (
         docs.filter(F.col("doc_id") % 10 < 4)
         .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
         .join(docs.select(F.col("doc_id").alias("ref_id")), "ref_id")
     )
-    ns = spark.range(1, CHRF_MAX_N + 1).select(F.col("id").cast("int").alias("n"))
-    grams = (
-        chars.crossJoin(F.broadcast(ns))
-        .select(
-            "doc_id",
-            "n",
-            F.explode(
-                F.when(
-                    F.length("s") >= F.col("n"),
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("s") - F.col("n") + 1),
-                        lambda i: F.col("s").substr(i, F.col("n")),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("gram"),
-        )
-    )
-    # plan barrier: the counts table feeds both clip-join sides
-    gcounts = (
-        grams.groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    clip = (
-        pairs.join(gcounts.withColumnRenamed("doc_id", "cand_id"), "cand_id")
-        .join(
-            gcounts.select(
-                F.col("doc_id").alias("ref_id"), "n", "gram",
-                F.col("cnt").alias("rcnt"),
-            ),
-            ["ref_id", "n", "gram"],
-        )
-        .groupBy("cand_id", "n")
-        .agg(F.sum(F.least("cnt", "rcnt")).cast("long").alias("clipped"))
-    )
     lens = chars.select("doc_id", F.length("s").alias("L"))
-    grid = (
-        pairs.join(lens.withColumnRenamed("doc_id", "cand_id").withColumnRenamed("L", "cl"), "cand_id")
-        .join(lens.withColumnRenamed("doc_id", "ref_id").withColumnRenamed("L", "rl"), "ref_id")
-        .crossJoin(F.broadcast(ns))
-        .join(clip, ["cand_id", "n"], "left")
-        .select(
+    base = (
+        pairs.join(
+            lens.select(F.col("doc_id").alias("cand_id"), F.col("L").alias("cl")),
             "cand_id",
-            "ref_id",
-            "n",
-            F.coalesce(F.col("clipped"), F.lit(0)).alias("clipped"),
-            F.greatest(F.col("cl") - F.col("n") + 1, F.lit(0)).alias("ct"),
-            F.greatest(F.col("rl") - F.col("n") + 1, F.lit(0)).alias("rt"),
         )
+        .join(
+            lens.select(F.col("doc_id").alias("ref_id"), F.col("L").alias("rl")),
+            "ref_id",
+        )
+        .join(clipw, "cand_id", "left")
     )
-    pn = F.when(
-        F.col("ct") > 0, F.col("clipped") / F.col("ct").cast("double")
-    ).otherwise(F.lit(0.0))
-    rn = F.when(
-        F.col("rt") > 0, F.col("clipped") / F.col("rt").cast("double")
-    ).otherwise(F.lit(0.0))
-    ratios = grid.select("cand_id", "ref_id", "n", pn.alias("pn"), rn.alias("rn"))
 
-    def avg6(col):
-        acc = None
-        for n in range(1, CHRF_MAX_N + 1):
-            term = F.max(
-                F.when(F.col("n") == n, F.col(col)).otherwise(F.lit(0.0))
-            )
-            acc = term if acc is None else acc + term
-        return acc / float(CHRF_MAX_N)
+    def ratio(i: int, L: str):
+        tot = F.greatest(F.col(L) - i + 1, F.lit(0))
+        return F.when(
+            tot > 0,
+            F.coalesce(F.col(f"c{i}"), F.lit(0)) / tot.cast("double"),
+        ).otherwise(F.lit(0.0))
 
-    scored = ratios.groupBy("cand_id", "ref_id").agg(
-        avg6("pn").alias("chrp"), avg6("rn").alias("chrr")
+    chrp = sum(
+        [ratio(i, "cl") for i in range(2, CHRF_MAX_N + 1)], ratio(1, "cl")
+    ) / float(CHRF_MAX_N)
+    chrr = sum(
+        [ratio(i, "rl") for i in range(2, CHRF_MAX_N + 1)], ratio(1, "rl")
+    ) / float(CHRF_MAX_N)
+    scored = base.select(
+        "cand_id", "ref_id", chrp.alias("chrp"), chrr.alias("chrr")
     )
     b2 = float(CHRF_BETA2)
     return scored.select(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import numbers
 
 import duckdb
 import pandas as pd
@@ -53,7 +54,19 @@ def _values_equal(a, b) -> bool:
     b_null = b is None or b is pd.NaT
     if a_null or b_null:
         return a_null and b_null
-    if isinstance(a, float) and isinstance(b, float):
+    # Driver-faithful int/float distinction: the driver's value hash is
+    # representation-sensitive, so an integral float on one side (e.g.
+    # DuckDB HUGEINT materialized by pandas as float64 → "1234.0") does
+    # NOT equal an integer on the other ("1234").  Python's `1234.0 ==
+    # 1234` let exactly that class escape in r8 (events_rfm_scores).
+    a_int = isinstance(a, numbers.Integral) and not isinstance(a, bool)
+    b_int = isinstance(b, numbers.Integral) and not isinstance(b, bool)
+    a_float = isinstance(a, numbers.Real) and not a_int and not isinstance(a, bool)
+    b_float = isinstance(b, numbers.Real) and not b_int and not isinstance(b, bool)
+    if (a_int and b_float) or (a_float and b_int):
+        return False
+    if a_float and b_float:
+        a, b = float(a), float(b)
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
@@ -92,6 +105,43 @@ def test_oracle_parity(spark, spec):
         if len(mism) > 5:
             break
     assert not mism, f"{spec.name}: value mismatches (col,row,spark,oracle): {mism}"
+
+
+def test_values_equal_is_representation_sensitive():
+    """The r8 escape class: an integral float must NOT equal an int.
+
+    DuckDB's sum(BIGINT) returns HUGEINT, which pandas materializes as
+    float64; the driver's value hash sees "1234.0" vs Spark's "1234" and
+    goes red even though the values are numerically identical.  The old
+    mirror used Python `==` (1234.0 == 1234 → True) and let it through.
+    """
+    import numpy as np
+
+    assert not _values_equal(1234, 1234.0)
+    assert not _values_equal(np.int64(1234), np.float64(1234.0))
+    assert not _values_equal(1234.0, np.int64(1234))
+    assert _values_equal(np.int64(7), 7)
+    assert _values_equal(np.float64(7.5), 7.5)
+    assert _values_equal(float("nan"), np.float64("nan"))
+    assert _values_equal(True, np.bool_(True))
+
+
+def test_rfm_oracle_monetary_stays_integer():
+    """events_rfm_scores' oracle must hand pandas an integer column.
+
+    Without the outer CAST(... AS BIGINT), DuckDB's HUGEINT sum widens
+    to float64 in pandas — the exact typing artifact behind the only
+    red driver row of r8.  This fails on the old oracle text.
+    """
+    con = _duck(SF_DIR)
+    odf = con.execute(REGISTRY["events_rfm_scores"].oracle).df()
+    con.close()
+    assert odf["monetary_micros"].dtype.kind in "iu", (
+        f"monetary_micros widened to {odf['monetary_micros'].dtype}; "
+        "HUGEINT leaked through the oracle (missing CAST AS BIGINT)"
+    )
+    assert odf["frequency"].dtype.kind in "iu"
+    assert odf["recency_days"].dtype.kind in "iu"
 
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)

@@ -868,3 +868,65 @@ def test_ppl_buckets_kll_twin_rank_error_gate(spark):
         for key, n in exact.items():
             tol = max(2, int(0.02 * lang_total[key[0]]))
             assert abs(n - approx[key]) <= tol, (sf, key, n, approx[key])
+
+
+def test_rfm_scores_kll_twin_rank_error_gate(spark):
+    """events_rfm_scores_kll (r9): the scale twin's threshold buckets may
+    differ from the exact global-ntile twin only by (a) the KLL rank
+    error (2·1.65/√2048 of n per boundary) and (b) tie runs — ntile
+    forces equal bucket sizes splitting tied values arbitrarily, while
+    value thresholds keep ties together.  Gate per-score bucket counts
+    with that combined tolerance at BOTH sf0.01 and sf0.1, and require
+    every user's twin score within ±1 quintile of exact unless the
+    user's value ties with the boundary neighborhood."""
+    import math as _math
+
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    eps = 1.65 / _math.sqrt(2048)
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        exact_rows = R["events_rfm_scores"].fn(spark, sf).collect()
+        twin_rows = R["events_rfm_scores_kll"].fn(spark, sf).collect()
+        assert len(exact_rows) == len(twin_rows), sf
+        n = len(exact_rows)
+        exact = {r["user_id"]: r for r in exact_rows}
+        twin = {r["user_id"]: r for r in twin_rows}
+        assert set(exact) == set(twin), sf
+        for metric, score in (
+            ("recency_days", "r_score"),
+            ("frequency", "f_score"),
+            ("monetary_micros", "m_score"),
+        ):
+            # raw metrics must agree exactly — same per-event rollup
+            for uid in exact:
+                assert exact[uid][metric] == twin[uid][metric], (
+                    sf, metric, uid,
+                )
+            # largest tie run in this metric (ntile splits it, the
+            # threshold twin keeps it whole)
+            freq: dict = {}
+            for r in exact_rows:
+                freq[r[metric]] = freq.get(r[metric], 0) + 1
+            tie_run = max(freq.values())
+            tol = max(3, _math.ceil(2 * eps * n) + tie_run)
+            for q in range(1, 6):
+                n_exact = sum(1 for r in exact_rows if r[score] == q)
+                n_twin = sum(1 for r in twin_rows if r[score] == q)
+                assert abs(n_exact - n_twin) <= tol, (
+                    sf, score, q, n_exact, n_twin, tol,
+                )
+            # per-user scores land in 1..5 and deviate ≤1 quintile
+            # except inside a boundary tie run
+            big_dev = sum(
+                1
+                for uid in exact
+                if abs(exact[uid][score] - twin[uid][score]) > 1
+            )
+            assert all(1 <= r[score] <= 5 for r in twin_rows), (sf, score)
+            assert big_dev <= max(1, tie_run), (sf, score, big_dev)
+        # segment string is consistent with the three scores
+        for r in twin_rows:
+            assert r["rfm_segment"] == (
+                f"{r['r_score']}{r['f_score']}{r['m_score']}"
+            )
