@@ -113,8 +113,16 @@ def stupid_backoff_scores(
     count-table analog of an OOV cutoff.
     """
     toks = _tokens(df, id_col, text_col, min_len)
+    # the LM slice feeds BOTH count tables (uni and bi) — materialize
+    # its tokenization once instead of running the regexp split per
+    # consumer; token arrays spill to executor disk when they outgrow
+    # storage memory, which beats two full tokenize passes at any scale
     lm_toks = (
-        toks if lm_df is None else _tokens(lm_df, id_col, text_col, min_len)
+        toks
+        if lm_df is None
+        else _tokens(lm_df, id_col, text_col, min_len).localCheckpoint(
+            eager=True
+        )
     )
     # (doc, pos, w1, w2) bigram stream — one explode, no join to rebuild
     # adjacency: slice+zip pairs neighbors inside the token array.
@@ -128,10 +136,16 @@ def stupid_backoff_scores(
         ).alias("pos", "bg"),
     ).select("id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
+    # three consumers (the N-total scalar + two unigram probes) and the
+    # n_total collect() would otherwise run the tokenize+count subtree
+    # as its own job, then the main job would rebuild it from scratch —
+    # materialize the vocabulary table once; AQE then also sees its
+    # true (broadcast-size) row count instead of a blind estimate
     uni = (
         lm_toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c_uni"))
+        .localCheckpoint(eager=True)
     )
     n_total = uni.agg(F.sum("c_uni")).collect()[0][0]  # exact-long scalar
     if not n_total:

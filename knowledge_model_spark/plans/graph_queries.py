@@ -806,6 +806,9 @@ def graph_modularity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .select("id_a", "id_b", "lang_a", "lang_b")
+        # four consumers (m, intra, deg, nodes) — materialize the
+        # edge-typing joins once (graph_hits_trade's edge-list barrier)
+        .localCheckpoint(eager=False)
     )
     m = typed.agg(F.count("*").alias("m"))
     intra = (
@@ -998,6 +1001,10 @@ def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
         .distinct()
+        # both unionAll branches consume e0 — without the barrier the
+        # orders⋈lineitem join + distinct runs twice (same one-liner as
+        # graph_hits_trade's edge list)
+        .localCheckpoint(eager=False)
     )
     e = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy(F.col("src").alias("node")).agg(
