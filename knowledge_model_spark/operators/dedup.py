@@ -452,20 +452,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ensure_min_partitions(df).select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(N_SIMHASH_BITS)
-    ]
-    agg = exploded.groupBy("id").agg(*bit_sums)
-    sig = None
-    for j in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return agg.select("id", sig.alias("simhash"))
+    return _simhash_agg(exploded, N_SIMHASH_BITS)
+
+
+def _simhash_agg(exploded: DataFrame, n_bits: int) -> DataFrame:
+    """(id, simhash) from an exploded (id, h) word-hash stream: one ±1
+    sum per bit in a single partial-agg groupBy, then the sign-bit
+    recombination.  Both stages are SQL text parsed JVM-side in one
+    expr each — the previous per-bit Column loops issued ~6 py4j
+    round-trips per bit (~700 driver calls for 63 bits) and cost more
+    driver plan-construction time than the query's execution."""
+    # shiftright(), not the `>>` operator: Spark 4's expression parser
+    # rejects `>>` when nested inside array(...) (it lexes as part of a
+    # generic-type-like token stream); the named function always parses
+    bs = ", ".join(
+        f"sum(CASE WHEN shiftright(h, {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+        for j in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN bs[{j}] > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(n_bits)
+    )
+    return (
+        exploded.groupBy("id")
+        .agg(F.expr(f"array({bs}) AS bs"))
+        .select("id", F.expr(sig).alias("simhash"))
+    )
 
 
 def hamming64(a, b):
@@ -1143,32 +1155,34 @@ def minhash_lsh_pairs_md5(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k)).alias("s"),
     ).withColumn("h", md5_hash31(F.col("s")))
-    mins = sets.groupBy("id").agg(
-        *[
-            F.min(
-                (F.lit(MD5_MINHASH_A[i]) * F.col("h") + F.lit(MD5_MINHASH_B[i]))
-                % F.lit(_P31)
-            ).alias(f"m{i}")
+    # the 128 permuted-min aggregates and the 32 band keys are built as
+    # SQL text parsed JVM-side in ONE expr each: the previous
+    # Column-arithmetic form issued ~5 py4j round-trips per term
+    # (~1000 driver calls) and spent ~3 s of driver time constructing
+    # the plan for a 0.8 s execution.  Integer algebra is unchanged —
+    # same constants, same mod-p chain, bit-identical output.
+    sig_sql = "array({}) AS sig".format(
+        ", ".join(
+            f"min(({MD5_MINHASH_A[i]}L * h + {MD5_MINHASH_B[i]}L) % {_P31}L)"
             for i in range(n_hashes)
-        ]
+        )
     )
-    sig = mins.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
-    ).localCheckpoint(eager=True)  # sig feeds banding + both verify sides
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[i].cast("string")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
+    sig = (
+        sets.groupBy("id")
+        .agg(F.expr(sig_sql))
+        .localCheckpoint(eager=True)  # sig feeds banding + both verify sides
+    )
+    band_sql = ", ".join(
+        "md5(concat_ws(',', {}))".format(
+            ", ".join(
+                f"cast(sig[{i}] as string)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
             )
         )
         for b in range(bands)
-    ]
+    )
     banded = sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+        "id", F.expr(f"posexplode(array({band_sql})) AS (band, bucket)")
     )
     buckets = (
         banded.groupBy("band", "bucket")
@@ -1229,22 +1243,7 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
         .withColumn("h", md5_hash60(F.col("w")))
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
-    agg = exploded.groupBy("id").agg(*bit_sums)
-    sig = None
-    for j in range(n_bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return agg.select("id", sig.alias("simhash"))
+    return _simhash_agg(exploded, n_bits)
 
 
 def simhash_pairs_md5(

@@ -42,7 +42,13 @@ def connected_components(
     diameter fits in an int).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the symmetrized edge list ONCE: `sym` joins into every
+    # propagation round, so without a barrier the caller's whole edge
+    # lineage (e.g. er_name_clusters' q-gram fuzzy join) re-executes per
+    # round — measured as the dominant cost of the ER pipeline at sf0.1
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     # label_0 = min(node, min neighbor) — exactly what the first
     # neighbor-propagation round would compute from identity labels, so
     # seeding it here saves one full loop round (join + agg + checkpoint)

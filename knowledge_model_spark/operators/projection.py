@@ -45,21 +45,32 @@ def jl_sign_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
     return [[jl_sign(d, j) for d in range(in_dim)] for j in range(out_dim)]
 
 
-def _proj_col(vec: Column, signs: list[int], scale: float) -> Column:
+def _proj_expr(vec_col: str, signs: list[int], scale: float) -> Column:
     """Explicit left-to-right sign-combination of vector elements.
 
     Built as ((v0*s0 + v1*s1) + v2*s2) + ... so the fold order is the
     textual order in BOTH engines — a tree or reordered sum would give
-    a different last ulp.  getItem is 0-based here; the SQL twin uses
-    1-based indexing (DuckDB arrays).
+    a different last ulp.  Spark SQL indexing is 0-based; the SQL twin
+    uses 1-based indexing (DuckDB arrays).
+
+    The whole chain is ONE ``F.expr`` string parsed JVM-side: the
+    previous Column-arithmetic form issued ~3 py4j round-trips per term
+    (getItem, negate, add — ~1500 calls for a 64×8 projection) and
+    spent 3-4 s of DRIVER time building the plan before a 0.4 s
+    execution.  SQL ``+``/``-`` are left-associative and ``a - b`` is
+    IEEE-identical to ``a + (-b)``, so the parsed tree folds in exactly
+    the same order as the old chain (bit-identity gated in
+    tests/test_projection.py).
     """
-    acc: Column | None = None
+    parts = []
     for d, s in enumerate(signs):
-        term = vec.getItem(d).cast("double")
-        term = term if s > 0 else -term
-        acc = term if acc is None else acc + term
-    assert acc is not None
-    return acc * F.lit(scale)
+        term = f"CAST({vec_col}[{d}] AS DOUBLE)"
+        if not parts:
+            parts.append(term if s > 0 else f"(- {term})")
+        else:
+            parts.append(f"{'+' if s > 0 else '-'} {term}")
+    chain = " ".join(parts)
+    return F.expr(f"({chain}) * {scale!r}D")
 
 
 MAX_CODEGEN_TERMS = 4096  # add-chain terms before Janino method limits loom
@@ -94,9 +105,9 @@ def jl_project(
         return _jl_project_pandas(df, vec_col, in_dim, out_dim, prefix)
     signs = jl_sign_matrix(in_dim, out_dim)
     scale = 1.0 / math.sqrt(out_dim)
-    vec = F.col(vec_col)
     cols = [
-        _proj_col(vec, signs[j], scale).alias(f"{prefix}{j}") for j in range(out_dim)
+        _proj_expr(vec_col, signs[j], scale).alias(f"{prefix}{j}")
+        for j in range(out_dim)
     ]
     return df.select("*", *cols)
 

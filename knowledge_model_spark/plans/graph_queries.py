@@ -146,6 +146,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).cast("long").alias("src"),
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
+        # both union branches consume the orders⋈lineitem join — the
+        # graph_assortativity_trade barrier (one scan, not two)
+        .localCheckpoint(eager=False)
     )
     # no pre-distinct here: pagerank() dedups its edge input once — a
     # distinct on each side of the union would add two more full
@@ -471,6 +474,9 @@ def graph_ppr_customer_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).cast("long").alias("src"),
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
+        # both union branches consume the orders⋈lineitem join — the
+        # graph_assortativity_trade barrier (one scan, not two)
+        .localCheckpoint(eager=False)
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
