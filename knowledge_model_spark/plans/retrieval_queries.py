@@ -1114,6 +1114,63 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLEU_MAX_N = 4
 
 
+def _pair_clipped_counts(grams: DataFrame, max_n: int) -> DataFrame:
+    """(cand_id, c1..c<max_n>) clipped shared-gram counts per dup-chain
+    pair, from an exploded (doc_id, n, h) gram stream — the shared core
+    of eval_bleu_components and eval_chrf (r9 routed one-pass shape).
+
+    The pair relation is positional (ref_id = cand_id + 1 on the
+    dup-chain fixture, candidates = doc_id%10<4), so each gram row
+    ROUTES to its pair key(s) — cand side as itself, ref side keyed
+    doc_id−1 when doc_id%10∈1..4 — and ONE groupBy (pair, n, h) emits
+    min(count_cand, count_ref), the clipped count, with map-side
+    combine.  A second tiny groupBy pivots per-order sums to columns.
+    A pair key appears whenever EITHER side contributed gram rows
+    (one-sided grams clip to 0; an order with no routed rows at all is
+    NULL) — callers left-join and coalesce to 0, so both forms read as
+    zero; a cand row routed for a nonexistent ref doc is dropped by
+    the caller's pairs join.  Unit-tested against a Python Counter
+    reference on planted edge cases (empty docs, one-sided grams,
+    count asymmetries) in tests/test_plan_shapes.py.
+    """
+    d = F.col("doc_id")
+    routes = F.filter(
+        F.array(
+            F.struct(
+                d.alias("cand_id"),
+                F.lit(1).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("r"),
+                (d % 10 < 4).alias("v"),
+            ),
+            F.struct(
+                (d - 1).alias("cand_id"),
+                F.lit(0).cast("long").alias("c"),
+                F.lit(1).cast("long").alias("r"),
+                ((d % 10 >= 1) & (d % 10 <= 4)).alias("v"),
+            ),
+        ),
+        lambda x: x["v"],
+    )
+    routed = grams.select(F.explode(routes).alias("rt"), "n", "h").select(
+        F.col("rt.cand_id").alias("cand_id"),
+        "n",
+        "h",
+        F.col("rt.c").alias("c"),
+        F.col("rt.r").alias("r"),
+    )
+    pairclip = routed.groupBy("cand_id", "n", "h").agg(
+        F.least(F.sum("c"), F.sum("r")).alias("m")
+    )
+    return pairclip.groupBy("cand_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("m")))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(1, max_n + 1)
+        ]
+    )
+
+
 @register(
     "eval_bleu_components",
     f"""
@@ -1234,42 +1291,7 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select("doc_id", F.explode(gram_structs).alias("g")).select(
         "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
     )
-    d = F.col("doc_id")
-    routes = F.filter(
-        F.array(
-            F.struct(
-                d.alias("cand_id"),
-                F.lit(1).cast("long").alias("c"),
-                F.lit(0).cast("long").alias("r"),
-                (d % 10 < 4).alias("v"),
-            ),
-            F.struct(
-                (d - 1).alias("cand_id"),
-                F.lit(0).cast("long").alias("c"),
-                F.lit(1).cast("long").alias("r"),
-                ((d % 10 >= 1) & (d % 10 <= 4)).alias("v"),
-            ),
-        ),
-        lambda x: x["v"],
-    )
-    routed = grams.select(F.explode(routes).alias("rt"), "n", "h").select(
-        F.col("rt.cand_id").alias("cand_id"),
-        "n",
-        "h",
-        F.col("rt.c").alias("c"),
-        F.col("rt.r").alias("r"),
-    )
-    pairclip = routed.groupBy("cand_id", "n", "h").agg(
-        F.least(F.sum("c"), F.sum("r")).alias("m")
-    )
-    clipw = pairclip.groupBy("cand_id").agg(
-        *[
-            F.sum(F.when(F.col("n") == i, F.col("m")))
-            .cast("long")
-            .alias(f"c{i}")
-            for i in range(1, BLEU_MAX_N + 1)
-        ]
-    )
+    clipw = _pair_clipped_counts(grams, BLEU_MAX_N)
     pairs = (
         docs.filter(F.col("doc_id") % 10 < 4)
         .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))
@@ -1540,42 +1562,7 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = chars.select("doc_id", F.explode(gram_structs).alias("g")).select(
         "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
     )
-    d = F.col("doc_id")
-    routes = F.filter(
-        F.array(
-            F.struct(
-                d.alias("cand_id"),
-                F.lit(1).cast("long").alias("c"),
-                F.lit(0).cast("long").alias("r"),
-                (d % 10 < 4).alias("v"),
-            ),
-            F.struct(
-                (d - 1).alias("cand_id"),
-                F.lit(0).cast("long").alias("c"),
-                F.lit(1).cast("long").alias("r"),
-                ((d % 10 >= 1) & (d % 10 <= 4)).alias("v"),
-            ),
-        ),
-        lambda x: x["v"],
-    )
-    routed = grams.select(F.explode(routes).alias("t"), "n", "h").select(
-        F.col("t.cand_id").alias("cand_id"),
-        "n",
-        "h",
-        F.col("t.c").alias("c"),
-        F.col("t.r").alias("r"),
-    )
-    pairclip = routed.groupBy("cand_id", "n", "h").agg(
-        F.least(F.sum("c"), F.sum("r")).alias("m")
-    )
-    clipw = pairclip.groupBy("cand_id").agg(
-        *[
-            F.sum(F.when(F.col("n") == i, F.col("m")))
-            .cast("long")
-            .alias(f"c{i}")
-            for i in range(1, CHRF_MAX_N + 1)
-        ]
-    )
+    clipw = _pair_clipped_counts(grams, CHRF_MAX_N)
     pairs = (
         docs.filter(F.col("doc_id") % 10 < 4)
         .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") + 1).alias("ref_id"))

@@ -979,6 +979,75 @@ def test_eval_bleu_components_matches_python(spark):
             assert 0.0 <= r[f"p{n}"] <= 1.0
 
 
+def test_pair_clipped_counts_edge_cases(spark):
+    """_pair_clipped_counts (r9, the routed one-pass clip core shared by
+    eval_bleu_components / eval_chrf): planted gram streams with empty
+    docs, one-sided grams, and count asymmetries match a Counter
+    reference pair-for-pair.  Covers exactly the cases the sf fixtures
+    may not contain (a pair whose cand or ref contributes no grams, and
+    clipping where the REF side has the higher multiplicity)."""
+    from collections import Counter
+
+    from knowledge_model_spark.plans.retrieval_queries import (
+        _pair_clipped_counts,
+    )
+
+    # (doc_id, n, h): docs 0-3 are candidates (%10<4); refs are doc+1.
+    # doc 0: grams {7:2, 8:1} at n=1 | doc 1 (ref of 0): {7:1, 9:5}
+    #   -> pair 0 clipped(n=1) = min(2,1) = 1
+    # doc 1 is ALSO cand (%10<4); doc 2 (ref of 1): {9:2}
+    #   -> pair 1 clipped = min(5,2) = 2
+    # doc 2 cand; doc 3 ref: NO gram rows (empty doc) -> pair 2 absent
+    # doc 3 cand; doc 4 ref: {11:3} vs {11:4} -> clipped = 3 (ref higher)
+    # n=2 order: only pair 0 shares gram 20 (1 vs 1) -> c2 = 1
+    rows = [
+        (0, 1, 7), (0, 1, 7), (0, 1, 8),
+        (1, 1, 7), (1, 1, 9), (1, 1, 9), (1, 1, 9), (1, 1, 9), (1, 1, 9),
+        (2, 1, 9), (2, 1, 9),
+        (3, 1, 11), (3, 1, 11), (3, 1, 11),
+        (4, 1, 11), (4, 1, 11), (4, 1, 11), (4, 1, 11),
+        (0, 2, 20), (1, 2, 20),
+    ]
+    grams = spark.createDataFrame(rows, "doc_id long, n int, h long")
+    got = {
+        r["cand_id"]: (r["c1"], r["c2"])
+        for r in _pair_clipped_counts(grams, 2).collect()
+    }
+
+    # python reference: clip per (pair, n) with Counters.  Semantics:
+    # a pair key appears iff EITHER side routed gram rows for ANY
+    # order; per order, one-sided grams clip to 0 while an order with
+    # no routed rows at all is NULL (both coalesce to 0 downstream).
+    by_doc: dict = {}
+    for d, n, h in rows:
+        by_doc.setdefault((d, n), Counter())[h] += 1
+    expect = {}
+    for cand in (0, 1, 2, 3):
+        cs = []
+        present = False
+        for n in (1, 2):
+            cg = by_doc.get((cand, n), Counter())
+            rg = by_doc.get((cand + 1, n), Counter())
+            if not cg and not rg:
+                cs.append(None)
+                continue
+            present = True
+            cs.append(sum(min(c, rg[g]) for g, c in cg.items()))
+        if present:
+            expect[cand] = tuple(cs)
+    assert set(got) == set(expect)
+    for cand, want in expect.items():
+        assert got[cand] == want, (cand, got[cand], want)
+    # the planted values themselves, so the reference can't drift:
+    # pair 0 shares gram 7 once and gram 20 once; pair 1 clips 5 ref-9s
+    # to 2 and has a one-sided n=2 gram (0); pair 2 has disjoint grams
+    # both sides (0); pair 3 clips cand's three 11s against ref's four
+    assert got[0] == (1, 1)
+    assert got[1] == (2, 0)
+    assert got[2] == (0, None)
+    assert got[3] == (3, None)
+
+
 def test_eval_rouge_l_matches_python(spark):
     """eval_rouge_l (r8): the vectorized rolling-row LCS equals a
     textbook O(mn) python DP for every pair, determinism holds, and
