@@ -806,11 +806,20 @@ def eval_ann_recall_vs_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq_md5", lambda: ivfpq_top_k(
             t["embeddings"], q, n_iter=0, seed_unique_residuals=True, **kw)),
     )
+    # construct the four twin pipelines on threads, exactly like the
+    # fast-path gate: their seed/codebook collects are independent
+    # eager jobs (~3 s serial) that SparkSession accepts concurrently
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
+        approxes = list(
+            pool.map(lambda m: (m[0], m[1]()), methods)
+        )
     denom = F.lit(float(N_QUERIES * K))
     out = []
-    for method, fn in methods:
+    for method, approx in approxes:
         hit = exact.join(
-            fn().select("query_id", "vec_id"), ["query_id", "vec_id"],
+            approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
             "left_semi",
         )
         out.append(
