@@ -64,6 +64,11 @@ def dsir_importance(
             F.count("*").alias("c_raw"),
             F.sum("__is_tgt").alias("c_tgt"),
         )
+        # three consumers (the tot collect + the contrib join) — and
+        # without the barrier the tot collect's job would build the
+        # vocab table, discard it, and let the main job rebuild it;
+        # the known (tiny) size also lets AQE broadcast the join
+        .localCheckpoint(eager=True)
     )
     tot = stats.agg(
         F.count("*").alias("v"),
@@ -136,7 +141,11 @@ def unigram_log_ppl(
             )
         ).alias("term"),
     )
-    stats = terms.groupBy("term").agg(F.count("*").alias("c"))
+    stats = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = stats.agg(
         F.count("*").alias("v"), F.sum("c").alias("tot")
     ).collect()[0]

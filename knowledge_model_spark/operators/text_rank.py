@@ -97,7 +97,14 @@ def bm25_rank(
         F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
         for i, t in enumerate(query_terms)
     ]
-    perdoc = terms.groupBy("id").agg(F.count("*").alias("dl"), *tf_cols)
+    # two consumers (the scalar stats collect + the final scoring scan)
+    # — materialize the per-doc tf table once, or the tokenize+groupBy
+    # runs in the collect job and again in the main job
+    perdoc = (
+        terms.groupBy("id")
+        .agg(F.count("*").alias("dl"), *tf_cols)
+        .localCheckpoint(eager=True)
+    )
 
     stats = perdoc.agg(
         F.count("*").alias("n"),
@@ -171,8 +178,10 @@ def token_drift(
             F.count("*").alias("cnt")
         )
 
-    co = counts(old)
-    cn = counts(new)
+    # each side feeds its total collect AND the outer join — vocab-size
+    # tables, so one eager materialization apiece beats re-tokenizing
+    co = counts(old).localCheckpoint(eager=True)
+    cn = counts(new).localCheckpoint(eager=True)
     tot_o = co.agg(F.sum("cnt")).collect()[0][0] or 0  # driver scalar
     tot_n = cn.agg(F.sum("cnt")).collect()[0][0] or 0
     joined = (
