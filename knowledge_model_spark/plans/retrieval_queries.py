@@ -1114,6 +1114,82 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLEU_MAX_N = 4
 
 
+def _word_gram_structs(max_n: int):
+    """(n, md5-int64 gram hash) structs for word n-grams of column `t`
+    (array<string>), all orders 1..max_n in one nested transform.
+
+    Short-doc guard (r9 ADVICE): when size(t) < n, sequence(1,
+    greatest(size-n+1, 0)) is the DESCENDING [1, 0] (Spark's default
+    step is -1 when start > stop) and slice(t, 0, n) throws
+    INVALID_PARAMETER_VALUE.START — so orders longer than the doc
+    contribute an explicitly-typed empty array instead.
+    """
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            lambda n: F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - n + 1),
+                    lambda i: F.struct(
+                        n.cast("int").alias("n"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(" ", F.slice(F.col("t"), i, n))
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,h:bigint>>")),
+        )
+    )
+
+
+def _char_gram_structs(max_n: int):
+    """(n, md5-int64 gram hash) structs for char n-grams of column `s`
+    (string), all orders 1..max_n in one nested transform.
+
+    Short-doc guard (r9 ADVICE): sequence(1, greatest(len-n+1, 0))
+    yields the DESCENDING [1, 0] when len(s) < n, and substr tolerates
+    position 0 — so each too-long order silently emitted TWO phantom
+    gram rows (the whole remaining string at i=1 and i=0) instead of
+    none.  Provably value-neutral for chrp/chrr (the matching
+    denominators are 0) but the clipped counts were wrong; guard so
+    short docs contribute an empty gram array.
+    """
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            lambda n: F.when(
+                F.length("s") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - n + 1),
+                    lambda i: F.struct(
+                        n.cast("int").alias("n"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.col("s").substr(i, n)), 1, 15
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,h:bigint>>")),
+        )
+    )
+
+
 def _pair_clipped_counts(grams: DataFrame, max_n: int) -> DataFrame:
     """(cand_id, c1..c<max_n>) clipped shared-gram counts per dup-chain
     pair, from an exploded (doc_id, n, h) gram stream — the shared core
@@ -1264,30 +1340,7 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to its pair key(s) and ONE md5-int64-keyed groupBy computes the
     # clipped counts — no per-doc count table, no checkpoint, no clip
     # self-join.  md5 keys move in lockstep with the oracle's.
-    gram_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(BLEU_MAX_N)),
-            lambda n: F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("t") - n + 1, F.lit(0))
-                ),
-                lambda i: F.struct(
-                    n.cast("int").alias("n"),
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .alias("h"),
-                ),
-            ),
-        )
-    )
+    gram_structs = _word_gram_structs(BLEU_MAX_N)
     grams = toks.select("doc_id", F.explode(gram_structs).alias("g")).select(
         "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
     )
@@ -1539,26 +1592,7 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every (n, gram-hash) from ONE nested transform over s — no
     # crossJoin against an n-grid, so s is never duplicated 6×
-    gram_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(CHRF_MAX_N)),
-            lambda n: F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("s") - n + 1, F.lit(0))
-                ),
-                lambda i: F.struct(
-                    n.cast("int").alias("n"),
-                    F.conv(
-                        F.substring(F.md5(F.col("s").substr(i, n)), 1, 15),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .alias("h"),
-                ),
-            ),
-        )
-    )
+    gram_structs = _char_gram_structs(CHRF_MAX_N)
     grams = chars.select("doc_id", F.explode(gram_structs).alias("g")).select(
         "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
     )

@@ -1048,6 +1048,68 @@ def test_pair_clipped_counts_edge_cases(spark):
     assert got[3] == (3, None)
 
 
+def test_gram_structs_short_doc_guard(spark):
+    """_word_gram_structs / _char_gram_structs (r9 ADVICE regression):
+    docs shorter than an order n must contribute ZERO grams at that
+    order — the unguarded sequence(1, greatest(len-n+1, 0)) produced
+    the descending [1, 0], which crashed slice (BLEU, word grams) and
+    silently emitted two phantom grams per short doc per order (chrF,
+    substr tolerates position 0).  Planted: an empty doc, a 1-token /
+    1-char doc, a 2-token / 3-char doc, and a long doc as control —
+    gram counts per order must equal max(len - n + 1, 0) exactly."""
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.plans.retrieval_queries import (
+        _char_gram_structs,
+        _word_gram_structs,
+    )
+
+    words = spark.createDataFrame(
+        [(0, []), (1, ["ab"]), (2, ["ab", "cd"]),
+         (3, ["ab", "cd", "ef", "gh", "ij"])],
+        "doc_id long, t array<string>",
+    )
+    got = {
+        (r["doc_id"], r["n"]): r["cnt"]
+        for r in words.select(
+            "doc_id", F.explode(_word_gram_structs(4)).alias("g")
+        )
+        .groupBy("doc_id", F.col("g.n").alias("n"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    lens = {0: 0, 1: 1, 2: 2, 3: 5}
+    want = {
+        (d, n): L - n + 1
+        for d, L in lens.items()
+        for n in range(1, 5)
+        if L - n + 1 > 0
+    }
+    assert got == want
+
+    chars = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "abc"), (3, "abcdefgh")],
+        "doc_id long, s string",
+    )
+    got_c = {
+        (r["doc_id"], r["n"]): r["cnt"]
+        for r in chars.select(
+            "doc_id", F.explode(_char_gram_structs(6)).alias("g")
+        )
+        .groupBy("doc_id", F.col("g.n").alias("n"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    lens_c = {0: 0, 1: 1, 2: 3, 3: 8}
+    want_c = {
+        (d, n): L - n + 1
+        for d, L in lens_c.items()
+        for n in range(1, 7)
+        if L - n + 1 > 0
+    }
+    assert got_c == want_c
+
+
 def test_eval_rouge_l_matches_python(spark):
     """eval_rouge_l (r8): the vectorized rolling-row LCS equals a
     textbook O(mn) python DP for every pair, determinism holds, and
