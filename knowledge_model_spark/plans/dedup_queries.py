@@ -871,3 +871,60 @@ def dedup_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("dup_chars", F.lit(0)) * 1.0 / F.length("text")
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "dedup_levenshtein_names",
+    """
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS support,
+             split_part(p_name, ' ', 2) AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.support AS support_a, b.support AS support_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="blocked edit-distance fuzzy matching over the distinct "
+    "product-name vocabulary: candidate pairs share a blocking key "
+    "(the head noun, i.e. the name's second token) and survive at "
+    "Levenshtein ≤ 4 — the classic entity-resolution recipe "
+    "(distinct-first + blocking) that never goes all-pairs.  Scale "
+    "shape: the DISTINCT name table is the compressed entity "
+    "vocabulary (≪ corpus — frequency rides along as support), the "
+    "self-join is an equi-join on the block key so candidates are "
+    "bounded per block, and levenshtein runs JVM-side "
+    "(pyspark.sql.functions.levenshtein) on the surviving candidates "
+    "only.  Both engines implement classic Wagner–Fischer so the "
+    "distances are integer-identical",
+)
+def dedup_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    names = (
+        t["part"]
+        .groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("support"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("support").alias("support_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("support").alias("support_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist", "support_a", "support_b")
+    )

@@ -1868,3 +1868,248 @@ def events_rfm_scores_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register(
+    "events_acf_hourly",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l.lag_h, a.n AS x, b.n AS y
+      FROM hourly a
+      CROSS JOIN (VALUES (1),(2),(3),(6),(12),(24)) l(lag_h)
+      JOIN hourly b ON b.h = a.h + l.lag_h * 3600
+    ),
+    sums AS (
+      SELECT lag_h, CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM lagged GROUP BY lag_h
+    )
+    SELECT lag_h, np AS n_pairs,
+           (np * sxy - sx * sy)
+             / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                    * CAST(np * syy - sy * sy AS DOUBLE)) AS acf
+    FROM sums
+    """,
+    doc="autocorrelation of the hourly event-count series at lags 1, 2, "
+    "3, 6, 12, 24 h — the seasonality probe a pipeline runs before "
+    "picking rollup windows (a 24 h peak means daily periodicity). "
+    "Pearson r per lag from EXACT integer sums (counts are longs, so "
+    "Σx, Σx², Σxy are integer-exact and engine-identical); the only "
+    "float ops are one sqrt (IEEE correctly rounded on both engines) "
+    "and one division — no rounding needed.  Scale shape: the corpus "
+    "collapses to the hourly rollup FIRST (map-side combined groupBy; "
+    "output rows bounded by the time span, not the event count), the "
+    "lag alignment is an equi-join on the bucket key of that tiny "
+    "table, and the per-lag reduction is a 6-group aggregate — the "
+    "only corpus-sized pass is the initial rollup scan",
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.unix_timestamp(
+                F.date_trunc("hour", F.col("ts"))
+            ).alias("h")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 3, 6, 12, 24)])).alias(
+            "lag_h"
+        )
+    )
+    a = hourly.select(F.col("h"), F.col("n").alias("x"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("n").alias("y"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("lag_h") * 3600)
+    )
+    sums = lagged.groupBy("lag_h").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return sums.select(
+        "lag_h",
+        F.col("np").alias("n_pairs"),
+        (
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("acf"),
+    )
+
+
+@register(
+    "events_streak_longest",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             min(d) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    ),
+    ranked AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn,
+             max(len) OVER (PARTITION BY user_id) AS longest,
+             sum(len) OVER (PARTITION BY user_id) AS total_days
+      FROM streaks
+    )
+    SELECT user_id,
+           CAST(longest AS BIGINT) AS longest_streak,
+           CAST(streak_start AS VARCHAR) AS streak_start,
+           CAST(total_days AS BIGINT) AS active_days
+    FROM ranked WHERE rn = 1
+    """,
+    doc="longest run of consecutive active days per user "
+    "(gaps-and-islands): distinct (user, day) grid, island key = day "
+    "minus the per-user day ordinal (constant within a consecutive "
+    "run), then max run length with the earliest start as tiebreak — "
+    "the engagement-streak feature of a user-activity mart.  All "
+    "values are exact dates/longs.  Scale shape: the distinct-day "
+    "grid collapses the event stream first (bounded by users × days, "
+    "not event count); the ordinal window partitions BY USER (no "
+    "global window), and both follow-up aggregates reuse the same "
+    "user-keyed shuffle",
+)
+def events_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    days = (
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    # single grouped aggregate, no second window: the argmax streak is
+    # max(struct(len, -epoch_day(start))) — longest first, earliest
+    # start breaking ties
+    best = streaks.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("len"),
+                (-F.unix_date(F.col("streak_start"))).alias("neg_start"),
+            )
+        ).alias("b"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.len").alias("longest_streak"),
+        F.date_from_unix_date(-F.col("b.neg_start"))
+        .cast("string")
+        .alias("streak_start"),
+        "active_days",
+    )
+
+
+@register(
+    "events_user_overlap_jaccard",
+    """
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS both_users
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(sa.n AS BIGINT) AS users_a,
+           CAST(sb.n AS BIGINT) AS users_b,
+           CAST(i.both_users AS BIGINT) AS both_users,
+           i.both_users / CAST(sa.n + sb.n - i.both_users AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc="audience overlap between event types: Jaccard similarity of "
+    "the distinct-user sets per type pair — the cohort-overlap matrix "
+    "behind cross-feature attribution.  Exact integer set sizes, one "
+    "final division.  Scale shape: distinct-first (the (type, user) "
+    "grid is bounded by users × types, collapsed map-side from the "
+    "event stream); the pair generation joins ON user_id so each user "
+    "contributes at most C(T,2) rows for T = #types (a small "
+    "constant), never a cross product; type-level sizes broadcast "
+    "back onto the pair table",
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ut = t["events"].select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("both_users"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("users_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("users_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("users_a").cast("long").alias("users_a"),
+            F.col("users_b").cast("long").alias("users_b"),
+            F.col("both_users").cast("long").alias("both_users"),
+            (
+                F.col("both_users")
+                / (
+                    F.col("users_a") + F.col("users_b") - F.col("both_users")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

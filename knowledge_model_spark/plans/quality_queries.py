@@ -2294,3 +2294,264 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((conc - disc) / F.sqrt((n0 - n1) * (n0 - n2)), 6).alias("tau_b"),
     )
+
+
+@register(
+    "stats_linear_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM daily
+    )
+    SELECT n AS n_days,
+           (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (sy - (n * sxy - sx * sy)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM sums
+    """,
+    doc="ordinary-least-squares trend of the daily event-count series "
+    "(volume drift detection for an ingest monitor): slope / intercept "
+    "/ r² from the closed-form normal equations over EXACT integer "
+    "moment sums (x = epoch day, y = count — Σx, Σx², Σxy all "
+    "integer-exact and engine-identical; the only float ops are final "
+    "divisions of identical longs, so no rounding is needed).  Scale "
+    "shape: the corpus collapses to the daily rollup first (map-side "
+    "combined groupBy bounded by the time span), then ONE tiny "
+    "moment aggregate — the same two-pass-free recipe as "
+    "events_acf_hourly",
+)
+def stats_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.unix_date(F.to_date("ts")).cast("long").alias("x"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    s = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double")).alias(
+            "intercept"
+        ),
+        (
+            (num * num).cast("double")
+            / (
+                den
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("r2"),
+    )
+
+
+@register(
+    "stats_benford_digits",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders
+    ),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           n / CAST(total AS DOUBLE) AS share,
+           round(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford_p
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit of order totals — the "
+    "fabricated-data / unit-mixup screen a financial ingest runs: "
+    "observed first-significant-digit distribution vs the Benford "
+    "expectation log10(1+1/d).  The digit comes from floor() + "
+    "integer-string prefix (NEVER a double→int cast, which truncates "
+    "on Spark but rounds on DuckDB); shares are one exact division; "
+    "the only transcendental is log10 of the nine digit literals, "
+    "rounded to 6 dp to absorb any cross-libm ulp.  One map-side "
+    "combined groupBy over the scan; 9 output rows",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["orders"]
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("total").cast("double")).alias("share"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long")), 6
+        ).alias("benford_p"),
+    )
+
+
+@register(
+    "stats_theil_between",
+    """
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+             CAST(sum(chars) AS BIGINT) AS ch
+      FROM g
+    )
+    SELECT source, n_docs, chars,
+           chars / CAST(ch AS DOUBLE) AS chars_share,
+           n_docs / CAST(nd AS DOUBLE) AS docs_share,
+           round((chars / CAST(ch AS DOUBLE))
+                 * ln((chars / CAST(ch AS DOUBLE))
+                      / (n_docs / CAST(nd AS DOUBLE))), 6) AS theil_contrib
+    FROM g CROSS JOIN tot
+    """,
+    doc="between-group Theil T decomposition of character mass across "
+    "sources: contrib_g = s_g·ln(s_g/p_g) where s_g is the source's "
+    "share of characters and p_g its share of documents — positive "
+    "when a source's docs are longer than average; Σ contribs = the "
+    "between-source inequality index a corpus-mix report tracks.  "
+    "Shares are exact divisions of exact longs; ln is the only "
+    "transcendental, rounded to 6 dp (the logppl precedent).  Scale "
+    "shape: one map-side combined groupBy to the source grain "
+    "(≤ thousands of rows at any corpus size), totals broadcast back",
+)
+def stats_theil_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    g = t["documents"].groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.sum("chars").cast("long").alias("ch"),
+    )
+    cs = F.col("chars") / F.col("ch").cast("double")
+    ds = F.col("n_docs") / F.col("nd").cast("double")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        cs.alias("chars_share"),
+        ds.alias("docs_share"),
+        F.round(cs * F.log(cs / ds), 6).alias("theil_contrib"),
+    )
+
+
+@register(
+    "quality_herfindahl_index",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM c GROUP BY lang)
+    SELECT c.lang, l.nl AS n_docs, l.n_sources,
+           sum((c.n / CAST(l.nl AS DOUBLE)) * (c.n / CAST(l.nl AS DOUBLE))
+               ORDER BY c.source) AS hhi
+    FROM c JOIN l ON l.lang = c.lang
+    GROUP BY c.lang, l.nl, l.n_sources
+    """,
+    doc="Herfindahl–Hirschman concentration of sources within each "
+    "language — the diversity check behind 'is this lang slice all "
+    "one crawl?' (HHI 1/n_sources = uniform, 1.0 = single source).  "
+    "Each share is one exact division; squares and the per-lang sum "
+    "fold in sorted source order on BOTH engines (F.aggregate over "
+    "array_sort vs sum(... ORDER BY source)) so float addition order "
+    "is fixed — no rounding needed.  Scale shape: one groupBy to the "
+    "(lang, source) grain, then a per-lang fold over its ≤|sources| "
+    "cells; both reuse the lang-keyed shuffle",
+)
+def quality_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["documents"].groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_lang = c.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.array_sort(F.collect_list(F.struct("source", "n"))).alias("cells"),
+    )
+    share = lambda x: x["n"] / F.col("n_docs").cast("double")  # noqa: E731
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.aggregate(
+            F.col("cells"),
+            F.lit(0.0),
+            lambda acc, x: acc + share(x) * share(x),
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "sample_systematic_thin",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents) WHERE rn % 10 = 1
+    """,
+    doc="systematic 1-in-10 thinning, stratified by language: rank each "
+    "stratum by md5-of-key (content-addressed, so membership is stable "
+    "across runs / partitionings / corpus growth within a stratum "
+    "snapshot) and keep every 10th — the cheap corpus downsample that "
+    "preserves stratum proportions exactly (vs Bernoulli sampling's "
+    "binomial noise).  One row_number window partitioned BY LANG (no "
+    "global window); the md5 priority is the same literal chain on "
+    "both engines",
+)
+def sample_systematic_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+    )

@@ -275,3 +275,39 @@ def sql_scalar_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "sql_qualify_topk",
+    """
+    SELECT n_name, s_name, s_acctbal
+    FROM (SELECT n.n_name, s.s_name, s.s_acctbal, s.s_suppkey
+          FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    QUALIFY row_number() OVER (PARTITION BY n_name
+                               ORDER BY s_acctbal DESC, s_suppkey) <= 2
+    """,
+    doc="top-2 suppliers by account balance per nation — the QUALIFY "
+    "surface row (DuckDB/BigQuery/Snowflake syntax; Spark expresses "
+    "the same plan as window + filter, which Catalyst collapses to "
+    "one ranked shuffle on the partition key with the rank predicate "
+    "pushed into the window operator as a TopK-per-group limit).  "
+    "Deterministic tiebreak on s_suppkey; the nation dim broadcasts",
+)
+def sql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    joined = t["supplier"].join(
+        F.broadcast(t["nation"]),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        joined.select(
+            "n_name", "s_name", "s_acctbal", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .select("n_name", "s_name", "s_acctbal")
+    )
