@@ -27,100 +27,52 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Iteration-order priority for the driver's correctness gate.  The
 # driver samples the FIRST ~50 registry entries, so ordering is the
 # lever that decides which queries get a driver row each round.
-# Round-9 policy (r8 verdict items 2 and 7, regenerated from
-# CORRECTNESS_r01-r08): the round's focus is retiring the
-# certification-freshness backlog (71 oracled queries whose newest
-# green driver row was r4 or older entering r9), so the window is
-# (a) the queries whose code or oracle CHANGED this round and whose
-# existing rows therefore no longer certify current code —
-# events_rfm_scores (oracle HUGEINT->BIGINT fix; also the registry's
-# only never-green row), eval_chrf and eval_bleu_components (routed
-# one-pass clip rework, oracles updated in lockstep) — plus the two
-# rows-only queries the r8 verdict item 7 asked to re-drive because
-# the r8 ADVICE fixes touched their decode paths and ONLY they
-# exercise the ccitt rows=None RTC branch (multimodal_pdf_images,
-# multimodal_image_codec_matrix); then (b) 45 backlog slots,
-# oldest-certification-first (all 22 r3 rows, then the oldest r4
-# rows, alphabetical within a round for determinism).  That retires
-# 45 of the 71 -> 25 remain, matching the verdict's <=25 target;
-# ZERO new oracled queries registered this round (the throttle the
-# verdict asked for), so r10 can retire the rest.
-# join_interval_overlap_count (verdict item 7's third query) already
-# carries an r8 green row computed AFTER the shiftright fix landed,
-# so it leads the post-window block instead of consuming a backlog
-# slot; it is followed by the value-neutral plan-barrier changes
-# (graph_assortativity_trade, graph_modularity_lang,
-# quality_bigram_backoff — parity-proven identical values, r8-fresh
-# rows) and the new rows-only scale twin events_rfm_scores_kll, in
-# case the driver samples deeper than 50; then the remaining 25
-# backlog rows, the rest of the oracled registry freshness-ordered,
-# and the rows-only tail.
-# The r9 perf pass (expression-build SQL strings in jl_project /
-# minhash_md5 / simhash; the connected_components sym barrier; the
-# pagerank/PPR edge barriers) is VALUE-NEUTRAL — bit-identical
-# algebra, proven by oracle parity + determinism probes and the full
-# local parity suite — so those queries keep their existing green
-# rows and do not displace backlog slots; they sit directly after
-# the window with the other value-neutral entries.
+# Round-10 policy (r9 verdict items 1, 2 and 6, regenerated from
+# CORRECTNESS_r01-r09): the window is ORACLED-ONLY (r9 "what's wrong"
+# #1 — no rows-only entries burn slots) and is, in order:
+# (a) eval_chrf + eval_bleu_components — their r10 short-doc gram
+#     guard (the r9 ADVICE fix) touches the gram stream that feeds
+#     _pair_clipped_counts, so their r9 rows no longer certify
+#     current code (values identical on the driver fixtures, but the
+#     standing changed-code rule sorts them first);
+# (b) the 9 oracled queries whose PHYSICAL PLANS changed in the r9
+#     perf pass without getting an r9 driver row (verdict item 6):
+#     jl_project, the md5 MinHash/SimHash twins, assortativity,
+#     modularity, bigram_backoff, and the vocab-stat consumers
+#     dsir/logppl/bm25 — all parity-proven value-neutral locally,
+#     but the driver row is the hard signal;
+# (c) the ENTIRE remaining certification-freshness backlog: all 25
+#     oracled queries whose newest green row is r4 (verdict item 1's
+#     target — after this round ZERO oracled queries are ≤ r4,
+#     alphabetical for determinism);
+# (d) the 10 queries registered THIS round (capped per verdict item
+#     2; never-certified, so they take the freshest slots left):
+#     events_acf_hourly / streak_longest / user_overlap_jaccard,
+#     stats_linear_trend / benford_digits / theil_between,
+#     quality_herfindahl_index, sample_systematic_thin,
+#     dedup_levenshtein_names, sql_qualify_topk;
+# (e) 4 fill slots from the r5 cohort, alphabetical (the oldest
+#     remaining cohort, 49 queries — the r11 window inherits the
+#     other 45 so no query falls more than 5-6 rounds behind).
+# After the window: every other oracled query freshness-ordered
+# (newest-green round ascending, alphabetical within a round), then
+# the rows-only tail (the driver cannot certify those rows — r9
+# lesson — so they never precede an oracled query again).
 # Standing rule: any query whose implementation or shared-helper code
 # changed in a round in a way that can alter VALUES sorts before
 # unchanged ones; ties break oldest-certification-first.
 _GATE_PRIORITY = [
-    "events_rfm_scores",
     "eval_chrf",
     "eval_bleu_components",
-    "multimodal_pdf_images",
-    "multimodal_image_codec_matrix",
-    "quality_char_entropy",
-    "quality_classifier_calibration",
-    "quality_luhn_audit",
-    "quality_readability_fk",
-    "retrieval_hybrid_weighted",
-    "sample_quality_budget",
-    "sql_array_hof_battery",
-    "sql_star_except_projection",
-    "stats_bh_fdr",
-    "stats_ks_test",
-    "stats_mannwhitney_u",
-    "stats_permutation_test",
-    "text_explode_outer_longtoks",
-    "text_keyword_tag",
-    "text_light_stem",
-    "text_phrase_search",
-    "text_vocab_build",
-    "training_chat_render",
-    "training_length_batching",
-    "training_preference_pairs",
-    "training_span_corruption",
-    "window_cume_dist_nth",
-    "ann_range_search",
-    "corpus_health_report",
-    "corpus_overlap_matrix",
-    "decontam_report",
-    "decontam_survivors",
-    "dedup_bow_cosine",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_threshold_curve",
-    "embeddings_single_link_clusters",
-    "er_name_clusters",
-    "events_cusum_changepoint",
-    "events_rolling_1h_value",
-    "events_twap_user",
-    "graph_link_prediction_jaccard",
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "join_asof_forward_next_event",
-    "join_asof_tolerance_event_order",
-    "layout_zorder_keys",
-    "market_basket_rules",
-    "q10_returned_items",
-    "q11_important_values",
-    "join_interval_overlap_count",
+    "embeddings_jl_project",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
     "graph_assortativity_trade",
     "graph_modularity_lang",
     "quality_bigram_backoff",
-    "events_rfm_scores_kll",
+    "quality_unigram_logppl",
+    "quality_dsir_weights",
+    "text_bm25_rank",
     "q12_late_priority_counts",
     "q13_customer_distribution",
     "q14_promo_revenue_ratio",
@@ -146,6 +98,16 @@ _GATE_PRIORITY = [
     "text_bpe_tokenize",
     "text_dup_ngram_mass",
     "text_mojibake_score",
+    "events_acf_hourly",
+    "events_streak_longest",
+    "events_user_overlap_jaccard",
+    "stats_linear_trend",
+    "stats_benford_digits",
+    "stats_theil_between",
+    "quality_herfindahl_index",
+    "sample_systematic_thin",
+    "dedup_levenshtein_names",
+    "sql_qualify_topk",
     "agg_bitmap_distinct_rollup",
     "agg_cms_frequency",
     "agg_hll_region_rollup",
@@ -173,7 +135,6 @@ _GATE_PRIORITY = [
     "events_sessionize_dynamic_gap",
     "join_fuzzy_name_qgram",
     "join_hot_key_salted",
-    "quality_dsir_weights",
     "quality_gopher_rules",
     "quality_repetition_rules",
     "retrieval_hybrid_rrf",
@@ -188,7 +149,6 @@ _GATE_PRIORITY = [
     "stats_bootstrap_ci",
     "stats_proportions_ztest",
     "stats_welch_ttest",
-    "text_bm25_rank",
     "text_boilerplate_scrub",
     "text_pii_redact",
     "text_pmi_cooccurrence",
@@ -223,7 +183,6 @@ _GATE_PRIORITY = [
     "month_sequence_gap_scan",
     "quality_classifier_score",
     "quality_k_anonymity",
-    "quality_unigram_logppl",
     "retrieval_mmr_rerank",
     "sample_fixed_per_group",
     "sample_kfold_assign",
@@ -254,8 +213,6 @@ _GATE_PRIORITY = [
     "corpus_dual_variant",
     "corpus_weighted_merge",
     "dedup_first_order_per_customer",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
     "embeddings_label_centroids",
     "eval_answer_token_f1",
     "eval_recall_label_at_10",
@@ -305,7 +262,6 @@ _GATE_PRIORITY = [
     "dedup_cluster_size_histogram",
     "dedup_duplicate_substring_spans",
     "dedup_exact_groups",
-    "embeddings_jl_project",
     "eval_ann_recall_vs_exact_md5",
     "eval_pass_at_k",
     "eval_recall_at_k_sweep",
@@ -320,6 +276,7 @@ _GATE_PRIORITY = [
     "graph_kcore_decomposition",
     "graph_ppr_customer_seeds",
     "join_asof_nearest_event",
+    "join_interval_overlap_count",
     "join_null_safe_counts",
     "multimodal_frame_sample",
     "multimodal_phash_dedup",
@@ -334,34 +291,83 @@ _GATE_PRIORITY = [
     "stats_spearman_rho",
     "text_rake_keyphrases",
     "training_best_of_n",
-    "multimodal_video_pipeline",
-    "multimodal_pdf_text",
-    "multimodal_exif_extract",
-    "ann_nsw_topk",
-    "quality_ppl_buckets_kll",
-    "eval_rouge_l",
-    "embeddings_zca_whitening",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "eval_ann_recall_vs_exact",
-    "multimodal_pdf_passages",
-    "multimodal_image_resize",
+    "ann_range_search",
+    "corpus_health_report",
+    "corpus_overlap_matrix",
+    "decontam_report",
+    "decontam_survivors",
+    "dedup_bow_cosine",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_curve",
+    "embeddings_single_link_clusters",
+    "er_name_clusters",
+    "events_cusum_changepoint",
+    "events_rfm_scores",
+    "events_rolling_1h_value",
+    "events_twap_user",
+    "graph_link_prediction_jaccard",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "join_asof_forward_next_event",
+    "join_asof_tolerance_event_order",
+    "layout_zorder_keys",
+    "market_basket_rules",
+    "q10_returned_items",
+    "q11_important_values",
+    "quality_char_entropy",
+    "quality_classifier_calibration",
+    "quality_luhn_audit",
+    "quality_readability_fk",
+    "retrieval_hybrid_weighted",
+    "sample_quality_budget",
+    "sql_array_hof_battery",
+    "sql_star_except_projection",
+    "stats_bh_fdr",
+    "stats_ks_test",
+    "stats_mannwhitney_u",
+    "stats_permutation_test",
+    "text_explode_outer_longtoks",
+    "text_keyword_tag",
+    "text_light_stem",
+    "text_phrase_search",
+    "text_vocab_build",
+    "training_chat_render",
+    "training_length_batching",
+    "training_preference_pairs",
+    "training_span_corruption",
+    "window_cume_dist_nth",
     "agg_percentiles_kll",
     "agg_winsorized_mean_kll",
+    "ann_ivf_topk",
     "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_nsw_topk",
+    "ann_pq_topk",
+    "dedup_minhash_lsh",
     "dedup_semantic_pairs",
+    "dedup_simhash",
+    "embeddings_zca_whitening",
+    "eval_ann_recall_vs_exact",
     "eval_dedup_recall_vs_exact",
+    "eval_rouge_l",
     "events_funnel_latency_kll",
+    "events_rfm_scores_kll",
     "multimodal_audio_codec_matrix",
+    "multimodal_audio_features",
     "multimodal_audio_vad",
+    "multimodal_exif_extract",
+    "multimodal_image_codec_matrix",
+    "multimodal_image_features",
+    "multimodal_image_resize",
+    "multimodal_pdf_images",
+    "multimodal_pdf_passages",
+    "multimodal_pdf_text",
+    "multimodal_video_pipeline",
+    "quality_ppl_buckets_kll",
     "stats_ks_test_kll",
     "stats_mannwhitney_u_kll",
     "text_bpe_learn_merges",
-    "ann_lsh_topk",
-    "multimodal_audio_features",
-    "multimodal_image_features",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 
