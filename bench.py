@@ -340,6 +340,18 @@ HEADLINE: dict[str, bool] = {
     "stats_kendall_tau": True,
     "corpus_gini_concentration": True,
     "graph_assortativity_trade": True,
+    # new in r10: seasonality/trend/inequality stats, streaks, audience
+    # overlap, systematic thinning, blocked edit-distance ER, QUALIFY
+    "events_acf_hourly": True,
+    "events_streak_longest": True,
+    "events_user_overlap_jaccard": True,
+    "stats_linear_trend": True,
+    "stats_benford_digits": True,
+    "stats_theil_between": True,
+    "quality_herfindahl_index": True,
+    "sample_systematic_thin": True,
+    "dedup_levenshtein_names": True,
+    "sql_qualify_topk": True,
 }
 
 
@@ -369,12 +381,31 @@ def _warmup(spark) -> None:
         df.limit(1).count()
 
 
+def _calibrate(spark) -> float:
+    """Fixed-work, IO-free machine-speed probe (r9 verdict item 5):
+    xxhash64-fold over range(10^7), min of 3 — pure JVM codegen work
+    with a constant plan, so its wall time tracks the MACHINE (CPU
+    contention, thermal state, JIT health), not the engine under
+    test.  Recorded at bench start/middle/end; cross-round per-query
+    comparisons divide by the run's median calibration to cancel the
+    documented ~1.9× ambient drift (see PLANS.md)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).agg(
+            F.bit_xor(F.xxhash64("id"))
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     spark = get_spark("kms-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_registry()
     _warmup(spark)
+    calib = {"start": _calibrate(spark)}
 
     # min AND median over REPS runs per query (r5 verdict item 4):
     # single-run timings at this scale swing up to ~3× on plan/JIT/GC
@@ -390,7 +421,10 @@ def main() -> None:
     spreads: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
     total = 0.0
-    for name, force_collect in HEADLINE.items():
+    mid_at = len(HEADLINE) // 2
+    for qi, (name, force_collect) in enumerate(HEADLINE.items()):
+        if qi == mid_at:
+            calib["mid"] = _calibrate(spark)
         spec = registry.get(name)
         if spec is None:
             continue
@@ -448,12 +482,18 @@ def main() -> None:
         medians[name] = round(med, 3)
         total += times[0]
 
+    calib["end"] = _calibrate(spark)
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # machine-speed denominator (r9 verdict item 5): fixed-work
+        # IO-free probe at start/middle/end of the run — normalize
+        # cross-round per-query deltas by the runs' median calibration
+        # before calling anything a regression
+        "calibration": calib,
     }
     print(json.dumps(line))
 
@@ -509,6 +549,9 @@ def main() -> None:
                             for q, s in spreads.items()
                             if s > 1.5 and timings.get(q, 0.0) >= 0.5
                         ),
+                        # machine-speed probe (start/mid/end) — the
+                        # per-run denominator for cross-round deltas
+                        "calibration": calib,
                     }
                 )
                 + "\n"

@@ -38,6 +38,42 @@ def _queries(t):
     )
 
 
+# Shared exact ground truth for the two recall gates (r10, r9 verdict
+# item 4): eval_ann_recall_vs_exact and eval_ann_recall_vs_exact_md5
+# consume the IDENTICAL deterministic brute-force top-k (same
+# N_QUERIES × K contract, same tiebreak), so the table is computed
+# once per (Spark application, sf_dir) and the eager localCheckpoint
+# handed to both — in a bench/driver session the second gate skips the
+# full-corpus brute-force pass entirely.  Keyed by applicationId so a
+# restarted session can never see another session's checkpointed RDD;
+# the cached result is N_QUERIES × K rows (tiny, held for the app's
+# lifetime).  Value-neutral by construction: both gates previously
+# computed this exact same table independently.
+_EXACT_TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_topk_shared(spark: SparkSession, sf_dir: str, t) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EXACT_TOPK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    exact = (
+        brute_force_top_k(
+            t["embeddings"],
+            _queries(t),
+            corpus_id="vec_id",
+            corpus_vec="embedding",
+            query_id="query_id",
+            query_vec="qv",
+            k=K,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    _EXACT_TOPK_CACHE[key] = exact
+    return exact
+
+
 @register(
     "ann_bruteforce_topk",
     f"""
@@ -317,13 +353,9 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact shortlist is joined against once per method below; without
     # materialization the brute-force corpus pass would re-run 5× inside
     # the one union plan (no cross-join CSE in Catalyst). The result is
-    # tiny (N_QUERIES × K rows), so an eager localCheckpoint costs one
-    # pass and nothing in memory.
-    exact = (
-        brute_force_top_k(t["embeddings"], q, **kw)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    # tiny (N_QUERIES × K rows) and IDENTICAL for both recall gates, so
+    # it is computed once per app and shared (r10; see _exact_topk_shared)
+    exact = _exact_topk_shared(spark, sf_dir, t)
     # pq/ivfpq/sq8/ivf run their training jobs (Lloyd rounds, codebook
     # collects) EAGERLY at construction time — ~4 s serial on the
     # driver.  SparkSessions accept concurrent job submission, and the
@@ -792,11 +824,10 @@ def eval_ann_recall_vs_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="qv",
         k=K,
     )
-    exact = (
-        brute_force_top_k(t["embeddings"], q, **kw)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    # shared with eval_ann_recall_vs_exact (r10): both gates consume
+    # the identical deterministic exact top-k — one brute-force pass
+    # per app, the eager localCheckpoint handed to both
+    exact = _exact_topk_shared(spark, sf_dir, t)
     from knowledge_model_spark.operators.quantization import ivfpq_top_k
 
     methods = (
