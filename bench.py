@@ -352,6 +352,7 @@ HEADLINE: dict[str, bool] = {
     "sample_systematic_thin": True,
     "dedup_levenshtein_names": True,
     "sql_qualify_topk": True,
+    "text_unigram_lm_train": True,
 }
 
 

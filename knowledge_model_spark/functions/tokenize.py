@@ -141,3 +141,175 @@ def learn_bpe_merges(
             F.expr(one).alias("w"), "n"
         ).localCheckpoint(eager=True)
     return merges
+
+def learn_unigram_lm(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 64,
+    seed_multi: int = 192,
+    max_piece_len: int = 6,
+    n_rounds: int = 4,
+) -> list[tuple[str, int, float]]:
+    """Unigram-LM subword vocabulary training (Kudo, ACL'18 — the
+    SentencePiece unigram model), Spark-shaped and fully deterministic.
+
+    The trainer twin of :func:`learn_bpe_merges` on the other classic
+    tokenizer-training algorithm.  Same corpus reduction: ONE scan into
+    the weighted distinct-word table; ALL subsequent work is
+    vocab-sized.  Then the Kudo loop, with every stochastic choice
+    replaced by a deterministic schedule:
+
+    1. **Seed**: candidate pieces = every single character occurring in
+       the word table (always kept — guarantees segmentation coverage
+       by construction) plus the ``seed_multi`` most frequent
+       substrings of length 2..``max_piece_len`` (ties lexicographic).
+       Substring counting explodes the DISTINCT words weighted by
+       frequency — O(len·max_piece_len) rows per distinct word, never
+       per occurrence.
+    2. **E-step** (hard EM — the Viterbi variant, chosen over
+       forward-backward because max+argmax over IEEE doubles with a
+       fixed tie rule is bit-deterministic where a soft posterior's
+       float sums would be order-sensitive): segment each distinct
+       word under the current piece log-probs with left-to-right DP
+       (ties prefer the LONGER final piece), accumulate piece counts
+       weighted by word frequency.  Runs as a numpy-free kernel inside
+       ``mapInPandas`` over the word table (the ROUGE-L precedent) —
+       token payloads never leave executors; the driver sees one
+       vocab-sized (piece, count) table per round.
+    3. **M-step**: p(piece) = (count + 1) / (total + |V|) — add-1
+       smoothing so an unchosen single keeps nonzero mass (coverage
+       again).
+    4. **Prune schedule** (deterministic — replaces Kudo's
+       loss-ranked 20% shrink): after each E-step except the last,
+       drop the bottom 20% of MULTI-char pieces by (count asc, piece
+       asc); singles are never pruned.  The final round trims multis
+       to ``vocab_size − |singles|`` by (count desc, piece asc).
+
+    Returns [(piece, count, logprob)] sorted by (prob desc, piece asc)
+    — the frozen-prefix gate in tests/test_tokenize.py pins the exact
+    learned prefix at two SFs, and a repartitioning probe pins
+    determinism (counts are exact ints; the only floats are the
+    per-word DP scores, bit-identical per word regardless of
+    partitioning).  At 100 TB: one corpus shuffle, then n_rounds
+    vocab-table jobs whose cost scales with DISTINCT words, not
+    occurrences; driver state is the ≤(singles+seed_multi)-row vocab
+    (the Lloyd/PQ bounded-collect contract).
+    """
+    import math
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    words = (
+        df.select(
+            F.explode(
+                F.expr(
+                    "filter(split("
+                    + _NORM_SQL.format(col=text_col)
+                    + ", ' +'), w -> w != '')"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    # seed candidates: singles (always kept) + top multi substrings
+    singles = {
+        r["c"]: r["cnt"]
+        for r in words.select(
+            F.explode(F.split("w", "")).alias("c"), "n"
+        )
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.sum("n").alias("cnt"))
+        .collect()
+    }
+    L = int(max_piece_len)
+    sub_expr = (
+        "flatten(transform(sequence(1, length(w) - 1), "
+        f"i -> transform(sequence(2, least({L}, length(w) - i + 1)), "
+        "l -> substring(w, i, l))))"
+    )
+    multi = [
+        (r["p"], r["cnt"])
+        for r in words.filter(F.length("w") >= 2)
+        .select(F.explode(F.expr(sub_expr)).alias("p"), "n")
+        .groupBy("p")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("p").asc())
+        .limit(int(seed_multi))
+        .collect()
+    ]
+    counts: dict[str, int] = dict(singles)
+    counts.update(dict(multi))
+
+    def _logp(cnts: dict[str, int]) -> dict[str, float]:
+        tot = sum(cnts.values()) + len(cnts)
+        return {p: math.log((c + 1) / tot) for p, c in cnts.items()}
+
+    def _viterbi_counts(logp: dict[str, float]) -> dict[str, int]:
+        maxlen = max(len(p) for p in logp)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                agg: Counter = Counter()
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    m = len(w)
+                    dp = [0.0] + [-math.inf] * m
+                    back = [0] * (m + 1)
+                    for j in range(1, m + 1):
+                        best, bi = -math.inf, -1
+                        # i ascending = longest piece first; strict >
+                        # keeps the first (longest) winner on ties
+                        for i in range(max(0, j - maxlen), j):
+                            lp = logp.get(w[i:j])
+                            if lp is None or dp[i] == -math.inf:
+                                continue
+                            s = dp[i] + lp
+                            if s > best:
+                                best, bi = s, i
+                        dp[j], back[j] = best, bi
+                    j = m
+                    while j > 0:
+                        i = back[j]
+                        agg[w[i:j]] += int(n)
+                        j = i
+                yield pd.DataFrame(
+                    {
+                        "piece": pd.Series(list(agg.keys()), dtype="object"),
+                        "cnt": pd.Series(list(agg.values()), dtype="int64"),
+                    }
+                )
+
+        return {
+            r["piece"]: r["cnt"]
+            for r in words.mapInPandas(kernel, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+
+    n_keep_final = max(0, int(vocab_size) - len(singles))
+    for rnd in range(int(n_rounds)):
+        used = _viterbi_counts(_logp(counts))
+        new_counts = {p: used.get(p, 0) for p in counts}
+        multis = sorted(
+            ((p, c) for p, c in new_counts.items() if len(p) > 1),
+            key=lambda x: (x[1], x[0]),
+        )
+        if rnd < n_rounds - 1:
+            n_drop = min(
+                (len(multis) + 4) // 5, max(0, len(multis) - n_keep_final)
+            )
+            drop = {p for p, _ in multis[:n_drop]}
+        else:
+            keep = sorted(multis, key=lambda x: (-x[1], x[0]))[:n_keep_final]
+            drop = {p for p, _ in multis} - {p for p, _ in keep}
+        counts = {p: c for p, c in new_counts.items() if p not in drop}
+
+    logp = _logp(counts)
+    out = sorted(counts.items(), key=lambda x: (-logp[x[0]], x[0]))
+    return [(p, c, logp[p]) for p, c in out]

@@ -368,6 +368,7 @@ _GATE_PRIORITY = [
     "stats_ks_test_kll",
     "stats_mannwhitney_u_kll",
     "text_bpe_learn_merges",
+    "text_unigram_lm_train",
 ]
 
 

@@ -1763,3 +1763,33 @@ def corpus_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "text_unigram_lm_train",
+    None,  # iterative EM training loop — not SQL-expressible; exact
+    # frozen-prefix gate at TWO SFs + planted-corpus recovery +
+    # repartitioning determinism in tests/test_tokenize.py
+    doc="unigram-LM (SentencePiece, Kudo ACL'18) vocabulary TRAINING as "
+    "a registered query — the trainer twin of text_bpe_learn_merges on "
+    "the other classic subword algorithm: one corpus scan reduces to "
+    "the weighted distinct-word table, substring seeding + hard-EM "
+    "Viterbi rounds + a deterministic 20% prune schedule run on that "
+    "vocab-sized table (functions/tokenize.py::learn_unigram_lm); "
+    "singles are never pruned (coverage by construction), every tie "
+    "breaks lexicographically and the E-step is max/argmax (not float "
+    "sums), so the learned vocabulary is bit-stable across runs and "
+    "partitionings",
+)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.functions.tokenize import learn_unigram_lm
+
+    t = load_tables(spark, sf_dir)
+    pieces = learn_unigram_lm(t["documents_spread"], "text")
+    rows = [
+        (i + 1, p, len(p), int(c), float(lp))
+        for i, (p, c, lp) in enumerate(pieces)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, piece string, piece_len int, cnt long, logprob double"
+    )

@@ -68,3 +68,60 @@ def test_apply_is_deterministic_and_scan_shaped(spark, tables):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # zero Python on the apply path
     assert "Exchange" not in plan  # scan-speed projection
+
+
+def test_unigram_lm_recovers_planted_words(spark):
+    """learn_unigram_lm: a corpus dominated by five words must keep
+    those words as whole pieces with their exact weighted counts after
+    the prune schedule — the Kudo-loop sanity anchor."""
+    from knowledge_model_spark.functions.tokenize import learn_unigram_lm
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",)] * 40 + [("banana bandana",)] * 30,
+        ["text"],
+    )
+    out = learn_unigram_lm(docs, "text", vocab_size=16, seed_multi=24, n_rounds=3)
+    got = {p: c for p, c, _ in out}
+    assert got["the"] == 80
+    for w in ("cat", "sat", "mat", "on"):
+        assert got[w] == 40, (w, got)
+    # singles survive pruning even at zero Viterbi count (coverage)
+    assert "t" in got and "e" in got
+
+
+def test_unigram_lm_matches_frozen_prefix_two_sfs(spark):
+    """text_unigram_lm_train (rows-only in the driver) carries its
+    exact gate HERE, the text_bpe_learn_merges pattern at TWO SFs: the
+    top-16 learned pieces must equal the frozen prefixes below, and the
+    result must be bit-stable under an adversarial repartitioning (the
+    E-step is per-word max/argmax and the counts are exact ints, so
+    partitioning cannot reorder anything observable)."""
+    from knowledge_model_spark.functions.tokenize import learn_unigram_lm
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.session import load_tables
+
+    R = load_registry()
+    frozen = {
+        "/root/testdata/sf0.001": [
+            "a", "scan", "column", "window", "order", "sort", "part",
+            "agg", "value", "line", "key", "join", "merge", "group",
+            "query", "vector",
+        ],
+        "/root/testdata/sf0.01": [
+            "t", "par", "g", "s", "a", "join", "hash", "row", "batch",
+            "scan", "column", "custom", "er", "filter", "small", "merge",
+        ],
+    }
+    for sf, want in frozen.items():
+        rows = (
+            R["text_unigram_lm_train"].fn(spark, sf).orderBy("rank").collect()
+        )
+        assert [r["piece"] for r in rows[:16]] == want, sf
+        assert len(rows) == 64
+        # repartition determinism: same pieces, counts, logprobs
+        again = learn_unigram_lm(
+            load_tables(spark, sf)["documents_spread"].repartition(13), "text"
+        )
+        assert [(r["piece"], r["cnt"], r["logprob"]) for r in rows] == [
+            (p, c, lp) for p, c, lp in again
+        ], sf
