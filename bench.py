@@ -353,6 +353,7 @@ HEADLINE: dict[str, bool] = {
     "dedup_levenshtein_names": True,
     "sql_qualify_topk": True,
     "text_unigram_lm_train": True,
+    "multimodal_pdf_triage": False,
 }
 
 

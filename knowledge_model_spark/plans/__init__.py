@@ -369,6 +369,7 @@ _GATE_PRIORITY = [
     "stats_mannwhitney_u_kll",
     "text_bpe_learn_merges",
     "text_unigram_lm_train",
+    "multimodal_pdf_triage",
 ]
 
 

@@ -1609,3 +1609,146 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, variant string, byte_order string, make string, "
         "orientation int, iso int, exposure_den long, exif_ok boolean",
     )
+
+
+@register(
+    "multimodal_pdf_triage",
+    None,  # PDF bytes built in a pandas kernel — no SQL twin; the
+    # in-plan triage_ok column is an exact class-match gate against
+    # the content-addressed expected shape, all-true-pinned in tests
+    doc="OCR-free scanned-PDF triage (r10, r9 verdict stretch item 8): "
+    "classify every page as text / hybrid / image_only / empty from "
+    "the ALREADY-PARSED content streams and XObject dictionaries — "
+    "the routing table a 100 TB ingest consults BEFORE paying decode, "
+    "so image-only pages (scans) route to an external OCR seam while "
+    "text-layer pages go straight to extraction (sources/pdf.py::"
+    "triage_pdf_pages; the PDF seam itself keeps REFUSING scanned "
+    "docs, this query tells the pipeline WHICH docs those are and "
+    "which /Filter their scans carry).  Documents become genuine "
+    "PDFs rotating three shapes content-addressed on doc_id: "
+    "all-text, image-only first page (empty text layer + one "
+    "CCITT/Flate/LZW/DCT XObject), and hybrid first page + empty "
+    "trailing page; triage_ok compares each page's class against the "
+    "shape implied by doc_id alone — zero joins.  Scale shape: two "
+    "mapInPandas over the documents scan, no shuffle, payloads never "
+    "leave the executors; triage cost is one content tokenization per "
+    "page, no image decode anywhere",
+)
+def multimodal_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.pdf import (
+        encode_simple_pdf,
+        make_reference_shaped_pages,
+        triage_pdf_pages,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text").filter(F.col("doc_id") < 60)
+
+    _KINDS = ("g4", "flate", "lzw-gray", "dct")
+
+    def _image(did: int):
+        h, w = 16 + 8 * (did % 3), 24 + 8 * (did % 2)
+        yy, xx = np.mgrid[0:h, 0:w]
+        gray = ((xx * (3 + did % 7) + yy * 2 + did * 31) % 256).astype(
+            np.uint8
+        )
+        kind = _KINDS[did % 4]
+        if kind == "g4":
+            return ("g4", gray >= 128)
+        if kind == "flate":
+            return ("flate", np.stack([gray] * 3, axis=2))
+        if kind == "lzw-gray":
+            return ("lzw-gray", gray)
+        return encode_jpeg(np.stack([gray] * 3, axis=2), 90)
+
+    def _shape(did: int, text: str):
+        """(pages, images) for doc did — shape rotates on doc_id%3.
+        make_reference_shaped_pages always yields ≥1 furniture-bearing
+        (hence text-layer) page, so shapes 1 and 2 have EXACTLY two
+        pages and shape 0 has 1-2, letting _want recompute the
+        expected classes from (did, page count) alone."""
+        body = make_reference_shaped_pages(text, words_per_page=30)[:2]
+        if did % 3 == 0:
+            return body, []
+        if did % 3 == 1:
+            return [""] + body[:1], [_image(did)]
+        return body[:1] + [""], [_image(did)]
+
+    def _want(did: int, n: int) -> list[str]:
+        """Expected per-page classes, content-addressed on doc_id."""
+        if did % 3 == 0:
+            return ["text"] * n
+        if did % 3 == 1:
+            return ["image_only"] + ["text"] * (n - 1)
+        return ["hybrid"] + ["empty"] * (n - 1)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                pages, images = _shape(int(did), str(text))
+                ids.append(int(did))
+                blobs.append(
+                    encode_simple_pdf(pages, images=images or None)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pdf": pd.Series(blobs, dtype="object"),
+                    "n_bytes": pd.Series(
+                        [len(x) for x in blobs], dtype="int64"
+                    ),
+                }
+            )
+
+    def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "page": [], "triage": [], "has_text": [],
+                "n_images": [], "image_filters": [], "triage_ok": [],
+            }
+            for did, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                rows = triage_pdf_pages(bytes(blob))
+                n = len(rows or [])
+                want = _want(int(did), n)
+                # shapes 1/2 emit exactly two pages by construction;
+                # shape 0 emits 1-2 — page-count drift fails the gate
+                ok_n = rows is not None and (
+                    n == 2 if int(did) % 3 else 1 <= n <= 2
+                )
+                for j, r in enumerate(rows or []):
+                    out["doc_id"].append(int(did))
+                    out["page"].append(r["page"])
+                    out["triage"].append(r["triage"])
+                    out["has_text"].append(r["has_text"])
+                    out["n_images"].append(r["n_images"])
+                    out["image_filters"].append(",".join(r["image_filters"]))
+                    out["triage_ok"].append(
+                        ok_n and r["triage"] == want[j]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "page": pd.Series(out["page"], dtype="int64"),
+                    "triage": pd.Series(out["triage"], dtype="object"),
+                    "has_text": pd.Series(out["has_text"], dtype="bool"),
+                    "n_images": pd.Series(out["n_images"], dtype="int64"),
+                    "image_filters": pd.Series(
+                        out["image_filters"], dtype="object"
+                    ),
+                    "triage_ok": pd.Series(out["triage_ok"], dtype="bool"),
+                }
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, pdf binary, n_bytes long")
+    return built.mapInPandas(
+        triage,
+        "doc_id long, page long, triage string, has_text boolean, "
+        "n_images long, image_filters string, triage_ok boolean",
+    )

@@ -351,14 +351,15 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_LIST_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
-def _page_streams_in_tree_order(
+def _pages_with_bodies(
     b: bytes, objs: dict[int, tuple[bytes, int]]
-) -> list[list[bytes]] | None:
+) -> list[tuple[bytes, list[bytes]]] | None:
     """Follow /Root → /Pages → /Kids to the page objects IN PAGE-TREE
     ORDER (file byte order is NOT page order for incrementally-updated
-    or generator-written PDFs), returning each page's decoded content
-    streams — a /Contents array is ONE page, not several.  None when
-    the tree can't be resolved (caller falls back to byte order)."""
+    or generator-written PDFs), returning each page's DICT BODY plus
+    its decoded content streams — a /Contents array is ONE page, not
+    several.  None when the tree can't be resolved (caller falls back
+    to byte order)."""
     root = re.search(_REF_RE_T % b"Root", b)
     if not root or int(root.group(1)) not in objs:
         return None
@@ -366,7 +367,7 @@ def _page_streams_in_tree_order(
     pages_ref = re.search(_REF_RE_T % b"Pages", catalog)
     if not pages_ref or int(pages_ref.group(1)) not in objs:
         return None
-    pages: list[list[bytes]] = []
+    pages: list[tuple[bytes, list[bytes]]] = []
     visited: set[int] = set()
 
     def walk(num: int) -> bool:
@@ -388,7 +389,7 @@ def _page_streams_in_tree_order(
         else:
             one = re.search(_REF_RE_T % b"Contents", body)
             if one is None:
-                pages.append([])  # blank page
+                pages.append((body, []))  # blank page
                 return True
             refs = [int(one.group(1))]
         streams = []
@@ -398,12 +399,20 @@ def _page_streams_in_tree_order(
             data = _stream_payload(b, *objs[r])
             if data is not None:
                 streams.append(data)
-        pages.append(streams)
+        pages.append((body, streams))
         return True
 
     if not walk(int(pages_ref.group(1))):
         return None
     return pages
+
+
+def _page_streams_in_tree_order(
+    b: bytes, objs: dict[int, tuple[bytes, int]]
+) -> list[list[bytes]] | None:
+    """Content streams per page in tree order (see _pages_with_bodies)."""
+    pages = _pages_with_bodies(b, objs)
+    return None if pages is None else [s for _, s in pages]
 
 
 def _inflate_streams(b: bytes) -> list[bytes]:
@@ -771,6 +780,74 @@ def decode_pdf_images(b: bytes) -> list[bytes] | None:
             gray = np.frombuffer(px[: w * h], dtype=np.uint8)
             rgb = np.repeat(gray, 3).tobytes()
             out.append(b"P6\n%d %d\n255\n" % (w, h) + rgb)
+    return out
+
+
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_NAME_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+
+
+def triage_pdf_pages(b: bytes) -> list[dict] | None:
+    """Per-page text-layer / image triage from the ALREADY-PARSED
+    structures — the routing table a 100 TB ingest consults BEFORE
+    paying any image decode: pages with a text layer go to the text
+    extractor, image-only pages (scans) route to an external OCR seam,
+    and the decision costs one content-stream tokenization per page.
+
+    Per page (tree order): ``has_text`` = any Tj/TJ rendered non-empty
+    text; ``n_images`` = image XObjects referenced from the page's
+    /Resources (inline dict or indirect ref; counted when their object
+    body carries /Subtype /Image); ``image_filters`` = their sorted
+    /Filter names (so the router also knows whether the repo's codecs
+    could decode them or they sit on the JPX/JBIG2 seam); ``triage`` ∈
+    {text, hybrid, image_only, empty}.  Inline BI…EI images are not
+    counted (the fixture writer never emits them; a page carrying only
+    inline images triages as its text layer dictates — documented
+    heuristic, not a misdecode risk since no decode is attempted).
+    None when the payload is not a PDF or the page tree cannot be
+    resolved — the refuse-never-misguess policy."""
+    if not b or not b.startswith(b"%PDF-"):
+        return None
+    objs = _objects_by_number(b)
+    pages = _pages_with_bodies(b, objs)
+    if pages is None:
+        return None
+    out: list[dict] = []
+    for i, (body, streams) in enumerate(pages):
+        content = b"\n".join(streams)
+        txt = _extract_text(content) if content else ""
+        has_text = bool(txt.strip())
+        res = body
+        rm = _RES_REF_RE.search(body)
+        if rm is not None and int(rm.group(1)) in objs:
+            res = objs[int(rm.group(1))][0]
+        filters: list[str] = []
+        xm = _XOBJ_DICT_RE.search(res)
+        if xm is not None:
+            for _name, num in _NAME_REF_RE.findall(xm.group(1)):
+                onum = int(num)
+                if onum not in objs:
+                    continue
+                xbody = objs[onum][0]
+                if not re.search(rb"/Subtype\s*/Image\b", xbody):
+                    continue
+                fm = re.search(rb"/Filter\s*/(\w+)", xbody)
+                filters.append(fm.group(1).decode() if fm else "raw")
+        n_images = len(filters)
+        if has_text:
+            triage = "hybrid" if n_images else "text"
+        else:
+            triage = "image_only" if n_images else "empty"
+        out.append(
+            {
+                "page": i + 1,
+                "has_text": has_text,
+                "n_images": n_images,
+                "image_filters": sorted(filters),
+                "triage": triage,
+            }
+        )
     return out
 
 

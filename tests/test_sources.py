@@ -3610,3 +3610,67 @@ def test_bilevel_tiff_large_dimension_uses_long_type():
     assert img is not None and img.shape == (1, 70000, 3)
     want = np.where(bitmap[0], 0, 255)
     assert (img[0, :, 0] == want).all()
+
+
+def test_triage_pdf_pages_shapes():
+    """triage_pdf_pages (r10): the four page classes from planted
+    shapes — all-text, image-only first page, hybrid + trailing empty
+    — with the image /Filter names surfaced for OCR routing; non-PDF
+    and garbage refuse with None (never a guess)."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.jpeg import encode_jpeg
+    from knowledge_model_spark.sources.pdf import (
+        encode_simple_pdf,
+        triage_pdf_pages,
+    )
+
+    gray = (np.mgrid[0:16, 0:24][0] * 9 % 256).astype(np.uint8)
+    rgb = np.stack([gray] * 3, axis=2)
+
+    rows = triage_pdf_pages(encode_simple_pdf(["hello world", "page two"]))
+    assert [r["triage"] for r in rows] == ["text", "text"]
+    assert all(r["n_images"] == 0 for r in rows)
+
+    rows = triage_pdf_pages(
+        encode_simple_pdf(["", "body text"], images=[("g4", gray >= 128)])
+    )
+    assert [r["triage"] for r in rows] == ["image_only", "text"]
+    assert rows[0]["image_filters"] == ["CCITTFaxDecode"]
+    assert not rows[0]["has_text"] and rows[1]["has_text"]
+
+    rows = triage_pdf_pages(
+        encode_simple_pdf(
+            ["caption", ""], images=[encode_jpeg(rgb, 90), ("flate", rgb)]
+        )
+    )
+    assert [r["triage"] for r in rows] == ["hybrid", "empty"]
+    assert rows[0]["image_filters"] == ["DCTDecode", "FlateDecode"]
+    assert rows[0]["n_images"] == 2 and rows[1]["n_images"] == 0
+
+    # predictor-coded content streams still tokenize (shared filters)
+    rows = triage_pdf_pages(
+        encode_simple_pdf(["pred body"], compress="flate-pred12")
+    )
+    assert [r["triage"] for r in rows] == ["text"]
+
+    assert triage_pdf_pages(b"not a pdf") is None
+    assert triage_pdf_pages(b"") is None
+    assert triage_pdf_pages(b"%PDF-1.4\ngarbage with no tree") is None
+
+
+def test_multimodal_pdf_triage_gate(spark):
+    """multimodal_pdf_triage (rows-only in the driver) carries its
+    exact gate HERE: every page's class matches the content-addressed
+    expected shape (triage_ok all-true), all four classes and at least
+    three distinct image filters appear, and no image decode ran (the
+    kernel only tokenizes content streams)."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["multimodal_pdf_triage"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(r["triage_ok"] for r in rows)
+    classes = {r["triage"] for r in rows}
+    assert classes == {"text", "image_only", "hybrid", "empty"}
+    filters = {f for r in rows if r["image_filters"] for f in r["image_filters"].split(",")}
+    assert {"CCITTFaxDecode", "FlateDecode", "LZWDecode", "DCTDecode"} <= filters
