@@ -245,6 +245,8 @@ def learn_unigram_lm(
     ]
     counts: dict[str, int] = dict(singles)
     counts.update(dict(multi))
+    if not counts:
+        return []  # empty corpus — callers emit a schema-correct empty table
 
     def _logp(cnts: dict[str, int]) -> dict[str, float]:
         tot = sum(cnts.values()) + len(cnts)

@@ -80,6 +80,14 @@ SLOPE_QUERIES = [
     # inverted-index dedup queries
     "eval_bleu_components",
     "eval_chrf",
+    # r10: the new queries with any growth surface — blocked name
+    # pairs grow with block occupancy (the classic ER explosion the
+    # head-noun key must bound), the audience-overlap self-join grows
+    # with per-user type fan-out, and the unigram trainer is the new
+    # iterative loop off one scan (the BPE risk class)
+    "dedup_levenshtein_names",
+    "events_user_overlap_jaccard",
+    "text_unigram_lm_train",
 ]
 
 # slope threshold on the last decade: 10^1.5 ≈ 31.6× for 10× rows
