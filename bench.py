@@ -354,6 +354,7 @@ HEADLINE: dict[str, bool] = {
     "sql_qualify_topk": True,
     "text_unigram_lm_train": True,
     "multimodal_pdf_triage": False,
+    "text_unigram_lm_tokenize": False,
 }
 
 

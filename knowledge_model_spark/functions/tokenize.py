@@ -142,6 +142,50 @@ def learn_bpe_merges(
         ).localCheckpoint(eager=True)
     return merges
 
+def viterbi_pieces(
+    w: str,
+    logp: dict[str, float],
+    maxlen: int,
+    unk_logp: float | None = None,
+) -> list[str]:
+    """Max-probability segmentation of word ``w`` under piece log-probs
+    — the shared DP of the unigram-LM trainer's E-step and the frozen-
+    vocab apply path.  Left-to-right DP; ties prefer the LONGER final
+    piece (i ascending + strict > keeps the first winner).  When the
+    vocab can't cover a character, ``unk_logp`` (the apply path: a
+    fixed penalty per unknown single char) keeps the DP reachable;
+    the trainer passes None because its singles cover every char of
+    the corpus it trained on by construction.  Deterministic: all
+    arithmetic is IEEE doubles evaluated in a fixed order per word."""
+    import math
+
+    m = len(w)
+    dp = [0.0] + [-math.inf] * m
+    back = [0] * (m + 1)
+    for j in range(1, m + 1):
+        best, bi = -math.inf, -1
+        for i in range(max(0, j - maxlen), j):
+            lp = logp.get(w[i:j])
+            if lp is None:
+                if unk_logp is None or j - i != 1:
+                    continue
+                lp = unk_logp
+            if dp[i] == -math.inf:
+                continue
+            s = dp[i] + lp
+            if s > best:
+                best, bi = s, i
+        dp[j], back[j] = best, bi
+    pieces: list[str] = []
+    j = m
+    while j > 0:
+        i = back[j]
+        pieces.append(w[i:j])
+        j = i
+    pieces.reverse()
+    return pieces
+
+
 def learn_unigram_lm(
     df: DataFrame,
     text_col: str,
@@ -259,26 +303,8 @@ def learn_unigram_lm(
             for pdf in batches:
                 agg: Counter = Counter()
                 for w, n in zip(pdf["w"], pdf["n"]):
-                    m = len(w)
-                    dp = [0.0] + [-math.inf] * m
-                    back = [0] * (m + 1)
-                    for j in range(1, m + 1):
-                        best, bi = -math.inf, -1
-                        # i ascending = longest piece first; strict >
-                        # keeps the first (longest) winner on ties
-                        for i in range(max(0, j - maxlen), j):
-                            lp = logp.get(w[i:j])
-                            if lp is None or dp[i] == -math.inf:
-                                continue
-                            s = dp[i] + lp
-                            if s > best:
-                                best, bi = s, i
-                        dp[j], back[j] = best, bi
-                    j = m
-                    while j > 0:
-                        i = back[j]
-                        agg[w[i:j]] += int(n)
-                        j = i
+                    for piece in viterbi_pieces(w, logp, maxlen):
+                        agg[piece] += int(n)
                 yield pd.DataFrame(
                     {
                         "piece": pd.Series(list(agg.keys()), dtype="object"),

@@ -370,6 +370,7 @@ _GATE_PRIORITY = [
     "text_bpe_learn_merges",
     "text_unigram_lm_train",
     "multimodal_pdf_triage",
+    "text_unigram_lm_tokenize",
 ]
 
 

@@ -1793,3 +1793,160 @@ def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, piece string, piece_len int, cnt long, logprob double"
     )
+
+
+# Frozen unigram-LM vocabulary: the exact text_unigram_lm_train output
+# at sf0.01 (64 pieces, add-1 log-probs) — the apply-side constant,
+# like _BPE_MERGES for the BPE pair.  tests/test_tokenize.py pins the
+# trainer's prefix to this table so trainer and apply can never drift.
+_UNIGRAM_VOCAB = [
+    ("t", -2.808365203672885),
+    ("par", -3.1956636394974365),
+    ("g", -3.1979402483350285),
+    ("s", -3.1990804993137605),
+    ("a", -3.209401691854035),
+    ("join", -3.796036282896009),
+    ("hash", -3.813809881979973),
+    ("row", -3.818038218089494),
+    ("batch", -3.8244144352287703),
+    ("scan", -3.8254811019965724),
+    ("column", -3.827617854946308),
+    ("custom", -3.827617854946308),
+    ("er", -3.827617854946308),
+    ("filter", -3.828687946006152),
+    ("small", -3.8340556454211563),
+    ("merge", -3.8448782618793076),
+    ("slow", -3.8448782618793076),
+    ("order", -3.8514285036400264),
+    ("vector", -3.8514285036400264),
+    ("line", -3.8536214869750367),
+    ("data", -3.855819290057516),
+    ("table", -3.855819290057516),
+    ("up", -3.860229440535069),
+    ("agg", -3.863549864172371),
+    ("value", -3.8679943159327954),
+    ("key", -3.8691085221761985),
+    ("stream", -3.8780671487210903),
+    ("indow", -3.8803194019254152),
+    ("w", -3.8803194019254152),
+    ("k", -3.887106758298815),
+    ("ro", -3.8893794865498177),
+    ("b", -3.891657391862812),
+    ("i", -3.891657391862812),
+    ("or", -3.8962288283953925),
+    ("q", -3.8973749603260153),
+    ("r", -3.8973749603260153),
+    ("ue", -3.8973749603260153),
+    ("y", -3.8973749603260153),
+    ("f", -3.9170629152982346),
+    ("st", -3.9170629152982346),
+    ("e", -3.9335727242620466),
+    ("h", -3.9335727242620466),
+    ("d", -7.372327518230666),
+    ("c", -10.668164384234995),
+    ("j", -10.668164384234995),
+    ("l", -10.668164384234995),
+    ("m", -10.668164384234995),
+    ("n", -10.668164384234995),
+    ("o", -10.668164384234995),
+    ("oin", -10.668164384234995),
+    ("ol", -10.668164384234995),
+    ("olu", -10.668164384234995),
+    ("olum", -10.668164384234995),
+    ("olumn", -10.668164384234995),
+    ("om", -10.668164384234995),
+    ("ome", -10.668164384234995),
+    ("omer", -10.668164384234995),
+    ("ord", -10.668164384234995),
+    ("orde", -10.668164384234995),
+    ("ow", -10.668164384234995),
+    ("p", -10.668164384234995),
+    ("pa", -10.668164384234995),
+    ("u", -10.668164384234995),
+    ("v", -10.668164384234995),
+]
+
+# unknown-character penalty: strictly below the rarest vocab piece so a
+# known segmentation always beats one through an UNK char
+_UNIGRAM_UNK = -20.0
+
+
+@register(
+    "text_unigram_lm_tokenize",
+    None,  # per-word Viterbi DP — sequential, not SQL-expressible;
+    # exact python-recompute parity + determinism in tests/test_tokenize.py
+    doc="the APPLY half of the unigram-LM tokenizer pair (trainer: "
+    "text_unigram_lm_train — the same learn/apply split as "
+    "text_bpe_learn_merges / text_bpe_tokenize): segment every "
+    "document's words with the FROZEN 64-piece vocabulary via the "
+    "shared Viterbi DP (functions/tokenize.py::viterbi_pieces, "
+    "unknown chars at a fixed penalty so coverage never fails on "
+    "unseen corpora), emitting per-doc subword statistics — token "
+    "count, unknown-char count, and chars-per-piece compression (one "
+    "exact division).  Scale shape: ONE mapInPandas over the "
+    "documents scan with the vocab as a broadcast-by-closure literal "
+    "— no shuffle, no joins, cost linear in corpus chars; at 100 TB "
+    "this is the tokenizer-throughput pass a training pipeline runs "
+    "to size its token budget",
+)
+def text_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from knowledge_model_spark.functions.tokenize import viterbi_pieces
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"].select("doc_id", "text")
+    logp = dict(_UNIGRAM_VOCAB)
+    maxlen = max(len(p) for p in logp)
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_words": [], "n_pieces": [],
+                   "n_unk_chars": [], "n_chars": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = word_re.findall(str(text).lower())
+                n_pieces = n_unk = n_chars = 0
+                for w in words:
+                    n_chars += len(w)
+                    for piece in viterbi_pieces(
+                        w, logp, maxlen, unk_logp=_UNIGRAM_UNK
+                    ):
+                        n_pieces += 1
+                        if piece not in logp:
+                            n_unk += 1
+                out["doc_id"].append(int(did))
+                out["n_words"].append(len(words))
+                out["n_pieces"].append(n_pieces)
+                out["n_unk_chars"].append(n_unk)
+                out["n_chars"].append(n_chars)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_words": pd.Series(out["n_words"], dtype="int64"),
+                    "n_pieces": pd.Series(out["n_pieces"], dtype="int64"),
+                    "n_unk_chars": pd.Series(
+                        out["n_unk_chars"], dtype="int64"
+                    ),
+                    "n_chars": pd.Series(out["n_chars"], dtype="int64"),
+                }
+            )
+
+    stats = docs.mapInPandas(
+        kernel,
+        "doc_id long, n_words long, n_pieces long, n_unk_chars long, "
+        "n_chars long",
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "n_unk_chars",
+        F.when(F.col("n_pieces") > 0,
+               F.col("n_chars") / F.col("n_pieces").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_piece"),
+    )

@@ -125,3 +125,80 @@ def test_unigram_lm_matches_frozen_prefix_two_sfs(spark):
         assert [(r["piece"], r["cnt"], r["logprob"]) for r in rows] == [
             (p, c, lp) for p, c, lp in again
         ], sf
+
+
+def test_unigram_tokenize_matches_python_and_freeze(spark):
+    """text_unigram_lm_tokenize (rows-only in the driver): per-doc
+    piece statistics re-derived with an independent textbook Viterbi
+    over the SAME frozen vocab match row-for-row at sf0.001; the
+    trainer's sf0.01 output must equal the frozen _UNIGRAM_VOCAB it
+    applies (trainer/apply can never drift); determinism across runs."""
+    import math
+    import re
+
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.plans.text_queries import (
+        _UNIGRAM_UNK,
+        _UNIGRAM_VOCAB,
+    )
+    from knowledge_model_spark.session import load_tables
+
+    R = load_registry()
+    logp = dict(_UNIGRAM_VOCAB)
+    maxlen = max(len(p) for p in logp)
+
+    def ref_pieces(w):
+        # independent O(n·maxlen) DP, ties longer-final-piece
+        m = len(w)
+        dp = [0.0] + [-math.inf] * m
+        back = [0] * (m + 1)
+        for j in range(1, m + 1):
+            for i in range(max(0, j - maxlen), j):
+                lp = logp.get(w[i:j])
+                if lp is None:
+                    lp = _UNIGRAM_UNK if j - i == 1 else None
+                if lp is None or dp[i] == -math.inf:
+                    continue
+                if dp[i] + lp > dp[j]:
+                    dp[j], back[j] = dp[i] + lp, i
+        out = []
+        j = m
+        while j > 0:
+            out.append(w[back[j]:j])
+            j = back[j]
+        return out[::-1]
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in
+            R["text_unigram_lm_tokenize"].fn(spark, sf).collect()}
+    docs = {d["doc_id"]: d["text"]
+            for d in load_tables(spark, sf)["documents"].collect()}
+    assert rows and set(rows) == set(docs)
+    word_re = re.compile(r"[a-z0-9]+")
+    for did, text in docs.items():
+        words = word_re.findall(text.lower())
+        pieces = [p for w in words for p in ref_pieces(w)]
+        n_unk = sum(1 for p in pieces if p not in logp)
+        r = rows[did]
+        assert r["n_words"] == len(words)
+        assert r["n_pieces"] == len(pieces), did
+        assert r["n_unk_chars"] == n_unk
+        chars = sum(len(w) for w in words)
+        want = chars / len(pieces) if pieces else 0.0
+        assert abs(r["chars_per_piece"] - want) < 1e-12
+
+    # trainer == frozen table (drift guard)
+    from knowledge_model_spark.functions.tokenize import learn_unigram_lm
+
+    learned = learn_unigram_lm(
+        load_tables(spark, "/root/testdata/sf0.01")["documents_spread"],
+        "text",
+    )
+    assert [(p, lp) for p, _, lp in learned] == _UNIGRAM_VOCAB
+
+    # determinism
+    again = {r["doc_id"]: r
+             for r in R["text_unigram_lm_tokenize"].fn(spark, sf).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
