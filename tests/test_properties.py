@@ -860,3 +860,75 @@ def test_ccitt_g3_mixed_roundtrip_property(h, w, density, k, seed):
     enc = g3_mixed_encode(img, k=k)
     got = g3_mixed_decode(enc, w)
     assert got is not None and np.array_equal(got, img)
+
+
+@given(
+    w=st.text(alphabet="abcdefghij0123", min_size=0, max_size=24),
+    vocab_pieces=st.sets(
+        st.text(alphabet="abcdefghij0123", min_size=1, max_size=4),
+        min_size=1,
+        max_size=12,
+    ),
+    unk=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_viterbi_pieces_exact_cover(w, vocab_pieces, unk):
+    """viterbi_pieces (r10): whatever the vocab, a returned segmentation
+    must CONCATENATE BACK TO THE WORD EXACTLY (no drops, no overlaps),
+    every piece must come from the vocab or be a single UNK char, and
+    the call must be deterministic.  With unk enabled the DP is total;
+    without it, the known-coverage case (all chars in vocab as singles)
+    must still segment."""
+    import math
+
+    from knowledge_model_spark.functions.tokenize import viterbi_pieces
+
+    logp = {p: -float(len(p)) for p in vocab_pieces}
+    maxlen = max(len(p) for p in logp)
+    if unk:
+        pieces = viterbi_pieces(w, logp, maxlen, unk_logp=-50.0)
+        assert "".join(pieces) == w
+        for p in pieces:
+            assert p in logp or len(p) == 1
+        assert pieces == viterbi_pieces(w, logp, maxlen, unk_logp=-50.0)
+    else:
+        # make coverage total: add every char as a single
+        full = dict(logp)
+        for ch in set(w):
+            full.setdefault(ch, -30.0)
+        if w and not full:
+            return
+        ml = max((len(p) for p in full), default=1)
+        pieces = viterbi_pieces(w, full, ml)
+        assert "".join(pieces) == w
+        assert all(p in full for p in pieces)
+        # optimality sanity vs brute force on short words: the DP score
+        # must equal the max over all segmentations
+        if 0 < len(w) <= 8:
+            def best(s):
+                if not s:
+                    return 0.0
+                return max(
+                    full[s[:i]] + best(s[i:])
+                    for i in range(1, min(ml, len(s)) + 1)
+                    if s[:i] in full
+                )
+            got = sum(full[p] for p in pieces)
+            assert math.isclose(got, best(w), rel_tol=0, abs_tol=1e-9)
+
+
+@given(data=st.binary(min_size=0, max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_triage_never_raises_on_garbage(data):
+    """triage_pdf_pages (r10): arbitrary bytes — including %PDF-prefixed
+    garbage — must return None or a well-formed row list, never raise
+    (the refuse-never-misguess contract under fuzz)."""
+    from knowledge_model_spark.sources.pdf import triage_pdf_pages
+
+    for payload in (data, b"%PDF-1.4\n" + data):
+        rows = triage_pdf_pages(payload)
+        assert rows is None or all(
+            r["triage"] in ("text", "hybrid", "image_only", "empty")
+            and r["page"] == i + 1
+            for i, r in enumerate(rows)
+        )
