@@ -355,6 +355,7 @@ HEADLINE: dict[str, bool] = {
     "text_unigram_lm_train": True,
     "multimodal_pdf_triage": False,
     "text_unigram_lm_tokenize": False,
+    "embeddings_matryoshka_recall": True,
 }
 
 

@@ -51,9 +51,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     stats_linear_trend / benford_digits / theil_between,
 #     quality_herfindahl_index, sample_systematic_thin,
 #     dedup_levenshtein_names, sql_qualify_topk;
-# (e) 4 fill slots from the r5 cohort, alphabetical (the oldest
-#     remaining cohort, 49 queries — the r11 window inherits the
-#     other 45 so no query falls more than 5-6 rounds behind).
+# (e) 3 fill slots from the r5 cohort, alphabetical, plus the
+#     round's 11th oracled registration (embeddings_matryoshka_recall,
+#     landed late in the round — never-certified queries outrank a
+#     cohort fill).  The r11 window inherits the other 46 r5-cohort
+#     queries so no query falls more than 5-6 rounds behind.
 # After the window: every other oracled query freshness-ordered
 # (newest-green round ascending, alphabetical within a round), then
 # the rows-only tail (the driver cannot certify those rows — r9
@@ -111,6 +113,7 @@ _GATE_PRIORITY = [
     "agg_bitmap_distinct_rollup",
     "agg_cms_frequency",
     "agg_hll_region_rollup",
+    "embeddings_matryoshka_recall",
     "agg_hll_set_intersection",
     "agg_kll_quantile_merge",
     "agg_winsorized_mean",

@@ -1373,3 +1373,94 @@ def embeddings_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zca_whitening_audit(
         ensure_min_partitions(t["embeddings"]), "vec_id", "embedding", 64
     )
+
+
+_MRL_DIMS = (64, 32, 16, 8)
+
+
+def _mrl_oracle() -> str:
+    """DuckDB mirror of embeddings_matryoshka_recall: exact top-k at
+    each truncated prefix dim, overlap counted against the full-dim
+    top-k, one row per dim (shared unrounded division)."""
+
+    def topk(d: int, name: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       q.embedding[1:{d}], e.embedding[1:{d}]) DESC,
+                       e.vec_id) AS rank
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < {N_QUERIES}) q
+          ) WHERE rank <= {K}
+        )"""
+
+    ctes = ",".join(
+        [topk(64, "full_k")] + [topk(d, f"d{d}") for d in _MRL_DIMS]
+    )
+    denom = float(N_QUERIES * K)
+    per_dim = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS dim, count(*) AS n_hit
+        FROM full_k f JOIN d{d} a
+          ON f.query_id = a.query_id AND f.vec_id = a.vec_id"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH {ctes},
+    m AS ({per_dim})
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n_hit AS BIGINT) AS n_hit,
+           n_hit / {denom} AS overlap_at_k
+    FROM m ORDER BY dim
+    """
+
+
+@register(
+    "embeddings_matryoshka_recall",
+    _mrl_oracle(),
+    doc="Matryoshka-representation evaluation (Kusupati et al., "
+    "NeurIPS'22): exact top-k overlap of TRUNCATED-prefix-dim cosine "
+    "search (64/32/16/8 dims, renormalized) against the full-dim "
+    "top-k — the table that tells a 100 TB retrieval deployment how "
+    "many dims it can shed (storage and ANN cost scale linearly in "
+    "dim) before recall degrades.  Exact integer hit counts + one "
+    "shared unrounded division per row; float parity rides the "
+    "ann_bruteforce_topk precedent (same normalize-then-dot chain on "
+    "both engines).  Scale shape: per dim one broadcast-queries × "
+    "corpus scan with the per-query window top-k (the brute-force "
+    "pattern) — the dims share the single corpus scan per pass, no "
+    "pair explosion, the overlap join is K×N_QUERIES-row tiny",
+)
+def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+
+    def topk(d: int) -> DataFrame:
+        c = emb.select("vec_id", F.slice("embedding", 1, d).alias("v"))
+        q = c.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        return brute_force_top_k(
+            c, q, corpus_id="vec_id", corpus_vec="v",
+            query_id="query_id", query_vec="qv", k=K,
+        ).select("query_id", "vec_id")
+
+    full = topk(64).localCheckpoint(eager=True)
+    denom = F.lit(float(N_QUERIES * K))
+    out = []
+    for d in _MRL_DIMS:
+        hit = full.join(topk(d), ["query_id", "vec_id"], "left_semi")
+        out.append(
+            hit.agg(
+                F.lit(d).cast("long").alias("dim"),
+                F.count("*").cast("long").alias("n_hit"),
+                (F.count("*") / denom).alias("overlap_at_k"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("dim")
