@@ -45,12 +45,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     oracled queries whose newest green row is r4 (verdict item 1's
 #     target — after this round ZERO oracled queries are ≤ r4,
 #     alphabetical for determinism);
-# (d) the 10 queries registered THIS round (capped per verdict item
-#     2; never-certified, so they take the freshest slots left):
-#     events_acf_hourly / streak_longest / user_overlap_jaccard,
-#     stats_linear_trend / benford_digits / theil_between,
-#     quality_herfindahl_index, sample_systematic_thin,
-#     dedup_levenshtein_names, sql_qualify_topk;
+# (d) the oracled queries registered THIS round (11 total, capped
+#     per verdict item 2; never-certified, so they take the freshest
+#     slots left): events_acf_hourly / streak_longest /
+#     user_overlap_jaccard, stats_linear_trend / benford_digits /
+#     theil_between, quality_herfindahl_index, sample_systematic_thin,
+#     dedup_levenshtein_names, sql_qualify_topk, and (late in the
+#     round, swapped for the 4th cohort fill)
+#     embeddings_matryoshka_recall;
 # (e) 3 fill slots from the r5 cohort, alphabetical, plus the
 #     round's 11th oracled registration (embeddings_matryoshka_recall,
 #     landed late in the round — never-certified queries outrank a
