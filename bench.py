@@ -356,6 +356,7 @@ HEADLINE: dict[str, bool] = {
     "multimodal_pdf_triage": False,
     "text_unigram_lm_tokenize": False,
     "embeddings_matryoshka_recall": True,
+    "streaming_sessionize_30m": False,
 }
 
 

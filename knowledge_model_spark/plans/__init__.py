@@ -376,6 +376,7 @@ _GATE_PRIORITY = [
     "text_unigram_lm_train",
     "multimodal_pdf_triage",
     "text_unigram_lm_tokenize",
+    "streaming_sessionize_30m",
 ]
 
 

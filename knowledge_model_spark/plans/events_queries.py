@@ -2113,3 +2113,96 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_STREAM_SESS_SEQ = [0]
+
+
+@register(
+    "streaming_sessionize_30m",
+    None,  # runs a genuine Structured Streaming query (AvailableNow) —
+    # no SQL twin; the in-plan stream_matches_batch column is an exact
+    # row-equality gate against the ORACLED batch twin, all-true-pinned
+    doc="the streaming sessionizer as a first-class registered query "
+    "(SURVEY §2.9 promoted from tests-only): a REAL Structured "
+    "Streaming session_window aggregation over the events parquet — "
+    "watermark + 30-min dynamic gap, AvailableNow trigger, memory "
+    "sink — whose finished result is post-ranked into the batch "
+    "twin's exact shape (ordinal session ids per user) and "
+    "row-compared against events_sessionize_30m (which is itself "
+    "DuckDB-oracled), so the driver row certifies BATCH==STREAM "
+    "equality end to end.  Scale shape: the streaming agg is "
+    "incremental per micro-batch with watermark-bounded state (the "
+    "100 TB form consumes a file/Kafka source with the identical "
+    "plan); the comparison join is session-grain tiny",
+)
+def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    _STREAM_SESS_SEQ[0] += 1
+    name = f"strsess_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file streaming source requires a DIRECTORY; the testdata dir
+    # holds one flat .parquet file per table, so point the source at
+    # the dir with a glob filter selecting only the events file
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # the parquet ts is TIMESTAMP_NTZ; event-time watermarks require
+    # TIMESTAMP — the session-tz cast matches how the batch twin's
+    # unix_timestamp interprets the same NTZ values
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strsess_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    wi = W.partitionBy("user_id").orderBy("min_ts")
+    streamed = spark.table(name).select(
+        "user_id",
+        F.row_number().over(wi).cast("long").alias("session_id"),
+        "n_events",
+        F.unix_timestamp("min_ts").alias("session_start_s"),
+        (F.col("max_ts").cast("long") - F.col("min_ts").cast("long")).alias(
+            "duration_s"
+        ),
+        F.round("sum_value", 2).alias("total_value"),
+    )
+    batch = events_sessionize_30m(spark, sf_dir)
+    cols = [
+        "user_id", "session_id", "n_events", "session_start_s",
+        "duration_s", "total_value",
+    ]
+    # FULL outer on every value column: a session the stream missed (or
+    # invented, or mis-aggregated) surfaces as a one-sided row with a
+    # false gate — a left join would silently pass stream omissions
+    return streamed.withColumn("__s", F.lit(1)).join(
+        batch.select(*cols).withColumn("__b", F.lit(1)), cols, "full_outer"
+    ).select(
+        *cols,
+        (F.col("__s").isNotNull() & F.col("__b").isNotNull()).alias(
+            "stream_matches_batch"
+        ),
+    )

@@ -814,3 +814,23 @@ def test_stream_vocab_checkpoint_recreation_never_silently_skips(spark, tmp_path
     assert got["gamma"] == 1 and got["delta"] == 1
     # old files re-merged once — the documented at-least-once degradation
     assert got["alpha"] == 2 and got["beta"] == 4
+
+
+def test_registered_streaming_sessionize_matches_batch(spark):
+    """streaming_sessionize_30m (rows-only in the driver): the
+    registered Structured Streaming query's sessions must equal the
+    ORACLED batch twin row-for-row in BOTH directions (the full-outer
+    gate emits a false row for any omission, invention, or
+    mis-aggregation on either side)."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = (
+        R["streaming_sessionize_30m"].fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows and all(r["stream_matches_batch"] for r in rows)
+    batch_n = R["events_sessionize_30m"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert len(rows) == batch_n
