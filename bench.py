@@ -357,6 +357,7 @@ HEADLINE: dict[str, bool] = {
     "text_unigram_lm_tokenize": False,
     "embeddings_matryoshka_recall": True,
     "streaming_sessionize_30m": False,
+    "streaming_tumbling_1h": False,
 }
 
 

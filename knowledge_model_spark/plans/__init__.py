@@ -377,6 +377,7 @@ _GATE_PRIORITY = [
     "multimodal_pdf_triage",
     "text_unigram_lm_tokenize",
     "streaming_sessionize_30m",
+    "streaming_tumbling_1h",
 ]
 
 

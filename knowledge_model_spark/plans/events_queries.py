@@ -2206,3 +2206,65 @@ def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_matches_batch"
         ),
     )
+
+
+@register(
+    "streaming_tumbling_1h",
+    None,  # genuine Structured Streaming run — no SQL twin; full-outer
+    # row-equality gate vs the ORACLED batch twin, all-true-pinned
+    doc="the watermarked tumbling-window aggregation as a registered "
+    "query (SURVEY §2.9, the second batch==stream certification next "
+    "to streaming_sessionize_30m): window(ts, 1 hour) × event_type "
+    "counts + 2-dp value sums over the events parquet via AvailableNow "
+    "+ memory sink, full-outer row-compared against "
+    "events_tumbling_1h (DuckDB-oracled) so the driver row certifies "
+    "the streaming plan computes the identical table.  At scale the "
+    "same plan consumes a file/Kafka source incrementally with "
+    "watermark-bounded state",
+)
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    _STREAM_SESS_SEQ[0] += 1
+    name = f"strtumb_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strtumb_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    batch = events_tumbling_1h(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    return streamed.withColumn("__s", F.lit(1)).join(
+        batch.select(*cols).withColumn("__b", F.lit(1)), cols, "full_outer"
+    ).select(
+        *cols,
+        (F.col("__s").isNotNull() & F.col("__b").isNotNull()).alias(
+            "stream_matches_batch"
+        ),
+    )

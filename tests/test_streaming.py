@@ -834,3 +834,20 @@ def test_registered_streaming_sessionize_matches_batch(spark):
         spark, "/root/testdata/sf0.001"
     ).count()
     assert len(rows) == batch_n
+
+
+def test_registered_streaming_tumbling_matches_batch(spark):
+    """streaming_tumbling_1h: full-outer row equality against the
+    ORACLED batch twin, both directions (see the sessionize gate)."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = (
+        R["streaming_tumbling_1h"].fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows and all(r["stream_matches_batch"] for r in rows)
+    batch_n = R["events_tumbling_1h"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert len(rows) == batch_n
