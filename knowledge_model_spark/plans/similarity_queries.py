@@ -1452,7 +1452,12 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.lit(float(N_QUERIES * K))
     out = []
     for d in _MRL_DIMS:
-        hit = full.join(topk(d), ["query_id", "vec_id"], "left_semi")
+        # both sides are exactly N_QUERIES×K rows, but the truncated
+        # side's size is opaque to Catalyst (window filter) and the
+        # join fell to SortMergeJoin — broadcast it explicitly
+        hit = full.join(
+            F.broadcast(topk(d)), ["query_id", "vec_id"], "left_semi"
+        )
         out.append(
             hit.agg(
                 F.lit(d).cast("long").alias("dim"),
