@@ -238,13 +238,13 @@ def learn_unigram_lm(
     vocab-table jobs whose cost scales with DISTINCT words, not
     occurrences; driver state is the ≤(singles+seed_multi)-row vocab
     (the Lloyd/PQ bounded-collect contract).
+
+    Raises ``ValueError`` when the corpus alphabet alone exceeds
+    ``vocab_size``: singles are never pruned (coverage guarantee), so
+    no vocabulary of the requested size exists — returning
+    ``len(singles)`` pieces anyway would silently violate the contract
+    (r10 ADVICE).
     """
-    import math
-    from collections import Counter
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     words = (
         df.select(
             F.explode(
@@ -259,6 +259,25 @@ def learn_unigram_lm(
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=True)
     )
+    try:
+        return _learn_unigram_lm_from_words(
+            words, vocab_size, max_piece_len, seed_multi, n_rounds
+        )
+    finally:
+        # the eager localCheckpoint caches the word table's RDD blocks;
+        # without this, repeated invocations in one application
+        # accumulate checkpointed RDDs until GC (r10 ADVICE)
+        words.unpersist()
+
+
+def _learn_unigram_lm_from_words(
+    words, vocab_size: int, max_piece_len: int, seed_multi: int, n_rounds: int
+):
+    import math
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     # seed candidates: singles (always kept) + top multi substrings
     singles = {
@@ -291,6 +310,14 @@ def learn_unigram_lm(
     counts.update(dict(multi))
     if not counts:
         return []  # empty corpus — callers emit a schema-correct empty table
+    if len(singles) > int(vocab_size):
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than the corpus "
+            f"alphabet ({len(singles)} distinct characters); singles "
+            "are never pruned, so the requested vocabulary size is "
+            "unsatisfiable — raise vocab_size to at least the "
+            "alphabet size"
+        )
 
     def _logp(cnts: dict[str, int]) -> dict[str, float]:
         tot = sum(cnts.values()) + len(cnts)

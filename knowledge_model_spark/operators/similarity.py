@@ -39,8 +39,16 @@ def brute_force_top_k(
     k: int = 12,
     min_score: float | None = None,
     normalized: bool = False,
+    round_scores: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, corpus_id, score, rank).
+
+    ``round_scores=False`` ranks on the raw double instead of the
+    6-dp-rounded score: rounding buckets distinct scores into 1e-6
+    ties (broken by corpus_id), so a caller whose oracle ranks on
+    unrounded similarity — e.g. embeddings_matryoshka_recall, where
+    low-dim truncations make near-ties likely — must disable it to
+    keep both engines picking the same top-k members.
 
     Plan shape: broadcast(queries) × corpus scan → score in codegen →
     window top-k partitioned by query.  No shuffle of the corpus; the
@@ -59,10 +67,11 @@ def brute_force_top_k(
     if not normalized:
         c = c.withColumn("__cv", l2_normalize(F.col(corpus_vec)))
         q = q.withColumn("__qv", l2_normalize(F.col(query_vec)))
+    raw = dot(cv, qv)
     scored = c.crossJoin(broadcast(q)).select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(dot(cv, qv), 6).alias("score"),
+        (F.round(raw, 6) if round_scores else raw).alias("score"),
     )
     if min_score is not None:
         scored = scored.filter(F.col("score") >= min_score)

@@ -76,7 +76,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -96,7 +96,10 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions GROUP BY user_id, session_id
     """,
     doc="sessionization by 30-min inactivity gap: lag → new-session flag → "
-    "running-sum session ids (streaming twin: session_window / applyInPandasWithState)",
+    "running-sum session ids (streaming twin: session_window / applyInPandasWithState). "
+    "Boundary semantics (r10 ADVICE): a gap of EXACTLY 30 minutes starts a new "
+    "session (>=), matching Spark session_window's closed-open [start, start+gap) "
+    "interval — so the streaming certification twin agrees at equality",
 )
 def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -109,7 +112,7 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = t["events"].withColumn(
         "new_session",
         F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1800 * 1_000_000,
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) >= 1800 * 1_000_000,
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)
@@ -2118,6 +2121,69 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SESS_SEQ = [0]
 
 
+def _run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    prefix: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the finished table.
+
+    Certification-harness plumbing shared by the four streaming_*
+    registrations: AvailableNow trigger, a throwaway checkpoint dir
+    that is REMOVED after the run, and a hard check that
+    ``awaitTermination`` actually finished (r10 ADVICE: a >300 s drain
+    must surface as a timeout error, not as cryptic false gate rows
+    read from a partial sink).  The memory sink + complete/append mode
+    is the certification harness, not a production sink.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    _STREAM_SESS_SEQ[0] += 1
+    name = f"{prefix}_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming certification query {name} did not drain "
+                "within 300s — refusing to compare a partial sink"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streaming source over the events parquet.
+
+    The file source requires a DIRECTORY; the testdata dir holds one
+    flat .parquet file per table, so the source points at the dir with
+    a glob filter selecting only the events file.  The parquet ts is
+    TIMESTAMP_NTZ; event-time watermarks require TIMESTAMP — the
+    session-tz cast matches how the batch twins' unix_timestamp
+    interprets the same NTZ values.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 @register(
     "streaming_sessionize_30m",
     None,  # runs a genuine Structured Streaming query (AvailableNow) —
@@ -2137,26 +2203,9 @@ _STREAM_SESS_SEQ = [0]
     "plan); the comparison join is session-grain tiny",
 )
 def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from pyspark.sql import Window as W
 
-    _STREAM_SESS_SEQ[0] += 1
-    name = f"strsess_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file streaming source requires a DIRECTORY; the testdata dir
-    # holds one flat .parquet file per table, so point the source at
-    # the dir with a glob filter selecting only the events file
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # the parquet ts is TIMESTAMP_NTZ; event-time watermarks require
-    # TIMESTAMP — the session-tz cast matches how the batch twin's
-    # unix_timestamp interprets the same NTZ values
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _events_stream_source(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "2 hours")
         .groupBy(
@@ -2170,17 +2219,8 @@ def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strsess_ckpt_"))
-        .start()
-    )
-    q.awaitTermination(300)
     wi = W.partitionBy("user_id").orderBy("min_ts")
-    streamed = spark.table(name).select(
+    streamed = _run_stream_to_memory(spark, agg, "strsess").select(
         "user_id",
         F.row_number().over(wi).cast("long").alias("session_id"),
         "n_events",
@@ -2223,18 +2263,7 @@ def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermark-bounded state",
 )
 def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    _STREAM_SESS_SEQ[0] += 1
-    name = f"strtumb_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    src = _events_stream_source(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -2243,20 +2272,233 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strtumb_ckpt_"))
-        .start()
-    )
-    q.awaitTermination(300)
-    streamed = spark.table(name).select(
+    streamed = _run_stream_to_memory(spark, agg, "strtumb").select(
         F.unix_timestamp(F.col("w.start")).alias("window_start"),
         "event_type",
         "n",
         "total_value",
+    )
+    batch = events_tumbling_1h(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    return streamed.withColumn("__s", F.lit(1)).join(
+        batch.select(*cols).withColumn("__b", F.lit(1)), cols, "full_outer"
+    ).select(
+        *cols,
+        (F.col("__s").isNotNull() & F.col("__b").isNotNull()).alias(
+            "stream_matches_batch"
+        ),
+    )
+
+
+@register(
+    "events_click_followup_30m",
+    """
+    WITH mx AS (
+      SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+                   max(ts) FILTER (WHERE event_type = 'purchase'))
+             - INTERVAL 1 SECOND AS m
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, event_id, ts FROM events, mx
+      WHERE event_type = 'click' AND ts + INTERVAL 30 MINUTE < m
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id AS click_event_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+           count(p.ts) AS n_followup
+    FROM clicks c
+    LEFT JOIN p ON p.user_id = c.user_id
+               AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id, c.event_id, c.ts
+    """,
+    doc="per-click 30-min purchase-followup counts (attribution "
+    "candidate generation): for every click, how many purchases the "
+    "same user made in (ts, ts+30m] — zero-followup clicks kept via "
+    "LEFT OUTER, so the table is conversion-rate-ready.  Clicks whose "
+    "followup window extends past the watermark floor — "
+    "least(max click ts, max purchase ts), minus a 1 s safety margin "
+    "for Spark's ms-truncated watermark arithmetic — are excluded: "
+    "their count is not yet final.  That is exactly the end-of-data "
+    "censoring the streaming twin streaming_interval_join_left "
+    "inherits from its global watermark (min across both inputs), "
+    "which is what makes BATCH==STREAM equality exact.  "
+    "Scale shape: user-key equi join + time-range residual (never a "
+    "cross product; per-user purchase lists are watermark-bounded in "
+    "the streaming form), one aggregate at click grain; the global "
+    "max(ts) is a scalar broadcast",
+)
+def events_click_followup_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    mx = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 1 SECOND")
+        ).alias("m")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") + F.expr("INTERVAL 30 MINUTES") < F.col("m"))
+        .drop("m")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        p,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    return joined.groupBy("user_id", "event_id", "ts").agg(
+        F.count("p_ts").alias("n_followup")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.unix_timestamp("ts").alias("click_ts_s"),
+        "n_followup",
+    )
+
+
+@register(
+    "streaming_interval_join_left",
+    None,  # genuine Structured Streaming LEFT OUTER stream-stream join
+    # — no SQL twin; full-outer row-equality gate vs the ORACLED batch
+    # twin events_click_followup_30m, all-true-pinned
+    doc="the watermarked LEFT OUTER stream-stream interval join as a "
+    "registered query (SURVEY §2.9's third batch==stream "
+    "certification, r10 verdict item 2): clicks ⟕ purchases within "
+    "30 min per user over the events parquet, both sides streamed "
+    "from the same source with 0-second watermarks, AvailableNow + "
+    "memory sink.  Outer (no-purchase) rows emit only once the "
+    "watermark passes the click's whole candidate window — Spark's "
+    "state-eviction contract for outer stream-stream joins — so both "
+    "engines censor clicks whose window reaches past the watermark "
+    "floor (min of the two inputs' max event times) identically and "
+    "the finished sink, aggregated to followup counts, is full-outer "
+    "row-compared against the DuckDB-oracled batch twin.  At scale "
+    "the identical plan consumes two live feeds with join state "
+    "bounded by key × watermark horizon",
+)
+def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the join's final global watermark is min over BOTH inputs' event
+    # times (clicks and purchases each carry their own watermark, and
+    # the global max(ts) may belong to a 'view' neither side sees);
+    # the 1 s margin absorbs Spark's ms-truncated watermark arithmetic
+    # so censor-predicate ⇒ row-was-emitted always holds
+    cutoff = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.col("ts").cast("timestamp"),
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("ts").cast("timestamp"),
+                    )
+                ),
+            )
+            - F.expr("INTERVAL 1 SECOND")
+        )
+        .first()[0]
+    )
+    l = (
+        _events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    r = (
+        _events_stream_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    cond = (
+        (l["user_id"] == r["p_user_id"])
+        & (r["p_ts"] > l["ts"])
+        & (r["p_ts"] <= l["ts"] + F.expr("INTERVAL 30 MINUTES"))
+    )
+    sink = _run_stream_to_memory(
+        spark, l.join(r, cond, "left_outer"), "strjoin", output_mode="append"
+    )
+    # the censoring post-filter mirrors the batch twin's max(ts) rule:
+    # matched tail rows DID emit during the data batch, so without the
+    # filter they would one-side the gate against the censored batch
+    streamed = (
+        sink.filter(F.col("ts") + F.expr("INTERVAL 30 MINUTES") < F.lit(cutoff))
+        .groupBy("user_id", "event_id", "ts")
+        .agg(F.count("p_ts").alias("n_followup"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_event_id"),
+            F.unix_timestamp("ts").alias("click_ts_s"),
+            "n_followup",
+        )
+    )
+    batch = events_click_followup_30m(spark, sf_dir)
+    cols = ["user_id", "click_event_id", "click_ts_s", "n_followup"]
+    return streamed.withColumn("__s", F.lit(1)).join(
+        batch.select(*cols).withColumn("__b", F.lit(1)), cols, "full_outer"
+    ).select(
+        *cols,
+        (F.col("__s").isNotNull() & F.col("__b").isNotNull()).alias(
+            "stream_matches_batch"
+        ),
+    )
+
+
+@register(
+    "streaming_dedup_tumbling_1h",
+    None,  # genuine Structured Streaming dropDuplicatesWithinWatermark
+    # run — no SQL twin; full-outer row-equality gate vs the ORACLED
+    # batch twin events_tumbling_1h, all-true-pinned
+    doc="dropDuplicatesWithinWatermark as a registered query (SURVEY "
+    "§2.9's fourth batch==stream certification, r10 verdict item 2): "
+    "the events stream is unioned with a second read of itself — "
+    "every event arrives exactly twice — and the watermarked dedup on "
+    "event_id must pass through exactly one copy of each; the "
+    "finished sink, aggregated to the tumbling-1h × event_type "
+    "table, is full-outer row-compared against events_tumbling_1h "
+    "(DuckDB-oracled over the UN-doubled table), so a surviving "
+    "duplicate inflates a count and fails the gate just as an "
+    "over-drop deflates one.  At scale: dedup state is bounded by "
+    "keys inside the watermark horizon and reclaimed as it advances",
+)
+def streaming_dedup_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = _events_stream_source(spark, sf_dir).unionByName(
+        _events_stream_source(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = _run_stream_to_memory(spark, deduped, "strdedup", output_mode="append")
+    streamed = (
+        sink.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
     batch = events_tumbling_1h(spark, sf_dir)
     cols = ["window_start", "event_type", "n", "total_value"]

@@ -1443,9 +1443,13 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = c.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         )
+        # unrounded ranking (r10 ADVICE): the oracle orders by raw
+        # list_cosine_similarity, and at dim 8 distinct neighbors can
+        # sit within 1e-6 — 6-dp rounding would tie-break differently
         return brute_force_top_k(
             c, q, corpus_id="vec_id", corpus_vec="v",
             query_id="query_id", query_vec="qv", k=K,
+            round_scores=False,
         ).select("query_id", "vec_id")
 
     full = topk(64).localCheckpoint(eager=True)

@@ -353,13 +353,17 @@ _REF_LIST_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 def _pages_with_bodies(
     b: bytes, objs: dict[int, tuple[bytes, int]]
-) -> list[tuple[bytes, list[bytes]]] | None:
+) -> list[tuple[bytes, list[bytes], bytes | None]] | None:
     """Follow /Root → /Pages → /Kids to the page objects IN PAGE-TREE
     ORDER (file byte order is NOT page order for incrementally-updated
-    or generator-written PDFs), returning each page's DICT BODY plus
-    its decoded content streams — a /Contents array is ONE page, not
-    several.  None when the tree can't be resolved (caller falls back
-    to byte order)."""
+    or generator-written PDFs), returning each page's DICT BODY, its
+    decoded content streams — a /Contents array is ONE page, not
+    several — and the dict body that OWNS the page's /Resources: the
+    page itself when it declares one, else the nearest ancestor /Pages
+    node carrying /Resources (the PDF-spec inheritable attribute —
+    real scanned PDFs commonly hoist shared resources to the parent;
+    r10 ADVICE), else None.  None when the tree can't be resolved
+    (caller falls back to byte order)."""
     root = re.search(_REF_RE_T % b"Root", b)
     if not root or int(root.group(1)) not in objs:
         return None
@@ -367,19 +371,20 @@ def _pages_with_bodies(
     pages_ref = re.search(_REF_RE_T % b"Pages", catalog)
     if not pages_ref or int(pages_ref.group(1)) not in objs:
         return None
-    pages: list[tuple[bytes, list[bytes]]] = []
+    pages: list[tuple[bytes, list[bytes], bytes | None]] = []
     visited: set[int] = set()
 
-    def walk(num: int) -> bool:
+    def walk(num: int, inherited_res: bytes | None) -> bool:
         if num in visited or num not in objs:
             return False  # cycle or dangling ref: unresolvable
         visited.add(num)
         body, _ = objs[num]
+        res_owner = body if b"/Resources" in body else inherited_res
         kids = _KIDS_RE.search(body)
         if kids is not None and b"/Type" in body and b"/Page" in body \
                 and b"/Pages" in body:
             for m in _REF_LIST_RE.finditer(kids.group(1)):
-                if not walk(int(m.group(1))):
+                if not walk(int(m.group(1)), res_owner):
                     return False
             return True
         # a leaf page: /Contents is a ref or an array of refs
@@ -389,7 +394,7 @@ def _pages_with_bodies(
         else:
             one = re.search(_REF_RE_T % b"Contents", body)
             if one is None:
-                pages.append((body, []))  # blank page
+                pages.append((body, [], res_owner))  # blank page
                 return True
             refs = [int(one.group(1))]
         streams = []
@@ -399,10 +404,10 @@ def _pages_with_bodies(
             data = _stream_payload(b, *objs[r])
             if data is not None:
                 streams.append(data)
-        pages.append((body, streams))
+        pages.append((body, streams, res_owner))
         return True
 
-    if not walk(int(pages_ref.group(1))):
+    if not walk(int(pages_ref.group(1)), None):
         return None
     return pages
 
@@ -412,7 +417,7 @@ def _page_streams_in_tree_order(
 ) -> list[list[bytes]] | None:
     """Content streams per page in tree order (see _pages_with_bodies)."""
     pages = _pages_with_bodies(b, objs)
-    return None if pages is None else [s for _, s in pages]
+    return None if pages is None else [s for _, s, _ in pages]
 
 
 def _inflate_streams(b: bytes) -> list[bytes]:
@@ -797,8 +802,10 @@ def triage_pdf_pages(b: bytes) -> list[dict] | None:
 
     Per page (tree order): ``has_text`` = any Tj/TJ rendered non-empty
     text; ``n_images`` = image XObjects referenced from the page's
-    /Resources (inline dict or indirect ref; counted when their object
-    body carries /Subtype /Image); ``image_filters`` = their sorted
+    /Resources (inline dict or indirect ref, falling back to the
+    nearest ancestor /Pages node's /Resources per the PDF-spec
+    inheritance rule; counted when their object body carries
+    /Subtype /Image); ``image_filters`` = their sorted
     /Filter names (so the router also knows whether the repo's codecs
     could decode them or they sit on the JPX/JBIG2 seam); ``triage`` ∈
     {text, hybrid, image_only, empty}.  Inline BI…EI images are not
@@ -814,12 +821,17 @@ def triage_pdf_pages(b: bytes) -> list[dict] | None:
     if pages is None:
         return None
     out: list[dict] = []
-    for i, (body, streams) in enumerate(pages):
+    for i, (body, streams, res_owner) in enumerate(pages):
         content = b"\n".join(streams)
         txt = _extract_text(content) if content else ""
         has_text = bool(txt.strip())
-        res = body
-        rm = _RES_REF_RE.search(body)
+        # /Resources is inheritable (PDF 32000-1 §7.7.3.4): when the
+        # page dict lacks one, the tree walk handed us the nearest
+        # ancestor /Pages body that declares it — without this, scans
+        # with parent-hoisted resources triage as 'empty' and dodge
+        # OCR routing (r10 ADVICE)
+        res = res_owner if res_owner is not None else body
+        rm = _RES_REF_RE.search(res)
         if rm is not None and int(rm.group(1)) in objs:
             res = objs[int(rm.group(1))][0]
         filters: list[str] = []

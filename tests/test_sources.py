@@ -3674,3 +3674,55 @@ def test_multimodal_pdf_triage_gate(spark):
     assert classes == {"text", "image_only", "hybrid", "empty"}
     filters = {f for r in rows if r["image_filters"] for f in r["image_filters"].split(",")}
     assert {"CCITTFaxDecode", "FlateDecode", "LZWDecode", "DCTDecode"} <= filters
+
+
+def test_triage_inherits_parent_pages_resources():
+    """r10 ADVICE: a scanned-PDF page whose /Resources lives on the
+    parent /Pages node (the PDF-spec inheritable attribute) must still
+    count its images and triage image_only — not silently classify as
+    'empty' and dodge OCR routing."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.pdf import (
+        encode_simple_pdf,
+        triage_pdf_pages,
+    )
+
+    gray = (np.mgrid[0:8, 0:12][0] * 31 % 256).astype(np.uint8)
+    rgb = np.stack([gray] * 3, axis=2)
+    pdf = encode_simple_pdf(["", "second page text"], images=[("flate", rgb)])
+
+    # surgically hoist page 1's /Resources dict onto the parent /Pages
+    # node (balanced << >> scan — the dict nests /Font and /XObject)
+    start = pdf.index(b"/Resources")
+    i = pdf.index(b"<<", start)
+    depth, j = 0, i
+    while True:
+        if pdf[j : j + 2] == b"<<":
+            depth, j = depth + 1, j + 2
+        elif pdf[j : j + 2] == b">>":
+            depth, j = depth - 1, j + 2
+            if depth == 0:
+                break
+        else:
+            j += 1
+    res = pdf[start:j]
+    assert b"/XObject" in res
+    hoisted = pdf[:start] + pdf[j:]
+    pages_at = hoisted.index(b"/Type /Pages")
+    insert_at = hoisted.index(b">>", pages_at)
+    hoisted = hoisted[:insert_at] + res + b" " + hoisted[insert_at:]
+
+    rows = triage_pdf_pages(hoisted)
+    assert rows is not None
+    assert rows[0]["triage"] == "image_only"
+    assert rows[0]["n_images"] == 1
+    assert rows[0]["image_filters"] == ["FlateDecode"]
+    # page 2 declares its OWN /Resources (font-only), which overrides
+    # the inherited dict per the spec — so no phantom image appears
+    assert rows[1]["has_text"] and rows[1]["triage"] == "text"
+    assert rows[1]["n_images"] == 0
+
+    # the un-hoisted original still triages page 1 from its own dict
+    orig = triage_pdf_pages(pdf)
+    assert orig[0]["triage"] == "image_only" and orig[0]["n_images"] == 1

@@ -851,3 +851,129 @@ def test_registered_streaming_tumbling_matches_batch(spark):
         spark, "/root/testdata/sf0.001"
     ).count()
     assert len(rows) == batch_n
+
+
+def test_registered_streaming_interval_join_matches_batch(spark):
+    """streaming_interval_join_left (rows-only in the driver): the LEFT
+    OUTER stream-stream interval join's finished sink, censored at the
+    watermark floor and aggregated to followup counts, must equal the
+    ORACLED batch twin events_click_followup_30m row-for-row in both
+    directions — including the zero-followup clicks only an OUTER join
+    emits."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = (
+        R["streaming_interval_join_left"].fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows and all(r["stream_matches_batch"] for r in rows)
+    # outer semantics actually exercised: some clicks have no followup
+    assert any(r["n_followup"] == 0 for r in rows)
+    assert any(r["n_followup"] > 0 for r in rows)
+    batch_n = R["events_click_followup_30m"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert len(rows) == batch_n
+
+
+def test_registered_streaming_dedup_matches_batch(spark):
+    """streaming_dedup_tumbling_1h: the events stream doubled then
+    deduped by dropDuplicatesWithinWatermark must reproduce the
+    UN-doubled table's tumbling-1h aggregate exactly — a surviving
+    duplicate inflates a count, an over-drop deflates one, and either
+    fails the full-outer gate."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = (
+        R["streaming_dedup_tumbling_1h"].fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows and all(r["stream_matches_batch"] for r in rows)
+    batch_n = R["events_tumbling_1h"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert len(rows) == batch_n
+
+
+def test_stream_runner_times_out_loudly(spark, monkeypatch):
+    """_run_stream_to_memory (r10 ADVICE): a query that cannot drain
+    within the deadline must raise TimeoutError (and stop the query),
+    never hand back a partial sink; the checkpoint dir is removed on
+    both paths."""
+    import glob
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.query import StreamingQuery
+
+    from knowledge_model_spark.plans.events_queries import (
+        _events_stream_source,
+        _run_stream_to_memory,
+    )
+
+    import shutil
+
+    for leftover in glob.glob("/tmp/strtimeout_ckpt_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    monkeypatch.setattr(
+        StreamingQuery, "awaitTermination", lambda self, timeout=None: False
+    )
+    # pass through to the REAL stop — a record-only stub leaves the
+    # query draining, and it recreates the checkpoint dir after cleanup
+    orig_stop = StreamingQuery.stop
+    stopped = []
+
+    def _stop(self):
+        stopped.append(True)
+        orig_stop(self)
+
+    monkeypatch.setattr(StreamingQuery, "stop", _stop)
+    src = (
+        _events_stream_source(spark, "/root/testdata/sf0.001")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    with _pytest.raises(TimeoutError, match="did not drain"):
+        _run_stream_to_memory(spark, src, "strtimeout")
+    assert stopped == [True]
+    assert glob.glob("/tmp/strtimeout_ckpt_*") == []
+
+
+def test_sessionize_boundary_gap_exactly_30m(spark):
+    """r10 ADVICE: a gap of EXACTLY 30 minutes starts a new session in
+    the batch query — aligned with session_window's closed-open
+    [start, start+gap) interval so the streaming certification agrees
+    at equality — while one microsecond less stays in-session."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from knowledge_model_spark.plans import load_registry
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (1, 1, "click", "2024-01-01 10:00:00", 1.0, "{}"),
+            (1, 2, "click", "2024-01-01 10:30:00", 1.0, "{}"),  # == gap
+            (2, 3, "click", "2024-01-01 10:00:00.000001", 1.0, "{}"),
+            (2, 4, "click", "2024-01-01 10:30:00", 1.0, "{}"),  # < gap
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string, ts_s string,"
+            " value double, props string",
+        ).select(
+            "user_id", "event_id", "event_type",
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+            "value", "props",
+        )
+        df.write.parquet(f"{d}/events.parquet")
+        R = load_registry()
+        got = {
+            (r["user_id"], r["session_id"]): r["n_events"]
+            for r in R["events_sessionize_30m"].fn(spark, d).collect()
+        }
+        # user 1: exact 1800s gap → two sessions; user 2: 1799.999999s → one
+        assert got == {(1, 1): 1, (1, 2): 1, (2, 1): 2}

@@ -202,3 +202,22 @@ def test_unigram_tokenize_matches_python_and_freeze(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_unigram_lm_rejects_unsatisfiable_vocab_size(spark):
+    """r10 ADVICE: when the corpus alphabet alone exceeds vocab_size,
+    learn_unigram_lm must raise (singles are never pruned, so the
+    contract is unsatisfiable) instead of silently returning more than
+    vocab_size pieces."""
+    import pytest as _pytest
+
+    from knowledge_model_spark.functions.tokenize import learn_unigram_lm
+
+    docs = spark.createDataFrame(
+        [("abcdefghij klmnopqrst",)], ["text"]
+    )  # 20 distinct characters
+    with _pytest.raises(ValueError, match="alphabet"):
+        learn_unigram_lm(docs, "text", vocab_size=8, seed_multi=4, n_rounds=1)
+    # a satisfiable size still trains
+    out = learn_unigram_lm(docs, "text", vocab_size=20, seed_multi=4, n_rounds=1)
+    assert len(out) <= 20 and out
