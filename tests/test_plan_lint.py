@@ -34,8 +34,10 @@ import pytest
 from knowledge_model_spark.plans import load_registry
 
 from tests.conftest import SF_DIR
+from tests.plan_fingerprint import fingerprint, load_manifest
 
 REGISTRY = load_registry()
+PLAN_MANIFEST = load_manifest()
 
 # query -> (rule, reason). Reviewed exceptions only.
 WHITELIST: dict[str, tuple[str, str]] = {
@@ -154,6 +156,26 @@ def test_plan_lint(spark, name):
             f"{name}: Exchange SinglePartition over unbounded input "
             f"(serializes the corpus through one task at scale): {viol}"
         )
+
+    # plan-fingerprint regression (r10 verdict item 3): the physical
+    # strategy — join algorithms, shuffle kinds, WindowGroupLimit —
+    # must match the checked-in manifest.  A silent flip (Catalyst
+    # upgrade, refactor losing a broadcast hint) fails HERE instead of
+    # surfacing as a bench regression three rounds later.  Intentional
+    # changes: python tests/gen_plan_manifest.py <query> and commit.
+    got = fingerprint(plan)
+    want = PLAN_MANIFEST.get(name)
+    assert want is not None, (
+        f"{name}: no plan-manifest entry — seed it with "
+        f"`python tests/gen_plan_manifest.py {name}` and commit "
+        f"tests/plan_manifest.json (current fingerprint: {got})"
+    )
+    assert got == want, (
+        f"{name}: physical-plan fingerprint drifted from the manifest.\n"
+        f"  manifest: {want}\n  current:  {got}\n"
+        f"If intentional, regenerate with "
+        f"`python tests/gen_plan_manifest.py {name}` and commit the diff."
+    )
 
 
 def test_window_group_limit_rule_requires_bounded_group_count():
