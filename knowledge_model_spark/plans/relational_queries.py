@@ -1007,6 +1007,112 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("o_orderkey", "zkey")
 
 
+def _zorder_skipping_oracle() -> str:
+    from knowledge_model_spark.operators.layout import bucket_expr, morton_expr
+
+    bx = bucket_expr(
+        "d", "(SELECT dlo FROM b)", "(SELECT dhi FROM b)", 4096, div_op="//"
+    )
+    by = bucket_expr(
+        "k", "(SELECT klo FROM b)", "(SELECT khi FROM b)", 4096, div_op="//"
+    )
+    z = morton_expr([f"({bx})", f"({by})"], 12)
+    return f"""
+    WITH base AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             o_custkey AS k
+      FROM orders
+    ),
+    b AS (SELECT min(d) AS dlo, max(d) AS dhi, min(k) AS klo, max(k) AS khi
+          FROM base),
+    z AS (SELECT {z} AS zkey, d, k FROM base),
+    f AS (
+      SELECT zkey // 65536 AS file_id, count(*) AS n_rows,
+             min(d) AS d_min, max(d) AS d_max,
+             min(k) AS k_min, max(k) AS k_max
+      FROM z GROUP BY 1
+    ),
+    p AS (
+      SELECT dlo + ((dhi - dlo) * 9) // 20   AS plo_d,
+             dlo + ((dhi - dlo) * 11) // 20  AS phi_d,
+             klo + ((khi - klo) * 9) // 20   AS plo_k,
+             klo + ((khi - klo) * 11) // 20  AS phi_k
+      FROM b
+    )
+    SELECT file_id, n_rows, d_min, d_max, k_min, k_max,
+           (d_max < plo_d OR d_min > phi_d) AS skip_date_band,
+           (k_max < plo_k OR k_min > phi_k) AS skip_cust_band,
+           (d_max < plo_d OR d_min > phi_d
+            OR k_max < plo_k OR k_min > phi_k) AS skip_conjunction
+    FROM f, p
+    """
+
+
+@register(
+    "layout_zorder_skipping",
+    _zorder_skipping_oracle(),
+    doc="file-skipping PROOF for the z-order layout as a registered "
+    "diagnostic (extends layout_zorder_keys, whose key expressions it "
+    "shares verbatim with the oracle): rows are binned into files by "
+    "fixed-width z-ranges (zkey div 2^16 — the catalog-free proxy for "
+    "write_zordered's repartitionByRange boundaries), each file "
+    "carries its per-dimension min/max exactly as parquet footers "
+    "would, and three canonical predicates — a 10%-of-range date "
+    "band, a 10% customer band, and their conjunction — are evaluated "
+    "against those stats ONLY.  A file is skipped when its min/max "
+    "interval misses the band; because the z-curve interleaves both "
+    "dimensions, BOTH single-dimension bands skip the large majority "
+    "of files, which is the property a single-dim sort cannot give "
+    "(tests/test_layout.py proves that contrast).  Everything is "
+    "exact integer arithmetic on bucket ids, so the whole skipping "
+    "decision table is oracle-checkable; at 100 TB the same stats "
+    "exist per parquet file and the scan planner applies the "
+    "identical interval test.",
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_model_spark.operators.layout import zorder_key
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        F.expr("unix_date(cast(o_orderdate as date))").alias("d"),
+        F.col("o_custkey").alias("k"),
+    )
+    lo_hi = base.agg(F.min("d"), F.max("d"), F.min("k"), F.max("k")).collect()[0]
+    if lo_hi[0] is None:
+        return spark.createDataFrame(
+            [],
+            "file_id long, n_rows long, d_min long, d_max long, "
+            "k_min long, k_max long, skip_date_band boolean, "
+            "skip_cust_band boolean, skip_conjunction boolean",
+        )
+    dlo, dhi, klo, khi = (int(v) for v in lo_hi)
+    keyed = zorder_key(base, ["d", "k"], [(dlo, dhi), (klo, khi)], bits=12)
+    files = keyed.select(
+        F.expr("zkey div 65536").alias("file_id"), "d", "k"
+    ).groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+    plo_d, phi_d = dlo + (dhi - dlo) * 9 // 20, dlo + (dhi - dlo) * 11 // 20
+    plo_k, phi_k = klo + (khi - klo) * 9 // 20, klo + (khi - klo) * 11 // 20
+    skip_d = (F.col("d_max") < plo_d) | (F.col("d_min") > phi_d)
+    skip_k = (F.col("k_max") < plo_k) | (F.col("k_min") > phi_k)
+    return files.select(
+        "file_id",
+        "n_rows",
+        "d_min",
+        "d_max",
+        "k_min",
+        "k_max",
+        skip_d.alias("skip_date_band"),
+        skip_k.alias("skip_cust_band"),
+        (skip_d | skip_k).alias("skip_conjunction"),
+    )
+
+
 @register(
     "join_bloom_pruned",
     """

@@ -331,3 +331,168 @@ def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_users_7d"))
     )
     return rolled.select(F.col("target_day").alias("day"), "n_users_7d")
+
+
+_KMV_K = 1000  # <= spark.sql.optimizer.windowGroupLimitThreshold (1000):
+# one more and the bottom-k window loses its map-side WindowGroupLimit prune
+_KMV_ONE = 1 << 60  # theta in hash units: md5-15-hex keys are uniform in [0, 2^60)
+_KMV_OPS = [
+    ("click", "n_a"),
+    ("purchase", "n_b"),
+    ("union", "n_union"),
+    ("intersection", "n_inter"),
+    ("click_minus_purchase", "n_ab"),
+    ("purchase_minus_click", "n_ba"),
+]
+
+
+def _kmv_oracle() -> str:
+    k, one = _KMV_K, _KMV_ONE
+    ops = "\n      UNION ALL\n".join(
+        f"      SELECT '{op}' AS op, {col} AS n_retained FROM c"
+        for op, col in _KMV_OPS
+    )
+    return f"""
+    WITH pts AS (
+      SELECT DISTINCT event_type AS side,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    keep AS (
+      SELECT side, h, rn FROM (
+        SELECT side, h,
+               row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+        FROM pts) WHERE rn <= {k}
+    ),
+    st AS (
+      SELECT side,
+             CASE WHEN count(*) = {k}
+                  THEN max(CASE WHEN rn = {k} THEN h END)
+                  ELSE {one} END AS theta
+      FROM keep GROUP BY side
+    ),
+    th AS (SELECT min(theta) AS theta FROM st),
+    below AS (SELECT side, h FROM keep, th WHERE h < th.theta),
+    flags AS (
+      SELECT h,
+             max(CASE WHEN side = 'click' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN side = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM below GROUP BY h
+    ),
+    c AS (
+      SELECT sum(in_a) AS n_a, sum(in_b) AS n_b, count(*) AS n_union,
+             sum(in_a * in_b) AS n_inter,
+             sum(in_a * (1 - in_b)) AS n_ab,
+             sum((1 - in_a) * in_b) AS n_ba
+      FROM flags
+    ),
+    ops AS (
+{ops}
+    ),
+    est0 AS (
+      SELECT o.op, CAST(o.n_retained AS BIGINT) AS n_retained,
+             CAST(t.theta AS DOUBLE) / {one}.0 AS theta,
+             CAST(o.n_retained AS DOUBLE)
+               / (CAST(t.theta AS DOUBLE) / {one}.0) AS est,
+             CASE WHEN t.theta = {one} THEN 0.0
+                  ELSE 2.0 / sqrt({k} - 1.0) END AS rel
+      FROM ops o, th t
+    )
+    SELECT op, n_retained, theta, est,
+           est * (1.0 - rel) AS lb, est * (1.0 + rel) AS ub
+    FROM est0
+    """
+
+
+@register(
+    "agg_theta_sketch_setops",
+    _kmv_oracle(),
+    doc="theta-sketch (bottom-k / KMV) set-operation cardinalities over "
+    "the click vs purchase (user, day) activity sets: union, "
+    "intersection, and BOTH differences with error bounds — the set "
+    "algebra HLL cannot do (hll can union; inclusion-exclusion gives "
+    "intersection but never A\\\\B; agg_hll_set_intersection is the "
+    "sibling).  Hashes are md5-derived int64s so the DuckDB oracle "
+    "computes the IDENTICAL sketch — the estimate regime itself is "
+    "oracle-exact (k=1000 < |sides| at sf0.01), not just the sparse "
+    "mode.  Scale shape: one distinct shuffle over (side, key), then "
+    "a per-side bottom-k window whose WindowGroupLimit prunes to k "
+    "rows per map task BEFORE the shuffle (the KMV merge property, "
+    "mechanically); every set operation happens on the <= 2k retained "
+    "hashes under the global theta = min(theta_a, theta_b).  At "
+    "100 TB the sketch tables are KB-sized regardless of corpus; "
+    "rel error 2/sqrt(k-1) ~ 6.3%, lb/ub columns carry it.  Exact "
+    "mode (theta = 1) collapses bounds to the exact count.  "
+    "tests/test_sketches.py gates the estimate against exact truth "
+    "and repartition determinism.",
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k, one = _KMV_K, _KMV_ONE
+    t = load_tables(spark, sf_dir)
+    key = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.expr("unix_date(CAST(ts AS DATE))").cast("string"),
+    )
+    pts = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("side"),
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    keep = (
+        pts.withColumn(
+            "rn", F.row_number().over(W.partitionBy("side").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .localCheckpoint(eager=False)
+    )
+    st = keep.groupBy("side").agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    th = st.select(
+        F.when(F.col("n") == k, F.col("kth"))
+        .otherwise(F.lit(one))
+        .alias("theta")
+    ).agg(F.min("theta").alias("theta"))
+    below = keep.crossJoin(F.broadcast(th)).filter(F.col("h") < F.col("theta"))
+    flags = below.groupBy("h").agg(
+        F.max((F.col("side") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("side") == "purchase").cast("int")).alias("in_b"),
+    )
+    c = flags.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.count("*").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("n_ab"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b")).alias("n_ba"),
+    )
+    stack = ", ".join(f"'{op}', {col}" for op, col in _KMV_OPS)
+    rows = c.crossJoin(F.broadcast(th)).select(
+        F.expr(f"stack({len(_KMV_OPS)}, {stack}) AS (op, n_retained)"),
+        "theta",
+    )
+    theta_frac = F.col("theta").cast("double") / float(one)
+    est = F.col("n_retained").cast("double") / theta_frac
+    rel = F.when(F.col("theta") == one, F.lit(0.0)).otherwise(
+        F.lit(2.0) / F.sqrt(F.lit(float(k) - 1.0))
+    )
+    return rows.select(
+        "op",
+        F.col("n_retained").cast("long").alias("n_retained"),
+        theta_frac.alias("theta"),
+        est.alias("est"),
+        (est * (1.0 - rel)).alias("lb"),
+        (est * (1.0 + rel)).alias("ub"),
+    )

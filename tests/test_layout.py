@@ -122,3 +122,29 @@ def test_zorder_key_locality(spark):
     # 64 cells of a 64x64 grid: perfect tiling is area 64; random order
     # would be ~4096 — require within 4x of perfect
     assert mean_area <= 256, mean_area
+
+
+def test_zorder_skipping_diagnostic_prunes_both_dims(spark):
+    """layout_zorder_skipping: the registered skipping proof must show
+    BOTH single-dimension bands pruning the large majority of files —
+    the property a single-dim sort cannot give — plus basic accounting
+    sanity (row conservation, conjunction at least as selective as
+    either band)."""
+    from knowledge_model_spark.plans import load_registry
+
+    R = load_registry()
+    rows = R["layout_zorder_skipping"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(rows)
+    assert n > 50  # the z-range binning actually spread the table
+    assert sum(r.n_rows for r in rows) == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
+    skip_d = sum(r.skip_date_band for r in rows)
+    skip_k = sum(r.skip_cust_band for r in rows)
+    skip_c = sum(r.skip_conjunction for r in rows)
+    assert skip_d >= 0.8 * n and skip_k >= 0.8 * n
+    assert skip_c >= max(skip_d, skip_k)
+    # every per-file stat interval is consistent
+    assert all(r.d_min <= r.d_max and r.k_min <= r.k_max for r in rows)

@@ -930,3 +930,76 @@ def test_rfm_scores_kll_twin_rank_error_gate(spark):
             assert r["rfm_segment"] == (
                 f"{r['r_score']}{r['f_score']}{r['m_score']}"
             )
+
+
+def test_theta_sketch_setops_error_gate_and_determinism(spark):
+    """agg_theta_sketch_setops: at sf0.01 the sides exceed k=1000, so
+    the ESTIMATE regime is live — every estimate must land inside its
+    own [lb, ub] band around exact truth, and the whole table must be
+    bit-identical under a different input partitioning (the KMV sketch
+    is order-free: the bottom-k of a set does not depend on scan
+    order)."""
+    import duckdb
+
+    from knowledge_model_spark.plans import load_registry
+
+    sf_dir = "/root/testdata/sf0.01"
+    R = load_registry()
+    rows = {
+        r["op"]: r
+        for r in R["agg_theta_sketch_setops"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "click", "purchase", "union", "intersection",
+        "click_minus_purchase", "purchase_minus_click",
+    }
+    # estimate regime is actually live at this SF
+    assert rows["click"]["theta"] < 1.0
+    exact = dict(
+        duckdb.sql(
+            f"""
+        WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d
+                   FROM '{sf_dir}/events.parquet' WHERE event_type = 'click'),
+             b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d
+                   FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase')
+        SELECT 'click', (SELECT count(*) FROM a) UNION ALL
+        SELECT 'purchase', (SELECT count(*) FROM b) UNION ALL
+        SELECT 'union', (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) UNION ALL
+        SELECT 'intersection', (SELECT count(*) FROM a JOIN b USING (user_id, d)) UNION ALL
+        SELECT 'click_minus_purchase', (SELECT count(*) FROM a ANTI JOIN b USING (user_id, d)) UNION ALL
+        SELECT 'purchase_minus_click', (SELECT count(*) FROM b ANTI JOIN a USING (user_id, d))
+        """
+        ).fetchall()
+    )
+    for op, r in rows.items():
+        assert r["lb"] <= r["est"] <= r["ub"]
+        # truth inside the +/- 2/sqrt(k-1) band (2 std devs, and the
+        # fixed md5 hash makes this a deterministic, not flaky, check)
+        assert r["lb"] <= exact[op] <= r["ub"], (op, exact[op], r)
+    # identity consistency: union = a + b - intersection on RETAINED
+    # counts (they share one theta)
+    assert (
+        rows["union"]["n_retained"]
+        == rows["click"]["n_retained"] + rows["purchase"]["n_retained"]
+        - rows["intersection"]["n_retained"]
+    )
+    assert (
+        rows["click_minus_purchase"]["n_retained"]
+        == rows["click"]["n_retained"] - rows["intersection"]["n_retained"]
+    )
+
+    # partitioning determinism: re-run with a different shuffle
+    # parallelism — the distinct and the bottom-k window repartition
+    # differently, and the sketch must come out bit-identical
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {
+            r["op"]: r
+            for r in R["agg_theta_sketch_setops"].fn(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
