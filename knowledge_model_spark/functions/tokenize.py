@@ -186,6 +186,36 @@ def viterbi_pieces(
     return pieces
 
 
+def wordpiece_pieces(
+    w: str, vocab: set[str], maxlen: int, unk_token: str = "[UNK]"
+) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation of ``w``.
+
+    The production WordPiece apply algorithm (Wu et al. 2016; the
+    BERT/HF tokenizer): at each position take the LONGEST vocab piece
+    that prefixes the remainder — word-initial pieces match bare,
+    word-internal ones with the ``##`` continuation prefix — and emit
+    ``[UNK]`` for the WHOLE word when any position has no match (the
+    all-or-nothing contract, unlike the unigram DP's per-char
+    penalty).  Deterministic: pure string matching, no scores."""
+    out: list[str] = []
+    i, m = 0, len(w)
+    while i < m:
+        j = min(m, i + maxlen)
+        piece = None
+        while j > i:
+            sub = w[i:j] if i == 0 else "##" + w[i:j]
+            if sub in vocab:
+                piece = sub
+                break
+            j -= 1
+        if piece is None:
+            return [unk_token]
+        out.append(piece)
+        i = j
+    return out
+
+
 def learn_unigram_lm(
     df: DataFrame,
     text_col: str,

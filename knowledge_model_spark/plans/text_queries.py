@@ -1950,3 +1950,91 @@ def text_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chars_per_piece"),
     )
+
+
+# Frozen WordPiece vocabulary, derived deterministically from the
+# frozen unigram-LM pieces (_UNIGRAM_VOCAB is itself the pinned sf0.01
+# trainer output): every piece both word-initial and as a ##
+# continuation, plus full [a-z0-9] single coverage in both roles so the
+# all-or-nothing [UNK] rule only fires on characters outside the
+# tokenizer's alphabet — never mid-corpus.
+_WORDPIECE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_WORDPIECE_VOCAB = frozenset(
+    {p for p, _ in _UNIGRAM_VOCAB}
+    | {"##" + p for p, _ in _UNIGRAM_VOCAB}
+    | set(_WORDPIECE_ALPHABET)
+    | {"##" + c for c in _WORDPIECE_ALPHABET}
+)
+_WORDPIECE_MAXLEN = max(len(p) for p, _ in _UNIGRAM_VOCAB)
+
+
+@register(
+    "text_wordpiece_tokenize",
+    None,  # greedy longest-match-first per word — sequential string
+    # matching, not SQL-expressible; exact python-recompute parity +
+    # determinism in tests/test_tokenize.py
+    doc="WordPiece apply — the THIRD production tokenizer beside BPE "
+    "(text_bpe_tokenize) and unigram-LM (text_unigram_lm_tokenize), "
+    "same frozen-vocab pattern: greedy longest-match-first over a "
+    "pinned vocabulary with ## continuation pieces and the "
+    "all-or-nothing [UNK] word rule (Wu et al. 2016 — the BERT "
+    "tokenizer's runtime), emitting per-doc token count, UNK-word "
+    "count, continuation-piece count, and chars-per-piece "
+    "compression.  Scale shape: ONE mapInPandas over the documents "
+    "scan, vocab broadcast by closure — no shuffle, cost linear in "
+    "corpus chars; the greedy matcher is O(maxlen) per position, "
+    "no DP table",
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from knowledge_model_spark.functions.tokenize import wordpiece_pieces
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"].select("doc_id", "text")
+    vocab, maxlen = _WORDPIECE_VOCAB, _WORDPIECE_MAXLEN
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_words": [], "n_pieces": [],
+                    "n_unk_words": [], "n_continuations": [], "n_chars": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = word_re.findall(str(text).lower())
+                n_pieces = n_unk = n_cont = n_chars = 0
+                for w in words:
+                    n_chars += len(w)
+                    pieces = wordpiece_pieces(w, vocab, maxlen)
+                    if pieces == ["[UNK]"]:
+                        n_unk += 1
+                    n_pieces += len(pieces)
+                    n_cont += sum(1 for pc in pieces if pc.startswith("##"))
+                rows["doc_id"].append(int(did))
+                rows["n_words"].append(len(words))
+                rows["n_pieces"].append(n_pieces)
+                rows["n_unk_words"].append(n_unk)
+                rows["n_continuations"].append(n_cont)
+                rows["n_chars"].append(n_chars)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    stats = docs.mapInPandas(
+        kernel,
+        "doc_id long, n_words long, n_pieces long, n_unk_words long, "
+        "n_continuations long, n_chars long",
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "n_unk_words",
+        "n_continuations",
+        F.when(F.col("n_pieces") > 0,
+               F.col("n_chars") / F.col("n_pieces").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_piece"),
+    )

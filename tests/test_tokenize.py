@@ -221,3 +221,74 @@ def test_unigram_lm_rejects_unsatisfiable_vocab_size(spark):
     # a satisfiable size still trains
     out = learn_unigram_lm(docs, "text", vocab_size=20, seed_multi=4, n_rounds=1)
     assert len(out) <= 20 and out
+
+
+def test_wordpiece_greedy_semantics():
+    """wordpiece_pieces: greedy longest-match-first with ## continuation
+    pieces and the all-or-nothing [UNK] word rule."""
+    from knowledge_model_spark.functions.tokenize import wordpiece_pieces
+
+    vocab = {"un", "##able", "##a", "##b", "##l", "##e", "a", "b", "l", "e"}
+    # longest match wins at each position
+    assert wordpiece_pieces("unable", vocab, 5) == ["un", "##able"]
+    # word-initial pieces match bare, internal ones need ##
+    assert wordpiece_pieces("able", vocab, 5) == ["a", "##b", "##l", "##e"]
+    # any uncoverable position voids the WHOLE word
+    assert wordpiece_pieces("unfixable", vocab, 5) == ["[UNK]"]
+    assert wordpiece_pieces("", vocab, 5) == []
+
+
+def test_wordpiece_tokenize_matches_python_and_freeze(spark):
+    """text_wordpiece_tokenize: the Spark mapInPandas output must equal
+    an independent pure-python recompute over the same documents with
+    the same frozen vocab (exact, every column), and be identical under
+    a different input partitioning."""
+    import re
+
+    from knowledge_model_spark.functions.tokenize import wordpiece_pieces
+    from knowledge_model_spark.plans import load_registry
+    from knowledge_model_spark.plans.text_queries import (
+        _WORDPIECE_MAXLEN,
+        _WORDPIECE_VOCAB,
+    )
+    from knowledge_model_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    R = load_registry()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_unk_words"],
+                      r["n_continuations"], r["chars_per_piece"])
+        for r in R["text_wordpiece_tokenize"].fn(spark, sf_dir).collect()
+    }
+    t = load_tables(spark, sf_dir)
+    word_re = re.compile(r"[a-z0-9]+")
+    want = {}
+    for row in t["documents_spread"].select("doc_id", "text").collect():
+        words = word_re.findall(str(row["text"]).lower())
+        n_pieces = n_unk = n_cont = n_chars = 0
+        for w in words:
+            n_chars += len(w)
+            pieces = wordpiece_pieces(w, _WORDPIECE_VOCAB, _WORDPIECE_MAXLEN)
+            if pieces == ["[UNK]"]:
+                n_unk += 1
+            n_pieces += len(pieces)
+            n_cont += sum(1 for p in pieces if p.startswith("##"))
+        cpp = n_chars / n_pieces if n_pieces else 0.0
+        want[row["doc_id"]] = (len(words), n_pieces, n_unk, n_cont, cpp)
+    assert got == want
+    # the full-coverage vocab means UNK never fires on the real corpus
+    assert all(v[2] == 0 for v in got.values())
+    # continuation pieces actually occur (multi-piece words exist)
+    assert any(v[3] > 0 for v in got.values())
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        again = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_unk_words"],
+                          r["n_continuations"], r["chars_per_piece"])
+            for r in R["text_wordpiece_tokenize"].fn(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert again == got
