@@ -358,6 +358,15 @@ HEADLINE: dict[str, bool] = {
     "embeddings_matryoshka_recall": True,
     "streaming_sessionize_30m": False,
     "streaming_tumbling_1h": False,
+    # new in r11: attribution followup counts, the two remaining
+    # streaming certifications, KMV theta set ops, z-order skipping
+    # proof, WordPiece apply
+    "events_click_followup_30m": False,
+    "streaming_interval_join_left": False,
+    "streaming_dedup_tumbling_1h": False,
+    "agg_theta_sketch_setops": True,
+    "layout_zorder_skipping": True,
+    "text_wordpiece_tokenize": False,
 }
 
 
@@ -489,6 +498,17 @@ def main() -> None:
         total += times[0]
 
     calib["end"] = _calibrate(spark)
+    # calibration-normalized record (r10 verdict item 6): per-query
+    # min divided by the run's MEDIAN calibration probe, so a
+    # cross-round comparison is one division-free dict diff — a query
+    # is only slower if its normalized cost rose, regardless of the
+    # machine's ambient speed that run (the probe itself moved 2.2x
+    # during the documented r10 run-1 dip).  Unit: multiples of the
+    # fixed 10^7-row xxhash-fold probe.
+    calib_med = sorted(calib.values())[len(calib) // 2]
+    normalized = {
+        q: round(t / calib_med, 2) for q, t in timings.items()
+    }
     line = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -500,6 +520,9 @@ def main() -> None:
         # cross-round per-query deltas by the runs' median calibration
         # before calling anything a regression
         "calibration": calib,
+        "calibration_median": calib_med,
+        "value_normalized": round(total / calib_med, 2),
+        "queries_normalized": normalized,
     }
     print(json.dumps(line))
 
@@ -558,6 +581,11 @@ def main() -> None:
                         # machine-speed probe (start/mid/end) — the
                         # per-run denominator for cross-round deltas
                         "calibration": calib,
+                        "calibration_median": calib_med,
+                        # per-query min / median calibration: the
+                        # machine-readable cross-round comparison unit
+                        "total_normalized": round(total / calib_med, 2),
+                        "queries_normalized": normalized,
                     }
                 )
                 + "\n"

@@ -88,6 +88,12 @@ SLOPE_QUERIES = [
     "dedup_levenshtein_names",
     "events_user_overlap_jaccard",
     "text_unigram_lm_train",
+    # r11: the new query with a growth surface — the followup join's
+    # output grows with per-user click x in-window-purchase density
+    # (the range-residual pair-expansion risk class); the theta-sketch
+    # and z-order queries are distinct/groupBy-shaped and carry no
+    # pair expansion
+    "events_click_followup_30m",
 ]
 
 # slope threshold on the last decade: 10^1.5 ≈ 31.6× for 10× rows
