@@ -728,11 +728,14 @@ def multimodal_image_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     "distributed plan (the audio sibling of multimodal_image_codec_"
     "matrix): each media row synthesizes a content-addressed PCM-16 "
     "waveform, stores it as RIFF WAV (PCM-16 and IEEE float32), AIFF, "
-    "AIFF-C 'sowt' (little-endian), and Sun .au (16- and 24-bit — r6 "
+    "AIFF-C 'sowt' (little-endian), Sun .au (16- and 24-bit — r6 "
     "decoders, externally anchored against the stdlib's pluck files), "
+    "and — r11 — FLAC (sources/flac.py: real Rice-coded frames, "
+    "rotated FIXED/VERBATIM/LPC subframes, STREAMINFO MD5 verified on "
+    "decode), "
     "and a second Arrow-batched stage decodes each through the SAME "
     "decode_audio_any dispatcher and demands BIT-IDENTICAL float "
-    "output — all six containers hold the same samples losslessly.  "
+    "output — all seven containers hold the same samples losslessly.  "
     "Scale shape: two mapInPandas over a range scan, zero shuffle",
 )
 def multimodal_audio_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,6 +745,7 @@ def multimodal_audio_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     import pandas as pd
 
+    from knowledge_model_spark.sources.flac import encode_flac
     from knowledge_model_spark.sources.multimodal import (
         decode_audio_any,
         encode_simple_aiff,
@@ -782,6 +786,7 @@ def multimodal_audio_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
                     ("aiff_sowt", encode_simple_aiff(pcm, rate, sowt=True)),
                     ("au16", encode_simple_au(pcm, rate, 16)),
                     ("au24", encode_simple_au(pcm.astype(np.int64) << 8, rate, 24)),
+                    ("flac", encode_flac(pcm, rate, blocksize=256)),
                 ):
                     rows["media_id"].append(int(mid))
                     rows["codec"].append(codec)

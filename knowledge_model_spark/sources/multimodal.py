@@ -1570,8 +1570,10 @@ def encode_simple_au(pcm: np.ndarray, rate: int, bps: int = 16) -> bytes:
 
 def decode_audio_any(b: bytes) -> tuple[np.ndarray, int] | None:
     """Try every in-container REAL audio codec in magic-byte order:
-    RIFF WAV, AIFF/AIFF-C, Sun .au."""
-    for dec in (decode_wav_pcm16, decode_aiff, decode_au):
+    RIFF WAV, AIFF/AIFF-C, Sun .au, FLAC (r11, sources/flac.py)."""
+    from knowledge_model_spark.sources.flac import decode_flac
+
+    for dec in (decode_wav_pcm16, decode_aiff, decode_au, decode_flac):
         out = dec(b)
         if out is not None:
             return out

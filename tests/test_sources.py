@@ -1412,8 +1412,8 @@ def test_image_codec_matrix_query_gate(spark):
 
 
 def test_audio_codec_matrix_query_gate(spark):
-    """multimodal_audio_codec_matrix end to end: all six containers
-    (WAV pcm16/f32, AIFF, AIFF-C sowt, .au 16/24-bit) decode
+    """multimodal_audio_codec_matrix end to end: all seven containers
+    (WAV pcm16/f32, AIFF, AIFF-C sowt, .au 16/24-bit, FLAC) decode
     BIT-IDENTICAL float waveforms for all 48 media rows."""
     from knowledge_model_spark.plans import load_registry
 
@@ -1421,7 +1421,8 @@ def test_audio_codec_matrix_query_gate(spark):
     rows = R["multimodal_audio_codec_matrix"].fn(
         spark, "/root/testdata/sf0.001"
     ).collect()
-    assert len(rows) == 48 * 6
+    assert len(rows) == 48 * 7
+    assert sum(1 for r in rows if r["codec"] == "flac") == 48
     bad = [(r["media_id"], r["codec"]) for r in rows if not r["lossless_ok"]]
     assert not bad, bad[:5]
 
@@ -3726,3 +3727,136 @@ def test_triage_inherits_parent_pages_resources():
     # the un-hoisted original still triages page 1 from its own dict
     orig = triage_pdf_pages(pdf)
     assert orig[0]["triage"] == "image_only" and orig[0]["n_images"] == 1
+
+
+# ------------------------------------------------------------- FLAC (r11)
+
+
+def _flac_test_pcm(n=5000, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 8000.0
+    pcm = (np.sin(2 * np.pi * 220 * t) * 9000).astype(np.int16)
+    if n >= 3072:
+        pcm[1024:2048] = 777  # constant block
+        pcm[2048:3072] = rng.randint(-32768, 32767, 1024).astype(np.int16)
+    return pcm
+
+
+def test_flac_mono_roundtrip_bit_exact():
+    """encode_flac → decode_flac is bit-exact for mono 16-bit across the
+    rotated subframe strategies (FIXED / VERBATIM / LPC / CONSTANT),
+    partition orders, both Rice methods, and the forced escape frames;
+    the dispatcher routes FLAC by magic."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.flac import decode_flac, encode_flac
+    from knowledge_model_spark.sources.multimodal import decode_audio_any
+
+    pcm = _flac_test_pcm()
+    b = encode_flac(pcm, 8000)
+    assert b[:4] == b"fLaC"
+    got, rate = decode_flac(b)
+    assert rate == 8000
+    assert np.array_equal(got, pcm.astype(np.float32) / 32768.0)
+    via = decode_audio_any(b)
+    assert via is not None and np.array_equal(via[0], got)
+
+
+def test_flac_stereo_all_channel_assignments():
+    """A stereo stream rotates independent, left/side, right/side, and
+    mid/side frames; the exact integer reconstruction then mean-downmix
+    must equal the downmix of the source (the WAV convention)."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.flac import decode_flac, encode_flac
+
+    pcm = _flac_test_pcm()
+    st = np.stack([pcm, np.roll(pcm, 13)], axis=1).astype(np.int16)
+    b = encode_flac(st, 44100)
+    got, rate = decode_flac(b)
+    assert rate == 44100
+    want = (
+        (st[:, 0].astype(np.float64) + st[:, 1]) / 2 / 32768.0
+    ).astype(np.float32)
+    assert np.array_equal(got, want)
+    # enough frames that all four assignments occurred
+    assert len(pcm) > 4 * 1024
+
+
+def test_flac_wasted_bits_roundtrip():
+    """Samples sharing trailing zero bits take the wasted-bits path
+    (unary prefix, shifted residuals) and still round-trip exactly."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.flac import decode_flac, encode_flac
+
+    t = np.arange(3000) / 8000.0
+    pcm = ((np.sin(2 * np.pi * 100 * t) * 4000).astype(np.int16) & ~3)
+    b = encode_flac(pcm, 8000)
+    got, _ = decode_flac(b)
+    assert np.array_equal(got, pcm.astype(np.float32) / 32768.0)
+
+
+def test_flac_refuses_corruption_and_unsupported():
+    """refuse-never-misdecode: CRC damage, truncation, MD5 tampering,
+    and out-of-subset STREAMINFO all return None — never wrong
+    samples."""
+    from knowledge_model_spark.sources.flac import decode_flac, encode_flac
+
+    pcm = _flac_test_pcm(3000)
+    b = encode_flac(pcm, 8000)
+    assert decode_flac(b"\x00" + b[1:]) is None  # bad magic
+    assert decode_flac(b[: len(b) // 2]) is None  # truncated mid-frame
+    # flip one byte inside the first frame payload → CRC-16 mismatch
+    frame_at = 4 + 4 + 34
+    bad = bytearray(b)
+    bad[frame_at + 20] ^= 0x40
+    assert decode_flac(bytes(bad)) is None
+    # tamper the STREAMINFO MD5 → full-stream verification fails
+    bad2 = bytearray(b)
+    bad2[4 + 4 + 18] ^= 0xFF
+    assert decode_flac(bytes(bad2)) is None
+    # out-of-subset bits-per-sample (32) in STREAMINFO → refused
+    bad3 = bytearray(b)
+    # bps-1 is 5 bits spanning the end of byte 12/start of byte 13 of
+    # the STREAMINFO body; easiest honest check: declare rate 0
+    bad3[4 + 4 + 10] = 0
+    bad3[4 + 4 + 11] = 0
+    bad3[4 + 4 + 12] &= 0x0F
+    assert decode_flac(bytes(bad3)) is None
+
+
+def test_flac_roundtrip_hypothesis():
+    """Property: ANY int16 signal round-trips bit-exactly (mono and
+    stereo), across block-size boundaries."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from knowledge_model_spark.sources.flac import decode_flac, encode_flac
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=2600,
+        ),
+        st.booleans(),
+    )
+    def check(vals, stereo):
+        arr = np.asarray(vals, dtype=np.int16)
+        if stereo:
+            arr = np.stack([arr, arr[::-1]], axis=1)
+            want = (
+                (arr[:, 0].astype(np.float64) + arr[:, 1]) / 2 / 32768.0
+            ).astype(np.float32)
+        else:
+            want = arr.astype(np.float32) / 32768.0
+        got = decode_flac(encode_flac(arr, 16000))
+        assert got is not None and got[1] == 16000
+        assert np.array_equal(got[0], want)
+
+    check()
