@@ -135,6 +135,11 @@ def _single_partition_violations(plan: str) -> list[str]:
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_lint(spark, name):
+    # a DataFrame cached by an EARLIER test swaps InMemoryTableScan in
+    # for the scan+Exchange it covers (CacheManager matches canonical
+    # subplans), silently changing this query's fingerprint — clear so
+    # the lint always sees the cold plan the manifest was seeded from
+    spark.catalog.clearCache()
     df = REGISTRY[name].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     rule, _reason = WHITELIST.get(name, (None, None))

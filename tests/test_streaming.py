@@ -947,29 +947,47 @@ def test_sessionize_boundary_gap_exactly_30m(spark):
     the batch query — aligned with session_window's closed-open
     [start, start+gap) interval so the streaming certification agrees
     at equality — while one microsecond less stays in-session."""
+    import datetime as dt
     import tempfile
 
-    from pyspark.sql import functions as F
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from knowledge_model_spark.plans import load_registry
 
     with tempfile.TemporaryDirectory() as d:
-        rows = [
-            (1, 1, "click", "2024-01-01 10:00:00", 1.0, "{}"),
-            (1, 2, "click", "2024-01-01 10:30:00", 1.0, "{}"),  # == gap
-            (2, 3, "click", "2024-01-01 10:00:00.000001", 1.0, "{}"),
-            (2, 4, "click", "2024-01-01 10:30:00", 1.0, "{}"),  # < gap
-        ]
-        df = spark.createDataFrame(
+        # written via pyarrow with NAIVE us timestamps, exactly like
+        # the driver testdata — a Spark-written file carries Spark's
+        # own schema metadata, which pins TIMESTAMP_NTZ and bypasses
+        # the inferTimestampNTZ=false read path load_tables relies on
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["click"] * 4,
+            "ts": [
+                t0,
+                t0 + dt.timedelta(minutes=30),  # == gap
+                t0 + dt.timedelta(microseconds=1),
+                t0 + dt.timedelta(minutes=30),  # < gap by 1 us
+            ],
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+        table = pa.table(
             rows,
-            "user_id long, event_id long, event_type string, ts_s string,"
-            " value double, props string",
-        ).select(
-            "user_id", "event_id", "event_type",
-            F.col("ts_s").cast("timestamp_ntz").alias("ts"),
-            "value", "props",
+            schema=pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("ts", pa.timestamp("us")),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            ),
         )
-        df.write.parquet(f"{d}/events.parquet")
+        pq.write_table(table, f"{d}/events.parquet")
         R = load_registry()
         got = {
             (r["user_id"], r["session_id"]): r["n_events"]
