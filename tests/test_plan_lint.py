@@ -221,3 +221,23 @@ def test_window_group_limit_rule_requires_bounded_group_count():
     ])
     viol2 = _single_partition_violations(escaped)
     assert viol2 and "unbounded group count" in viol2[0]
+
+
+def test_correctness_window_is_oracled_only_and_priority_is_exact():
+    """The driver certifies EXACTLY the first 50 registry entries, so
+    (a) a rows-only query in the window burns a slot on a weak row —
+    the window must stay oracled-only (r9 verdict), and (b) every
+    _GATE_PRIORITY name must actually exist in the registry: the
+    ordering loop silently skips unknown names, so a typo would
+    silently reshuffle the certification window."""
+    from knowledge_model_spark.plans import _GATE_PRIORITY
+
+    window = list(REGISTRY)[:50]
+    rows_only = [n for n in window if REGISTRY[n].oracle is None]
+    assert rows_only == [], f"rows-only queries burning window slots: {rows_only}"
+    unknown = [n for n in _GATE_PRIORITY if n not in REGISTRY]
+    assert unknown == [], f"priority names not in registry: {unknown}"
+    dupes = {n for n in _GATE_PRIORITY if _GATE_PRIORITY.count(n) > 1}
+    assert not dupes, f"duplicate priority names: {dupes}"
+    # every registered query is reachable: priority ∪ fallback == registry
+    assert len(REGISTRY) >= len(set(_GATE_PRIORITY))
