@@ -367,6 +367,7 @@ HEADLINE: dict[str, bool] = {
     "agg_theta_sketch_setops": True,
     "layout_zorder_skipping": True,
     "text_wordpiece_tokenize": False,
+    "quality_compression_ratio": False,
 }
 
 

@@ -2555,3 +2555,57 @@ def sample_systematic_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") % 10 == 1)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "quality_compression_ratio",
+    None,  # zlib is not SQL-expressible in the oracle engine; exact
+    # pure-python recompute parity + partitioning determinism in
+    # tests/test_quality_extras.py
+    doc="DEFLATE compression ratio as a quality/repetition signal — the "
+    "production filter (RefinedWeb/Dolma class) that quality_char_"
+    "entropy only proxies: templated, repetitive, or machine-generated "
+    "text compresses far below natural prose, and the ratio needs no "
+    "vocabulary or language model.  zlib level 6 on UTF-8 bytes, "
+    "deterministic by construction (zlib output is a pure function of "
+    "input bytes at a fixed level/strategy).  Emits raw/compressed "
+    "byte counts as exact longs and the ratio as ONE division so "
+    "downstream thresholds can re-derive either way.  Scale shape: ONE "
+    "mapInPandas over the documents scan — no shuffle, cost linear in "
+    "corpus bytes, exactly the shape of the tokenizer passes",
+)
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents_spread"].select("doc_id", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "n_compressed": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")
+                out["doc_id"].append(int(did))
+                out["n_bytes"].append(len(raw))
+                out["n_compressed"].append(len(zlib.compress(raw, 6)))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    stats = docs.mapInPandas(
+        kernel, "doc_id long, n_bytes long, n_compressed long"
+    )
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.col("n_compressed") / F.col("n_bytes").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("compression_ratio"),
+    )
