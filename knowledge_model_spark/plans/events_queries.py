@@ -2121,11 +2121,51 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SESS_SEQ = [0]
 
 
+def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive shuffle/state partition count for the streaming
+    certification queries (optimization guide §2.2 — fewer, larger
+    partitions — applied to the one plan family AQE cannot help).
+
+    Batch plans get partition-count adaptation free from AQE
+    coalescing, but Structured Streaming pins ONE state store per
+    shuffle partition at the first checkpoint and never runs AQE, so
+    the session default (= core count) hands a few-MB certification
+    input 32 state stores — and every micro-batch then pays 32 store
+    open/commit/fsync cycles PER stateful operator (the stream-stream
+    join keeps four stores per partition, and AvailableNow runs 2-3
+    micro-batches: data, watermark-finalize, no-data commit).  Measured
+    on streaming_interval_join_left at sf0.1: the state machinery, not
+    the data, dominated the 11 s runtime.
+
+    Derive the count from source size instead of a constant: one
+    partition per 32 MB of input, capped at the session parallelism,
+    floor 1.  At 100 TB the rule saturates the cap (the cluster's real
+    parallelism), so scale-out loses nothing; locally a 2 MB
+    certification input gets the handful of stores its state actually
+    needs.  Env override ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` pins
+    it for A/B runs.  The state-partition count never affects WHAT a
+    streaming aggregation/join/dedup computes — only how many stores
+    hold the rows.
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        nbytes = 0
+    cores = spark.sparkContext.defaultParallelism
+    return int(max(1, min(cores, nbytes // (32 << 20) + 1)))
+
+
 def _run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,
     prefix: str,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the finished table.
@@ -2137,6 +2177,12 @@ def _run_stream_to_memory(
     must surface as a timeout error, not as cryptic false gate rows
     read from a partial sink).  The memory sink + complete/append mode
     is the certification harness, not a production sink.
+
+    ``shuffle_partitions`` (r11 optimization): when given, the
+    streaming run executes under that shuffle-partition count — which
+    fixes its state-store partition count — and the session value is
+    restored before returning, so every batch plan built afterwards
+    (post-sink ranking, the batch twin, the gate join) is untouched.
     """
     import os
     import shutil
@@ -2145,15 +2191,18 @@ def _run_stream_to_memory(
     _STREAM_SESS_SEQ[0] += 1
     name = f"{prefix}_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(
@@ -2161,6 +2210,7 @@ def _run_stream_to_memory(
                 "within 300s — refusing to compare a partial sink"
             )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
@@ -2220,7 +2270,12 @@ def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wi = W.partitionBy("user_id").orderBy("min_ts")
-    streamed = _run_stream_to_memory(spark, agg, "strsess").select(
+    streamed = _run_stream_to_memory(
+        spark,
+        agg,
+        "strsess",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+    ).select(
         "user_id",
         F.row_number().over(wi).cast("long").alias("session_id"),
         "n_events",
@@ -2272,7 +2327,12 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    streamed = _run_stream_to_memory(spark, agg, "strtumb").select(
+    streamed = _run_stream_to_memory(
+        spark,
+        agg,
+        "strtumb",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+    ).select(
         F.unix_timestamp(F.col("w.start")).alias("window_start"),
         "event_type",
         "n",
@@ -2434,7 +2494,11 @@ def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (r["p_ts"] <= l["ts"] + F.expr("INTERVAL 30 MINUTES"))
     )
     sink = _run_stream_to_memory(
-        spark, l.join(r, cond, "left_outer"), "strjoin", output_mode="append"
+        spark,
+        l.join(r, cond, "left_outer"),
+        "strjoin",
+        output_mode="append",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
     )
     # the censoring post-filter mirrors the batch twin's max(ts) rule:
     # matched tail rows DID emit during the data batch, so without the
@@ -2486,7 +2550,13 @@ def streaming_dedup_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = _run_stream_to_memory(spark, deduped, "strdedup", output_mode="append")
+    sink = _run_stream_to_memory(
+        spark,
+        deduped,
+        "strdedup",
+        output_mode="append",
+        shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+    )
     streamed = (
         sink.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
