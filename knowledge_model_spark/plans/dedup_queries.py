@@ -640,9 +640,15 @@ def eval_dedup_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # surplus (no match) as two conditional counts of the same scan —
         # the previous semi+anti pair ran minhash/simhash twice each.
         cand = pairs.select("id_a", "id_b")
-        marked = cand.join(
-            truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
-        )
+        # truth is an eager localCheckpoint (size-opaque LogicalRDD), so
+        # Catalyst would SMJ — shuffling the candidate pipelines' output
+        # for a near-dup-pair-sized lookup.  n_truth is already on the
+        # driver; broadcast while it plausibly fits executor memory
+        # (same 5M gate as pagerank), SMJ stays correct beyond that.
+        truth_marked = truth.withColumn("__t", F.lit(1))
+        if n_truth <= 5_000_000:
+            truth_marked = F.broadcast(truth_marked)
+        marked = cand.join(truth_marked, ["id_a", "id_b"], "left")
         n_hit = F.count("__t")  # non-null = recovered true pair
         out.append(
             marked.agg(

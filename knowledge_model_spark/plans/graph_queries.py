@@ -525,9 +525,15 @@ def embeddings_single_link_clusters(spark: SparkSession, sf_dir: str) -> DataFra
         emb, "vec_id", "embedding", threshold=0.95, dim=64
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
+    # cc is node-grain and eager-checkpointed (cheap count, size-opaque
+    # to Catalyst): broadcast while it fits (pagerank's 5M gate) so the
+    # corpus side is not shuffled+sorted for the label lookup; the
+    # id-only left side reads the plain table — the pandas-kernel
+    # spread belongs to the pair generator, not this projection
+    ccb = F.broadcast(cc) if cc.count() <= 5_000_000 else cc
+    ids = t["embeddings"].select("vec_id")
     return (
-        emb.select("vec_id")
-        .join(cc, emb["vec_id"] == cc["node"], "left")
+        ids.join(ccb, ids["vec_id"] == ccb["node"], "left")
         .select(
             "vec_id",
             F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
@@ -836,8 +842,10 @@ def graph_modularity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
     return (
-        nodes.join(deg, "lang")
-        .join(intra, "lang", "left")
+        # deg/intra are language-grain (a handful of rows) behind
+        # aggregations — broadcast so the two lookups don't SMJ
+        nodes.join(broadcast(deg), "lang")
+        .join(broadcast(intra), "lang", "left")
         .crossJoin(broadcast(m))
         .select(
             "lang",
@@ -920,37 +928,50 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # edges feed every half-step
     )
+    # Every half-step's raw-sum table is referenced twice (renorm max +
+    # next join) — without a materialization barrier each reference
+    # re-executes its whole subtree, and the 4 half-steps unroll into a
+    # 2^4-duplicated 46-SortMergeJoin plan (measured: an 828-node
+    # physical plan at sf0.1).  Same BSP recipe as pagerank: eager
+    # localCheckpoint per half-step, broadcast the node-sized score
+    # table into the edge join (localCheckpoint erases size stats, so
+    # Catalyst would otherwise SMJ), and fetch the 1-row renorm max as
+    # a driver scalar exactly like pagerank's node count — the
+    # recurrence itself is unchanged, integral DIV and all.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # same size gate as pagerank: node-sized score tables broadcast
+    # while they plausibly fit executor memory; beyond that the SMJ is
+    # correct anyway (score exchanges reuse the node-key partitioning)
+    bcast = broadcast if nodes.count() <= 5_000_000 else (lambda d: d)
     h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
     a = None
     for _ in range(2):
         ar = (
-            e.join(h.withColumnRenamed("node", "src"), "src")
+            e.join(bcast(h.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").cast("long").alias("a"))
+            .localCheckpoint(eager=True)
         )
-        amax = ar.agg(F.max("a").alias("m"))
+        amax = ar.agg(F.max("a")).first()[0] or 1  # None only when empty
         # integral DIV, not double /: at 1e15-scale numerators a double
         # quotient one ulp below an integer would cast UP where // floors
-        a = ar.crossJoin(broadcast(amax)).select(
-            "node", F.expr("(a * 1000000) DIV m").alias("a")
-        )
+        a = ar.select("node", F.expr(f"(a * 1000000) DIV {amax}").alias("a"))
         hr = (
-            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            e.join(bcast(a.withColumnRenamed("node", "dst")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").cast("long").alias("h"))
+            .localCheckpoint(eager=True)
         )
-        hmax = hr.agg(F.max("h").alias("m"))
-        h = hr.crossJoin(broadcast(hmax)).select(
-            "node", F.expr("(h * 1000000) DIV m").alias("h")
-        )
+        hmax = hr.agg(F.max("h")).first()[0] or 1
+        h = hr.select("node", F.expr(f"(h * 1000000) DIV {hmax}").alias("h"))
     return (
-        nodes.join(h.withColumnRenamed("h", "hub_e6"), "node", "left")
-        .join(a.withColumnRenamed("a", "auth_e6"), "node", "left")
+        nodes.join(bcast(h.withColumnRenamed("h", "hub_e6")), "node", "left")
+        .join(bcast(a.withColumnRenamed("a", "auth_e6")), "node", "left")
         .select(
             "node",
             F.coalesce("hub_e6", F.lit(0)).cast("long").alias("hub_e6"),
@@ -1013,12 +1034,20 @@ def graph_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     e = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("decimal(19,0)").alias("d")
+    # deg is consumed by BOTH endpoint joins — materialize it once
+    # (otherwise the groupBy over the edge list runs twice) and
+    # broadcast the node-grain table while it fits (pagerank's 5M
+    # gate): the edge list then streams through two build-side hash
+    # lookups with ZERO edge shuffles instead of two SMJ exchanges
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("decimal(19,0)").alias("d"))
+        .localCheckpoint(eager=True)
     )
+    bcast = F.broadcast if deg.count() <= 5_000_000 else (lambda d: d)
     pairs = (
-        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
-        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        e.join(bcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))), "src")
+        .join(bcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))), "dst")
         .select("x", "y")
     )
     m = pairs.agg(

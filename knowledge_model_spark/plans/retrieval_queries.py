@@ -298,7 +298,10 @@ def eval_recall_label_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         q.select("qid")
-        .join(hits, "qid", "left")
+        # hits is bounded by N_EVAL_QUERIES rows but sits behind a
+        # window+distinct, so Catalyst sees no size and would SMJ —
+        # shuffling and sorting both sides for a <=5-row lookup
+        .join(F.broadcast(hits), "qid", "left")
         .agg(
             F.count("*").cast("long").alias("n_queries"),
             F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
@@ -605,7 +608,9 @@ def eval_ndcg_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("__lc")
     )
     per_q = (
-        q.join(hit_ranks, "qid", "left")
+        # hit_ranks is bounded by N_EVAL_QUERIES rows behind a window +
+        # groupBy (size-opaque to Catalyst — would SMJ without the hint)
+        q.join(F.broadcast(hit_ranks), "qid", "left")
         .join(F.broadcast(label_counts), "qlabel")
         .withColumn("m", F.least(F.lit(10), (F.col("__lc") - 1).cast("int")))
         .withColumn(

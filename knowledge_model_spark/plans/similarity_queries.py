@@ -383,7 +383,10 @@ def eval_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = []
     for method, approx in approxes:
-        hit = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        # each approx list is bounded by N_QUERIES×K rows but ends in a
+        # window filter (size-opaque) — without the hint every gate
+        # semi-join falls to SortMergeJoin (5 SMJs in the union plan)
+        hit = exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         out.append(
             hit.agg(
                 F.lit(method).alias("method"),
@@ -849,8 +852,11 @@ def eval_ann_recall_vs_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.lit(float(N_QUERIES * K))
     out = []
     for method, approx in approxes:
+        # N_QUERIES×K-bounded side behind a window filter — broadcast
+        # for the same reason as the fast-path gate above
         hit = exact.join(
-            approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            F.broadcast(approx.select("query_id", "vec_id")),
+            ["query_id", "vec_id"],
             "left_semi",
         )
         out.append(
