@@ -1097,7 +1097,7 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.sources.multimodal import (
         encode_simple_avi,
         image_features,
-        sample_frames,
+        sample_avi_frames_real,
     )
 
     base = spark.range(32).select(F.col("id").alias("media_id"))
@@ -1108,28 +1108,38 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rng = np.random.RandomState(int(mid))
         return [rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(4)]
 
-    def mux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mux AND demux fused into ONE Python stage (r11): the AVI container
+    # bytes — the heavy opaque column — are produced and consumed inside
+    # the same task, so they never cross the JVM↔Python boundary or get
+    # Arrow-serialized at all; one worker round trip instead of two.
+    # The codec hops are unchanged and REAL (encode_simple_avi →
+    # decode_avi_frames → PPM via the shared sample_avi_frames_real,
+    # the exact kernel sample_frames(decode="REAL") runs).
+    def mux_demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, durs = [], []
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_index": [],
+                "frame_ts_ms": [],
+                "frame_payload": [],
+            }
             for mid in pdf["media_id"]:
                 codec = "dib" if int(mid) % 2 == 0 else "mjpg"
-                payloads.append(
-                    encode_simple_avi(_frames(int(mid)), fps=2.0, codec=codec)
+                payload = encode_simple_avi(
+                    _frames(int(mid)), fps=2.0, codec=codec
                 )  # 2 s
-                durs.append(2000)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "payload": payloads,
-                    "duration_ms": durs,
-                }
-            )
+                for i, ts, ppm in sample_avi_frames_real(payload, every_ms=500):
+                    out["media_id"].append(int(mid))
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_payload"].append(ppm)
+            yield pd.DataFrame(out)
 
-    media = base.mapInPandas(mux, "media_id long, payload binary, duration_ms long")
     # two consumers (featurize + pixel gate): demux once
-    frames = sample_frames(media, every_ms=500, decode="REAL").localCheckpoint(
-        eager=True
-    )
+    frames = base.mapInPandas(
+        mux_demux,
+        "media_id long, frame_index int, frame_ts_ms long, frame_payload binary",
+    ).localCheckpoint(eager=True)
     per_frame = frames.select(
         (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
         F.col("frame_payload").alias("payload"),

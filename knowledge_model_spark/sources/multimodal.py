@@ -1799,6 +1799,38 @@ def image_features(media: DataFrame, decode: str = "DETERMINISTIC") -> DataFrame
     return media.select(*cols).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+def sample_avi_frames_real(
+    payload: bytes, every_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """REAL demux of one AVI payload → [(frame_index, ts_ms, P6-PPM
+    bytes)] sampled every ``every_ms``.  Shared by :func:`sample_frames`
+    and fused mux→demux kernels that keep the container bytes inside one
+    Python stage (the video payload is the heavy column — callers that
+    produce AND demux it in the same task never ship it across the
+    JVM↔Python boundary at all)."""
+    decoded = decode_avi_frames(payload)
+    if decoded is None:
+        raise NotImplementedError(
+            "compressed video (H.264/VP9/...) requires ffmpeg — not in "
+            "container; REAL demux supports uncompressed-DIB AVI"
+        )
+    frames, fps = decoded
+    n_total = len(frames)
+    dur_ms = n_total * 1000.0 / fps
+    out: list[tuple[int, int, bytes]] = []
+    i = 0
+    t = 0.0
+    while t < dur_ms:
+        k = min(n_total - 1, int(t * fps / 1000.0))
+        img = frames[k]
+        h, w = img.shape[:2]
+        ppm = b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+        out.append((i, int(t), ppm))
+        i += 1
+        t += every_ms
+    return out
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, decode: str = "DETERMINISTIC"
 ) -> DataFrame:
@@ -1812,10 +1844,6 @@ def sample_frames(
     in-container; compressed codecs raise at the ffmpeg seam.
     """
 
-    def _ppm(img: np.ndarray) -> bytes:
-        h, w = img.shape[:2]
-        return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
@@ -1826,26 +1854,13 @@ def sample_frames(
             }
             for _, row in pdf.iterrows():
                 if decode == "REAL":
-                    decoded = decode_avi_frames(row["payload"] or b"")
-                    if decoded is None:
-                        raise NotImplementedError(
-                            "compressed video (H.264/VP9/...) requires "
-                            "ffmpeg — not in container; REAL demux "
-                            "supports uncompressed-DIB AVI"
-                        )
-                    frames, fps = decoded
-                    n_total = len(frames)
-                    dur_ms = n_total * 1000.0 / fps
-                    i = 0
-                    t = 0.0
-                    while t < dur_ms:
-                        k = min(n_total - 1, int(t * fps / 1000.0))
+                    for i, ts, ppm in sample_avi_frames_real(
+                        row["payload"] or b"", every_ms
+                    ):
                         out["media_id"].append(row["media_id"])
                         out["frame_index"].append(i)
-                        out["frame_ts_ms"].append(int(t))
-                        out["frame_payload"].append(_ppm(frames[k]))
-                        i += 1
-                        t += every_ms
+                        out["frame_ts_ms"].append(ts)
+                        out["frame_payload"].append(ppm)
                     continue
                 duration = int(row["duration_ms"] or 0)
                 payload = row["payload"] or b""

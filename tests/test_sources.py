@@ -3860,3 +3860,44 @@ def test_flac_roundtrip_hypothesis():
         assert np.array_equal(got[0], want)
 
     check()
+
+
+def test_video_pipeline_fused_mux_demux_matches_two_stage(spark):
+    """The r11 fused mux→demux kernel in multimodal_video_pipeline must
+    emit EXACTLY the rows the two-stage composition (mux mapInPandas →
+    sample_frames REAL) produced — same AVI bytes in, same shared
+    sampling helper, so frame payloads are bit-identical."""
+    import numpy as np
+
+    from knowledge_model_spark.sources.multimodal import (
+        encode_simple_avi,
+        sample_avi_frames_real,
+        sample_frames,
+    )
+
+    def _frames(mid):
+        rng = np.random.RandomState(int(mid))
+        return [rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(4)]
+
+    media_rows = []
+    for mid in range(6):
+        codec = "dib" if mid % 2 == 0 else "mjpg"
+        media_rows.append(
+            (mid, encode_simple_avi(_frames(mid), fps=2.0, codec=codec), 2000)
+        )
+    media = spark.createDataFrame(
+        media_rows, "media_id long, payload binary, duration_ms long"
+    )
+    old = sorted(
+        (
+            (r["media_id"], r["frame_index"], r["frame_ts_ms"],
+             bytes(r["frame_payload"]))
+            for r in sample_frames(media, every_ms=500, decode="REAL").collect()
+        )
+    )
+    fused = sorted(
+        (mid, i, ts, ppm)
+        for mid, payload, _ in media_rows
+        for i, ts, ppm in sample_avi_frames_real(payload, every_ms=500)
+    )
+    assert old == fused and len(old) == 24
