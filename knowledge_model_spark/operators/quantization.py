@@ -268,16 +268,21 @@ def pq_top_k(
         )
     )
 
-    @pandas_udf("double")
-    def _cosine(cv: pd.Series, qv: pd.Series) -> pd.Series:
-        C = _normalize_rows(np.stack(cv.to_numpy()).astype(np.float64))
-        Q = np.stack(qv.to_numpy()).astype(np.float64)  # pre-normalized
-        return pd.Series(np.round((C * Q).sum(axis=1), 6))
+    # Exact re-rank in the JVM (sq8_top_k's shape): the shortlist is
+    # k·refine rows per query — tiny by contract — so a zip_with/
+    # aggregate dot costs less than an Arrow round trip, and because
+    # EvalPythonExec drops outputPartitioning, the former pandas-UDF
+    # rescore forced a SECOND query_id exchange before the final
+    # window.  JVM expressions keep the shortlist window's
+    # partitioning, so the final top-k needs no exchange (guide §2.4,
+    # §4.1).  Fold order matches the DuckDB oracle's sequential sum
+    # (the same dot/l2_normalize the directly-oracled sq8 path uses).
+    from knowledge_model_spark.functions.vectors import dot, l2_normalize
 
     rescored = shortlist.join(qdf, query_id).select(
         F.col(query_id),
         F.col(corpus_id),
-        _cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+        F.round(dot(l2_normalize(F.col("__cv")), F.col("__qv")), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -471,22 +476,27 @@ def ivfpq_top_k(
 
     qdf = broadcast(spark.createDataFrame(qn_rows, [query_id, "__qn"]))
 
-    @pandas_udf("double")
-    def _dot(cv: pd.Series, qv: pd.Series) -> pd.Series:
-        C = np.stack(cv.to_numpy()).astype(np.float64)  # pre-normalized
-        Q = np.stack(qv.to_numpy()).astype(np.float64)
-        return pd.Series(np.round((C * Q).sum(axis=1), 6))
+    # multi-assignment can surface the same (query, id) via several
+    # cells; v is the id's (normalized) vector in every copy and the
+    # exact score is pair-determined, so deduping BEFORE the re-rank is
+    # value-identical — and cheaper twice over: fewer rows are scored,
+    # and the dedup aggregate sits directly on the shortlist window's
+    # query_id partitioning (subset of its grouping keys → no
+    # exchange), whereas after the former pandas-UDF rescore it needed
+    # its own (query_id, vec_id) shuffle because EvalPythonExec drops
+    # outputPartitioning.  The JVM dot then keeps that partitioning
+    # into the final window (0 further exchanges; guide §2.4, §4.1);
+    # fold order matches the DuckDB oracle's sequential sum.
+    from knowledge_model_spark.functions.vectors import dot
 
     rescored = (
-        shortlist.join(qdf, query_id)
+        shortlist.dropDuplicates([query_id, corpus_id])
+        .join(qdf, query_id)
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            _dot(F.col("v"), F.col("__qn")).alias("score"),
+            F.round(dot(F.col("v"), F.col("__qn")), 6).alias("score"),
         )
-        # multi-assignment can surface the same (query, id) via several
-        # cells; the exact score is pair-determined, so a plain dedup
-        .dropDuplicates([query_id, corpus_id])
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()

@@ -421,6 +421,7 @@ def asof_join_cogrouped(
     right_time: str,
     direction: str = "backward",
     right_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Co-grouped pandas twin of :func:`asof_join` —
     ``groupBy().cogroup().applyInPandas`` with a per-key
@@ -439,6 +440,19 @@ def asof_join_cogrouped(
     Caveat vs the window twin: a key whose rows don't fit one task's
     memory needs the window path; Arrow batches bound nothing across a
     single cogroup key.
+
+    ``num_partitions`` pins the cogroup shuffle's partition count
+    (default: the session's defaultParallelism).  AQE's partition
+    coalescing sizes post-shuffle partitions by BYTES, but a pandas
+    cogroup stage's cost is rows-per-core in Python — on a slim
+    (key, ts, value) input AQE coalesces the exchange to a handful of
+    tasks and the merge stage runs nearly serial (measured 3 tasks /
+    4.1 s vs 20 tasks / 1.4 s at sf0.1, guide §2.2/§4).  An explicit
+    keyed repartition with a pinned count is exempt from AQE
+    coalescing, satisfies the cogroup's HashClustered requirement (no
+    second exchange), and scales with the session instead of the
+    byte-size heuristic.  Per-group results are partitioning-invariant,
+    so output rows are identical.
     """
     import pandas as pd
 
@@ -485,9 +499,12 @@ def asof_join_cogrouped(
         )
         return merged[lcols + list(right_cols)]
 
+    if num_partitions is None:
+        num_partitions = left.sparkSession.sparkContext.defaultParallelism
     return (
-        left.groupBy(on)
-        .cogroup(right.groupBy(on))
+        left.repartition(num_partitions, on)
+        .groupBy(on)
+        .cogroup(right.repartition(num_partitions, on).groupBy(on))
         .applyInPandas(merge, schema=schema)
     )
 
