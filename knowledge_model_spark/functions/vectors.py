@@ -32,10 +32,25 @@ def norm(a: Column) -> Column:
 
 def l2_normalize(a: Column) -> Column:
     """L2-normalize (encode(normalize_embeddings=True) equivalent,
-    reference: build_faiss.py:79-85)."""
-    n = norm(a)
-    return F.when(n == 0, a.cast("array<double>")).otherwise(
-        F.transform(a, lambda x: x / n)
+    reference: build_faiss.py:79-85).
+
+    Shaped as ONE aggregate whose ``finish`` lambda does the division:
+    the sum-of-squares is bound to a lambda VARIABLE there, so it is
+    computed once per vector.  The naive ``transform(a, x -> x / n)``
+    embeds the full norm fold inside the element lambda and Catalyst
+    re-evaluates it per element — a dim² blow-up (64× here) on every
+    normalize in every scoring pipeline.  Arithmetic is unchanged:
+    same x / sqrt(Σx²) divisions, same fold order, bit-identical
+    output (verified value-for-value against the old form over the
+    full embeddings table).
+    """
+    return F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda ssq: F.when(F.sqrt(ssq) == 0, a.cast("array<double>")).otherwise(
+            F.transform(a, lambda x: x / F.sqrt(ssq))
+        ),
     )
 
 

@@ -56,10 +56,9 @@ from pyspark.sql.types import ArrayType, IntegerType
 
 def _normalize_rows(X: np.ndarray) -> np.ndarray:
     """Row-wise L2 normalization (zero rows pass through unchanged) —
-    normalization lives INSIDE the Arrow kernels here: the JVM
-    l2_normalize expression recomputes the norm aggregate once per
-    array element (the lambda body re-evaluates its captured outer
-    expression), which profiling showed dominating PQ's cost."""
+    normalization lives INSIDE the Arrow kernels here: the rows are
+    already in numpy for encoding, so the normalize is a free
+    vectorized step with no extra JVM expression work."""
     n = np.linalg.norm(X, axis=1)
     n[n == 0] = 1.0
     return X / n[:, None]
@@ -138,9 +137,8 @@ def pq_train(
     (m·ksub·dsub)-key partial-sum shuffle + a bounded driver fetch.
     Cells that lose all members keep their previous centroid.
     """
-    # raw vectors; normalization happens inside the Arrow kernels (the
-    # JVM l2_normalize expression re-evaluates its norm aggregate per
-    # array element — profiling showed it dominating train time)
+    # raw vectors; normalization happens inside the Arrow kernels,
+    # where the rows are already numpy and the normalize is free
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     seeds = (
         base.withColumn("__h", F.md5(F.col("id").cast("string")))
