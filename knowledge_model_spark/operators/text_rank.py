@@ -273,29 +273,46 @@ def bow_cosine_pairs(
             .select("term")
         )
         toks = toks.join(keep, "term")
-    # four consumers (df cut, norms, both join sides) would otherwise
-    # re-run the regex shingling + tf shuffle 4× (measured: 44 Exchanges
-    # in the un-persisted plan); at true corpus scale, write this table
-    # to Parquet once instead (same seam as the minhash sketch_path)
+    # The squared norm rides WITH each posting row (a window over id)
+    # instead of living in a separate doc-grain table joined back onto
+    # the pair aggregate: the old shape shuffled+sorted the ~1.2M-row
+    # pair table TWICE more (Exchange by id_a, then id_b) just to
+    # attach two longs that are functionally determined by the pair
+    # key.  Grouping by (id_a, id_b, na, nb) gives identical groups
+    # (na/nb are constant per id) and removes both joins — the cosine
+    # threshold then filters in the same stage as the pair aggregate.
+    # Three consumers of toks (df cut, both join sides) would re-run
+    # the regex shingling + tf shuffle each; persist keeps it one
+    # materialization (at true corpus scale, write this table to
+    # Parquet once instead — same seam as the minhash sketch_path).
     from pyspark import StorageLevel
 
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-    norms = toks.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
-    a = toks.select(F.col("id").alias("id_a"), F.col("tf").alias("tf_a"), "term")
-    b = toks.select(F.col("id").alias("id_b"), F.col("tf").alias("tf_b"), "term")
+    toks = toks.withColumn(
+        "nsq", F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy("id"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = toks.select(
+        F.col("id").alias("id_a"),
+        F.col("tf").alias("tf_a"),
+        F.col("nsq").alias("na"),
+        "term",
+    )
+    b = toks.select(
+        F.col("id").alias("id_b"),
+        F.col("tf").alias("tf_b"),
+        F.col("nsq").alias("nb"),
+        "term",
+    )
     dots = (
         a.join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
     )
     cos = F.col("dot").cast("double") / F.sqrt(
         (F.col("na") * F.col("nb")).cast("double")
     )
     return (
-        dots.join(norms.select(F.col("id").alias("id_a"), F.col("nsq").alias("na")), "id_a")
-        .join(norms.select(F.col("id").alias("id_b"), F.col("nsq").alias("nb")), "id_b")
-        .withColumn("cosine", F.round(cos, 6))
+        dots.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

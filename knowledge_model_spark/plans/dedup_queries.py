@@ -377,17 +377,31 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = normed.select("doc_id", char_ngrams(F.col("t"), 5).alias("g"))
     ex = g.select(F.col("doc_id").alias("id"), F.explode("g").alias("s"))
     total = docs.agg(F.count("*").alias("n_docs"))
-    keep = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
+    # df cut as a WINDOW over the gram key instead of a groupBy +
+    # self-join back (guide §2.4): the gram explode — the expensive
+    # subtree — ran twice in the old plan (once under the df aggregate,
+    # once as the join probe) and the join added an Exchange+Sort pair;
+    # counting df over Window.partitionBy(s) prunes on the same shuffle
+    # that the pair join needs anyway, exploding exactly once
+    ex2 = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .crossJoin(broadcast(total))
         .filter(F.col("df") <= F.greatest(F.lit(10), (F.col("n_docs") * 0.05).cast("long")))
-        .select("s")
+        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        .select("id", "s", "n")
+        .localCheckpoint(eager=True)
     )
-    ex2 = ex.join(keep, "s").withColumn(
-        "n", F.count("*").over(Window.partitionBy("id"))
-    ).localCheckpoint(eager=True)
-    a = ex2.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    # Keyed repartition pins the pair join's width: AQE would coalesce
+    # the join exchanges to ONE partition by INPUT bytes (15K surviving
+    # rows at sf0.1), but the inverted-index join multiplies rows ~67×,
+    # so the stage cost is OUTPUT pairs — the same bytes-vs-true-cost
+    # mismatch as the pandas-cogroup fix.  A keyed repartition is exempt
+    # from AQE coalescing and satisfies the join's distribution, so this
+    # replaces (not adds to) the ENSURE_REQUIREMENTS exchange.
+    cpus = spark.sparkContext.defaultParallelism
+    a = ex2.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s"
+    ).repartition(cpus, "s")
     b = ex2.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
     return (
         a.join(b, "s")
