@@ -81,8 +81,42 @@ def bpe_sql(col: str, merges: list[tuple[str, str]]) -> str:
     )
 
 
+def _learn_bpe_merges_local(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side greedy merge loop over a COLLECTED weighted word
+    table — the exact arithmetic of the distributed loop below (same
+    adjacent-pair counts, same (cnt desc, a asc, b asc) tie-break —
+    ASCII symbols, so Python string order == Spark UTF8 binary order —
+    and the same boundary-safe double-pass replace as ``_merge_chain``,
+    Python ``str.replace`` being the identical non-overlapping
+    left-to-right substitution as SQL ``replace``).  Equality with the
+    distributed path is pinned by tests/test_tokenize.py."""
+    words = [[w, n] for w, n in vocab]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, n in words:
+            syms = w.split(" ")
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] = cnt.get((syms[i], syms[i + 1]), 0) + n
+        if not cnt:
+            break
+        (a, b) = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        merges.append((a, b))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        for entry in words:
+            s = f" {entry[0]} "
+            s = s.replace(pat, rep).replace(pat, rep)
+            entry[0] = s.strip(" ")
+    return merges
+
+
 def learn_bpe_merges(
-    df: DataFrame, text_col: str, n_merges: int = 20
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    driver_vocab_gate: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge learning: ONE corpus scan, then vocab-sized work.
 
@@ -107,6 +141,20 @@ def learn_bpe_merges(
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=True)
     )
+    # Size-gated driver fast path (guide §1.2 step 1 — don't run 2·n
+    # Spark jobs on a 31-row table): the merge loop is inherently
+    # sequential and each distributed round costs two scheduler/planner
+    # round trips regardless of data size (~0.3 s/round measured on the
+    # sf0.1 vocab), so when the MATERIALIZED vocab is provably small it
+    # is collected once — bounded, like pq_train's codebook fetch — and
+    # the identical arithmetic runs in-process.  Above the gate (any
+    # real corpus; vocab grows with corpus) the distributed loop below
+    # is unchanged: one vocab-table aggregate per round, driver sees
+    # one (pair, count) row per round.
+    n_vocab = words.count()
+    if n_vocab <= driver_vocab_gate:
+        rows = [(r["w"], r["n"]) for r in words.collect()]
+        return _learn_bpe_merges_local(rows, n_merges)
     merges: list[tuple[str, str]] = []
     for rnd in range(n_merges):
         pairs = (

@@ -39,6 +39,20 @@ def test_frozen_table_tokenizes_learned_words_whole(spark):
     assert toks == ["batch", "join", "hash"]
 
 
+def test_driver_fast_path_matches_distributed_loop(spark):
+    """The size-gated driver merge loop must be bit-identical to the
+    distributed per-round loop it short-circuits (same pair counts,
+    tie-breaks and boundary-safe double replace) — forced onto each
+    path via the gate."""
+    docs = spark.createDataFrame(
+        [("abab abab cd cd",)] * 5 + [("the cat sat on the mat",)] * 3,
+        ["text"],
+    )
+    local = learn_bpe_merges(docs, "text", n_merges=6)  # vocab ≪ gate
+    dist = learn_bpe_merges(docs, "text", n_merges=6, driver_vocab_gate=0)
+    assert local == dist and len(local) == 6
+
+
 def test_registered_learning_query_matches_frozen_prefix(spark):
     """text_bpe_learn_merges (rows-only in the driver) carries its exact
     gate HERE: the 12 learned merges at sf0.01 must equal the frozen
