@@ -13,6 +13,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def double_array_lit(xs) -> Column:
+    """array<double> literal via ONE sql-parse round trip.
+
+    ``F.lit(list)`` / ``F.array(*[F.lit(x), ...])`` marshal every
+    element through py4j individually — measured ~1 ms per element of
+    pure driver time, which turns iterative plan builders (k-center,
+    Bloom bitmaps) into O(elements) py4j chatter.  ``repr(float)`` is
+    the shortest round-tripping decimal and Spark parses double
+    literals correctly rounded, so the values are bit-identical to the
+    ``F.lit`` form.
+    """
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Inner product of two equal-length array columns.
 

@@ -224,7 +224,9 @@ def hashed_linear_score(
     else:
         if len(weights) != dim:
             raise ValueError(f"weights must have length dim={dim}")
-        w = F.element_at(F.lit([float(x) for x in weights]), (idx + 1).cast("int"))
+        from knowledge_model_spark.functions.vectors import double_array_lit
+
+        w = F.element_at(double_array_lit(weights), (idx + 1).cast("int"))
     scored = terms.select("id", "term", w.alias("w"))
     return (
         scored.groupBy("id")

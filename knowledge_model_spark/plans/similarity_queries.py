@@ -1300,14 +1300,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = seed_rows[0]
     centers = [(seed["vec_id"], seed["v"], None)]
     for _ in range(2, K_CENTERS + 1):
+        # one sql-parse literal per center vector: the per-element
+        # F.lit form cost O(centers·dim) py4j round trips per round
+        from knowledge_model_spark.functions.vectors import double_array_lit
+
         sims = [
-            F.round(
-                cosine_sim(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in cv]),
-                ),
-                6,
-            )
+            F.round(cosine_sim(F.col("v"), double_array_lit(cv)), 6)
             for _, cv, _ in centers
         ]
         ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
