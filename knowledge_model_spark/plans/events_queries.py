@@ -1557,11 +1557,17 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def summarize(df, label):
+        # one shared percentile buffer for both quantiles (the
+        # agg_percentiles array-form optimization; same interpolation)
         return df.agg(
             F.lit(label).alias("step_pair"),
             F.count("*").cast("long").alias("n_users"),
-            F.round(F.expr("percentile(lag_us, 0.5)"), 4).alias("p50_us"),
-            F.round(F.expr("percentile(lag_us, 0.9)"), 4).alias("p90_us"),
+            F.expr("percentile(lag_us, array(0.5, 0.9))").alias("__pp"),
+        ).select(
+            "step_pair",
+            "n_users",
+            F.round(F.element_at("__pp", 1), 4).alias("p50_us"),
+            F.round(F.element_at("__pp", 2), 4).alias("p90_us"),
         )
 
     return summarize(l12, "view->click").unionByName(

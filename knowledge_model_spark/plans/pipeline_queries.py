@@ -255,11 +255,26 @@ def chunk_sentence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    # both price percentiles from ONE percentile(col, array(...)) agg:
+    # two scalar calls each build an independent value->count buffer of
+    # the near-distinct price column per partition (and shuffle both);
+    # the array form shares one buffer, same interpolation arithmetic
+    # (measured ~2x faster at sf0.1, results exactly equal)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+            F.expr("percentile(l_extendedprice, array(0.25, 0.9))").alias("__pp"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .select(
+            "l_returnflag",
+            "med_qty",
+            F.round(F.element_at("__pp", 1), 4).alias("p25_price"),
+            F.round(F.element_at("__pp", 2), 4).alias("p90_price"),
+            "avg_disc",
+        )
     )
 
 

@@ -1481,9 +1481,14 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = t["customer"].join(
         broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("n_name", "c_acctbal")
+    # one shared percentile buffer for both clamp bounds (the
+    # agg_percentiles array-form optimization; same interpolation)
     bounds = geo.groupBy("n_name").agg(
-        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
-        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+        F.expr("percentile(c_acctbal, array(0.05, 0.95))").alias("__pp")
+    ).select(
+        "n_name",
+        F.element_at("__pp", 1).alias("lo"),
+        F.element_at("__pp", 2).alias("hi"),
     )
     clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
     return (
