@@ -795,18 +795,25 @@ def winnow_containment_pairs(
     length ≥ k + w - 1 contributes a shared fingerprint.
 
     Scale design mirrors the inverted-index dedup ladder: explode
-    fingerprints, cut stop-fingerprints appearing in > ``max_df`` docs
-    (boilerplate hashes would otherwise pair everything with everything;
-    the cut also bounds every bucket at ``max_df`` ids, which is why
-    ``max_bucket_size`` defaults off here), group the survivors per
-    fingerprint, expand in-bucket pairs incrementally
-    (:func:`_bucket_pairs`), and count common fingerprints per pair — one
-    slim shuffle of (fp, id) pairs plus one of (id_a, id_b) candidates.
-    Containment denominators are the PRUNED set sizes, so both sides of
-    the ratio see the same universe; ``min_fps`` floors the smaller
-    denominator (a doc with 1 surviving fingerprint would score
-    containment 1.0 against anything sharing that hash — ratio noise,
-    not evidence).
+    fingerprints ONCE, cut stop-fingerprints appearing in > ``max_df``
+    docs (boilerplate hashes would otherwise pair everything with
+    everything; the cut also bounds every bucket at ``max_df`` ids,
+    which is why ``max_bucket_size`` defaults off here) as a
+    ``count(*) over (partition by fp)`` window — the df of a
+    fingerprint is a fact about the fp partition the bucket groupBy
+    needs anyway, so the cut costs no extra pass (the former
+    groupBy + join-back re-ran the explode per consumer) — then carry
+    each doc's pruned fingerprint count ``n`` ON the rows via an id
+    window, so it rides through the buckets and pair counts exactly
+    like bow-cosine's norms and the two doc-grain join-backs
+    disappear.  Buckets group (id, n) structs per fingerprint, pairs
+    expand incrementally (:func:`_bucket_pairs`), and the pair count
+    groups by (id_a, id_b, na, nb) — identical groups, since n is
+    functionally determined by id.  Containment denominators are the
+    PRUNED set sizes, so both sides of the ratio see the same
+    universe; ``min_fps`` floors the smaller denominator (a doc with
+    1 surviving fingerprint would score containment 1.0 against
+    anything sharing that hash — ratio noise, not evidence).
     """
     from knowledge_model_spark.functions.text_analysis import (
         normalize_for_dedup,
@@ -839,33 +846,40 @@ def winnow_containment_pairs(
     if max_df is not None:
         # (id, fp) rows are distinct (array_distinct) → count(*) per fp
         # IS document frequency; keep only informative fingerprints.
-        rare = (
-            ex.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("fp")
-        )
-        ex = ex.join(rare, "fp")
-    n_fps = ex.groupBy("id").agg(F.count("*").alias("n"))
+        # The window sits on the same fp shuffle the bucket groupBy
+        # needs, so the cut is free — no groupBy + join-back, and the
+        # explode runs exactly once.
+        ex = ex.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(F.col("__df") <= max_df)
+    # per-doc PRUNED fingerprint count rides the rows (n is
+    # functionally determined by id, so grouping by it downstream
+    # changes no group)
+    ex = ex.withColumn("n", F.count("*").over(Window.partitionBy("id")))
     buckets = (
         ex.groupBy("fp")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("id"), F.col("n")))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     common = (
         _bucket_pairs(buckets, "ids")
-        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-        .groupBy("id_a", "id_b")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("__na"),
+            F.col("b.n").alias("__nb"),
+        )
+        .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("common"))
     )
-    na = n_fps.select(F.col("id").alias("id_a"), F.col("n").alias("__na"))
-    nb = n_fps.select(F.col("id").alias("id_b"), F.col("n").alias("__nb"))
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.least("__na", "__nb") >= F.lit(min_fps))
+        common.filter(F.least("__na", "__nb") >= F.lit(min_fps))
         .withColumn(
             "containment",
             F.round(F.col("common") / F.least("__na", "__nb"), 6),
