@@ -451,8 +451,16 @@ def kcore(
     truncates the per-round lineage exactly like connected_components.
     Rounds needed = longest peel cascade (a chain of m tendril nodes
     peels in m rounds) — data-bounded, convergence-witnessed by the
-    exact surviving-node count.
+    exact surviving-EDGE count riding the checkpoint's materializing
+    job via observe() (connected_components' one-action-per-round
+    recipe): every node in ``sym`` has degree ≥ 1, so a dropped node
+    always removes edges — the symmetric edge count is unchanged
+    exactly when the surviving-node set is, and the former separate
+    keep.count() job (which recomputed the degree aggregate the
+    checkpoint job then built twice more) is gone.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -460,24 +468,29 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_n = None
+    prev_e = None
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("node"))
-        n = keep.count()  # exact driver scalar — the convergence witness
-        if n == prev_n:
+        obs = Observation()
+        new_sym = (
+            sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("e"))
+            .localCheckpoint(eager=True)
+        )
+        cur_e = obs.get["e"]
+        if cur_e == prev_e:
+            # no edge dropped → keep == the surviving node set and
+            # new_sym == sym row-for-row; the within-core degree is a
+            # plain aggregate over the final checkpointed edges
             return (
-                sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
-                .groupBy("a")
+                new_sym.groupBy("a")
                 .agg(F.count("*").cast("long").alias("core_degree"))
                 .select(F.col("a").alias("node"), "core_degree")
             )
-        prev_n = n
-        sym = (
-            sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        prev_e = cur_e
+        sym = new_sym
     raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
 
 
