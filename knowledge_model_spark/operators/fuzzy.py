@@ -80,19 +80,29 @@ def qgram_fuzzy_pairs(
     grams = _grams(strings.filter(F.col("len") >= thresh), q)
 
     if prefix_filter:
-        # Global gram frequencies: a small term-level aggregate (AQE
-        # broadcasts it back).  Rarest-first with (gram, pos) tiebreak
-        # keeps the per-id prefix choice deterministic across runs.
-        gram_df = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+        # Global gram frequencies as a window on the gram partition —
+        # the df of a gram is a fact about the gram partition, so it
+        # costs one shuffle instead of the former groupBy + join-back
+        # (which re-ran the gram explode per consumer).  Rarest-first
+        # with (gram, pos) tiebreak keeps the per-id prefix choice
+        # deterministic across runs.
         w = Window.partitionBy("id").orderBy("gdf", "gram", "pos")
         grams = (
-            grams.join(gram_df, "gram")
+            grams.withColumn(
+                "gdf", F.count("*").over(Window.partitionBy("gram"))
+            )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k * q + 1)
             .select("id", "len", "gram")
         )
     else:
         grams = grams.select("id", "len", "gram")
+
+    # the pruned gram table feeds BOTH sides of the self-join below;
+    # materialize it once (and expose accurate stats to the join
+    # planner) instead of recomputing the explode + prefix pipeline
+    # per side
+    grams = grams.localCheckpoint(eager=True)
 
     a, b = grams.alias("a"), grams.alias("b")
     cand = (
