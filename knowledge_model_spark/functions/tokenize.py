@@ -271,6 +271,7 @@ def learn_unigram_lm(
     seed_multi: int = 192,
     max_piece_len: int = 6,
     n_rounds: int = 4,
+    driver_vocab_gate: int = 200_000,
 ) -> list[tuple[str, int, float]]:
     """Unigram-LM subword vocabulary training (Kudo, ACL'18 — the
     SentencePiece unigram model), Spark-shaped and fully deterministic.
@@ -338,6 +339,23 @@ def learn_unigram_lm(
         .localCheckpoint(eager=True)
     )
     try:
+        # Size-gated driver fast path (the learn_bpe_merges recipe,
+        # guide §1.2 step 1): the EM loop runs 2 seed jobs + n_rounds
+        # mapInPandas/shuffle/collect round trips whose cost at this
+        # scale is pure scheduler overhead.  When the MATERIALIZED
+        # distinct-word table is provably small it is collected once —
+        # bounded, the pq_train codebook-fetch contract — and the
+        # identical arithmetic runs in-process (exact integer counts,
+        # the same viterbi_pieces DP, ASCII-only words so Python and
+        # Spark orderings agree; equality pinned in
+        # tests/test_tokenize.py).  Above the gate — vocab grows with
+        # any real corpus — the distributed path is byte-for-byte
+        # unchanged.
+        if words.count() <= int(driver_vocab_gate):
+            rows = [(r["w"], r["n"]) for r in words.collect()]
+            return _learn_unigram_lm_from_rows(
+                rows, vocab_size, max_piece_len, seed_multi, n_rounds
+            )
         return _learn_unigram_lm_from_words(
             words, vocab_size, max_piece_len, seed_multi, n_rounds
         )
@@ -348,10 +366,107 @@ def learn_unigram_lm(
         words.unpersist()
 
 
+def _unigram_em_loop(
+    singles: dict[str, int],
+    multi: list[tuple[str, int]],
+    vocab_size: int,
+    n_rounds: int,
+    viterbi_counts,
+):
+    """The Kudo hard-EM loop shared by the distributed and driver-local
+    paths: identical M-step, prune schedule and tie-breaks; only the
+    E-step executor (``viterbi_counts``: logp dict → exact int piece
+    counts) differs.  Both executors call the same ``viterbi_pieces``
+    DP and sum exact integers, so the paths are bit-identical."""
+    import math
+
+    counts: dict[str, int] = dict(singles)
+    counts.update(dict(multi))
+    if not counts:
+        return []  # empty corpus — callers emit a schema-correct empty table
+    if len(singles) > int(vocab_size):
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than the corpus "
+            f"alphabet ({len(singles)} distinct characters); singles "
+            "are never pruned, so the requested vocabulary size is "
+            "unsatisfiable — raise vocab_size to at least the "
+            "alphabet size"
+        )
+
+    def _logp(cnts: dict[str, int]) -> dict[str, float]:
+        tot = sum(cnts.values()) + len(cnts)
+        return {p: math.log((c + 1) / tot) for p, c in cnts.items()}
+
+    n_keep_final = max(0, int(vocab_size) - len(singles))
+    for rnd in range(int(n_rounds)):
+        used = viterbi_counts(_logp(counts))
+        new_counts = {p: used.get(p, 0) for p in counts}
+        multis = sorted(
+            ((p, c) for p, c in new_counts.items() if len(p) > 1),
+            key=lambda x: (x[1], x[0]),
+        )
+        if rnd < n_rounds - 1:
+            n_drop = min(
+                (len(multis) + 4) // 5, max(0, len(multis) - n_keep_final)
+            )
+            drop = {p for p, _ in multis[:n_drop]}
+        else:
+            keep = sorted(multis, key=lambda x: (-x[1], x[0]))[:n_keep_final]
+            drop = {p for p, _ in multis} - {p for p, _ in keep}
+        counts = {p: c for p, c in new_counts.items() if p not in drop}
+
+    logp = _logp(counts)
+    out = sorted(counts.items(), key=lambda x: (-logp[x[0]], x[0]))
+    return [(p, c, logp[p]) for p, c in out]
+
+
+def _learn_unigram_lm_from_rows(
+    rows: list[tuple[str, int]],
+    vocab_size: int,
+    max_piece_len: int,
+    seed_multi: int,
+    n_rounds: int,
+):
+    """Driver-side mirror of ``_learn_unigram_lm_from_words`` over a
+    COLLECTED weighted word table — the exact arithmetic of the
+    distributed path (words are ``[a-z0-9]+`` by the normalizer, so
+    Python character/substring/sort semantics match Spark's UTF8
+    ones exactly; all counts are exact integer sums; the Viterbi DP is
+    the same ``viterbi_pieces`` call).  Equality with the distributed
+    path is pinned by tests/test_tokenize.py."""
+    from collections import Counter
+
+    singles_c: Counter = Counter()
+    multi_c: Counter = Counter()
+    L = int(max_piece_len)
+    for w, n in rows:
+        for ch in w:
+            singles_c[ch] += n
+        # substrings of length 2..min(L, len-j) from each 0-based j —
+        # the same enumeration as the SQL sub_expr (1-based i = j + 1)
+        for j in range(len(w) - 1):
+            for l in range(2, min(L, len(w) - j) + 1):
+                multi_c[w[j : j + l]] += n
+    multi = sorted(multi_c.items(), key=lambda x: (-x[1], x[0]))[
+        : int(seed_multi)
+    ]
+
+    def _viterbi_counts_local(logp: dict[str, float]) -> dict[str, int]:
+        maxlen = max(len(p) for p in logp)
+        agg: Counter = Counter()
+        for w, n in rows:
+            for piece in viterbi_pieces(w, logp, maxlen):
+                agg[piece] += int(n)
+        return dict(agg)
+
+    return _unigram_em_loop(
+        dict(singles_c), multi, vocab_size, n_rounds, _viterbi_counts_local
+    )
+
+
 def _learn_unigram_lm_from_words(
     words, vocab_size: int, max_piece_len: int, seed_multi: int, n_rounds: int
 ):
-    import math
     from collections import Counter
     from collections.abc import Iterator
 
@@ -384,22 +499,6 @@ def _learn_unigram_lm_from_words(
         .limit(int(seed_multi))
         .collect()
     ]
-    counts: dict[str, int] = dict(singles)
-    counts.update(dict(multi))
-    if not counts:
-        return []  # empty corpus — callers emit a schema-correct empty table
-    if len(singles) > int(vocab_size):
-        raise ValueError(
-            f"vocab_size={vocab_size} is smaller than the corpus "
-            f"alphabet ({len(singles)} distinct characters); singles "
-            "are never pruned, so the requested vocabulary size is "
-            "unsatisfiable — raise vocab_size to at least the "
-            "alphabet size"
-        )
-
-    def _logp(cnts: dict[str, int]) -> dict[str, float]:
-        tot = sum(cnts.values()) + len(cnts)
-        return {p: math.log((c + 1) / tot) for p, c in cnts.items()}
 
     def _viterbi_counts(logp: dict[str, float]) -> dict[str, int]:
         maxlen = max(len(p) for p in logp)
@@ -425,24 +524,6 @@ def _learn_unigram_lm_from_words(
             .collect()
         }
 
-    n_keep_final = max(0, int(vocab_size) - len(singles))
-    for rnd in range(int(n_rounds)):
-        used = _viterbi_counts(_logp(counts))
-        new_counts = {p: used.get(p, 0) for p in counts}
-        multis = sorted(
-            ((p, c) for p, c in new_counts.items() if len(p) > 1),
-            key=lambda x: (x[1], x[0]),
-        )
-        if rnd < n_rounds - 1:
-            n_drop = min(
-                (len(multis) + 4) // 5, max(0, len(multis) - n_keep_final)
-            )
-            drop = {p for p, _ in multis[:n_drop]}
-        else:
-            keep = sorted(multis, key=lambda x: (-x[1], x[0]))[:n_keep_final]
-            drop = {p for p, _ in multis} - {p for p, _ in keep}
-        counts = {p: c for p, c in new_counts.items() if p not in drop}
-
-    logp = _logp(counts)
-    out = sorted(counts.items(), key=lambda x: (-logp[x[0]], x[0]))
-    return [(p, c, logp[p]) for p, c in out]
+    return _unigram_em_loop(
+        singles, multi, vocab_size, n_rounds, _viterbi_counts
+    )

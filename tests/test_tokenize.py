@@ -84,6 +84,23 @@ def test_apply_is_deterministic_and_scan_shaped(spark, tables):
     assert "Exchange" not in plan  # scan-speed projection
 
 
+def test_unigram_driver_fast_path_matches_distributed_loop(spark):
+    """The size-gated driver EM path must be bit-identical to the
+    distributed one it short-circuits (same seed counts and tie-breaks,
+    same viterbi_pieces DP, exact integer E-step sums) — forced onto
+    each path via the gate, including the logprob floats."""
+    from knowledge_model_spark.functions.tokenize import learn_unigram_lm
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",)] * 12 + [("banana bandana cabana",)] * 7,
+        ["text"],
+    )
+    kw = dict(vocab_size=16, seed_multi=24, n_rounds=3)
+    local = learn_unigram_lm(docs, "text", **kw)  # vocab ≪ gate
+    dist = learn_unigram_lm(docs, "text", driver_vocab_gate=0, **kw)
+    assert local == dist and len(local) == 16
+
+
 def test_unigram_lm_recovers_planted_words(spark):
     """learn_unigram_lm: a corpus dominated by five words must keep
     those words as whole pieces with their exact weighted counts after
