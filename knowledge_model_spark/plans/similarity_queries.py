@@ -1439,32 +1439,67 @@ def _mrl_oracle() -> str:
     "pair explosion, the overlap join is K×N_QUERIES-row tiny",
 )
 def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from knowledge_model_spark.functions.vectors import dot, l2_normalize
+    from knowledge_model_spark.session import ensure_min_partitions
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
 
-    def topk(d: int) -> DataFrame:
-        c = emb.select("vec_id", F.slice("embedding", 1, d).alias("v"))
-        q = c.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # ONE corpus scan scores every truncation (r11, guide §2.4): each
+    # row explodes into its 4 renormalized prefix slices, queries ride
+    # the same explode on the broadcast side joined by dim, and a
+    # single (dim, query) window takes every top-k at once — the former
+    # shape ran the brute-force corpus scan + window shuffle 5× (full
+    # plus one per dim, each behind its own broadcast job).  Score
+    # expression, unrounded ranking (r10 ADVICE) and the (score desc,
+    # vec_id) tiebreak are byte-identical to brute_force_top_k's, so
+    # the per-dim top-k members are unchanged.
+    def sliced(df, id_alias: str, vec_alias: str):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("dim"),
+                            F.slice("embedding", 1, d).alias("v"),
+                        )
+                        for d in _MRL_DIMS
+                    ]
+                )
+            ).alias("dv"),
+        ).select(
+            id_alias,
+            F.col("dv.dim").alias("dim"),
+            l2_normalize(F.col("dv.v")).alias(vec_alias),
         )
-        # unrounded ranking (r10 ADVICE): the oracle orders by raw
-        # list_cosine_similarity, and at dim 8 distinct neighbors can
-        # sit within 1e-6 — 6-dp rounding would tie-break differently
-        return brute_force_top_k(
-            c, q, corpus_id="vec_id", corpus_vec="v",
-            query_id="query_id", query_vec="qv", k=K,
-            round_scores=False,
-        ).select("query_id", "vec_id")
 
-    full = topk(64).localCheckpoint(eager=True)
+    c = sliced(ensure_min_partitions(emb), "vec_id", "cv")
+    q = sliced(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv")
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    all_topk = (
+        c.join(F.broadcast(q), "dim")
+        .select("dim", "query_id", "vec_id", dot("cv", "qv").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("dim", "query_id", "vec_id")
+        .localCheckpoint(eager=True)  # 4 × N_QUERIES × K rows — tiny
+    )
+    full = all_topk.filter(F.col("dim") == 64).select("query_id", "vec_id")
     denom = F.lit(float(N_QUERIES * K))
     out = []
     for d in _MRL_DIMS:
-        # both sides are exactly N_QUERIES×K rows, but the truncated
-        # side's size is opaque to Catalyst (window filter) and the
-        # join fell to SortMergeJoin — broadcast it explicitly
         hit = full.join(
-            F.broadcast(topk(d)), ["query_id", "vec_id"], "left_semi"
+            F.broadcast(
+                all_topk.filter(F.col("dim") == d).select(
+                    "query_id", "vec_id"
+                )
+            ),
+            ["query_id", "vec_id"],
+            "left_semi",
         )
         out.append(
             hit.agg(
