@@ -95,6 +95,28 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def _dedup_with_outdeg(e: DataFrame) -> DataFrame:
+    """Distinct (s, d) edges with per-s out-degree in ONE exchange.
+
+    ``e.distinct()`` followed by a ``count over (partition by s)`` window
+    pays two full shuffles of the edge list (Exchange(s, d) for the
+    distinct aggregate, then Exchange(s) for the window).  Hash-
+    partitioning by ``s`` alone already satisfies the distinct
+    aggregate's ClusteredDistribution((s, d)) — equal (s, d) rows are
+    co-located — AND the window's required distribution, so an explicit
+    repartition("s") lets both run on the same exchange (guide §2.4:
+    two operations keyed the same way share one exchange).  Row values
+    are identical: duplicates are exact copies, so which one survives
+    is unobservable."""
+    from pyspark.sql import Window
+
+    return (
+        e.repartition("s")
+        .dropDuplicates(["s", "d"])
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("s")))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -102,6 +124,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous PageRank over the directed edge set, ``iterations``
     rounds — (node, rank).
@@ -147,24 +170,27 @@ def pagerank(
     SCALE = 10**12
     p = int(round(damping * 100))
     q = 100
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    # out-degree via a window (one exchange on s), not a groupBy
-    # self-join (which would re-derive the edge pipeline a second time
-    # and add a join exchange)
-    from pyspark.sql import Window
-
-    ed = e.withColumn(
-        "outdeg", F.count("*").over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # distinct + out-degree share one exchange (see _dedup_with_outdeg)
+    ed = _dedup_with_outdeg(e).localCheckpoint(eager=True)
     # node set from the checkpointed edges — reads the materialized
-    # rows, not the upstream scan
+    # rows, not the upstream scan.  ``symmetric=True`` (caller declares
+    # every edge also appears reversed): the source column alone covers
+    # every node, and because ed is hash-partitioned by s the distinct
+    # needs NO new exchange.  The node count rides the checkpoint's
+    # materializing job via observe() — no separate count scan.
+    from pyspark.sql import Observation
+
+    nodes = ed.select(F.col("s").alias("node"))
+    if not symmetric:
+        nodes = nodes.unionByName(ed.select(F.col("d").alias("node")))
+    obs = Observation()
     nodes = (
-        ed.select(F.col("s").alias("node"))
-        .unionByName(ed.select(F.col("d").alias("node")))
-        .distinct()
+        nodes.distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = obs.get["n"]
     if n == 0:
         # empty edge set: schema-correct empty ranks, not a division
         # by zero (empty-input sweep contract)
@@ -213,6 +239,7 @@ def personalized_pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank: teleport mass returns to
     the ``seeds`` set instead of the uniform distribution (Haveliwala,
@@ -235,22 +262,31 @@ def personalized_pagerank(
     SCALE = 10**12
     p = int(round(damping * 100))
     q = 100
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    from pyspark.sql import Window
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # distinct + out-degree share one exchange (see _dedup_with_outdeg)
+    ed = _dedup_with_outdeg(e).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
 
-    ed = e.withColumn(
-        "outdeg", F.count("*").over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=True)
+    nodes = ed.select(F.col("s").alias("node"))
+    if not symmetric:
+        nodes = nodes.unionByName(ed.select(F.col("d").alias("node")))
+    nobs = Observation()
     nodes = (
-        ed.select(F.col("s").alias("node"))
-        .unionByName(ed.select(F.col("d").alias("node")))
-        .distinct()
+        nodes.distinct()
+        .observe(nobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n = nobs.get["n"]
+    # seed count rides the seed-set checkpoint's materializing job
+    sobs = Observation()
     seed_set = (
-        seeds.select("node").distinct().join(nodes, "node", "left_semi")
-    ).localCheckpoint(eager=True)
-    n_seeds = seed_set.count()
+        seeds.select("node")
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .observe(sobs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = sobs.get["n"]
     if n_seeds == 0:
         return nodes.select(
             "node",
@@ -276,7 +312,6 @@ def personalized_pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
     bcast = (lambda d: F.broadcast(d)) if n <= 5_000_000 else (lambda d: d)
     ranks = base.select("node", F.col("init_fp").alias("rank_fp"))
     for i in range(iterations):

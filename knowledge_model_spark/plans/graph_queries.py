@@ -156,7 +156,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(sym, iterations=3, damping=0.85)
+    # symmetric=True: sym carries both directions by construction, so
+    # the node set is the distinct src column — no union-of-ends pass
+    ranks = pagerank(sym, iterations=3, damping=0.85, symmetric=True)
     return ranks.select("node", "rank_e12")
 
 
@@ -484,7 +486,10 @@ def graph_ppr_customer_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = t["customer"].select(
         (F.col("c_custkey") * 2).cast("long").alias("node")
     )
-    ranks = personalized_pagerank(sym, seeds, iterations=3, damping=0.85)
+    # symmetric=True: sym carries both directions by construction
+    ranks = personalized_pagerank(
+        sym, seeds, iterations=3, damping=0.85, symmetric=True
+    )
     return ranks.select("node", "rank_e12")
 
 
