@@ -244,10 +244,75 @@ def lsh_bucket_top_k_md5(
     the normalize keeps the cross-engine doubles bit-identical —
     float→double widening is exact).  xxhash64+Gaussian stays the
     100 TB default.
+
+    The ±1 sign planes are content-addressed CONSTANTS (parity of
+    md5("table-plane-dim"), the same digest Python's hashlib computes),
+    so they are built driver-side and baked into an Arrow kernel that
+    derives all ``n_tables`` corpus bucket ids per row in one pass —
+    no corpus×planes row explosion and no (id, tbl) aggregation
+    exchange.  The kernel accumulates each projection DIMENSION BY
+    DIMENSION (vectorized across rows), i.e. the exact left-to-right
+    fold 0.0 ± v_0 ± v_1 ± … that the JVM zip_with/aggregate dot and
+    DuckDB's list_dot_product with a ±1 sign vector compute — with
+    s_d = ±1.0 exactly, s_d·v_d is v_d / −v_d bit-for-bit, so bucket
+    bits are engine-identical (a numpy MATMUL would sum pairwise and
+    is NOT used).  The query side (a handful of rows by the broadcast
+    contract) keeps the relational plane-table formulation for the
+    margin-guided probe choice.
     """
+    import hashlib
+
     from knowledge_model_spark.operators.dedup import md5_hash60
     from knowledge_model_spark.session import ensure_min_partitions
 
+    n_probe_bits = max(0, min(n_probe_bits, n_planes))
+
+    def _sign(t: int, p: int, d: int) -> float:
+        h = hashlib.md5(f"{t}-{p}-{d}".encode()).hexdigest()[:15]
+        return 1.0 if int(h, 16) % 2 == 1 else -1.0
+
+    sign_mat = np.asarray(
+        [
+            [_sign(t, p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    )  # (T*P, D) of ±1.0
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def md5_buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        n_rows = mat.shape[0]
+        # sequential per-dimension accumulation — the same IEEE op
+        # order as the relational fold; vectorized across rows only
+        proj = np.zeros((n_rows, n_tables * n_planes))
+        for d in range(dim):
+            # acc = acc + (±1.0 · v_d), one dimension at a time: the
+            # exact sequential fold, elementwise in IEEE double
+            proj += mat[:, d][:, None] * sign_mat[None, :, d]
+        bits = (proj > 0).reshape(n_rows, n_tables, n_planes)
+        buckets = (bits * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), F.col(corpus_vec).cast("array<double>").alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(query_vec).cast("array<double>").alias("__qv")
+    )
+
+    # corpus: all home buckets in one Arrow pass — (id, tbl, bkt) rows
+    # without a shuffle
+    cb = c.select(
+        F.col(corpus_id),
+        F.posexplode(md5_buckets(F.col("__cv"))).alias("tbl", "bkt"),
+    )
+
+    # query side (tiny by contract): relational planes table, home
+    # buckets + margin-guided probe flips exactly as before
     spark = corpus.sparkSession
     planes = spark.range(n_tables * n_planes).select(
         F.expr(f"CAST(id DIV {n_planes} AS INT)").alias("tbl"),
@@ -277,25 +342,7 @@ def lsh_bucket_top_k_md5(
         ).alias("sign_vec"),
     )
 
-    c = ensure_min_partitions(corpus).select(
-        F.col(corpus_id), F.col(corpus_vec).cast("array<double>").alias("__cv")
-    )
-    q = queries.select(
-        F.col(query_id), F.col(query_vec).cast("array<double>").alias("__qv")
-    )
-
     zero = F.lit(0).cast("long")
-    cproj = c.crossJoin(broadcast(planes)).select(
-        F.col(corpus_id),
-        "tbl",
-        "plane",
-        "w",
-        dot(F.col("sign_vec"), F.col("__cv")).alias("proj"),
-    )
-    cb = cproj.groupBy(corpus_id, "tbl").agg(
-        F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(zero)).alias("bkt")
-    )
-
     qproj = q.crossJoin(broadcast(planes)).select(
         F.col(query_id),
         "tbl",
@@ -306,7 +353,6 @@ def lsh_bucket_top_k_md5(
     qhome = qproj.groupBy(query_id, "tbl").agg(
         F.sum(F.when(F.col("proj") > 0, F.col("w")).otherwise(zero)).alias("home")
     )
-    n_probe_bits = max(0, min(n_probe_bits, n_planes))
     wm = Window.partitionBy(query_id, "tbl").orderBy(
         F.abs(F.col("proj")).asc(), F.col("plane").asc()
     )
