@@ -2144,14 +2144,19 @@ def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     the data, dominated the 11 s runtime.
 
     Derive the count from source size instead of a constant: one
-    partition per 32 MB of input, capped at the session parallelism,
-    floor 1.  At 100 TB the rule saturates the cap (the cluster's real
-    parallelism), so scale-out loses nothing; locally a 2 MB
-    certification input gets the handful of stores its state actually
-    needs.  Env override ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` pins
-    it for A/B runs.  The state-partition count never affects WHAT a
-    streaming aggregation/join/dedup computes — only how many stores
-    hold the rows.
+    partition per 8 MB of input, floor min(4, cores), capped at the
+    session parallelism.  At 100 TB the rule saturates the cap (the
+    cluster's real parallelism), so scale-out loses nothing; locally a
+    2 MB certification input gets a handful of stores.  The r11
+    re-measure moved the rule off 32 MB/floor-1: a single state
+    partition serializes the CPU-heavy session-window aggregation onto
+    one core (sessionize 2.99 s at 1 partition vs 2.23 s at 4;
+    tumbling 1.77→1.49, watermarked dedup 2.75→2.16, stream-stream
+    join flat — all sf0.1 min-of-3).  Env override
+    ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` pins it for A/B runs.
+    The state-partition count never affects WHAT a streaming
+    aggregation/join/dedup computes — only how many stores hold the
+    rows.
     """
     import os
 
@@ -2163,7 +2168,8 @@ def _stream_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     except OSError:
         nbytes = 0
     cores = spark.sparkContext.defaultParallelism
-    return int(max(1, min(cores, nbytes // (32 << 20) + 1)))
+    floor = min(4, cores)
+    return int(max(floor, min(cores, nbytes // (8 << 20) + 1)))
 
 
 def _run_stream_to_memory(
@@ -2172,6 +2178,7 @@ def _run_stream_to_memory(
     prefix: str,
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the finished table.
@@ -2189,6 +2196,16 @@ def _run_stream_to_memory(
     fixes its state-store partition count — and the session value is
     restored before returning, so every batch plan built afterwards
     (post-sink ranking, the batch twin, the gate join) is untouched.
+
+    ``no_data_batches=False`` (r11 optimization): skips the trailing
+    no-data micro-batch for runs whose sink table it cannot change —
+    complete-mode aggregations re-emit the full state every batch, and
+    pass-through dedup emits rows in the data batch itself, so the
+    watermark-finalize batch only re-commits state (measured ~40% of
+    the drain wall time).  MUST stay True for append-mode stateful
+    emission (the outer stream-stream join releases its outer rows
+    only when a later batch advances the watermark).  Session value
+    restored after the run.
     """
     import os
     import shutil
@@ -2198,8 +2215,12 @@ def _run_stream_to_memory(
     name = f"{prefix}_{os.getpid()}_{_STREAM_SESS_SEQ[0]}"
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _NDB_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(_NDB_CONF)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if not no_data_batches:
+        spark.conf.set(_NDB_CONF, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -2217,6 +2238,7 @@ def _run_stream_to_memory(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(_NDB_CONF, prev_ndb)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
@@ -2281,6 +2303,7 @@ def streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         "strsess",
         shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+        no_data_batches=False,  # complete mode: final state already emitted
     ).select(
         "user_id",
         F.row_number().over(wi).cast("long").alias("session_id"),
@@ -2338,6 +2361,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         "strtumb",
         shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+        no_data_batches=False,  # complete mode: final state already emitted
     ).select(
         F.unix_timestamp(F.col("w.start")).alias("window_start"),
         "event_type",
@@ -2562,6 +2586,7 @@ def streaming_dedup_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strdedup",
         output_mode="append",
         shuffle_partitions=_stream_shuffle_partitions(spark, sf_dir),
+        no_data_batches=False,  # dedup emits survivors in the data batch
     )
     streamed = (
         sink.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
