@@ -58,23 +58,38 @@ def dsir_importance(
         ).alias("term"),
     )
 
-    stats = (
-        terms.groupBy("term")
-        .agg(
-            F.count("*").alias("c_raw"),
-            F.sum("__is_tgt").alias("c_tgt"),
-        )
-        # three consumers (the tot collect + the contrib join) — and
-        # without the barrier the tot collect's job would build the
-        # vocab table, discard it, and let the main job rebuild it;
-        # the known (tiny) size also lets AQE broadcast the join
+    # (id, term) tf FIRST, materialized once: the token explode (regex
+    # split over full text) used to run twice — once under the vocab
+    # aggregation and again under the tf aggregation.  The vocab stats
+    # derive from tf exactly (c_raw = Σ tf, c_tgt = Σ tf·is_tgt), so
+    # one explode feeds both; the corpus-wide scalars ride the stats
+    # checkpoint's materializing job via observe() instead of a
+    # separate collect scan.
+    from pyspark.sql import Observation
+
+    tf = (
+        terms.groupBy("id", "__is_tgt", "term")
+        .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)
     )
-    tot = stats.agg(
-        F.count("*").alias("v"),
-        F.sum("c_raw").alias("tot_raw"),
-        F.sum("c_tgt").alias("tot_tgt"),
-    ).collect()[0]  # three exact-long driver scalars
+    obs = Observation()
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.sum("tf").alias("c_raw"),
+            F.sum(F.col("tf") * F.col("__is_tgt")).alias("c_tgt"),
+        )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("v"),
+            F.sum("c_raw").alias("tot_raw"),
+            F.sum("c_tgt").alias("tot_tgt"),
+        )
+        # checkpoint: two consumers, and the known (tiny) size lets
+        # AQE broadcast the contrib join
+        .localCheckpoint(eager=True)
+    )
+    tot = obs.get
     v, tot_raw, tot_tgt = tot["v"], tot["tot_raw"], tot["tot_tgt"]
     if not v:
         # empty corpus: schema-correct empty result (empty-input sweep)
@@ -87,7 +102,6 @@ def dsir_importance(
     lr = F.log((F.col("c_tgt") + 1.0) / F.lit(float(tot_tgt + v))) - F.log(
         (F.col("c_raw") + 1.0) / F.lit(float(tot_raw + v))
     )
-    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     contrib = tf.join(stats, "term").select(
         "id", "term", "tf", (F.col("tf") * lr).alias("contrib")
     )
@@ -141,14 +155,26 @@ def unigram_log_ppl(
             )
         ).alias("term"),
     )
-    stats = (
-        terms.groupBy("term")
-        .agg(F.count("*").alias("c"))
+    # (id, term) tf first, one explode for both aggregations; corpus
+    # scalars ride the stats checkpoint via observe() — see
+    # dsir_importance above for the rationale
+    from pyspark.sql import Observation
+
+    tf = (
+        terms.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)
     )
-    tot = stats.agg(
-        F.count("*").alias("v"), F.sum("c").alias("tot")
-    ).collect()[0]
+    obs = Observation()
+    stats = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("c"))
+        .observe(
+            obs, F.count(F.lit(1)).alias("v"), F.sum("c").alias("tot")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = obs.get
     v, tot_raw = tot["v"], tot["tot"]
     if not v:
         return terms.select(
@@ -157,7 +183,6 @@ def unigram_log_ppl(
             F.lit(0.0).alias("logppl"),
         ).limit(0)
     logp = F.log((F.col("c") + 1.0) / F.lit(float(tot_raw + v)))
-    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     contrib = tf.join(stats, "term").select(
         "id", "term", "tf", (F.col("tf") * logp).alias("contrib")
     )
