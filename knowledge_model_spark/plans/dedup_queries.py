@@ -638,17 +638,49 @@ def eval_dedup_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents_spread"]
-    truth = (
-        ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    n_truth = truth.count()
+    # the exact truth and both candidate generators are independent
+    # full pipelines; materialize each to an eager localCheckpoint on
+    # its own thread (the ANN recall gates' r11 recipe) so they run
+    # concurrently instead of serializing inside the final union
+    # action.  The truth count rides the checkpoint's materializing
+    # job via observe().
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
+    def _truth():
+        return (
+            ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+            .select("id_a", "id_b")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _minhash():
+        return (
+            minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _simhash():
+        return (
+            simhash_pairs(docs, "doc_id", "text", max_distance=6)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        truth_f = pool.submit(_truth)
+        mh_f = pool.submit(_minhash)
+        sh_f = pool.submit(_simhash)
+        truth = truth_f.result()
+        n_truth = obs.get["n"]
+        cands = [("minhash_lsh", mh_f.result()), ("simhash", sh_f.result())]
     out = []
-    for method, pairs in (
-        ("minhash_lsh", minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)),
-        ("simhash", simhash_pairs(docs, "doc_id", "text", max_distance=6)),
-    ):
+    for method, pairs in cands:
         # ONE evaluation of the candidate generator: a left join against
         # the (checkpointed, tiny) truth set yields hits (match) and
         # surplus (no match) as two conditional counts of the same scan —
