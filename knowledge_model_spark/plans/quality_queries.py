@@ -69,7 +69,8 @@ def _pii_raw_col() -> F.Column:
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    # regexp_replace chain is scan-side — spread (no-op at scale)
+    return t["documents_spread"].select(
         "doc_id", redact_pii(_pii_raw_col()).alias("redacted")
     )
 
@@ -167,7 +168,9 @@ def _gopher_raw_col() -> F.Column:
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    # scan-side per-row battery on a one-split local parquet — spread
+    # so the regex work uses every core (no-op at scale)
+    return t["documents_spread"].select(
         "doc_id", *gopher_quality_flags(_gopher_raw_col())
     )
 
@@ -1032,7 +1035,9 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )
-    docs = t["documents"].select("doc_id", norm.alias("t")).filter(
+    # 37 per-char replace() scans per row are scan-side compute on a
+    # one-split local parquet — spread across cores (no-op at scale)
+    docs = t["documents_spread"].select("doc_id", norm.alias("t")).filter(
         F.length("t") > 0
     )
     n = F.length("t")
@@ -1370,7 +1375,8 @@ def quality_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 11.8 * (n_syll / F.greatest(n_words, F.lit(1)).cast("double"))
         - 15.59
     )
-    return t["documents"].select(
+    # split/regex counts are scan-side — spread (no-op at scale)
+    return t["documents_spread"].select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         n_syll.cast("long").alias("n_syllables"),
