@@ -634,9 +634,15 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The reversed copy can never collide with a forward row: forward
+    # endpoints are (even, odd) by the 2k / 2k+1 node encoding and the
+    # reversal is (odd, even), and each side is already distinct — so
+    # the union-level distinct dedups nothing.  Dropping it removes a
+    # full (src, dst) exchange + aggregate over 2·|E| rows (r11,
+    # guide §2.3); row multiset unchanged by the parity argument.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     dist = deg.groupBy("d").agg(F.count("*").alias("n_nodes"))
     tail = deg.filter(F.col("d") >= 2).select(

@@ -1663,26 +1663,56 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applies before the self-join",
 )
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
     t = load_tables(spark, sf_dir)
-    basket = t["lineitem"].select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n_ord = basket.agg(F.countDistinct("ok").alias("n"))
-    item = basket.groupBy("pk").agg(F.count("*").alias("c"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    # r11 (guide §2.3, §3.2): per-order sorted distinct item sets in ONE
+    # orderkey exchange.  The old shape paid an (ok, pk) distinct
+    # exchange, re-shuffled BOTH self-join sides by ok into a
+    # sort-merge join, and shuffled the join output again for the pair
+    # groupBy; collect_set performs the same dedup inside the ok
+    # aggregation, and pairs explode map-side from the sorted array
+    # (bounded by basket size — ≤13 items/order — never catalog size),
+    # identical (p1 < p2) pairs by the ascending sort.  The order total
+    # rides the checkpoint's materializing job via observe(); item
+    # counts re-derive from the checkpointed sets (each (ok, pk) occurs
+    # exactly once in the exploded sets, so counts match the old
+    # distinct-basket counts row for row).
+    obs = Observation()
+    baskets = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+        .observe(obs, F.count(F.lit(1)).alias("n_ord"))
+        .localCheckpoint(eager=True)
+    )
+    n_ord = int(obs.get["n_ord"])
     pair = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) -> "
+                    "transform(slice(pks, i + 2, size(pks) - i - 1), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
+    )
+    item = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("c"))
     )
     i1 = item.select(F.col("pk").alias("p1"), F.col("c").alias("c1"))
     i2 = item.select(F.col("pk").alias("p2"), F.col("c").alias("c2"))
     return (
         pair.join(F.broadcast(i1), "p1")
         .join(F.broadcast(i2), "p2")
-        .crossJoin(F.broadcast(n_ord))
+        .withColumn("n", F.lit(n_ord).cast("long"))
         .select(
             "p1",
             "p2",

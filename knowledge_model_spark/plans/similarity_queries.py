@@ -1394,14 +1394,34 @@ def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/projection.py::zca_whitening_audit",
 )
 def embeddings_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from knowledge_model_spark.operators.projection import (
         zca_whitening_audit,
     )
     from knowledge_model_spark.session import ensure_min_partitions
 
     t = load_tables(spark, sf_dir)
+    # Bytes-aware spread (guide §2.2): the moment passes do O(dim²)
+    # flops per row — microseconds per MB — so a sub-4MB single-split
+    # table is cheaper on one core than behind a 2×32-task round-robin
+    # shuffle.  One partition per 4 MB, capped at session parallelism:
+    # at 100 TB the cap saturates (same as the old defaultParallelism
+    # target); locally the tiny table skips the shuffle entirely, and
+    # the partial count no longer varies with the core count.
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        nbytes = 0
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, nbytes // (4 * 1024 * 1024)),
+    )
     return zca_whitening_audit(
-        ensure_min_partitions(t["embeddings"]), "vec_id", "embedding", 64
+        ensure_min_partitions(t["embeddings"], target=int(target)),
+        "vec_id",
+        "embedding",
+        64,
     )
 
 

@@ -857,6 +857,11 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.text_analysis import shingles
 
     docs = load_tables(spark, sf_dir)["documents_spread"]
+    # r11: a collect_set-per-shingle rewrite (the market_basket_rules
+    # recipe) was tried and REVERTED on measurement — 1.5 s → 3.1 s:
+    # shingle sets are overwhelmingly singletons here, so the per-group
+    # set machinery + checkpoint materialization of ~1M set rows costs
+    # more than the reused (s) exchange the self-join already shares.
     ex = (
         docs.select("source", F.explode(shingles(F.col("text"), 5)).alias("s"))
         .distinct()
@@ -1659,13 +1664,18 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = marked.filter(~F.col("stop")).withColumn(
         "n_w", F.count("*").over(Window.partitionBy("doc_id", "phrase_id"))
     )
-    wstats = content.groupBy("doc_id", "w").agg(
-        F.count("*").alias("freq"),
-        F.sum("n_w").cast("long").alias("deg"),
-    )
-    scored = content.join(wstats, ["doc_id", "w"]).select(
+    # word stats as windows over (doc_id, w) instead of groupBy +
+    # join-back (r11, guide §2.4): both run on the doc_id exchange the
+    # phrase windows already need, so the token stream is never
+    # re-paired with itself — deg/freq per row are the identical Σn_w
+    # and count the aggregate produced.
+    w_word = Window.partitionBy("doc_id", "w")
+    scored = content.select(
         "doc_id", "phrase_id", "pos", "w",
-        (F.col("deg") / F.col("freq").cast("double")).alias("wscore"),
+        (
+            F.sum("n_w").over(w_word).cast("long")
+            / F.count("*").over(w_word).cast("double")
+        ).alias("wscore"),
     )
     phrases = (
         scored.groupBy("doc_id", "phrase_id")

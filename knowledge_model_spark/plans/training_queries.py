@@ -141,10 +141,14 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").withColumn(
-        "score", F.col("tf") / F.col("df").cast("double")
-    )
+    # r11 (guide §2.3/§2.4): df DERIVES from tf — document frequency =
+    # number of (doc, term) groups per term — as a window over the tf
+    # table, so the regex-split explode runs ONCE (the old shape
+    # re-exploded the corpus under the countDistinct aggregate) and the
+    # tf⋈df join disappears.  Identical df per row by definition.
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn("score", F.col("tf") / F.col("df").cast("double"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -687,14 +687,19 @@ def test_interval_union_length_planted_cases(spark):
 def test_ann_md5_twins_broadcast_only_no_python(spark):
     """r8 certified ANN twins: every join broadcasts (the plane table,
     query buckets, and query batch are all tiny), no SortMergeJoin or
-    CartesianProduct anywhere, and the LSH twin's projections are pure
-    JVM expressions — zero Python in the plan."""
+    CartesianProduct anywhere, and no row-at-a-time Python.  Since r11
+    the LSH twin's corpus buckets come from ONE vectorized Arrow kernel
+    (md5_buckets — bakes the content-addressed ±1 planes in and emits
+    all 12 bucket ids per row, replacing the 72-way plane explode +
+    aggregation exchange; per-dim fold order keeps md5/oracle parity,
+    see OPTIMIZATION_r11.md), so exactly one ArrowEvalPython is the
+    pinned shape — more of them would mean the boundary regressed."""
     plan = _plan(spark, "ann_lsh_topk_md5")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("ArrowEvalPython") == 1 and "MapInPandas" not in plan
 
     plan_ivf = _plan(spark, "ann_ivf_topk_md5")
     assert "SortMergeJoin" not in plan_ivf
