@@ -949,36 +949,50 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst would otherwise SMJ), and fetch the 1-row renorm max as
     # a driver scalar exactly like pagerank's node count — the
     # recurrence itself is unchanged, integral DIV and all.
+    # r12 (guide §1.2 step 1 — one action per materialization): the
+    # node count and each half-step's renorm MAX ride the checkpoint's
+    # materializing job via observe() (the kcore/pagerank recipe) —
+    # 9 actions (4 checkpoints + 4 max scans + 1 count) drop to 5.
+    # max/count are exact integers, so the values are bit-identical to
+    # the former separate jobs.
+    from pyspark.sql import Observation
+
+    nobs = Observation()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(nobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # same size gate as pagerank: node-sized score tables broadcast
     # while they plausibly fit executor memory; beyond that the SMJ is
     # correct anyway (score exchanges reuse the node-key partitioning)
-    bcast = broadcast if nodes.count() <= 5_000_000 else (lambda d: d)
+    bcast = broadcast if nobs.get["n"] <= 5_000_000 else (lambda d: d)
     h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
     a = None
     for _ in range(2):
+        aobs = Observation()
         ar = (
             e.join(bcast(h.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").cast("long").alias("a"))
+            .observe(aobs, F.max("a").alias("m"))
             .localCheckpoint(eager=True)
         )
-        amax = ar.agg(F.max("a")).first()[0] or 1  # None only when empty
+        amax = aobs.get["m"] or 1  # None only when empty
         # integral DIV, not double /: at 1e15-scale numerators a double
         # quotient one ulp below an integer would cast UP where // floors
         a = ar.select("node", F.expr(f"(a * 1000000) DIV {amax}").alias("a"))
+        hobs = Observation()
         hr = (
             e.join(bcast(a.withColumnRenamed("node", "dst")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").cast("long").alias("h"))
+            .observe(hobs, F.max("h").alias("m"))
             .localCheckpoint(eager=True)
         )
-        hmax = hr.agg(F.max("h")).first()[0] or 1
+        hmax = hobs.get["m"] or 1
         h = hr.select("node", F.expr(f"(h * 1000000) DIV {hmax}").alias("h"))
     return (
         nodes.join(bcast(h.withColumnRenamed("h", "hub_e6")), "node", "left")

@@ -2163,13 +2163,6 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t["lineitem"]
 
-    def rank2(col):
-        w_r = Window.partitionBy("l_returnflag").orderBy(col)
-        w_t = Window.partitionBy("l_returnflag", col)
-        return (
-            2 * F.rank().over(w_r) + F.count("*").over(w_t) - 1
-        ).cast("decimal(19,0)")
-
     # r11 (guide §2.4): the quantity midrank comes from a (grp, value)
     # CELL table instead of a second full-row rank window — l_quantity
     # has ≤50 distinct values, so the cell table is ≤50·|groups| rows at
@@ -2197,11 +2190,55 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rx2"),
         )
     )
-    ranked = li.select(
+    # r12 (guide §2.5 — range-partition the rank): the price midrank is
+    # near-continuous (no small cell table possible), and a rank window
+    # partitioned by l_returnflag alone sorts the WHOLE table in
+    # |groups| = 3 tasks at any parallelism.  Split each group into
+    # fixed-width price buckets: ranks within a (grp, bucket) window
+    # plus the count of all earlier buckets give the identical global
+    # competition rank (rank(v) = 1 + #{u < v} and every u < v is in an
+    # earlier bucket or earlier within the same bucket; ties share one
+    # bucket because equal values bucket equally), so
+    # 2·rank + ties − 1 is unchanged row-for-row while the sort runs at
+    # |groups|·|buckets|-way parallelism.  The per-bucket count table is
+    # ≤ |groups|·|buckets| rows at any corpus size — broadcast.
+    bkt = F.floor(F.col("l_extendedprice") / F.lit(4096.0)).cast("int")
+    priced = li.select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").alias("q"),
-        rank2("l_extendedprice").alias("ry2"),
-    ).join(F.broadcast(cells), ["grp", "q"]).select("grp", "rx2", "ry2")
+        F.col("l_extendedprice").alias("p"),
+        bkt.alias("b"),
+    )
+    w_off = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        priced.groupBy("grp", "b")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "grp", "b", (F.sum("c").over(w_off) - F.col("c")).alias("off")
+        )
+    )
+    w_r = Window.partitionBy("grp", "b").orderBy("p")
+    w_t = Window.partitionBy("grp", "b", "p")
+    ranked = (
+        priced.join(F.broadcast(offsets), ["grp", "b"])
+        .select(
+            "grp",
+            "q",
+            (
+                2 * (F.col("off") + F.rank().over(w_r))
+                + F.count("*").over(w_t)
+                - 1
+            )
+            .cast("decimal(19,0)")
+            .alias("ry2"),
+        )
+        .join(F.broadcast(cells), ["grp", "q"])
+        .select("grp", "rx2", "ry2")
+    )
     m = ranked.groupBy("grp").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("rx2").alias("sx"),

@@ -55,6 +55,42 @@ def get_spark(app_name: str = "knowledge_model_spark", cpus: int | None = None) 
     return builder.getOrCreate()
 
 
+def scale_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive INITIAL shuffle-partition count, derived from the
+    input directory's on-disk size (r11 verdict item 1; guide §2.2 —
+    fewer, larger partitions — applied session-wide).
+
+    AQE coalesces the READ side of every exchange, but the initial
+    count still decides how many reduce tasks windows/sorts schedule
+    and how many AQE re-planning decisions each query pays.  The r11
+    scaling block measured the whole suite FASTER at 8 cores than at
+    32 at sf0.1 — ~250 sub-second queries paying 32-way scheduling on
+    kilobytes of shuffle.  Rule (the `_stream_shuffle_partitions`
+    recipe generalized): one partition per 4 MiB of source bytes,
+    floor min(4, cores), cap = session parallelism — so at 100 TB the
+    rule saturates the cap and behaviour is unchanged, while a ~17 MB
+    local SF gets ~5.  A/B at sf0.1/local[32] over a 36-query subset:
+    geomean 1.06x, no query regressed >15% (OPTIMIZATION_r12.md).
+    Env override ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` pins it for A/B
+    runs.  Partition count never affects WHAT a query computes: every
+    query's aggregation order-sensitivity is handled by its own
+    sorted-fold / integer / decimal machinery (verified by the full
+    oracle-parity suite at this setting).
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    nbytes = 0
+    for name in TABLE_NAMES:
+        try:
+            nbytes += os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        except OSError:
+            pass
+    cores = spark.sparkContext.defaultParallelism
+    per_part = 4 * 1024 * 1024
+    return max(min(4, cores), min(cores, -(-nbytes // per_part)))
+
+
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition UP to the session's parallelism when the input arrives
     in fewer partitions.
@@ -87,6 +123,13 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     plan stays declarative.
     """
     key = (id(spark.sparkContext), sf_dir)
+    # set on EVERY call (not only the cold path): harnesses that
+    # alternate sf_dirs (the slope tests) must re-derive the partition
+    # count for the directory they are about to query
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(scale_shuffle_partitions(spark, sf_dir)),
+    )
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         # Temp views are session-global and last-registration-wins, so a
