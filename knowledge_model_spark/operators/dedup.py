@@ -601,9 +601,9 @@ def embedding_near_dup_pairs_lsh(
     survivors (actual near-dups) are the only rows worth a shuffle.
     """
     from knowledge_model_spark.operators.similarity import _hyperplane_buckets_udf
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
-    base = ensure_min_partitions(df).select(
+    base = spread_vectors(df).select(
         F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
     )
     bk = _hyperplane_buckets_udf(n_tables, n_planes, dim)

@@ -208,7 +208,7 @@ def pq_top_k(
     The query batch is collected driver-side to build the LUTs — same
     small-batch contract as the broadcast in brute_force_top_k.
     """
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     if codebooks is None:
         codebooks = pq_train(corpus, corpus_id, corpus_vec, m, ksub, n_iter)
@@ -217,7 +217,7 @@ def pq_top_k(
     M = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = M.shape
 
-    base = ensure_min_partitions(corpus).select(
+    base = spread_vectors(corpus).select(
         F.col(corpus_id), F.col(corpus_vec).alias("__cv")
     )
     codes = base.withColumn("__codes", _pq_codes_udf(M)(F.col("__cv")))
@@ -374,7 +374,7 @@ def ivfpq_top_k(
     first-occurrence tiebreaks, sorted partial folds); recall-gated vs
     the exact baseline in tests — not oracle-expressible, like LSH/IVF.
     """
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     # 1) coarse centroids — full-vector k-means IS pq_train with m=1
     coarse_cb = pq_train(corpus, corpus_id, corpus_vec, m=1, ksub=n_cells,
@@ -384,7 +384,7 @@ def ivfpq_top_k(
     coarse = np.asarray(coarse_cb)[0]  # (n_cells, d)
     dim = coarse.shape[1]
 
-    base = ensure_min_partitions(corpus).select(
+    base = spread_vectors(corpus).select(
         F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
     )
     resid = base.mapInPandas(
@@ -533,10 +533,10 @@ def sq8_top_k(
     tests/test_quantization.py.
     """
     from knowledge_model_spark.functions.vectors import dot, l2_normalize
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     spark = corpus.sparkSession
-    base = ensure_min_partitions(corpus).select(
+    base = spread_vectors(corpus).select(
         F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
     )
     # train: per-dimension min/max via posexplode + groupBy(dim) —

@@ -57,12 +57,12 @@ def brute_force_top_k(
     (reference: vector_store.py:129-162; k default 12 per
     vector_store.py:19, min_score 0.75 per :134).
     """
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     cv = F.col("__cv") if not normalized else F.col(corpus_vec)
     qv = F.col("__qv") if not normalized else F.col(query_vec)
     # single-split local scans would score the whole corpus on one core
-    c = ensure_min_partitions(corpus).select(F.col(corpus_id), F.col(corpus_vec))
+    c = spread_vectors(corpus).select(F.col(corpus_id), F.col(corpus_vec))
     q = queries.select(F.col(query_id), F.col(query_vec))
     if not normalized:
         c = c.withColumn("__cv", l2_normalize(F.col(corpus_vec)))
@@ -176,9 +176,9 @@ def lsh_bucket_top_k(
     (mirroring the reference's eval_snapshot.py:74-108, gate
     continuous.py:34-36) — registered as ``eval_ann_recall_vs_exact``.
     """
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
-    c = ensure_min_partitions(corpus).select(
+    c = spread_vectors(corpus).select(
         F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
     )
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
@@ -263,7 +263,7 @@ def lsh_bucket_top_k_md5(
     import hashlib
 
     from knowledge_model_spark.operators.dedup import md5_hash60
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     n_probe_bits = max(0, min(n_probe_bits, n_planes))
 
@@ -297,7 +297,7 @@ def lsh_bucket_top_k_md5(
         buckets = (bits * weights[None, None, :]).sum(axis=2)
         return pd.Series(list(buckets))
 
-    c = ensure_min_partitions(corpus).select(
+    c = spread_vectors(corpus).select(
         F.col(corpus_id), F.col(corpus_vec).cast("array<double>").alias("__cv")
     )
     q = queries.select(
@@ -421,9 +421,9 @@ def ivf_top_k(
     md5 prefix, bit-identical in DuckDB — the r8 certification twin;
     everything downstream of the seed is already SQL-expressible).
     """
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
-    c = ensure_min_partitions(corpus).select(
+    c = spread_vectors(corpus).select(
         F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cv")
     )
     q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
@@ -489,9 +489,9 @@ def hard_negatives(
     candidate cut.  Queries are keyed by label (centroids), so
     query_id doubles as the label to exclude.
     """
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
-    c = ensure_min_partitions(corpus).select(
+    c = spread_vectors(corpus).select(
         F.col(corpus_id),
         F.col(corpus_label).alias("__clabel"),
         l2_normalize(F.col(corpus_vec)).alias("__cv"),
@@ -666,7 +666,7 @@ def nsw_graph_top_k(
     """
     import hashlib
 
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     q_rows = (
         queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qv"))
@@ -675,7 +675,7 @@ def nsw_graph_top_k(
     q_ids = np.asarray([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.asarray([np.asarray(r["__qv"], dtype=np.float64) for r in q_rows])
 
-    c = ensure_min_partitions(corpus).select(
+    c = spread_vectors(corpus).select(
         F.col(corpus_id).alias("__cid"),
         l2_normalize(F.col(corpus_vec)).alias("__cv"),
         (

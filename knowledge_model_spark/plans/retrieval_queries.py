@@ -979,10 +979,10 @@ MAXSIM_K = 10
     "vector_store.py:129-162 overfetch-then-rerank)",
 )
 def retrieval_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     t = load_tables(spark, sf_dir)
-    emb = ensure_min_partitions(t["embeddings"])
+    emb = spread_vectors(t["embeddings"])
     q = (
         t["embeddings"]
         .filter(F.col("vec_id") < N_MAXSIM_QUERIES)

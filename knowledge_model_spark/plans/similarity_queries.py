@@ -1309,10 +1309,10 @@ def _kcenter_oracle(k: int = K_CENTERS) -> str:
 )
 def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.vectors import cosine_sim
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     t = load_tables(spark, sf_dir)
-    e = ensure_min_partitions(
+    e = spread_vectors(
         t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     schema = "center_rank long, vec_id long, max_sim_to_selected double"
@@ -1487,7 +1487,7 @@ def _mrl_oracle() -> str:
 def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from knowledge_model_spark.functions.vectors import dot, l2_normalize
-    from knowledge_model_spark.session import ensure_min_partitions
+    from knowledge_model_spark.session import spread_vectors
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
@@ -1521,7 +1521,7 @@ def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_normalize(F.col("dv.v")).alias(vec_alias),
         )
 
-    c = sliced(ensure_min_partitions(emb), "vec_id", "cv")
+    c = sliced(spread_vectors(emb), "vec_id", "cv")
     q = sliced(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv")
     w = Window.partitionBy("dim", "query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()

@@ -108,6 +108,36 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     return df
 
 
+def spread_vectors(df: DataFrame, per_partition_bytes: int = 256 * 1024) -> DataFrame:
+    """:func:`ensure_min_partitions` with a bytes-derived target for
+    vector tables feeding cheap per-row kernels (µs/row JVM HOF dots,
+    vectorized Arrow batches) — the zca bytes-aware recipe (r11)
+    generalized, r12 (guide §2.2: fewer, larger partitions).
+
+    target = clamp(plan-stat bytes / 256 KiB, min(4, cores), cores).
+    At scale the cap saturates to the session parallelism, so 100 TB
+    behaviour is exactly the old defaultParallelism spread; locally a
+    ~1 MB embedding table stops paying 32-task scheduling plus a
+    32-way round-robin exchange for every Python/codegen pass
+    (measured: ann_ivfpq_topk 3.44 s → 2.49 s at sf0.1/local[32],
+    rows byte-identical).  Because the width is derived from bytes,
+    not the core count, the same layout — hence the same Arrow batch
+    boundaries and bit-identical float partials — is produced at any
+    local core count the driver benches with.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        # py4j auto-converts the scala BigInt to a Python int
+        nbytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable — fall back to full spread
+        nbytes = 0
+    if nbytes <= 0:
+        return ensure_min_partitions(df)
+    target = max(min(4, cores), min(cores, -(-nbytes // per_partition_bytes)))
+    return ensure_min_partitions(df, target)
+
+
 # (session id, sf_dir) → loaded tables.  Every registered query calls
 # load_tables; memoizing skips the repeated parquet-footer reads when a
 # harness runs the whole registry against one session.  DataFrames are
@@ -175,9 +205,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     if "embeddings" in tables:
         # same for vector-HOF-heavy plans (dot products, LSH projections):
         # the sf0.1 parquet is one row group = one split, which serializes
-        # the whole scoring stage on a single core (measured 4.4x on the
-        # shingle scan).  At cluster scale the scan already has thousands
-        # of splits and ensure_min_partitions is a no-op.
-        tables["embeddings_spread"] = ensure_min_partitions(tables["embeddings"])
+        # the whole scoring stage on a single core.  Width is bytes-derived
+        # (r12): per-row vector work is microseconds, so a ~1 MB table
+        # spread 32 ways paid more in task scheduling than it bought.
+        tables["embeddings_spread"] = spread_vectors(tables["embeddings"])
     _TABLE_CACHE[key] = tables
     return tables
