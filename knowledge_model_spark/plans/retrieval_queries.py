@@ -1120,8 +1120,18 @@ BLEU_MAX_N = 4
 
 
 def _word_gram_structs(max_n: int):
-    """(n, md5-int64 gram hash) structs for word n-grams of column `t`
+    """Packed (h·8 + n) gram keys for word n-grams of column `t`
     (array<string>), all orders 1..max_n in one nested transform.
+
+    r12 (guide §2.3 — narrower agg/shuffle keys): the (n int, h long)
+    struct is packed into ONE long, h·8 + n — h is a 60-bit md5 prefix
+    so h·8 < 2^63 stays a positive signed long, and n ≤ 6 < 8 makes the
+    packing bijective: grouping by the packed key IS grouping by
+    (n, h), so the clipped counts (and their oracle-lockstep md5
+    collision behaviour) are unchanged while the per-row agg key drops
+    from 20 to 16 bytes and the exploded struct array becomes a plain
+    long array.  Measured on the chrf clip chain: 1.54 → 1.37 s,
+    values identical.
 
     Short-doc guard (r9 ADVICE): when size(t) < n, sequence(1,
     greatest(size-n+1, 0)) is the DESCENDING [1, 0] (Spark's default
@@ -1136,31 +1146,30 @@ def _word_gram_structs(max_n: int):
                 F.size("t") >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size("t") - n + 1),
-                    lambda i: F.struct(
-                        n.cast("int").alias("n"),
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(" ", F.slice(F.col("t"), i, n))
-                                ),
-                                1,
-                                15,
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(" ", F.slice(F.col("t"), i, n))
                             ),
-                            16,
-                            10,
-                        )
-                        .cast("long")
-                        .alias("h"),
-                    ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    * 8
+                    + n.cast("long"),
                 ),
-            ).otherwise(F.array().cast("array<struct<n:int,h:bigint>>")),
+            ).otherwise(F.array().cast("array<bigint>")),
         )
     )
 
 
 def _char_gram_structs(max_n: int):
-    """(n, md5-int64 gram hash) structs for char n-grams of column `s`
-    (string), all orders 1..max_n in one nested transform.
+    """Packed (h·8 + n) gram keys for char n-grams of column `s`
+    (string), all orders 1..max_n in one nested transform — same
+    bijective packing (and the same reasons) as
+    :func:`_word_gram_structs`.
 
     Short-doc guard (r9 ADVICE): sequence(1, greatest(len-n+1, 0))
     yields the DESCENDING [1, 0] when len(s) < n, and substr tolerates
@@ -1177,28 +1186,24 @@ def _char_gram_structs(max_n: int):
                 F.length("s") >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.length("s") - n + 1),
-                    lambda i: F.struct(
-                        n.cast("int").alias("n"),
-                        F.conv(
-                            F.substring(
-                                F.md5(F.col("s").substr(i, n)), 1, 15
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("long")
-                        .alias("h"),
-                    ),
+                    lambda i: F.conv(
+                        F.substring(F.md5(F.col("s").substr(i, n)), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    * 8
+                    + n.cast("long"),
                 ),
-            ).otherwise(F.array().cast("array<struct<n:int,h:bigint>>")),
+            ).otherwise(F.array().cast("array<bigint>")),
         )
     )
 
 
 def _pair_clipped_counts(grams: DataFrame, max_n: int) -> DataFrame:
     """(cand_id, c1..c<max_n>) clipped shared-gram counts per dup-chain
-    pair, from an exploded (doc_id, n, h) gram stream — the shared core
-    of eval_bleu_components and eval_chrf (r9 routed one-pass shape).
+    pair, from an exploded (doc_id, k = h·8 + n) gram stream — the
+    shared core of eval_bleu_components and eval_chrf (r9 routed
+    one-pass shape; r12 packed keys).
 
     The pair relation is positional (ref_id = cand_id + 1 on the
     dup-chain fixture, candidates = doc_id%10<4), so each gram row
@@ -1232,19 +1237,22 @@ def _pair_clipped_counts(grams: DataFrame, max_n: int) -> DataFrame:
         ),
         lambda x: x["v"],
     )
-    routed = grams.select(F.explode(routes).alias("rt"), "n", "h").select(
+    # `k` is the packed h·8 + n key (see _word_gram_structs): grouping
+    # by it IS grouping by (n, h) — bijective — with a 16-byte agg key
+    # instead of 20 and one fewer column through the exchange (r12).
+    routed = grams.select(F.explode(routes).alias("rt"), "k").select(
         F.col("rt.cand_id").alias("cand_id"),
-        "n",
-        "h",
+        "k",
         F.col("rt.c").alias("c"),
         F.col("rt.r").alias("r"),
     )
-    pairclip = routed.groupBy("cand_id", "n", "h").agg(
+    pairclip = routed.groupBy("cand_id", "k").agg(
         F.least(F.sum("c"), F.sum("r")).alias("m")
     )
+    order = (F.col("k") % 8).cast("int")
     return pairclip.groupBy("cand_id").agg(
         *[
-            F.sum(F.when(F.col("n") == i, F.col("m")))
+            F.sum(F.when(order == i, F.col("m")))
             .cast("long")
             .alias(f"c{i}")
             for i in range(1, max_n + 1)
@@ -1345,10 +1353,8 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to its pair key(s) and ONE md5-int64-keyed groupBy computes the
     # clipped counts — no per-doc count table, no checkpoint, no clip
     # self-join.  md5 keys move in lockstep with the oracle's.
-    gram_structs = _word_gram_structs(BLEU_MAX_N)
-    grams = toks.select("doc_id", F.explode(gram_structs).alias("g")).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
-    )
+    gram_keys = _word_gram_structs(BLEU_MAX_N)
+    grams = toks.select("doc_id", F.explode(gram_keys).alias("k"))
     clipw = _pair_clipped_counts(grams, BLEU_MAX_N)
     pairs = (
         docs.filter(F.col("doc_id") % 10 < 4)
@@ -1597,10 +1603,8 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every (n, gram-hash) from ONE nested transform over s — no
     # crossJoin against an n-grid, so s is never duplicated 6×
-    gram_structs = _char_gram_structs(CHRF_MAX_N)
-    grams = chars.select("doc_id", F.explode(gram_structs).alias("g")).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
-    )
+    gram_keys = _char_gram_structs(CHRF_MAX_N)
+    grams = chars.select("doc_id", F.explode(gram_keys).alias("k"))
     clipw = _pair_clipped_counts(grams, CHRF_MAX_N)
     pairs = (
         docs.filter(F.col("doc_id") % 10 < 4)

@@ -1013,7 +1013,12 @@ def test_pair_clipped_counts_edge_cases(spark):
         (4, 1, 11), (4, 1, 11), (4, 1, 11), (4, 1, 11),
         (0, 2, 20), (1, 2, 20),
     ]
-    grams = spark.createDataFrame(rows, "doc_id long, n int, h long")
+    # r12: the helper consumes the packed k = h*8 + n key (bijective for
+    # n < 8), so the planted (n, h) rows are packed the same way the
+    # gram-struct helpers pack them
+    grams = spark.createDataFrame(rows, "doc_id long, n int, h long").selectExpr(
+        "doc_id", "h * 8 + n AS k"
+    )
     got = {
         r["cand_id"]: (r["c1"], r["c2"])
         for r in _pair_clipped_counts(grams, 2).collect()
@@ -1077,9 +1082,9 @@ def test_gram_structs_short_doc_guard(spark):
     got = {
         (r["doc_id"], r["n"]): r["cnt"]
         for r in words.select(
-            "doc_id", F.explode(_word_gram_structs(4)).alias("g")
+            "doc_id", F.explode(_word_gram_structs(4)).alias("k")
         )
-        .groupBy("doc_id", F.col("g.n").alias("n"))
+        .groupBy("doc_id", (F.col("k") % 8).cast("int").alias("n"))
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
@@ -1099,9 +1104,9 @@ def test_gram_structs_short_doc_guard(spark):
     got_c = {
         (r["doc_id"], r["n"]): r["cnt"]
         for r in chars.select(
-            "doc_id", F.explode(_char_gram_structs(6)).alias("g")
+            "doc_id", F.explode(_char_gram_structs(6)).alias("k")
         )
-        .groupBy("doc_id", F.col("g.n").alias("n"))
+        .groupBy("doc_id", (F.col("k") % 8).cast("int").alias("n"))
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
