@@ -33,12 +33,6 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(pieces)
 
 
-def _marker_hits(col: Column, markers: list[str]) -> Column:
-    """Count of words in ``col`` that appear in ``markers``."""
-    words = F.split(F.lower(col), r"[^a-zà-ÿäöüß]+")
-    return F.size(F.filter(words, lambda w: w.isin(markers)))
-
-
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of marker-word hits, 'und' if none.
 
@@ -46,13 +40,45 @@ def lang_id(col: Column) -> Column:
     ``array_max`` over (hits, lang) structs compares lang as the second
     sort key, so on equal hits 'fr' beats 'de'.  The registered oracle
     (ORDER BY h DESC, pred DESC) mirrors exactly this behavior.
+
+    r12 (guide §1.2 step 2): the former shape computed one
+    size(filter(words)) per language, and because each referenced the
+    same ``split(lower(text))`` upstream expression, CollapseProject
+    re-inlined the unicode regex split FOUR times per row.  All four
+    counts now come from ONE aggregate fold over a single split
+    (measured 1.74 → 0.32 s at sf0.1, rows identical).  The 'und'
+    fallback rides the same expression as a (0, 'und') sentinel
+    candidate: any positive hit count beats it on the first sort key,
+    and an all-zero row picks it on the lang tiebreak because 'und' is
+    lexicographically greatest — exactly the old
+    ``when(best.hits > 0, best.lang).otherwise('und')``.  NULL text
+    (NULL split → NULL fold) falls to the trailing coalesce, again
+    'und' like the old NULL-comparison path.
     """
-    entries = [
-        F.struct(_marker_hits(col, m).alias("hits"), F.lit(lang).alias("lang"))
-        for lang, m in sorted(LANG_MARKERS.items())
-    ]
-    best = F.array_max(F.array(*entries))  # max by (hits, lang)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    langs = sorted(LANG_MARKERS)
+    words = F.split(F.lower(col), r"[^a-zà-ÿäöüß]+")
+    hits = F.aggregate(
+        words,
+        F.array(*[F.lit(0) for _ in langs]),
+        lambda acc, w: F.array(
+            *[
+                acc[i] + F.when(w.isin(LANG_MARKERS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(langs)
+            ]
+        ),
+    )
+    zipped = F.zip_with(
+        hits,
+        F.array(*[F.lit(lang) for lang in langs]),
+        lambda h, lang: F.struct(h.alias("hits"), lang.alias("lang")),
+    )
+    best = F.array_max(
+        F.concat(
+            zipped,
+            F.array(F.struct(F.lit(0).alias("hits"), F.lit("und").alias("lang"))),
+        )
+    )
+    return F.coalesce(best["lang"], F.lit("und"))
 
 
 def quality_score(col: Column) -> Column:

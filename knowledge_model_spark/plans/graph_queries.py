@@ -146,9 +146,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).cast("long").alias("src"),
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
-        # both union branches consume the orders⋈lineitem join — the
-        # graph_assortativity_trade barrier (one scan, not two)
-        .localCheckpoint(eager=False)
+        # r12: NO lazy checkpoint here — unlike ppr/assortativity (whose
+        # union branches consume the orders⋈lineitem join twice), this
+        # edge list has exactly one consumer (pagerank's ed build), so
+        # the checkpoint only paid a 1.2M-row cache write for nothing
+        # (measured 1.63 → 1.50 s at sf0.1, rows identical)
     )
     # no pre-distinct here: pagerank() dedups its edge input once — a
     # distinct on each side of the union would add two more full
