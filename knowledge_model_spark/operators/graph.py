@@ -270,50 +270,47 @@ def personalized_pagerank(
     nodes = ed.select(F.col("s").alias("node"))
     if not symmetric:
         nodes = nodes.unionByName(ed.select(F.col("d").alias("node")))
-    nobs = Observation()
-    nodes = (
+    # Unlike pagerank(), neither the bare node set nor the seed
+    # intersection is consumed per round here — only ``base`` is.  So
+    # the three materializing jobs (nodes, seed_set, base) collapse to
+    # ONE: base carries a seed flag, and both scalars (node count for
+    # the broadcast gate, seed count for the teleport/init literals)
+    # ride its checkpoint via a single two-aggregate observe().  The
+    # teleport/init literals depend on n_seeds, which is why base
+    # stores the FLAG, not the terms — the literals bind lazily when
+    # the round plans are built, after the checkpoint resolves.
+    obs = Observation()
+    base = (
         nodes.distinct()
-        .observe(nobs, F.count(F.lit(1)).alias("n"))
+        .join(
+            seeds.select("node").distinct().withColumn("__s", F.lit(1)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__s"), F.lit(0)).alias("seed"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("seed").alias("ns"),
+        )
         .localCheckpoint(eager=True)
     )
-    n = nobs.get["n"]
-    # seed count rides the seed-set checkpoint's materializing job
-    sobs = Observation()
-    seed_set = (
-        seeds.select("node")
-        .distinct()
-        .join(nodes, "node", "left_semi")
-        .observe(sobs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    n_seeds = sobs.get["n"]
+    n = obs.get["n"]
+    n_seeds = int(obs.get["ns"] or 0)
     if n_seeds == 0:
-        return nodes.select(
+        return base.select(
             "node",
             F.lit(0).cast("long").alias("rank_e12"),
             F.lit(0.0).alias("rank"),
         ).limit(0)
     teleport_fp = (SCALE * (q - p)) // (q * n_seeds)
     init_fp = SCALE // n_seeds
-    # base table carries each node's personal teleport term (0 off-seed);
-    # checkpointed once, reused every round
-    base = (
-        nodes.join(seed_set.withColumn("__s", F.lit(1)), "node", "left")
-        .select(
-            "node",
-            F.when(F.col("__s").isNotNull(), F.lit(teleport_fp))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("tp_fp"),
-            F.when(F.col("__s").isNotNull(), F.lit(init_fp))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("init_fp"),
-        )
-        .localCheckpoint(eager=True)
-    )
     bcast = (lambda d: F.broadcast(d)) if n <= 5_000_000 else (lambda d: d)
-    ranks = base.select("node", F.col("init_fp").alias("rank_fp"))
+    # seed * literal over int64 is the same value as the old CASE WHEN
+    # seed THEN literal ELSE 0 — exact integer arithmetic either way
+    ranks = base.select(
+        "node", (F.col("seed") * F.lit(init_fp)).cast("long").alias("rank_fp")
+    )
     for i in range(iterations):
         contribs = ed.join(bcast(ranks), ed["s"] == ranks["node"]).select(
             F.col("d").alias("node"),
@@ -323,7 +320,7 @@ def personalized_pagerank(
         ranks = base.join(bcast(recv), "node", "left").select(
             "node",
             (
-                F.col("tp_fp")
+                (F.col("seed") * F.lit(teleport_fp)).cast("long")
                 + F.expr(f"(coalesce(recv, 0L) * {p}) div {q}")
             ).cast("long").alias("rank_fp"),
         )

@@ -1398,11 +1398,23 @@ def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    per = grams.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
-    # per-gram doc count as an agg + equi-join rather than a window over
-    # g: real-corpus grams are Zipfian, and AQE can split a skewed JOIN
-    # partition but never a WINDOW partition — a boilerplate gram must
-    # not pin one task.  Both inputs are the gram-table-sized `per`.
+    # ONE wide exchange, hash(g), serves everything downstream:
+    # hash(g) satisfies the (g, doc_id) aggregate's clustering, the
+    # per-gram doc-count aggregate, AND the flag join's distribution —
+    # so neither aggregate nor the join adds an exchange (the
+    # _dedup_with_outdeg recipe).  Without the explicit repartition the
+    # optimizer planned the gram pipeline TWICE (scan → split → explode
+    # → Exchange(g, doc) duplicated; ReuseExchange never fired across
+    # the join's two sides) and then re-exchanged both aggregates by g.
+    # The eager localCheckpoint pins the single evaluation.  Skew note
+    # unchanged: per-gram doc counts stay an agg + equi-join rather
+    # than a window so a Zipfian boilerplate gram splits under AQE.
+    per = (
+        grams.repartition("g")
+        .groupBy("g", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     gram_docs = per.groupBy("g").agg(F.count("*").alias("n_docs"))
     flagged = per.join(gram_docs, "g")
     dup_c = F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0)))
