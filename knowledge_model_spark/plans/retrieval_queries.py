@@ -27,7 +27,7 @@ from knowledge_model_spark.functions.vectors import dot, l2_normalize
 from knowledge_model_spark.operators.relational import greedy_budget_pack
 from knowledge_model_spark.operators.similarity import brute_force_top_k
 from knowledge_model_spark.plans import register
-from knowledge_model_spark.session import load_tables
+from knowledge_model_spark.session import load_tables, spread_vectors
 
 K = 10
 T1, T2 = 0.30, 0.15
@@ -215,7 +215,8 @@ def retrieval_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), l2_normalize(F.col("embedding")).alias("qv")
     )
     scored = (
-        e.select("vec_id", l2_normalize(F.col("embedding")).alias("cv"))
+        spread_vectors(e)
+        .select("vec_id", l2_normalize(F.col("embedding")).alias("cv"))
         .crossJoin(broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(dot(F.col("cv"), F.col("qv")), 6).alias("score"))
@@ -277,7 +278,11 @@ def eval_recall_label_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
     )
     scored = (
-        e.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
+        # corpus side spread before the broadcast fan-out: the parquet
+        # scan is a single split locally, so every (corpus × query) HOF
+        # dot would fold in ONE task (measured 31 idle + 1 straggler)
+        spread_vectors(e)
+        .select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
         .crossJoin(broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -582,7 +587,11 @@ def eval_ndcg_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
     )
     scored = (
-        e.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
+        # corpus side spread before the broadcast fan-out: the parquet
+        # scan is a single split locally, so every (corpus × query) HOF
+        # dot would fold in ONE task (measured 31 idle + 1 straggler)
+        spread_vectors(e)
+        .select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
         .crossJoin(broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -688,7 +697,11 @@ def eval_recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_q = q.count()  # driver scalar: eval-set size (tiny by construction)
     scored = (
-        e.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
+        # corpus side spread before the broadcast fan-out: the parquet
+        # scan is a single split locally, so every (corpus × query) HOF
+        # dot would fold in ONE task (measured 31 idle + 1 straggler)
+        spread_vectors(e)
+        .select("vec_id", "label", l2_normalize(F.col("embedding")).alias("cv"))
         .crossJoin(broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(

@@ -24,7 +24,7 @@ from knowledge_model_spark.operators.similarity import (
     lsh_bucket_top_k,
 )
 from knowledge_model_spark.plans import register
-from knowledge_model_spark.session import load_tables
+from knowledge_model_spark.session import load_tables, spread_vectors
 
 K = 10
 N_QUERIES = 5  # first 5 vectors double as the query batch
@@ -1242,7 +1242,9 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     q = _queries(t)
     return (
-        t["embeddings"]
+        # single-split corpus scan spread before the per-pair cosine
+        # (the eval-family straggler fix)
+        spread_vectors(t["embeddings"])
         .crossJoin(F.broadcast(q))
         .filter(cosine_sim(F.col("qv"), F.col("embedding")) >= RANGE_TAU)
         .select("query_id", "vec_id")
