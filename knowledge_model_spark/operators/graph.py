@@ -32,6 +32,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    driver_gate: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``.
 
@@ -40,15 +41,70 @@ def connected_components(
     Raises if ``max_iter`` rounds don't reach the fixpoint (pointer
     jumping needs ~log2(longest path) rounds; 30 covers any graph whose
     diameter fits in an int).
+
+    Small-graph short-circuit (the BPE/unigram-LM driver-EM recipe):
+    when the symmetrized edge list holds at most ``driver_gate`` rows
+    (a count that rides the edge checkpoint's materializing job via
+    observe()), the fixpoint runs as a min-rooted union-find on the
+    driver — the pair graph a DEDUP pipeline feeds here is near-dup
+    pairs, orders of magnitude smaller than the corpus, so at test
+    scale every distributed round is pure scheduling floor.  The
+    result is the same exact graph property (min reachable id —
+    integer arithmetic, no float drift), pinned equal to the
+    distributed loop by tests/test_graph.py at gate 0 vs default.
+    Above the gate the distributed loop is byte-identical to before.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the symmetrized edge list ONCE: `sym` joins into every
     # propagation round, so without a barrier the caller's whole edge
     # lineage (e.g. er_name_clusters' q-gram fuzzy join) re-executes per
     # round — measured as the dominant cost of the ER pipeline at sf0.1
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    sym_obs = Observation()
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .observe(sym_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_sym = int(sym_obs.get["n"])
+    if n_sym == 0:
+        # empty graph: schema-correct empty result straight off the
+        # checkpoint — no driver round trip, no propagation rounds
+        return sym.select(
+            F.col("a").alias("node"), F.col("a").alias("component")
+        ).limit(0)
+    if n_sym <= driver_gate:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = sym.collect()
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # always keep the smaller id as root, so every final
+                # root IS the component minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        atype = sym.schema["a"].dataType
+        schema = StructType(
+            [
+                StructField("node", atype, False),
+                StructField("component", atype, False),
+            ]
+        )
+        data = [(x, find(x)) for x in sorted({a for a, _ in rows})]
+        return sym.sparkSession.createDataFrame(data, schema)
     # label_0 = min(node, min neighbor) — exactly what the first
     # neighbor-propagation round would compute from identity labels, so
     # seeding it here saves one full loop round (join + agg + checkpoint)

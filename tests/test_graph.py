@@ -28,10 +28,24 @@ def test_triangle_and_isolated_pair(spark):
 
 def test_long_chain_converges_by_pointer_jumping(spark):
     # a 64-node path: plain propagation needs 63 rounds; with pointer
-    # jumping ~log2(63) — must finish well inside max_iter=10
+    # jumping ~log2(63) — must finish well inside max_iter=10.
+    # driver_gate=0 forces the distributed loop (the small-graph
+    # short-circuit would otherwise solve this on the driver).
     edges = [(i, i + 1) for i in range(63)]
-    got = _cc(spark, edges, max_iter=10)
+    got = _cc(spark, edges, max_iter=10, driver_gate=0)
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_driver_shortcircuit_equals_distributed_loop(spark):
+    # the small-graph union-find path must produce exactly the
+    # distributed fixpoint — same rows, same types
+    edges = (
+        [(i, i + 1) for i in range(0, 30, 2)]
+        + [(9, 4), (4, 7), (8, 9), (100, 3), (50, 51), (51, 0)]
+    )
+    fast = _cc(spark, edges)  # gate default: driver path
+    slow = _cc(spark, edges, driver_gate=0)  # distributed loop
+    assert fast == slow
 
 
 def test_component_is_min_reachable_id_regardless_of_edge_direction(spark):
@@ -43,7 +57,7 @@ def test_component_is_min_reachable_id_regardless_of_edge_direction(spark):
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_gate=0)
 
 
 def test_cluster_survivors_keeps_min_per_cluster_and_all_nonmembers(spark):
