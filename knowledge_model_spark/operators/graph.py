@@ -523,6 +523,7 @@ def kcore(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_gate: int = 200_000,
 ) -> DataFrame:
     """k-core decomposition: the maximal subgraph where every node has
     degree >= k (within the subgraph).  Returns (node, core_degree) for
@@ -550,12 +551,44 @@ def kcore(
     from pyspark.sql import Observation
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym_obs = Observation()
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(sym_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    if int(sym_obs.get["n"]) <= driver_gate:
+        # small-graph short-circuit (connected_components' recipe): the
+        # peel is exact integer arithmetic, so the driver result is
+        # identical to the distributed fixpoint (pinned by test)
+        from collections import defaultdict
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        adj = defaultdict(set)
+        for a, b in sym.collect():
+            adj[a].add(b)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive if len(adj[v]) < k}
+            if not drop:
+                break
+            alive -= drop
+            for v in drop:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+        atype = sym.schema["a"].dataType
+        schema = StructType(
+            [
+                StructField("node", atype, False),
+                StructField("core_degree", LongType(), False),
+            ]
+        )
+        data = [(v, len(adj[v])) for v in sorted(alive)]
+        return sym.sparkSession.createDataFrame(data, schema)
     prev_e = None
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
@@ -589,6 +622,7 @@ def bfs_hops(
     dst: str = "id_b",
     node_col: str = "node",
     max_iter: int = 50,
+    driver_gate: int = 200_000,
 ) -> DataFrame:
     """Minimum hop count from any source node, by synchronous frontier
     expansion (the BSP BFS every distributed graph engine runs).
@@ -599,12 +633,52 @@ def bfs_hops(
     Scale shape per round: frontier ⋈ edges (frontier is the small
     side — broadcasts while it fits) + one anti join against the
     visited set; O(diameter) rounds, lineage truncated each round.
-    Convergence = empty frontier, an exact driver scalar.
+    Convergence = empty frontier, an exact driver scalar.  Small
+    graphs (symmetrized edges ≤ ``driver_gate``) run the identical
+    BFS on the driver — exact integer hop counts, two jobs total
+    instead of two per depth (connected_components' recipe, pinned
+    equal by test).
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    sym_obs = Observation()
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .observe(sym_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    if int(sym_obs.get["n"]) <= driver_gate:
+        from collections import defaultdict
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        adj = defaultdict(list)
+        for a, b in sym.collect():
+            adj[a].append(b)
+        srcs = sources.select(F.col(node_col).alias("node")).distinct()
+        hops = {r[0]: 0 for r in srcs.collect()}
+        frontier = list(hops)
+        depth = 0
+        while frontier:
+            depth += 1
+            nxt = []
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in hops:
+                        hops[u] = depth
+                        nxt.append(u)
+            frontier = nxt
+        ntype = srcs.schema["node"].dataType
+        schema = StructType(
+            [
+                StructField("node", ntype, False),
+                StructField("hops", LongType(), False),
+            ]
+        )
+        return sym.sparkSession.createDataFrame(
+            sorted(hops.items()), schema
+        )
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()

@@ -238,6 +238,24 @@ def test_bfs_multi_source_takes_nearest(spark):
     assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
 
 
+def test_kcore_and_bfs_driver_paths_equal_distributed(spark):
+    from knowledge_model_spark.operators.graph import bfs_hops, kcore
+
+    edges = spark.createDataFrame(
+        [(d, d + o) for d in range(0, 60, 10) for o in (1, 2, 3)]
+        + [(d + 1, d + 2) for d in range(0, 60, 10)]
+        + [(3, 14), (23, 44)],
+        "id_a long, id_b long",
+    )
+    kc_fast = sorted(map(tuple, kcore(edges, k=2).collect()))
+    kc_slow = sorted(map(tuple, kcore(edges, k=2, driver_gate=0).collect()))
+    assert kc_fast == kc_slow
+    src = spark.createDataFrame([(0,), (23,)], "node long")
+    b_fast = sorted(map(tuple, bfs_hops(edges, src).collect()))
+    b_slow = sorted(map(tuple, bfs_hops(edges, src, driver_gate=0).collect()))
+    assert b_fast == b_slow
+
+
 def test_personalized_pagerank_unreachable_gets_zero(spark):
     from knowledge_model_spark.operators.graph import personalized_pagerank
 
