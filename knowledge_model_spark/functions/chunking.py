@@ -191,39 +191,45 @@ def content_defined_chunks(
     md5 chunk fingerprint (the join key for chunk-level dedup).
     """
     from knowledge_model_spark.functions.text_analysis import (
+        _char_codes,
+        bind1,
         rolling_gram_hashes,
     )
 
-    codes = df.select(
+    # One collapse-safe expression (bind1 lambda chaining) instead of the
+    # former two staged checkpoint jobs: codes, the hash array, and the
+    # cut list are each bound ONCE per row, so no HOF stage re-inlines
+    # its producer (values identical — same algebra, same fold order).
+    def _segs(h):
+        # cut offsets (0-based char positions AFTER the triggering gram):
+        # gram starting at 1-based i covers chars [i, i+k-1] → cut at i+k-1
+        cuts = F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.size(h), F.lit(1))),
+                lambda i: (i <= F.size(h))
+                & (F.element_at(h, i) % divisor == 0),
+            ),
+            lambda i: i + F.lit(k - 1),
+        )
+        return bind1(
+            cuts,
+            lambda cts: F.filter(
+                F.zip_with(
+                    F.concat(F.array(F.lit(0)), cts),
+                    F.concat(cts, F.array(F.length(text_col))),
+                    lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+                ),
+                lambda se: se["e"] > se["s"],
+            ),
+        )
+
+    segs = bind1(
+        _char_codes(F.col(text_col)),
+        lambda c: bind1(rolling_gram_hashes(c, k), _segs),
+    )
+    out = df.select(
         *id_cols,
         F.col(text_col).alias("__t"),
-        F.when(
-            F.length(text_col) > 0,
-            F.transform(F.split(text_col, ""), lambda ch: F.ascii(ch).cast("long")),
-        ).otherwise(F.array().cast("array<long>")).alias("__c"),
-    ).localCheckpoint(eager=True)
-    hashed = codes.select(
-        *id_cols, "__t", rolling_gram_hashes(F.col("__c"), k).alias("__h")
-    ).localCheckpoint(eager=True)
-    # cut offsets (0-based char positions AFTER the triggering gram):
-    # gram starting at 1-based i covers chars [i, i+k-1] → cut at i+k-1
-    cuts = F.transform(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size("__h"), F.lit(1))),
-            lambda i: (i <= F.size("__h"))
-            & (F.element_at(F.col("__h"), i) % divisor == 0),
-        ),
-        lambda i: i + F.lit(k - 1),
-    )
-    starts = F.concat(F.array(F.lit(0)), cuts)
-    ends = F.concat(cuts, F.array(F.length("__t")))
-    segs = F.filter(
-        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
-        lambda se: se["e"] > se["s"],
-    )
-    out = hashed.select(
-        *id_cols,
-        "__t",
         F.posexplode(segs).alias("chunk_index", "__se"),
     )
     chunk_text = F.substring(

@@ -250,3 +250,46 @@ def window_minima(hashes: Column, w: int = 4) -> Column:
             lambda i: F.least(*[F.element_at(hashes, i + F.lit(j)) for j in range(w)]),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def bind1(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``f`` as a bound
+    lambda variable: ``element_at(transform(array(col), f), 1)``.
+
+    This is the l2_normalize finish-lambda recipe as a combinator: a
+    lambda VARIABLE is a cheap slot reference, so ``f`` may mention its
+    argument any number of times (including once per array element)
+    without re-evaluating the underlying expression — the CollapseProject
+    re-inline hazard that previously forced a staged ``localCheckpoint``
+    (a full materializing job) between every HOF stage of the winnowing
+    pipelines.  One single-element array allocation per row is the whole
+    price.  Values are identical: same expression tree, same fold order.
+    """
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
+def _char_codes(t: Column) -> Column:
+    """``array<long>`` character codes of ``t`` (empty array for '')."""
+    return F.when(
+        F.length(t) > 0,
+        F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
+    """``array<long>`` DISTINCT winnowing fingerprints of normalized
+    ``text`` as one collapse-safe expression — normalize → char codes →
+    rolling k-gram hashes → w-window minima → distinct, each stage bound
+    once via :func:`bind1` (no checkpoint barriers, no extra jobs).
+    Identical algebra (hence identical values) to the former staged
+    form."""
+    return bind1(
+        normalize_for_dedup(text),
+        lambda t: bind1(
+            _char_codes(t),
+            lambda c: bind1(
+                rolling_gram_hashes(c, k),
+                lambda h: F.array_distinct(window_minima(h, w)),
+            ),
+        ),
+    )

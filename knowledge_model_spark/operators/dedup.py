@@ -815,33 +815,21 @@ def winnow_containment_pairs(
     1 surviving fingerprint would score containment 1.0 against
     anything sharing that hash — ratio noise, not evidence).
     """
-    from knowledge_model_spark.functions.text_analysis import (
-        normalize_for_dedup,
-        rolling_gram_hashes,
-        window_minima,
-    )
+    from knowledge_model_spark.functions.text_analysis import winnow_fingerprints
 
-    # Staged eager checkpoints: each higher-order fn reads a materialized
-    # array — CollapseProject would otherwise re-inline the rolling-hash
-    # expression once per window-minimum lambda (the known blowup).
-    normed = df.select(
-        F.col(id_col).alias("id"), normalize_for_dedup(F.col(text_col)).alias("t")
+    # One collapse-safe expression (bind1 lambda chaining) — the former
+    # THREE staged eager checkpoints existed only to stop CollapseProject
+    # re-inlining the rolling-hash expression per window-minimum lambda;
+    # binding each stage to a lambda variable achieves the same while
+    # computing the whole chain once.  ONE checkpoint remains, at the
+    # fingerprint grain: the explode below infers a size(f) > 0 filter,
+    # and without a materialization barrier that filter re-inlines the
+    # ENTIRE fingerprint expression twice more per row (measured 2.1 s
+    # -> 3.0 s when fully fused; 3 jobs -> 1 job this way).
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(F.col(text_col), k, w).alias("f"),
     ).localCheckpoint(eager=True)
-    codes = normed.select(
-        "id",
-        F.when(
-            F.length("t") > 0,
-            F.transform(F.split("t", ""), lambda ch: F.ascii(ch).cast("long")),
-        )
-        .otherwise(F.array().cast("array<long>"))
-        .alias("c"),
-    ).localCheckpoint(eager=True)
-    hashes = codes.select(
-        "id", rolling_gram_hashes(F.col("c"), k).alias("h")
-    ).localCheckpoint(eager=True)
-    fps = hashes.select(
-        "id", F.array_distinct(window_minima(F.col("h"), w)).alias("f")
-    )
     ex = fps.select("id", F.explode("f").alias("fp"))
     if max_df is not None:
         # (id, fp) rows are distinct (array_distinct) → count(*) per fp

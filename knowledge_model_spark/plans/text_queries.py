@@ -381,38 +381,27 @@ def _winnow_horner_sql(k: int = 7, p: int = 1_000_000_007, b: int = 257) -> str:
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_model_spark.functions.text_analysis import (
         WINNOW_P,
-        normalize_for_dedup,
-        rolling_gram_hashes,
-        window_minima,
+        bind1,
+        winnow_fingerprints,
     )
 
     t = load_tables(spark, sf_dir)
-    normed = (
-        t["documents_spread"]
-        .select("doc_id", normalize_for_dedup(F.col("text")).alias("t"))
-        .localCheckpoint(eager=True)
+    # one collapse-safe expression (bind1 chaining) replaces the former
+    # three staged checkpoint jobs; the fingerprint array is also bound
+    # once so the four scalar reductions share a single evaluation
+    out = bind1(
+        winnow_fingerprints(F.col("text"), 7, 4),
+        lambda f: F.struct(
+            F.size(f).cast("long").alias("n_fps"),
+            F.aggregate(
+                f, F.lit(0).cast("long"), lambda acc, x: (acc + x) % WINNOW_P
+            ).alias("fp_digest"),
+            F.array_min(f).alias("fp_min"),
+            F.array_max(f).alias("fp_max"),
+        ),
     )
-    codes = normed.select(
-        "doc_id",
-        F.when(
-            F.length("t") > 0,
-            F.transform(F.split("t", ""), lambda ch: F.ascii(ch).cast("long")),
-        ).otherwise(F.array().cast("array<long>")).alias("c"),
-    ).localCheckpoint(eager=True)
-    hashes = codes.select(
-        "doc_id", rolling_gram_hashes(F.col("c"), 7).alias("h")
-    ).localCheckpoint(eager=True)
-    fps = hashes.select(
-        "doc_id", F.array_distinct(window_minima(F.col("h"), 4)).alias("f")
-    )
-    return fps.select(
-        "doc_id",
-        F.size("f").cast("long").alias("n_fps"),
-        F.aggregate(
-            F.col("f"), F.lit(0).cast("long"), lambda acc, x: (acc + x) % WINNOW_P
-        ).alias("fp_digest"),
-        F.array_min("f").alias("fp_min"),
-        F.array_max("f").alias("fp_max"),
+    return t["documents_spread"].select("doc_id", out.alias("o")).select(
+        "doc_id", "o.n_fps", "o.fp_digest", "o.fp_min", "o.fp_max"
     )
 
 
